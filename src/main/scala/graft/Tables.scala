@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-supplied Parquet corpus (schemas in FIXTURES.md §A).
+  *
+  * Design for scale: each table is a plain parquet scan — no caching, no
+  * collect. Catalyst pushes predicates/projections into the scan, so callers
+  * should select/filter on the returned DataFrame directly. The four
+  * dimension tables (`region nation supplier part`) stay broadcast-sized at
+  * every scale factor (FIXTURES.md §A), so joins against them should use
+  * `broadcast(...)` — helpers in the query modules do this.
+  */
+object Tables {
+
+  /** Session settings every entry point (Verify/Bench/tests) applies:
+    * nanos-as-long lets Spark read the events table's TIMESTAMP(NANOS)
+    * column (see [[events]]); AQE is on for runtime coalesce/skew handling
+    * at scale. */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    // rollup/cube after a join trips the ambiguous-self-join lint (the
+    // Expand operator duplicates child attributes); it's a false positive
+    // for our plans — no actual self joins.
+    "spark.sql.analyzer.failAmbiguousSelfJoin" -> "false")
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is stored as Parquet TIMESTAMP(NANOS), which Spark reads
+    * only as a raw nanos Long (`spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set in [[configure]]). Convert to a proper TimestampType (µs — the
+    * corpus only carries µs precision, so the ns→µs division is lossless;
+    * DuckDB reads the same file as TIMESTAMP_NS). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
