@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.registry, operators.Relational.oracle))
+      (operators.Relational.registry, operators.Relational.oracle),
+      (operators.Gateway.registry, operators.Gateway.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
