@@ -13,7 +13,11 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.registry, operators.Relational.oracle),
-      (operators.Gateway.registry, operators.Gateway.oracle))
+      (operators.Gateway.registry, operators.Gateway.oracle),
+      (operators.Dedup.registry, operators.Dedup.oracle),
+      (operators.TextAnalysis.registry, operators.TextAnalysis.oracle),
+      (operators.Similarity.registry, operators.Similarity.oracle),
+      (operators.Multimodal.registry, operators.Multimodal.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,7 +34,9 @@ object Codecs {
     val buf = new Array[Byte](4096)
     while (!i.finished()) {
       val n = i.inflate(buf)
-      if (n == 0 && i.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+      // inflate()==0 can mean "stream just finished" — only a 0 with the
+      // stream still unfinished is a truncation error
+      if (n == 0 && !i.finished()) throw new java.util.zip.DataFormatException("truncated")
       out.write(buf, 0, n)
     }
     i.end()

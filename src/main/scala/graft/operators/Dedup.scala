@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-groupBy), MinHash signatures + banded LSH candidate join with
+  * exact shingle-Jaccard verification, and SimHash fingerprinting.
+  *
+  * The corpus documents are (mostly) unique, so dedup queries run over a
+  * DERIVED corpus = documents ∪ exact copies (doc_id%5==0, +1_000_000) ∪
+  * near copies with an appended tail (doc_id%7==0, +2_000_000) — built
+  * with identical expressions on the oracle side, so hit paths are real.
+  *
+  * Scale design:
+  *  - MinHash signatures are computed entirely map-side with nested
+  *    higher-order functions (no explode, NO shuffle): 16 permutations
+  *    via min(md5(k || shingle)) — the lexicographic min of a 128-bit
+  *    hash is a valid MinHash permutation.
+  *  - LSH banding (4 bands × 4 rows) turns the O(n²) all-pairs problem
+  *    into an equi-join on (band_idx, band_hash) — the only shuffle, on a
+  *    key that spreads uniformly. Exact Jaccard runs only on candidates.
+  */
+object Dedup {
+
+  /** documents + injected exact/near duplicates (identical on oracle side). */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra tail token stream appended here")).as("text")))
+  }
+
+  private val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text || ' extra tail token stream appended here'
+      |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Exact dedup: group by content hash, keep min doc_id. One shuffle on
+    * the hash — the canonical 100 TB exact-dedup plan. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_copies") > 1)
+
+  /** Word 3-gram shingles + 16-permutation MinHash signature, all
+    * map-side via nested HOFs. */
+  private val shinglesExpr =
+    """transform(sequence(1, size(words) - 2),
+      |  i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))""".stripMargin
+
+  private val sigExpr =
+    """transform(sequence(0, 15),
+      |  k -> array_min(transform(shingles, sh -> md5(concat(cast(k as string), '|', sh)))))""".stripMargin
+
+  private def withSignature(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("sig", expr(sigExpr))
+
+  def qDedupMinhashSig(s: SparkSession, d: String): DataFrame =
+    withSignature(corpus(s, d))
+      .select(col("doc_id"), array_join(col("sig"), ",").as("signature"))
+
+  /** LSH candidate pairs (4 bands × 4 rows) verified with exact distinct
+    * shingle Jaccard; near-dup threshold 0.5. */
+  def qDedupLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = withSignature(corpus(s, d))
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+    val bands = sigs.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 3), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = bands.as("x")
+      .join(bands.withColumnRenamed("doc_id", "b_id").as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("b_id"))
+      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_union", size(col("sa")) + size(col("sb")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
+  }
+
+  /** 16-bit SimHash variant: bit j is the majority vote over words of the
+    * j-th md5 hex digit's MSB. Same-fingerprint bucket size flags
+    * near-dup clusters. Map-side except one window on the fingerprint. */
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("simhash16", expr(
+        """array_join(transform(sequence(1, 16),
+          |  j -> if(2 * size(filter(words, x -> substring(md5(x), j, 1)
+          |                IN ('8','9','a','b','c','d','e','f'))) > size(words), '1', '0')), '')""".stripMargin))
+      .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("simhash16")))
+      .select("doc_id", "simhash16", "n_bucket")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
+    "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
+    "q_dedup_simhash" -> (qDedupSimhash _))
+
+  private val shinglesSql =
+    "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+  private val sigSql =
+    "list_transform(range(0, 16), k -> list_min(list_transform(shingles, sh -> md5(CAST(k AS VARCHAR) || '|' || sh))))"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH $corpusSql
+         |SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q_dedup_minhash_sig" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w)
+         |SELECT doc_id, array_to_string($sigSql, ',') AS signature FROM sh""".stripMargin,
+    "q_dedup_lsh_pairs" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
+         |sg AS (SELECT doc_id, $sigSql AS sig, list_distinct(shingles) AS sset FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+         |  FROM sg, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+         |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
+         |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)
+         |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+         |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |f AS (SELECT doc_id,
+         |    array_to_string(list_transform(range(1, 17),
+         |      j -> CASE WHEN 2 * len(list_filter(words, x -> substring(md5(x), j, 1)
+         |                     IN ('8','9','a','b','c','d','e','f'))) > len(words)
+         |           THEN '1' ELSE '0' END), '') AS simhash16
+         |  FROM w)
+         |SELECT doc_id, simhash16, COUNT(*) OVER (PARTITION BY simhash16) AS n_bucket FROM f""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media treated as opaque `binary` payloads
+  * with typed metadata, decoded per-partition in batches.
+  *
+  * The container has no image/audio libraries, so the decode step is a
+  * clearly-marked deterministic STUB (`FakeDecoder`) — but the Spark-side
+  * plumbing is real: BinaryType columns, a typed `Dataset.mapPartitions`
+  * decode (the Scala analogue of a Pandas-UDF batch loop — one decoder
+  * instance per partition, streaming iterator, no per-row setup), and
+  * frame sampling via a generator. Swapping `FakeDecoder` for a real
+  * codec keeps every signature and the physical plan unchanged.
+  *
+  * The stub's outputs are pure functions of payload length and doc_id, so
+  * the whole pipeline remains oracle-checkable.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, byte_len: Int, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg.
+    * Real implementation would parse the payload header; the formulas
+    * below are mirrored in the SQL oracle. */
+  object FakeDecoder {
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val len = payload.length
+      val fmt = (docId % 3) match {
+        case 0 => "png"
+        case 1 => "jpeg"
+        case _ => "webp"
+      }
+      MediaMeta(docId, len, fmt,
+        width = 16 + (len * 7) % 624,
+        height = 16 + (len * 13) % 464,
+        n_frames = 1 + math.min(len / 100, 4))
+    }
+  }
+
+  /** Batch metadata extraction: binary payload column → typed decode via
+    * mapPartitions (decoder initialized once per partition, rows stream
+    * through — the batch shape a real codec needs). */
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would go here (e.g. native handle)
+      rows.map(r => FakeDecoder.decode(r.doc_id, r.payload))
+    }.toDF()
+  }
+
+  /** Frame sampling for "video" payloads (doc_id % 4 == 0): one row per
+    * sampled frame with its offset and content hash — generator
+    * (posexplode) over the frame index sequence, map-side only. */
+  def qMultimodalFrames(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .withColumn("byte_len", octet_length(col("text")))
+      .withColumn("n_frames", lit(1) + least(floor(col("byte_len") / 100), lit(4)).cast("int"))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("pos", "frame_idx")))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        (col("frame_idx") * 100).cast("int").as("frame_offset"),
+        expr("md5(substring(text, frame_idx * 100 + 1, 100))").as("frame_hash"))
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_frames" -> (qMultimodalFrames _))
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  CAST(16 + (octet_length(encode(text)) * 7) % 624 AS INTEGER) AS width,
+        |  CAST(16 + (octet_length(encode(text)) * 13) % 464 AS INTEGER) AS height,
+        |  CAST(1 + least(octet_length(encode(text)) // 100, 4) AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, text,
+        |    1 + least(octet_length(encode(text)) // 100, 4) AS n_frames
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 100 AS INTEGER) AS frame_offset,
+        |  md5(substring(text, CAST(i * 100 + 1 AS INTEGER), 100)) AS frame_hash
+        |FROM v, unnest(range(0, n_frames)) AS t(i)""".stripMargin)
+}

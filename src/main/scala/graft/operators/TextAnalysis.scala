@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM data pipelines over `documents`:
+  * per-document statistics & quality scoring, stopword-profile language
+  * identification, token counting (whitespace + regex/BPE-ish), and
+  * content fingerprinting.
+  *
+  * Everything is map-side (projection-only — no shuffle at any scale);
+  * ratios are derived from exact integer counts so the doubles are
+  * bit-identical to the oracle's.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+  private val stopFr = Seq("le", "la", "de", "et", "un", "est", "que")
+
+  private def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Document statistics + composite quality score. */
+  def qTextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_distinct_words", size(array_distinct(col("words"))))
+      .withColumn("sum_word_len",
+        expr("aggregate(transform(words, w -> length(w)), 0, (acc, x) -> acc + x)"))
+      .withColumn("n_stopwords",
+        expr(s"size(filter(words, w -> w IN ${inList(stopEn)}))"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct_words"),
+        (col("sum_word_len").cast("double") / col("n_words")).as("avg_word_len"),
+        (col("n_stopwords").cast("double") / col("n_words")).as("stopword_ratio"),
+        (col("n_distinct_words").cast("double") / col("n_words")).as("distinct_ratio"),
+        ((col("n_distinct_words").cast("double") / col("n_words")) *
+          (lit(1.0) - col("n_stopwords").cast("double") / col("n_words"))).as("quality_score"),
+        (col("n_chars") === length(col("text"))).as("n_chars_consistent"))
+
+  /** Stopword-profile language ID (n-gram-heuristic family): score each
+    * language's marker-word hits, classify by a deterministic cascade. */
+  def qTextLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("score_en", expr(s"size(filter(words, w -> w IN ${inList(stopEn)}))"))
+      .withColumn("score_es", expr(s"size(filter(words, w -> w IN ${inList(stopEs)}))"))
+      .withColumn("score_de", expr(s"size(filter(words, w -> w IN ${inList(stopDe)}))"))
+      .withColumn("score_fr", expr(s"size(filter(words, w -> w IN ${inList(stopFr)}))"))
+      .withColumn("pred_lang",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
+             col("score_en") >= col("score_fr") && col("score_en") > 0, "en")
+          .when(col("score_es") >= col("score_de") && col("score_es") >= col("score_fr") &&
+            col("score_es") > 0, "es")
+          .when(col("score_de") >= col("score_fr") && col("score_de") > 0, "de")
+          .when(col("score_fr") > 0, "fr")
+          .otherwise("unknown"))
+      .select(col("doc_id"), col("score_en"), col("score_es"), col("score_de"),
+        col("score_fr"), col("pred_lang"), col("lang"),
+        (col("pred_lang") === col("lang")).as("is_match"))
+
+  /** Token counting: whitespace tokens, regex word/number/symbol tokens,
+    * and a BPE-ish ≤4-char chunking; chars-per-token density. */
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("bpe_ish_tokens"),
+        length(col("text")).as("n_chars_text"))
+      .withColumn("chars_per_token",
+        col("n_chars_text").cast("double") / col("ws_tokens"))
+
+  /** Content fingerprinting: md5 of normalized text, a 8-hex-prefix
+    * shard bucket, and a position-weighted exact checksum. */
+  def qDocFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm", regexp_replace(lower(col("text")), " +", " "))
+      .withColumn("words", split(col("norm"), " "))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fp_md5"),
+        substring(md5(col("norm")), 1, 8).as("fp_bucket"),
+        expr("aggregate(transform(sequence(1, size(words)), i -> i * length(element_at(words, i))), 0, (acc, x) -> acc + x)")
+          .as("weighted_checksum"))
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_token_count" -> (qTokenCount _),
+    "q_doc_fingerprint" -> (qDocFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH w AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS words FROM documents),
+         |c AS (SELECT doc_id, n_chars, text,
+         |    CAST(len(words) AS INTEGER) AS n_words,
+         |    CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct_words,
+         |    CAST(list_sum(list_transform(words, x -> length(x))) AS INTEGER) AS sum_word_len,
+         |    CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS INTEGER) AS n_stopwords
+         |  FROM w)
+         |SELECT doc_id, n_words, n_distinct_words,
+         |  CAST(sum_word_len AS DOUBLE) / n_words AS avg_word_len,
+         |  CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+         |  CAST(n_distinct_words AS DOUBLE) / n_words AS distinct_ratio,
+         |  (CAST(n_distinct_words AS DOUBLE) / n_words) *
+         |    (1.0 - CAST(n_stopwords AS DOUBLE) / n_words) AS quality_score,
+         |  (n_chars = length(text)) AS n_chars_consistent
+         |FROM c""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |    CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS INTEGER) AS score_en,
+         |    CAST(len(list_filter(words, x -> x IN ${inList(stopEs)})) AS INTEGER) AS score_es,
+         |    CAST(len(list_filter(words, x -> x IN ${inList(stopDe)})) AS INTEGER) AS score_de,
+         |    CAST(len(list_filter(words, x -> x IN ${inList(stopFr)})) AS INTEGER) AS score_fr
+         |  FROM w)
+         |SELECT doc_id, score_en, score_es, score_de, score_fr,
+         |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+         |            AND score_en > 0 THEN 'en'
+         |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+         |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+         |       WHEN score_fr > 0 THEN 'fr'
+         |       ELSE 'unknown' END AS pred_lang,
+         |  lang,
+         |  (CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+         |             AND score_en > 0 THEN 'en'
+         |        WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+         |        WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+         |        WHEN score_fr > 0 THEN 'fr'
+         |        ELSE 'unknown' END = lang) AS is_match
+         |FROM sc""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS re_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS bpe_ish_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_text,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+        |FROM documents""".stripMargin,
+    "q_doc_fingerprint" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(text), ' +', ' ', 'g') AS norm FROM documents),
+        |w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n)
+        |SELECT doc_id, md5(norm) AS fp_md5, substring(md5(norm), 1, 8) AS fp_bucket,
+        |  CAST(list_sum(list_transform(range(1, len(words) + 1), i -> i * length(words[i]))) AS INTEGER)
+        |    AS weighted_checksum
+        |FROM w""".stripMargin)
+}

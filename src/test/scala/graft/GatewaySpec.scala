@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Gateway
+import org.apache.spark.sql.functions._
+
+/** Decision-table invariants for the gateway operators (FIXTURES.md §B). */
+class GatewaySpec extends SparkSpec {
+
+  lazy val auth = Gateway.qAuthDispatch(spark, sf).cache()
+
+  test("auth: every token kind appears and statuses are only 200/307") {
+    val kinds = auth.select("token_kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("wx", "uuid", "sess", "none"))
+    val statuses = auth.select("status").distinct().collect().map(_.getInt(0)).toSet
+    assert(statuses == Set(200, 307))
+  }
+
+  test("auth: uuid tokens always pass through as their own uid (gateway.ts:226)") {
+    assert(auth.filter(col("token_kind") === "uuid" &&
+      (col("status") =!= 200 || col("uid").isNull)).count() == 0)
+  }
+
+  test("auth: wx and sess kinds have both hit (200 w/ uid) and miss (307, null uid) paths") {
+    for (k <- Seq("wx", "sess")) {
+      assert(auth.filter(col("token_kind") === k && col("status") === 200 && col("uid").isNotNull).count() > 0)
+      assert(auth.filter(col("token_kind") === k && col("status") === 307 && col("uid").isNull).count() > 0)
+    }
+  }
+
+  test("auth: anonymous admin proceeds with empty uid, anonymous mobile gets 307 (gateway.ts:264-284)") {
+    val none = auth.filter(col("token_kind") === "none")
+    assert(none.filter(col("domain") === "admin" && (col("status") =!= 200 || col("uid") =!= "")).count() == 0)
+    assert(none.filter(col("domain") === "mobile" && col("status") =!= 307).count() == 0)
+  }
+
+  test("route: unknown modules 404 with null address; admin rewrites to adjacent port (gateway.ts:45-53,288-298)") {
+    val r = Gateway.qRoute(spark, sf).cache()
+    assert(r.filter(col("status") === 404 && col("resolved_addr").isNotNull).count() == 0)
+    assert(r.filter(col("mod_name").isin("error", "view") && col("status") =!= 404).count() == 0)
+    // signup is always admin-domain → always rewritten 5562 → 5563
+    val signupAddrs = r.filter(col("mod_name") === "signup")
+      .select("resolved_addr").distinct().collect().map(_.getString(0)).toSet
+    assert(signupAddrs == Set("tcp://svc-signup:5563"))
+    // click is always mobile-domain → never rewritten
+    val clickAddrs = r.filter(col("mod_name") === "click")
+      .select("resolved_addr").distinct().collect().map(_.getString(0)).toSet
+    assert(clickAddrs == Set("tcp://svc-click:5558"))
+  }
+
+  test("rate limit: windows are sane (1s ⊆ 1h, counts ≥ 1)") {
+    val rl = Gateway.qRateLimit(spark, sf).cache()
+    assert(rl.filter(col("max_calls_1s") < 1 || col("max_calls_1h") < col("max_calls_1s")).count() == 0)
+    assert(rl.filter(col("n_denied_1s") > 0 && col("max_calls_1s") <= 10).count() == 0)
+  }
+
+  test("correlate: matched + unmatched = requests; ~10% dead-letter (gateway.ts:134-136)") {
+    val c = Gateway.qCorrelate(spark, sf)
+    val rows = c.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, m, u) = (r.getAs[Long]("n_requests"), r.getAs[Long]("n_matched"), r.getAs[Long]("n_unmatched"))
+      assert(m + u == n)
+      assert(u > 0 && u < n)
+    }
+  }
+
+  test("compress decision: all six branches of the negotiation table occur") {
+    val dec = Gateway.qCompressDecision(spark, sf)
+      .select("decision").distinct().collect().map(_.getString(0)).toSet
+    assert(dec == Set("passthrough_deflate", "inflate_gzip", "inflate_raw", "raw", "deflate", "gzip"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the LLM-pipeline operators (dedup, similarity,
+  * text analysis, multimodal) beyond the SQL-oracle hash equality. */
+class PipelineSpec extends SparkSpec {
+
+  test("exact dedup finds every injected duplicate and keeps the lowest id") {
+    val g = Dedup.qDedupExact(spark, sf).cache()
+    // sf0.001: 500 docs, doc_id%5==0 → 100 injected exact-copy groups
+    assert(g.count() == 100)
+    assert(g.filter(col("n_copies") =!= 2).count() == 0)
+    assert(g.filter(col("keep_id") >= 1000000L).count() == 0)
+  }
+
+  test("minhash LSH recovers exact dups at jaccard 1.0 and near dups above 0.5") {
+    val pairs = Dedup.qDedupLshPairs(spark, sf).cache()
+    val exact = pairs.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
+    assert(exact.count() == 100)
+    assert(exact.filter(col("jaccard") =!= 1.0).count() == 0)
+    // near dups: appended tail → high but <1 jaccard; LSH must catch most
+    val near = pairs.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 2000000L)
+    assert(near.count() >= 60) // 72 injected at sf0.001; banding may miss a few
+    assert(near.filter(col("jaccard") >= 1.0 || col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("simhash: identical docs share a fingerprint; fingerprints are 16 bits") {
+    val sh = Dedup.qDedupSimhash(spark, sf).cache()
+    assert(sh.filter(length(col("simhash16")) =!= 16).count() == 0)
+    assert(sh.filter(!col("simhash16").rlike("^[01]{16}$")).count() == 0)
+    // every injected exact dup (doc_id%5==0) shares its original's bucket
+    val orig = sh.filter(col("doc_id") < 1000000 && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("o_id"), col("simhash16").as("o_fp"))
+    val dup = sh.filter(col("doc_id") >= 1000000 && col("doc_id") < 2000000)
+      .select((col("doc_id") - 1000000L).as("o_id"), col("simhash16").as("d_fp"))
+    assert(orig.join(dup, "o_id").filter(col("o_fp") =!= col("d_fp")).count() == 0)
+  }
+
+  test("ANN LSH reaches reasonable recall vs brute-force top-5") {
+    val bf = Similarity.qSimTopK(spark, sf).select("q_id", "neighbor_id")
+    val ann = Similarity.qSimAnnLsh(spark, sf).select("q_id", "neighbor_id")
+    val nBf = bf.count()
+    val hit = bf.join(ann, Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(nBf > 0)
+    assert(hit.toDouble / nBf >= 0.25, s"recall ${hit.toDouble / nBf} too low")
+  }
+
+  test("brute-force top-k: 5 ranked neighbors per query, cosine in [-1,1] descending") {
+    val tk = Similarity.qSimTopK(spark, sf).cache()
+    val perQ = tk.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max(col("cosine")).as("mx"), min(col("cosine")).as("mn"))
+    assert(perQ.filter(col("n") =!= 5).count() == 0)
+    assert(tk.filter(col("cosine") > 1.0 || col("cosine") < -1.0).count() == 0)
+    // rank 1 has the max cosine within each query group
+    val r1 = tk.filter(col("rank") === 1).select(col("q_id"), col("cosine").as("c1"))
+    assert(perQ.join(r1, "q_id").filter(col("c1") =!= col("mx")).count() == 0)
+  }
+
+  test("text stats: ratios bounded, quality in [0,1], counts positive") {
+    val st = TextAnalysis.qTextStats(spark, sf).cache()
+    assert(st.count() == 500)
+    assert(st.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+    assert(st.filter(col("distinct_ratio") <= 0 || col("distinct_ratio") > 1).count() == 0)
+    assert(st.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    assert(st.filter(col("n_words") < 10).count() == 0) // corpus min is 10
+  }
+
+  test("langid classifies the all-English corpus as en whenever markers present") {
+    val li = TextAnalysis.qTextLangid(spark, sf)
+    assert(li.filter(col("score_en") > 0 && col("pred_lang") =!= "en").count() == 0)
+  }
+
+  test("token counts: regex tokens ≥ whitespace tokens; chars/token > 0") {
+    val tc = TextAnalysis.qTokenCount(spark, sf)
+    assert(tc.filter(col("re_tokens") < col("ws_tokens")).count() == 0)
+    assert(tc.filter(col("chars_per_token") <= 0).count() == 0)
+  }
+
+  test("multimodal: mapPartitions decode emits one typed row per doc with stub invariants") {
+    val m = Multimodal.qMultimodalMeta(spark, sf).cache()
+    assert(m.count() == 500)
+    assert(m.filter(col("width") < 16 || col("width") >= 640).count() == 0)
+    assert(m.filter(col("height") < 16 || col("height") >= 480).count() == 0)
+    assert(m.filter(!col("format").isin("png", "jpeg", "webp")).count() == 0)
+    assert(m.filter(col("n_frames") < 1 || col("n_frames") > 5).count() == 0)
+  }
+
+  test("multimodal frames: one row per sampled frame, offsets stride 100") {
+    val f = Multimodal.qMultimodalFrames(spark, sf).cache()
+    assert(f.filter(col("frame_offset") =!= col("frame_idx") * 100).count() == 0)
+    val perDoc = f.groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+    assert(perDoc.filter(col("n") =!= col("mx") + 1).count() == 0)
+  }
+}
