@@ -17,7 +17,8 @@ object SparkEntry {
       (operators.Dedup.registry, operators.Dedup.oracle),
       (operators.TextAnalysis.registry, operators.TextAnalysis.oracle),
       (operators.Similarity.registry, operators.Similarity.oracle),
-      (operators.Multimodal.registry, operators.Multimodal.oracle))
+      (operators.Multimodal.registry, operators.Multimodal.oracle),
+      (operators.EventWindows.registry, operators.EventWindows.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Correlator, StreamOps}
+import graft.streaming.Correlator.GwEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics driven through MemoryStream: the sn correlator
+  * (matched / timeout / unmatched-response paths, mirroring
+  * gateway.ts:72-137 and the 30 s rcvtimeo at gateway.ts:56), windowed
+  * rate limiting, and watermarked dedup. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(sec: Int): Timestamp = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("correlator matches responses to requests and measures latency") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[GwEvent]
+    val q = Correlator.correlate(in.toDS(), timeoutMs = 30000L)
+      .writeStream.format("memory").queryName("corr1").outputMode("append").start()
+    try {
+      in.addData(
+        GwEvent("a", "request", ts(0)), GwEvent("b", "request", ts(1)),
+        GwEvent("a", "response", ts(2)), GwEvent("orphan", "response", ts(3)))
+      q.processAllAvailable()
+      in.addData(GwEvent("b", "response", ts(5)))
+      q.processAllAvailable()
+      val rows = spark.table("corr1").as[Correlator.Correlated].collect()
+        .map(c => c.sn -> (c.outcome, c.latency_ms)).toMap
+      assert(rows("a") == ("matched", 2000L))
+      assert(rows("b") == ("matched", 4000L))
+      assert(rows("orphan") == ("unmatched_response", -1L))
+    } finally q.stop()
+  }
+
+  test("correlator emits timeout dead-letters once the event-time timer expires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[GwEvent]
+    val q = Correlator.correlate(in.toDS(), timeoutMs = 30000L, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("corr2").outputMode("append").start()
+    try {
+      in.addData(GwEvent("lost", "request", ts(0)))
+      q.processAllAvailable()
+      // advance watermark past ts(0) + 30 s timeout + 5 s delay
+      in.addData(GwEvent("later", "request", ts(60)))
+      q.processAllAvailable()
+      in.addData(GwEvent("later2", "request", ts(120)))
+      q.processAllAvailable()
+      val rows = spark.table("corr2").as[Correlator.Correlated].collect()
+        .map(c => c.sn -> c.outcome).toMap
+      assert(rows.get("lost").contains("timeout"))
+      // "later" (req at 60s, timer 90s) also expires once "later2" pushes
+      // the watermark to 115s; "later2" (timer 150s) is still in flight
+      assert(rows.get("later").contains("timeout"))
+      assert(!rows.contains("later2"))
+    } finally q.stop()
+  }
+
+  test("streaming windowed rate limit flags a burst over the cap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamOps.rateLimitWindowed(events.withWatermark("ts", "10 seconds"), 10, col("user_id"))
+      .writeStream.format("memory").queryName("rl").outputMode("append").start()
+    try {
+      // 15 calls by user 1 inside one second; 2 calls by user 2
+      val burst = (0 until 15).map(i => (new Timestamp(1700000000000L + i * 50L), 1L, 1.0))
+      in.addData(burst ++ Seq((ts(0), 2L, 1.0), (ts(0), 2L, 1.0)): _*)
+      in.addData((ts(100), 3L, 1.0)) // advance watermark to close the window
+      q.processAllAvailable()
+      val rows = spark.table("rl").collect()
+        .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("calls"), r.getAs[Boolean]("denied"))).toMap
+      assert(rows(1L) == (15L, true))
+      assert(rows(2L) == (2L, false))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup delivers first arrival only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "sn")
+    val q = StreamOps.dedupWithinWatermark(events, "10 seconds", "sn")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      in.addData((ts(0), "x"), (ts(1), "x"), (ts(2), "y"))
+      q.processAllAvailable()
+      in.addData((ts(3), "x"), (ts(4), "z"))
+      q.processAllAvailable()
+      val sns = spark.table("dd").collect().map(_.getAs[String]("sn")).toSeq
+      assert(sns.sorted == Seq("x", "y", "z"))
+    } finally q.stop()
+  }
+
+  test("session windows run identically as a stream (same builder as the batch oracle query)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamOps.sessionCounts(events.withWatermark("ts", "10 seconds"), "30 minutes", col("user_id"))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 7: two events 10 min apart (one session), then one 2 h later
+      in.addData((ts(0), 7L, 1.0), (ts(600), 7L, 1.0), (ts(7800), 7L, 1.0))
+      in.addData((ts(20000), 9L, 1.0)) // advance watermark far past both sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess").filter(col("user_id") === 7).collect()
+        .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n"))).toSet
+      assert(rows == Set((ts(0), 2L), (ts(7800), 1L)))
+    } finally q.stop()
+  }
+}
