@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up session machinery (codegen, parquet reader, shuffle paths)
+    // so the first timed query isn't charged for JVM/session init.
+    SparkEntry.queries.get("q1_pricing_summary")
+      .foreach(fn => fn(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

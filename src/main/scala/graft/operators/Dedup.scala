@@ -57,26 +57,41 @@ object Dedup {
     """transform(sequence(1, size(words) - 2),
       |  i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))""".stripMargin
 
+  // One 28-bit base hash per shingle (md5 prefix), then 16 integer LCG
+  // permutations — 16x less hashing than md5-per-permutation, identical
+  // in the oracle. Products stay under 2^60 (ANSI-safe).
+  private val baseHashExpr =
+    "transform(shingles, sh -> cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint))"
+
   private val sigExpr =
     """transform(sequence(0, 15),
-      |  k -> array_min(transform(shingles, sh -> md5(concat(cast(k as string), '|', sh)))))""".stripMargin
+      |  k -> array_min(transform(hashes,
+      |         h -> ((2654435761 + 40503 * k) * h + 2654435769 * k + 97) % 2147483647)))""".stripMargin
 
   private def withSignature(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("hashes", expr(baseHashExpr))
       .withColumn("sig", expr(sigExpr))
 
   def qDedupMinhashSig(s: SparkSession, d: String): DataFrame =
     withSignature(corpus(s, d))
-      .select(col("doc_id"), array_join(col("sig"), ",").as("signature"))
+      .select(col("doc_id"),
+        expr("array_join(transform(sig, x -> cast(x as string)), ',')").as("signature"))
 
   /** LSH candidate pairs (4 bands × 4 rows) verified with exact distinct
     * shingle Jaccard; near-dup threshold 0.5. */
   def qDedupLshPairs(s: SparkSession, d: String): DataFrame = {
+    // signatures feed three plan branches (bands + both jaccard sides):
+    // persist so shingling/hashing runs once. At cluster scale this would
+    // be MEMORY_AND_DISK or a checkpoint; the relation stays tiny
+    // relative to its input (ids + 16 longs + distinct shingles).
     val sigs = withSignature(corpus(s, d))
       .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 3), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))
           .as(Seq("band_idx", "band_hash")))
     val cand = bands.as("x")
       .join(bands.withColumnRenamed("doc_id", "b_id").as("y"),
@@ -115,8 +130,10 @@ object Dedup {
 
   private val shinglesSql =
     "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+  private val hashesSql =
+    "list_transform(shingles, sh -> CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT))"
   private val sigSql =
-    "list_transform(range(0, 16), k -> list_min(list_transform(shingles, sh -> md5(CAST(k AS VARCHAR) || '|' || sh))))"
+    "list_transform(range(0, 16), k -> list_min(list_transform(hashes, h -> ((2654435761 + 40503 * k) * h + 2654435769 * k + 97) % 2147483647)))"
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -126,16 +143,18 @@ object Dedup {
     "q_dedup_minhash_sig" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
-         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w)
-         |SELECT doc_id, array_to_string($sigSql, ',') AS signature FROM sh""".stripMargin,
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
+         |hs AS (SELECT doc_id, $hashesSql AS hashes FROM sh)
+         |SELECT doc_id, array_to_string($sigSql, ',') AS signature FROM hs""".stripMargin,
     "q_dedup_lsh_pairs" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
          |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
-         |sg AS (SELECT doc_id, $sigSql AS sig, list_distinct(shingles) AS sset FROM sh),
+         |hs AS (SELECT doc_id, shingles, $hashesSql AS hashes FROM sh),
+         |sg AS (SELECT doc_id, $sigSql AS sig, list_distinct(shingles) AS sset FROM hs),
          |bands AS (
          |  SELECT doc_id, b AS band_idx,
-         |    md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+         |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
          |  FROM sg, unnest(range(0, 4)) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id

@@ -23,13 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product over pre-cast double arrays — matches the
-    * oracle's list_sum(list_transform(range...)) fold order. */
-  private val dotExpr =
-    "aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  /** cosine via the codegen CosineSimilarity expression (same
+    * left-to-right fold order as the oracle's list_sum formulation —
+    * see graft.functions.CosineSimilarity). */
+  private val cosExpr = "round(cosine_sim(qe, ce), 6)"
 
   /** Brute-force cosine top-5 per query (every 20th vector is a query). */
   def qSimTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val queries = e.filter(col("vec_id") % 20 === 0)
@@ -37,10 +38,7 @@ object Similarity {
     val cands = e.select(col("vec_id").as("c_id"), col("emb").as("ce"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
     cands.join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("dot", expr(dotExpr))
-      .withColumn("nq", sqrt(expr("aggregate(transform(qe, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
-      .withColumn("nc", sqrt(expr("aggregate(transform(ce, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
-      .withColumn("cos_r", round(col("dot") / (col("nq") * col("nc")), 6))
+      .withColumn("cos_r", expr(cosExpr))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
@@ -61,6 +59,7 @@ object Similarity {
     * set. Rows-only (sign bits near zero are not oracle-stable);
     * SimilaritySpec checks recall vs [[qSimTopK]]. */
   def qSimAnnLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .withColumn("bucket", expr(bucketExpr))
@@ -70,10 +69,7 @@ object Similarity {
       .withColumn("probe", explode(expr("array(qb, qb ^ 1, qb ^ 2, qb ^ 4, qb ^ 8)")))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
     cands.join(broadcast(queries), col("probe") === col("bucket") && col("q_id") =!= col("c_id"))
-      .withColumn("dot", expr(dotExpr))
-      .withColumn("nq", sqrt(expr("aggregate(transform(qe, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
-      .withColumn("nc", sqrt(expr("aggregate(transform(ce, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
-      .withColumn("cos_r", round(col("dot") / (col("nq") * col("nc")), 6))
+      .withColumn("cos_r", expr(cosExpr))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
@@ -83,16 +79,14 @@ object Similarity {
     * pairs — the embedding analogue of MinHash-LSH dedup. Rows-only for
     * the same sign-bit reason. */
   def qSimNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .withColumn("bucket", expr(bucketExpr))
     val a = e.select(col("vec_id").as("a_id"), col("ce").as("qe"), col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("ce"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-      .withColumn("dot", expr(dotExpr))
-      .withColumn("nq", sqrt(expr("aggregate(transform(qe, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
-      .withColumn("nc", sqrt(expr("aggregate(transform(ce, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
-      .withColumn("cosine", round(col("dot") / (col("nq") * col("nc")), 6))
+      .withColumn("cosine", expr(cosExpr))
       .filter(col("cosine") >= 0.95)
       .select("a_id", "b_id", "cosine")
   }

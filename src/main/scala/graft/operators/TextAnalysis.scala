@@ -81,11 +81,13 @@ object TextAnalysis {
     Tables.documents(s, d)
       .withColumn("norm", regexp_replace(lower(col("text")), " +", " "))
       .withColumn("words", split(col("norm"), " "))
+      .withColumn("fp_md5", md5(col("norm")))
       .select(
         col("doc_id"),
-        md5(col("norm")).as("fp_md5"),
-        substring(md5(col("norm")), 1, 8).as("fp_bucket"),
-        expr("aggregate(transform(sequence(1, size(words)), i -> i * length(element_at(words, i))), 0, (acc, x) -> acc + x)")
+        col("fp_md5"),
+        substring(col("fp_md5"), 1, 8).as("fp_bucket"),
+        // zip_with keeps this O(n) — element_at-by-index would be O(n^2)
+        expr("aggregate(zip_with(words, sequence(1, size(words)), (w, i) -> i * length(w)), 0, (acc, x) -> acc + x)")
           .as("weighted_checksum"))
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
