@@ -18,7 +18,8 @@ object SparkEntry {
       (operators.TextAnalysis.registry, operators.TextAnalysis.oracle),
       (operators.Similarity.registry, operators.Similarity.oracle),
       (operators.Multimodal.registry, operators.Multimodal.oracle),
-      (operators.EventWindows.registry, operators.EventWindows.oracle))
+      (operators.EventWindows.registry, operators.EventWindows.oracle),
+      (operators.Advanced.registry, operators.Advanced.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Remaining SURVEY.md §2.2 surface: GROUPING SETS (SQL form), an as-of
+  * join (latest dimension row at-or-before an event-time cutoff), a typed
+  * `Aggregator` UDAF, and approximate distinct counting.
+  */
+object Advanced {
+
+  /** GROUPING SETS via the SQL surface (the DataFrame API only exposes
+    * rollup/cube; the analyzer handles arbitrary sets). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+    s.sql(
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_orders JOIN graft_customer ON o_custkey = c_custkey
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** As-of join (SURVEY.md §4.3): for each event, the latest order of the
+    * matching customer at or before a per-event cutoff. Composed from
+    * built-ins (left range-join + windowed pick of the latest row) so
+    * Catalyst keeps predicate pushdown; a dedicated SparkStrategy is the
+    * escalation path if this shows up hot at scale.
+    *
+    * Deterministic pick: latest o_orderdate, ties broken by max
+    * o_orderkey (DuckDB's native ASOF JOIN is tie-ambiguous, so the
+    * oracle uses the same explicit window).
+    */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      expr("ts - make_interval(0, 0, 0, 8000 + (event_id * 13) % 6000, 0, 0, 0)").as("cutoff"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(desc_nulls_last("o_orderdate"), desc_nulls_last("o_orderkey"))
+    ev.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("cutoff"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_orderdate"))
+  }
+
+  /** Typed Aggregator UDAF: quantity-weighted mean price. Accumulates
+    * exact integer cents (inputs are 2-dp money and integral quantities)
+    * so the merge order can't change the result — oracle-safe. */
+  object WeightedMeanCents extends Aggregator[(Long, Long), (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Long, Long)): Double =
+      if (r._2 == 0) 0.0 else r._1.toDouble / 100.0 / r._2.toDouble
+    override def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  def qUdafWeightedPrice(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(WeightedMeanCents)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag")
+      .agg(wavg(col("cents"), col("qty")).as("qty_weighted_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** HLL approximate distinct vs exact — rows-only (sketch internals are
+    * engine-specific); AdvancedSpec bounds the relative error. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_udaf_weighted_price" -> (qUdafWeightedPrice _),
+    "q_approx_distinct" -> (qApproxDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())""".stripMargin,
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    ts - to_days(CAST(8000 + (event_id * 13) % 6000 AS INTEGER)) AS cutoff
+        |  FROM events),
+        |j AS (
+        |  SELECT event_id, user_id, o_orderkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id
+        |      ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+        |  FROM ev LEFT JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate <= cutoff)
+        |SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+        |FROM j WHERE rn = 1""".stripMargin,
+    "q_udaf_weighted_price" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+        |    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qty_weighted_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.Msgpack
+import graft.operators.Advanced
+import org.apache.spark.sql.functions._
+
+/** Advanced-surface checks: approx-distinct error bound, as-of join
+  * semantics, msgpack round-trips (the reference's wire format,
+  * gateway.ts:189/317), and source/sink format round-trips. */
+class AdvancedSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within the configured error of exact") {
+    val r = Advanced.qApproxDistinct(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (a, e) = (row.getAs[Long]("approx_orders"), row.getAs[Long]("exact_orders"))
+      assert(math.abs(a - e).toDouble / e < 0.15, s"approx $a vs exact $e")
+    }
+  }
+
+  test("as-of join picks the latest order at or before the cutoff, null when none") {
+    val r = Advanced.qAsofJoin(spark, sf).cache()
+    // one row per event
+    assert(r.count() == Tables.events(spark, sf).count())
+    assert(r.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    // every matched date respects its event's cutoff (recompute and compare)
+    val ev = Tables.events(spark, sf).select(col("event_id"),
+      expr("ts - make_interval(0, 0, 0, 8000 + (event_id * 13) % 6000, 0, 0, 0)").as("cutoff"))
+    assert(r.join(ev, "event_id")
+      .filter(col("asof_orderdate").isNotNull && col("asof_orderdate") > col("cutoff"))
+      .count() == 0)
+    // both matched and unmatched outcomes occur
+    assert(r.filter(col("asof_orderkey").isNull).count() > 0)
+    assert(r.filter(col("asof_orderkey").isNotNull).count() > 0)
+  }
+
+  test("msgpack round-trips the gateway envelope shapes") {
+    val envelope = Map(
+      "mod" -> "account", "fun" -> "login",
+      "arg" -> Seq(1L, 2L, "three", 4.5, null, true),
+      "ctx" -> Map("wxuser" -> ("x" * 28)))
+    assert(Msgpack.decode(Msgpack.encode(envelope)) == envelope)
+    val response = Map("sn" -> ("s" * 88), "payload" -> "compressed-bytes".getBytes("UTF-8"))
+    val back = Msgpack.decode(Msgpack.encode(response)).asInstanceOf[Map[Any, Any]]
+    assert(back("sn") == "s" * 88)
+    assert(back("payload").asInstanceOf[Array[Byte]].sameElements("compressed-bytes".getBytes("UTF-8")))
+  }
+
+  test("msgpack handles integer width boundaries and long strings") {
+    val vals = Seq(0L, 127L, 128L, -32L, -33L, 255L, 256L, 65535L, 65536L,
+      -129L, 4294967296L, Long.MaxValue, Long.MinValue)
+    vals.foreach(v => assert(Msgpack.decode(Msgpack.encode(v)) == v, s"for $v"))
+    val long = "α" * 40000 // multibyte, str32 path
+    assert(Msgpack.decode(Msgpack.encode(long)) == long)
+    assert(Msgpack.decode(Msgpack.encode(Seq.fill(20)("x"))) == Seq.fill(20)("x"))
+  }
+
+  test("csv/json/orc sinks round-trip the events table") {
+    val dir = Files.createTempDirectory("graft_sources").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "props")
+    val n = ev.count()
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val path = s"$dir/$fmt"
+      val w = ev.write.mode("overwrite").format(fmt)
+      (if (fmt == "csv") w.option("header", "true") else w).save(path)
+      val r = spark.read.format(fmt)
+      val back = (if (fmt == "csv") r.option("header", "true").option("inferSchema", "true") else r).load(path)
+      assert(back.count() == n, s"$fmt row count")
+      assert(back.columns.sorted.sameElements(ev.columns.sorted), s"$fmt columns")
+    }
+    // partitioned parquet write prunes partitions on read
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/part")
+    val pruned = spark.read.parquet(s"$dir/part").filter(col("event_type") === "click")
+    assert(pruned.count() == ev.filter(col("event_type") === "click").count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"))
+  }
+
+  test("grouping sets emits exactly the three requested groupings") {
+    val g = Advanced.qGroupingSets(spark, sf).cache()
+    assert(g.filter(col("n_name").isNotNull && col("o_orderpriority").isNotNull).count() == 0)
+    assert(g.filter(col("n_name").isNull && col("o_orderpriority").isNull).count() == 1)
+  }
+}
