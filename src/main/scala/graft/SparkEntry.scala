@@ -19,7 +19,9 @@ object SparkEntry {
       (operators.Similarity.registry, operators.Similarity.oracle),
       (operators.Multimodal.registry, operators.Multimodal.oracle),
       (operators.EventWindows.registry, operators.EventWindows.oracle),
-      (operators.Advanced.registry, operators.Advanced.oracle))
+      (operators.Advanced.registry, operators.Advanced.oracle),
+      (operators.TpchDeep.registry, operators.TpchDeep.oracle),
+      (operators.Scale.registry, operators.Scale.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

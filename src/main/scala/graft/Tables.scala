@@ -24,7 +24,9 @@ object Tables {
     // rollup/cube after a join trips the ambiguous-self-join lint (the
     // Expand operator duplicates child attributes); it's a false positive
     // for our plans — no actual self joins.
-    "spark.sql.analyzer.failAmbiguousSelfJoin" -> "false")
+    "spark.sql.analyzer.failAmbiguousSelfJoin" -> "false",
+    // bucketed-table tests/operators need a writable warehouse location
+    "spark.sql.warehouse.dir" -> "/tmp/graft_warehouse")
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
