@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+
+import Correlator.{Correlated, GwEvent}
+
+/** The sn correlator on Spark 4's `transformWithState` StatefulProcessor
+  * API (SURVEY.md §7.3 — the Spark-4-native form of G12/G13). Same
+  * semantics as [[Correlator.correlate]]: matched / timeout (30 s
+  * rcvtimeo, gateway.ts:56) / unmatched-response, but with explicit
+  * `ValueState` + event-time timers, which at scale run on the RocksDB
+  * state store (set `spark.sql.streaming.stateStore.providerClass` to
+  * RocksDBStateStoreProvider; required by this operator).
+  */
+object CorrelatorV2 {
+
+  class CorrelatorProcessor(timeoutMs: Long)
+      extends StatefulProcessor[String, GwEvent, Correlated] {
+
+    @transient private var inFlight: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      inFlight = getHandle.getValueState[Long]("inFlight", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(sn: String, rows: Iterator[GwEvent],
+        timers: TimerValues): Iterator[Correlated] = {
+      val evs = rows.toSeq.sortBy(e => (if (e.kind == "request") 0 else 1, e.ts.getTime))
+      val out = Seq.newBuilder[Correlated]
+      evs.foreach { e =>
+        if (e.kind == "request") {
+          inFlight.update(e.ts.getTime)
+          getHandle.registerTimer(e.ts.getTime + timeoutMs)
+        } else if (inFlight.exists()) {
+          out += Correlated(sn, "matched", e.ts.getTime - inFlight.get())
+          inFlight.clear()
+        } else {
+          out += Correlated(sn, "unmatched_response", -1L)
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(sn: String, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Correlated] =
+      if (inFlight.exists()) {
+        inFlight.clear()
+        Iterator.single(Correlated(sn, "timeout", -1L))
+      } else Iterator.empty // timer for an already-matched request
+  }
+
+  def correlate(events: Dataset[GwEvent], timeoutMs: Long = 30000L,
+      watermarkDelay: String = "10 seconds"): Dataset[Correlated] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.sn)
+      .transformWithState(new CorrelatorProcessor(timeoutMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -27,6 +27,15 @@ class ScaleSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear them or CTAS refuses
+    for (t <- Seq("graft_bkt_orders", "graft_bkt_lineitem")) {
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     Tables.orders(spark, sf).write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_bkt_orders")
     Tables.lineitem(spark, sf).write.mode("overwrite")
