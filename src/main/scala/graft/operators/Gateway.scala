@@ -200,7 +200,68 @@ object Gateway {
         (Codecs.gunzip(col("gzipped")) === col("payload")).as("gzip_roundtrip_ok"))
   }
 
+
+  /** The COMPLETE request lifecycle of SURVEY.md §3 as one dataflow:
+    * route (404) → anonymous-mobile redirect (307) → rate limit (429) →
+    * 3-way auth (307/200) → context enrich + admin address rewrite.
+    * Check order mirrors gateway.ts: route lookup (195), mobile
+    * anonymous redirect (282), rate-limit deny (260), auth dispatch
+    * (203-256). The limiter keeps the reference's rolling-window
+    * semantics but is parameterized to 3 calls / 24 h (reference:
+    * 10 / 1 s) so the 429 branch actually fires at corpus event
+    * density — window size and cap are the only knobs turned.
+    */
+  def qGatewayPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(
+      ("click", "tcp://svc-click:5558"),
+      ("purchase", "tcp://svc-purchase:5560"),
+      ("signup", "tcp://svc-signup:5562")).toDF("mod_name", "addr")
+    val wx = Tables.events(s, d).filter(col("user_id") % 8 === 0)
+      .select(substring(md5(concat(lit("wx"), uid)), 1, 28).as("w_token"),
+        concat(lit("wx:"), uid).as("w_uid")).distinct()
+    val sess = Tables.events(s, d).filter(col("user_id") % 8 === 2)
+      .select(concat(lit("sess-"), uid).as("s_token"),
+        concat(lit("sess:"), uid).as("s_uid")).distinct()
+    val w24h = Window.partitionBy("user_id").orderBy("tsm").rangeBetween(-86400000000L, 0)
+    val pre = "^(.*:)([0-9]+)$"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsm"))
+      .withColumn("domain", domainCol)
+      .withColumn("token", tokenCol)
+      .withColumn("token_kind", kindCol)
+      .withColumn("calls_24h", count(lit(1)).over(w24h))
+      .withColumnRenamed("event_type", "mod_name")
+      .join(broadcast(dim), Seq("mod_name"), "left")
+      .join(broadcast(wx), col("token") === col("w_token"), "left")
+      .join(broadcast(sess), col("token") === col("s_token"), "left")
+      .withColumn("status",
+        when(col("addr").isNull, 404)
+          .when(col("token").isNull && col("domain") === "mobile", 307)
+          .when(col("calls_24h") > 3, 429)
+          .when(col("token_kind") === "wx",
+            when(col("w_uid").isNotNull, 200).otherwise(307))
+          .when(col("token_kind") === "uuid", lit(200))
+          .when(col("token_kind") === "sess",
+            when(col("s_uid").isNotNull, 200).otherwise(307))
+          .otherwise(lit(200)))
+      .select(
+        col("event_id"), col("mod_name"), col("domain"), col("token_kind"), col("status"),
+        when(col("status") === 200,
+          when(col("token_kind") === "wx", col("w_uid"))
+            .when(col("token_kind") === "uuid", col("token"))
+            .when(col("token_kind") === "sess", col("s_uid"))
+            .otherwise(lit(""))).as("uid"),
+        when(col("status") === 200,
+          when(col("domain") === "admin",
+            concat(regexp_extract(col("addr"), pre, 1),
+              (regexp_extract(col("addr"), pre, 2).cast("int") + 1).cast("string")))
+            .otherwise(col("addr"))).as("resolved_addr"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gw_pipeline" -> (qGatewayPipeline _),
     "q_gw_auth_dispatch" -> (qAuthDispatch _),
     "q_gw_route" -> (qRoute _),
     "q_gw_rate_limit" -> (qRateLimit _),
@@ -209,6 +270,61 @@ object Gateway {
     "q_gw_codec_roundtrip" -> (qCodecRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "q_gw_pipeline" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type AS mod_name, ts,
+        |    CASE WHEN event_type IN ('click','view') THEN 'mobile' ELSE 'admin' END AS domain,
+        |    CASE WHEN user_id % 4 = 0 THEN substring(md5('wx' || CAST(user_id AS VARCHAR)), 1, 28)
+        |         WHEN user_id % 4 = 1 THEN
+        |           substring(md5(CAST(user_id AS VARCHAR)),1,8) || '-' ||
+        |           substring(md5(CAST(user_id AS VARCHAR)),9,4) || '-' ||
+        |           substring(md5(CAST(user_id AS VARCHAR)),13,4) || '-' ||
+        |           substring(md5(CAST(user_id AS VARCHAR)),17,4) || '-' ||
+        |           substring(md5(CAST(user_id AS VARCHAR)),21,12)
+        |         WHEN user_id % 4 = 2 THEN 'sess-' || CAST(user_id AS VARCHAR)
+        |         ELSE NULL END AS token,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |      RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW) AS calls_24h
+        |  FROM events),
+        |cls AS (SELECT base.*,
+        |    CASE WHEN token IS NULL THEN 'none'
+        |         WHEN length(token) = 28 THEN 'wx'
+        |         WHEN length(token) = 36 AND substring(token,9,1) = '-' AND substring(token,14,1) = '-'
+        |              AND substring(token,19,1) = '-' AND substring(token,24,1) = '-' THEN 'uuid'
+        |         ELSE 'sess' END AS token_kind
+        |  FROM base),
+        |m AS (SELECT * FROM (VALUES
+        |    ('click','tcp://svc-click:5558'),
+        |    ('purchase','tcp://svc-purchase:5560'),
+        |    ('signup','tcp://svc-signup:5562')) t(mod_name, addr)),
+        |wx AS (SELECT DISTINCT substring(md5('wx' || CAST(user_id AS VARCHAR)),1,28) AS w_token,
+        |         'wx:' || CAST(user_id AS VARCHAR) AS w_uid FROM events WHERE user_id % 8 = 0),
+        |sess AS (SELECT DISTINCT 'sess-' || CAST(user_id AS VARCHAR) AS s_token,
+        |         'sess:' || CAST(user_id AS VARCHAR) AS s_uid FROM events WHERE user_id % 8 = 2),
+        |j AS (SELECT cls.*, m.addr, wx.w_uid, sess.s_uid
+        |  FROM cls LEFT JOIN m ON cls.mod_name = m.mod_name
+        |  LEFT JOIN wx ON cls.token = wx.w_token
+        |  LEFT JOIN sess ON cls.token = sess.s_token),
+        |fin AS (SELECT j.*,
+        |    CASE WHEN addr IS NULL THEN 404
+        |         WHEN token IS NULL AND domain = 'mobile' THEN 307
+        |         WHEN calls_24h > 3 THEN 429
+        |         WHEN token_kind = 'wx' THEN (CASE WHEN w_uid IS NOT NULL THEN 200 ELSE 307 END)
+        |         WHEN token_kind = 'uuid' THEN 200
+        |         WHEN token_kind = 'sess' THEN (CASE WHEN s_uid IS NOT NULL THEN 200 ELSE 307 END)
+        |         ELSE 200 END AS status
+        |  FROM j)
+        |SELECT event_id, mod_name, domain, token_kind, status,
+        |  CASE WHEN status = 200 THEN
+        |    CASE WHEN token_kind = 'wx' THEN w_uid
+        |         WHEN token_kind = 'uuid' THEN token
+        |         WHEN token_kind = 'sess' THEN s_uid
+        |         ELSE '' END END AS uid,
+        |  CASE WHEN status = 200 THEN
+        |    CASE WHEN domain = 'admin' THEN regexp_extract(addr, '^(.*:)([0-9]+)$', 1) ||
+        |           CAST(CAST(regexp_extract(addr, '^(.*:)([0-9]+)$', 2) AS INTEGER) + 1 AS VARCHAR)
+        |         ELSE addr END END AS resolved_addr
+        |FROM fin""".stripMargin,
     "q_gw_auth_dispatch" ->
       """WITH ev AS (
         |  SELECT event_id, user_id,

@@ -14,7 +14,12 @@ object SparkSpec {
     val s = Tables.configure(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false"))
+      // Hive catalog (north star: Spark SQL + HiveContext) — derby
+      // metastore kept out of the repo tree
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=/tmp/graft_metastore;create=true")
+      .config("spark.ui.enabled", "false")
+      .enableHiveSupport())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
