@@ -46,4 +46,21 @@ object StreamOps {
     * the first arrival within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, delay: String, cols: String*): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
+
+  /** G4/G11 routed sink: foreachBatch demultiplex by module — each
+    * micro-batch is split by `mod_name` and appended to that module's
+    * directory (the batch analogue of the per-module nanomsg socket,
+    * gateway.ts:292/324). The batch is persisted once so the per-module
+    * writes don't recompute the source; connection-style setup would
+    * live once per foreachBatch invocation (the standard pooling
+    * pattern). */
+  def routedSink(events: DataFrame, baseDir: String, mods: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val cached = batch.persist()
+      try mods.foreach { m =>
+        cached.filter(col("mod_name") === m)
+          .write.mode("append").parquet(s"$baseDir/$m")
+      } finally { cached.unpersist(); () }
+    }.start()
 }

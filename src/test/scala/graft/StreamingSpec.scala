@@ -97,6 +97,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("routed foreachBatch sink demultiplexes micro-batches by module (G4/G11)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_routed").toString
+    val in = MemoryStream[(String, Long)]
+    val events = in.toDF().toDF("mod_name", "payload")
+    val q = graft.streaming.StreamOps.routedSink(events, dir, Seq("click", "purchase"))
+    try {
+      in.addData(("click", 1L), ("click", 2L), ("purchase", 3L), ("unknown", 4L))
+      q.processAllAvailable()
+      in.addData(("purchase", 5L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/click").count() == 2)
+      assert(spark.read.parquet(s"$dir/purchase").count() == 2)
+      assert(!new java.io.File(s"$dir/unknown").exists()) // unroutable dropped
+    } finally q.stop()
+  }
+
   test("session windows run identically as a stream (same builder as the batch oracle query)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
