@@ -21,7 +21,8 @@ object SparkEntry {
       (operators.EventWindows.registry, operators.EventWindows.oracle),
       (operators.Advanced.registry, operators.Advanced.oracle),
       (operators.TpchDeep.registry, operators.TpchDeep.oracle),
-      (operators.Scale.registry, operators.Scale.oracle))
+      (operators.Scale.registry, operators.Scale.oracle),
+      (operators.Reshape.registry, operators.Reshape.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reshaping + null-handling surface: pivot (wide conditional
+  * aggregation), generator/explode with ordinality, and the null
+  * functions family. */
+object Reshape {
+
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** Pivot: per-nation account balance by market segment as columns.
+    * Explicit value list keeps the plan a single pass (no distinct-values
+    * pre-query) — required practice at scale. */
+  def qPivotSegments(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .pivot("c_mktsegment", segments)
+      .agg(dsum(col("c_acctbal")))
+
+  /** Generator with ordinality: one row per word with its 1-based
+    * position (posexplode). Restricted to a doc subset to keep the
+    * result row count sane at bench scale. */
+  def qExplodeWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"),
+        upper(col("word")).as("word_u"), length(col("word")).as("word_len"))
+
+  /** Null-handling family: nullif / coalesce / ifnull-style defaults +
+    * null-aware counting. */
+  def qNullFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"))
+      .withColumn("disc_defaulted", coalesce(col("disc_or_null"), lit(-1.0)))
+      .withColumn("is_discounted", col("disc_or_null").isNotNull)
+      .groupBy("is_discounted")
+      .agg(count(lit(1)).as("n"),
+        count(col("disc_or_null")).as("n_nonnull"),
+        dsum(col("disc_defaulted")).as("sum_defaulted"))
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_segments" -> (qPivotSegments _),
+    "q_explode_words" -> (qExplodeWords _),
+    "q_null_funcs" -> (qNullFuncs _))
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot_segments" ->
+      """SELECT c_nationkey,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "AUTOMOBILE",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "BUILDING",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "FURNITURE",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "HOUSEHOLD",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "MACHINERY"
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q_explode_words" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 25 = 0),
+        |x AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(words) + 1),
+        |      i -> {'pos': i, 'word': words[i]})) AS u
+        |  FROM w)
+        |SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.word AS word,
+        |  UPPER(u.word) AS word_u, CAST(LENGTH(u.word) AS INTEGER) AS word_len
+        |FROM x""".stripMargin,
+    "q_null_funcs" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc_or_null,
+        |    COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_defaulted
+        |  FROM lineitem)
+        |SELECT (disc_or_null IS NOT NULL) AS is_discounted, COUNT(*) AS n,
+        |  COUNT(disc_or_null) AS n_nonnull,
+        |  CAST(SUM(CAST(disc_defaulted AS DECIMAL(18,2))) AS DOUBLE) AS sum_defaulted
+        |FROM t GROUP BY 1""".stripMargin)
+}

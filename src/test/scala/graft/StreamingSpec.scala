@@ -80,6 +80,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in stream-stream join correlates request/response on sn (G13 native form)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val reqIn = MemoryStream[(String, Timestamp)]
+    val respIn = MemoryStream[(String, Timestamp)]
+    val req = reqIn.toDF().toDF("sn", "req_ts").withWatermark("req_ts", "10 seconds")
+    val resp = respIn.toDF().toDF("r_sn", "resp_ts").withWatermark("resp_ts", "10 seconds")
+    val joined = req.join(resp,
+      col("sn") === col("r_sn") &&
+      col("resp_ts") >= col("req_ts") &&
+      col("resp_ts") <= col("req_ts") + expr("INTERVAL 30 SECONDS"))
+      .select(col("sn"),
+        (unix_millis(col("resp_ts")) - unix_millis(col("req_ts"))).as("latency_ms"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      reqIn.addData(("a", ts(0)), ("b", ts(1)))
+      respIn.addData(("a", ts(2)))
+      q.processAllAvailable()
+      respIn.addData(("b", ts(40))) // outside the 30 s join window → dropped
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("a" -> 2000L))
+    } finally q.stop()
+  }
+
   test("watermarked dedup delivers first arrival only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
