@@ -43,10 +43,39 @@ object Reshape {
         count(col("disc_or_null")).as("n_nonnull"),
         dsum(col("disc_defaulted")).as("sum_defaulted"))
 
+  /** Array + map function family over documents/events: set ops on
+    * arrays, sort/slice/contains, and map extraction from JSON. */
+  def qArrayMapOps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("a1", slice(col("words"), 1, 5))
+      .withColumn("a2", slice(col("words"), 3, 5))
+      .select(
+        col("doc_id"),
+        size(array_union(col("a1"), col("a2"))).as("n_union"),
+        size(array_intersect(col("a1"), col("a2"))).as("n_inter"),
+        size(array_except(col("a1"), col("a2"))).as("n_except"),
+        element_at(array_sort(col("a1")), 1).as("first_sorted"),
+        array_contains(col("words"), "the").as("has_the"),
+        size(flatten(array(col("a1"), col("a2")))).as("n_flat"),
+        array_join(array_sort(array_distinct(col("a1"))), "|").as("a1_distinct"))
+
+  def qMapOps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"), lit("map<string,int>")))
+      .select(
+        col("event_id"),
+        size(col("m")).as("n_entries"),
+        element_at(map_keys(col("m")), 1).as("first_key"),
+        element_at(map_values(col("m")), 1).as("first_val"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_segments" -> (qPivotSegments _),
     "q_explode_words" -> (qExplodeWords _),
-    "q_null_funcs" -> (qNullFuncs _))
+    "q_null_funcs" -> (qNullFuncs _),
+    "q_array_map_ops" -> (qArrayMapOps _),
+    "q_map_ops" -> (qMapOps _))
 
   val oracle: Map[String, String] = Map(
     "q_pivot_segments" ->
@@ -66,6 +95,22 @@ object Reshape {
         |SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.word AS word,
         |  UPPER(u.word) AS word_u, CAST(LENGTH(u.word) AS INTEGER) AS word_len
         |FROM x""".stripMargin,
+    "q_array_map_ops" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 25 = 0),
+        |a AS (SELECT doc_id, words, words[1:5] AS a1, words[3:7] AS a2 FROM w)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(list_concat(a1, a2))) AS INTEGER) AS n_union,
+        |  CAST(len(list_distinct(list_intersect(a1, a2))) AS INTEGER) AS n_inter,
+        |  CAST(len(list_filter(list_distinct(a1), x -> NOT list_contains(a2, x))) AS INTEGER) AS n_except,
+        |  list_sort(a1)[1] AS first_sorted,
+        |  list_contains(words, 'the') AS has_the,
+        |  CAST(len(a1) + len(a2) AS INTEGER) AS n_flat,
+        |  array_to_string(list_sort(list_distinct(a1)), '|') AS a1_distinct
+        |FROM a""".stripMargin,
+    "q_map_ops" ->
+      """SELECT event_id, 1 AS n_entries, 'k' AS first_key,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS first_val
+        |FROM events""".stripMargin,
     "q_null_funcs" ->
       """WITH t AS (
         |  SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc_or_null,
