@@ -91,9 +91,69 @@ object Similarity {
       .select("a_id", "b_id", "cosine")
   }
 
+
+  /** IVF (inverted-file) ANN — the other classic scale path besides
+    * hyperplane LSH: a k-means coarse quantizer partitions the corpus
+    * into `k` cells; a query scans only its `nprobe` nearest cells.
+    *
+    * The quantizer trains with deterministic seeds (the embeddings of
+    * the k lowest vec_ids) and a fixed number of Lloyd iterations, all
+    * as DataFrame ops: assignment is a broadcast cross-join argmin,
+    * centroid update is an explode-by-dimension average (the shuffle is
+    * on (cluster, dim) — 64·k cells, trivially uniform). At 100 TB the
+    * train step runs on a sample; assignment stays a map-side broadcast
+    * pass. Rows-only (iterative float means are not oracle-stable);
+    * SimilaritySpec checks recall vs brute force.
+    */
+  def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val k = 8
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+    // -- train: deterministic init + 2 Lloyd iterations
+    var centroids = e.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
+        col("ce").as("centroid"))
+    for (_ <- 1 to 2) {
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("sim", expr("cosine_sim(ce, centroid)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("ce"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("ce")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("centroid"))
+    }
+    // -- index: assign every vector to its cell
+    val cells = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", expr("cosine_sim(ce, centroid)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
+    // -- search: queries probe their nprobe=2 nearest cells
+    val probes = e.filter(col("vec_id") % 20 === 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", expr("cosine_sim(ce, centroid)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
+    cells.join(broadcast(probes), Seq("cid")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_r", expr(cosExpr))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
 
   val oracle: Map[String, String] = Map(

@@ -38,6 +38,15 @@ class PipelineSpec extends SparkSpec {
     assert(orig.join(dup, "o_id").filter(col("o_fp") =!= col("d_fp")).count() == 0)
   }
 
+  test("IVF ANN reaches reasonable recall vs brute-force top-5") {
+    val bf = Similarity.qSimTopK(spark, sf).select("q_id", "neighbor_id")
+    val ivf = Similarity.qSimIvf(spark, sf).select("q_id", "neighbor_id")
+    val nBf = bf.count()
+    val hit = bf.join(ivf, Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(nBf > 0)
+    assert(hit.toDouble / nBf >= 0.2, s"IVF recall ${hit.toDouble / nBf} too low")
+  }
+
   test("ANN LSH reaches reasonable recall vs brute-force top-5") {
     val bf = Similarity.qSimTopK(spark, sf).select("q_id", "neighbor_id")
     val ann = Similarity.qSimAnnLsh(spark, sf).select("q_id", "neighbor_id")
