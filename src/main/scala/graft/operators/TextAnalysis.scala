@@ -90,7 +90,19 @@ object TextAnalysis {
         expr("aggregate(zip_with(words, sequence(1, size(words)), (w, i) -> i * length(w)), 0, (acc, x) -> acc + x)")
           .as("weighted_checksum"))
 
+  /** Rabin-Karp rolling-hash fingerprints via the codegen RollingHash
+    * expression — rows-only (the oracle can't fold over UTF-8 bytes);
+    * TextSpec cross-checks the expression against a plain-Scala
+    * reference implementation. */
+  def qRollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.RollingHash.register(s)
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "rolling_hash(text) AS fp_rolling",
+        "rolling_hash(text) % 1024 AS shard")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_token_count" -> (qTokenCount _),

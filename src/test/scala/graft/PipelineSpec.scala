@@ -67,6 +67,20 @@ class PipelineSpec extends SparkSpec {
     assert(perQ.join(r1, "q_id").filter(col("c1") =!= col("mx")).count() == 0)
   }
 
+  test("rolling-hash expression matches the reference implementation (codegen path)") {
+    import graft.functions.RollingHash
+    val rows = graft.operators.TextAnalysis.qRollingFingerprint(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select("doc_id", "fp_rolling", "text").collect()
+    assert(rows.length == 500)
+    rows.take(50).foreach { r =>
+      assert(r.getAs[Long]("fp_rolling") == RollingHash.hash(r.getAs[String]("text")))
+    }
+    // shard bound
+    val shards = graft.operators.TextAnalysis.qRollingFingerprint(spark, sf)
+    assert(shards.filter(col("shard") < 0 || col("shard") >= 1024).count() == 0)
+  }
+
   test("text stats: ratios bounded, quality in [0,1], counts positive") {
     val st = TextAnalysis.qTextStats(spark, sf).cache()
     assert(st.count() == 500)
