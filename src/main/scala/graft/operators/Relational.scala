@@ -222,7 +222,49 @@ object Relational {
         max(col("k")).as("max_k"),
         dsum(col("value")).as("sum_value"))
 
+
+  /** Full outer join: even-custkey customers vs all orders — both
+    * left-orphan (customer without orders) and right-orphan (order whose
+    * customer was filtered) rows occur. */
+  def qFullOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_orderkey").isNull, "customer_only")
+          .otherwise("both").as("match_type"))
+      .groupBy("match_type")
+      .agg(count(lit(1)).as("n"))
+
+  /** Multiset set ops: INTERSECT ALL / EXCEPT ALL over supplier-key
+    * multisets (with duplicates), then counted per key. */
+  def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d).filter(col("l_quantity") < 25).select(col("l_suppkey").as("k"))
+    val b = Tables.lineitem(s, d).filter(col("l_discount") > 0.03).select(col("l_suppkey").as("k"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .groupBy("op", "k").agg(count(lit(1)).as("n"))
+  }
+
+  /** Remaining window-function family: first/last/nth value over full
+    * frames, percent_rank, cume_dist — deterministic total order. */
+  def qWindowExtra(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("cheapest", first(col("l_extendedprice")).over(full))
+      .withColumn("dearest", last(col("l_extendedprice")).over(full))
+      .withColumn("second_cheapest", nth_value(col("l_extendedprice"), 2).over(full))
+      .withColumn("pct_rank", percent_rank().over(order))
+      .withColumn("cume", cume_dist().over(order))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (qFullOuter _),
+    "q_setops_all" -> (qSetOpsAll _),
+    "q_window_extra" -> (qWindowExtra _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -242,6 +284,32 @@ object Relational {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q_full_outer" ->
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |            WHEN o_orderkey IS NULL THEN 'customer_only'
+        |            ELSE 'both' END AS match_type, COUNT(*) AS n
+        |FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_setops_all" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 25),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.03),
+        |u AS (
+        |  SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t1
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t2)
+        |SELECT op, k, COUNT(*) AS n FROM u GROUP BY op, k""".stripMargin,
+    "q_window_extra" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  FIRST_VALUE(l_extendedprice) OVER wf AS cheapest,
+        |  LAST_VALUE(l_extendedprice) OVER wf AS dearest,
+        |  NTH_VALUE(l_extendedprice, 2) OVER wf AS second_cheapest,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber),
+        |  wf AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
