@@ -63,16 +63,17 @@ object Dedup {
   private val baseHashExpr =
     "transform(shingles, sh -> cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint))"
 
-  private val sigExpr =
-    """transform(sequence(0, 15),
-      |  k -> array_min(transform(hashes,
-      |         h -> ((2654435761 + 40503 * k) * h + 2654435769 * k + 97) % 2147483647)))""".stripMargin
-
-  private def withSignature(df: DataFrame): DataFrame =
+  private def withSignature(df: DataFrame): DataFrame = {
+    // minhash_perms is the codegen form of
+    //   transform(sequence(0,15), k -> array_min(transform(hashes,
+    //     h -> ((2654435761 + 40503*k)*h + 2654435769*k + 97) % 2147483647)))
+    // — same constants as the oracle, fused single pass.
+    graft.functions.MinHashPerms.register(df.sparkSession)
     df.withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr))
       .withColumn("hashes", expr(baseHashExpr))
-      .withColumn("sig", expr(sigExpr))
+      .withColumn("sig", expr("minhash_perms(hashes)"))
+  }
 
   def qDedupMinhashSig(s: SparkSession, d: String): DataFrame =
     withSignature(corpus(s, d))
