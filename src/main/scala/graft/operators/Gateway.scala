@@ -260,7 +260,32 @@ object Gateway {
             .otherwise(col("addr"))).as("resolved_addr"))
   }
 
+  /** G2/G11 — msgpack wire-format round-trip over derived request
+    * envelopes: encode {mod, fun, arg, ctx} per event, measure sizes,
+    * decode back and compare. Rows-only (the oracle has no msgpack);
+    * AdvancedSpec covers the codec unit-level. */
+  def qMsgpackRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Msgpack
+    import org.apache.spark.sql.functions.udf
+    val enc = udf((mod: String, fun: String, arg: Long, wxuser: String) =>
+      Msgpack.encode(Map("mod" -> mod, "fun" -> fun, "arg" -> arg,
+        "ctx" -> Map("wxuser" -> wxuser))))
+    val ok = udf((bytes: Array[Byte], mod: String, arg: Long) => {
+      val m = Msgpack.decode(bytes).asInstanceOf[Map[Any, Any]]
+      m("mod") == mod && m("arg") == arg
+    })
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type").as("mod_name"),
+        lit("call").as("fun"), col("user_id"),
+        substring(md5(uid), 1, 28).as("wxuser"))
+      .withColumn("packet", enc(col("mod_name"), col("fun"), col("user_id"), col("wxuser")))
+      .select(col("event_id"), col("mod_name"),
+        octet_length(col("packet")).as("packet_len"),
+        ok(col("packet"), col("mod_name"), col("user_id")).as("roundtrip_ok"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gw_msgpack_roundtrip" -> (qMsgpackRoundtrip _),
     "q_gw_pipeline" -> (qGatewayPipeline _),
     "q_gw_auth_dispatch" -> (qAuthDispatch _),
     "q_gw_route" -> (qRoute _),

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the properties that make these
+  * queries viable at 100 TB (scan-level filter pushdown, column pruning,
+  * broadcast dim joins, top-k without global sort, whole-stage codegen)
+  * must survive future edits. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter reaches the parquet scan; only needed columns read") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "q1 must not read join keys it never uses")
+  }
+
+  test("q5: dimension joins broadcast; region filter pushed to its scan") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("q3 top-10 plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("similarity: query side broadcast so candidates never shuffle") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipelines") {
+    // the "*(n)" prefix marks whole-stage-codegen spans in plan toString
+    val p = plan("q_string_ops")
+    assert(p.contains("*(1)"))
+  }
+
+  test("gateway auth dims broadcast (no shuffle of the event stream for auth)") {
+    val p = plan("q_gw_auth_dispatch")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "auth lookups must not sort-merge the stream")
+  }
+}
