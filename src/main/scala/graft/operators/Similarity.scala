@@ -110,10 +110,13 @@ object Similarity {
     val k = 8
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-    // -- train: deterministic init + 2 Lloyd iterations
+    // -- train: deterministic init + 2 Lloyd iterations. Each round's
+    // centroids are cached (8 tiny rows) — without this every broadcast
+    // re-derives the full lineage and the train cost grows per iteration.
     var centroids = e.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
         col("ce").as("centroid"))
+      .cache()
     for (_ <- 1 to 2) {
       val assigned = e.crossJoin(broadcast(centroids))
         .withColumn("sim", expr("cosine_sim(ce, centroid)"))
@@ -121,11 +124,15 @@ object Similarity {
           Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("ce"))
-      centroids = assigned
+      val next = assigned
         .select(col("cid"), posexplode(col("ce")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("centroid"))
+        .cache()
+      next.count() // materialize before the old generation is dropped
+      centroids.unpersist()
+      centroids = next
     }
     // -- index: assign every vector to its cell
     val cells = e.crossJoin(broadcast(centroids))
