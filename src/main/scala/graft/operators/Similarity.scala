@@ -80,8 +80,16 @@ object Similarity {
     * the same sign-bit reason. */
   def qSimNearDupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val e = Tables.embeddings(s, d)
+    // corpus embeddings are random (no natural cosine>=0.95 pairs), so
+    // inject near copies (vec_id%10==0, +1_000_000, first 4 dims nudged
+    // by 1e-3) — the hit path is real at every scale factor, mirroring
+    // the derived text-dedup corpus
+    val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+    val near = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(ce, (x, i) -> IF(i < 4, x + 0.001d, x))").as("ce"))
+    val e = base.unionByName(near)
       .withColumn("bucket", expr(bucketExpr))
     val a = e.select(col("vec_id").as("a_id"), col("ce").as("qe"), col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("ce"), col("bucket"))

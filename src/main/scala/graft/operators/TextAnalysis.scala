@@ -101,7 +101,36 @@ object TextAnalysis {
         "rolling_hash(text) % 1024 AS shard")
   }
 
+  private val bgEn = Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+  private val bgEs = Seq("de", "la", "os", "el", "en", "es", "ar", "qu", "ue", "nt")
+  private val bgDe = Seq("en", "er", "ch", "de", "ei", "ie", "in", "te", "un", "ge")
+  private val bgFr = Seq("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "ai")
+
+  /** Character-bigram n-gram language ID: extract all bigrams, score the
+    * hit-rate against per-language bigram profiles, classify by cascade.
+    * The profile tables are literals so the whole operator stays
+    * map-side. */
+  def qLangidNgram(s: SparkSession, d: String): DataFrame = {
+    def score(name: String, prof: Seq[String]) =
+      expr(s"size(filter(bigrams, b -> b IN ${inList(prof)}))").as(name)
+    Tables.documents(s, d)
+      .withColumn("bigrams",
+        expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+      .withColumn("n_bigrams", size(col("bigrams")))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        score("s_en", bgEn), score("s_es", bgEs), score("s_de", bgDe), score("s_fr", bgFr))
+      .withColumn("pred_lang_ngram",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+             col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("unknown"))
+      .withColumn("hit_rate", col("s_en").cast("double") / col("n_bigrams"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_langid_ngram" -> (qLangidNgram _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
@@ -109,6 +138,24 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_langid_ngram" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |    list_transform(range(1, length(text)), i -> substring(text, i, 2)) AS bigrams
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+         |    CAST(len(list_filter(bigrams, x -> x IN ${inList(bgEn)})) AS INTEGER) AS s_en,
+         |    CAST(len(list_filter(bigrams, x -> x IN ${inList(bgEs)})) AS INTEGER) AS s_es,
+         |    CAST(len(list_filter(bigrams, x -> x IN ${inList(bgDe)})) AS INTEGER) AS s_de,
+         |    CAST(len(list_filter(bigrams, x -> x IN ${inList(bgFr)})) AS INTEGER) AS s_fr
+         |  FROM b)
+         |SELECT doc_id, lang, n_bigrams, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |       WHEN s_fr > 0 THEN 'fr'
+         |       ELSE 'unknown' END AS pred_lang_ngram,
+         |  CAST(s_en AS DOUBLE) / n_bigrams AS hit_rate
+         |FROM sc""".stripMargin,
     "q_text_stats" ->
       s"""WITH w AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS words FROM documents),
          |c AS (SELECT doc_id, n_chars, text,

@@ -56,6 +56,16 @@ class PipelineSpec extends SparkSpec {
     assert(hit.toDouble / nBf >= 0.25, s"recall ${hit.toDouble / nBf} too low")
   }
 
+  test("embedding near-dup pairs: every injected near copy is recovered at cosine >= 0.95") {
+    val pairs = Similarity.qSimNearDupPairs(spark, sf).cache()
+    val injected = pairs.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
+    val nInjected = Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 0).count()
+    // LSH co-bucketing can miss a near copy that straddles a hyperplane
+    assert(injected.count() >= (nInjected * 0.8).toLong,
+      s"found ${injected.count()} of $nInjected injected near-dups")
+    assert(pairs.filter(col("cosine") < 0.95).count() == 0)
+  }
+
   test("brute-force top-k: 5 ranked neighbors per query, cosine in [-1,1] descending") {
     val tk = Similarity.qSimTopK(spark, sf).cache()
     val perQ = tk.groupBy("q_id").agg(count(lit(1)).as("n"),
