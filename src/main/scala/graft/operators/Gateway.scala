@@ -56,24 +56,17 @@ object Gateway {
         lit("uuid"))
       .otherwise(lit("sess"))
 
-  /** G7/G8/G9 — 3-way auth dispatch + context enrichment. Two broadcast
-    * left joins + a when/otherwise cascade; unresolved rows carry 307,
-    * anonymous admin proceeds with uid '' (gateway.ts:264-286). */
-  def qAuthDispatch(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"))
-      .withColumn("domain", domainCol)
-      .withColumn("token", tokenCol)
+  /** G7/G8/G9 as a reusable DataFrame→DataFrame operator: 3-way auth
+    * dispatch + context enrichment for any frame carrying
+    * (event_id, user_id, domain, token) — static tables and streaming
+    * sources take the identical code path (broadcast left joins +
+    * when/otherwise cascade are stream-safe, no state). Unresolved rows
+    * carry 307; anonymous admin proceeds with uid ''
+    * (gateway.ts:264-286). */
+  def authDispatch(requests: DataFrame, wx: DataFrame, sess: DataFrame): DataFrame =
+    requests
       .withColumn("token_kind", kindCol)
-    // wxuser dim: only user_id % 8 == 0 resolves (so % 8 == 4 misses → 307)
-    val wx = Tables.events(s, d).filter(col("user_id") % 8 === 0)
-      .select(substring(md5(concat(lit("wx"), uid)), 1, 28).as("w_token"),
-        concat(lit("wx:"), uid).as("w_uid")).distinct()
-    // session dim: only user_id % 8 == 2 resolves (% 8 == 6 misses → 307)
-    val sess = Tables.events(s, d).filter(col("user_id") % 8 === 2)
-      .select(concat(lit("sess-"), uid).as("s_token"),
-        concat(lit("sess:"), uid).as("s_uid")).distinct()
-    ev.join(broadcast(wx), col("token") === col("w_token"), "left")
+      .join(broadcast(wx), col("token") === col("w_token"), "left")
       .join(broadcast(sess), col("token") === col("s_token"), "left")
       .select(
         col("event_id"), col("token_kind"), col("domain"),
@@ -90,6 +83,23 @@ object Gateway {
           .when(col("token_kind") === "none" && col("domain") === "admin", lit(""))
           .otherwise(lit(null).cast("string")).as("uid"),
         concat(lit("ip-"), uid).as("ip"))
+
+  /** The batch query face of [[authDispatch]] over events-derived
+    * requests and dims. */
+  def qAuthDispatch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("domain", domainCol)
+      .withColumn("token", tokenCol)
+    // wxuser dim: only user_id % 8 == 0 resolves (so % 8 == 4 misses → 307)
+    val wx = Tables.events(s, d).filter(col("user_id") % 8 === 0)
+      .select(substring(md5(concat(lit("wx"), uid)), 1, 28).as("w_token"),
+        concat(lit("wx:"), uid).as("w_uid")).distinct()
+    // session dim: only user_id % 8 == 2 resolves (% 8 == 6 misses → 307)
+    val sess = Tables.events(s, d).filter(col("user_id") % 8 === 2)
+      .select(concat(lit("sess-"), uid).as("s_token"),
+        concat(lit("sess:"), uid).as("s_uid")).distinct()
+    authDispatch(ev, wx, sess)
   }
 
   /** G4/G5 — route demultiplex by module + admin address rewrite.

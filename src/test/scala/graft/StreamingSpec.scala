@@ -122,6 +122,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("auth dispatch runs unchanged on a streaming source (same operator as the batch query)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long, String, String)]
+    val requests = in.toDF().toDF("event_id", "user_id", "domain", "token")
+    val wx = Seq(("w" * 28, "wx:1")).toDF("w_token", "w_uid")
+    val sess = Seq(("sess-2", "sess:2")).toDF("s_token", "s_uid")
+    val q = graft.operators.Gateway.authDispatch(requests, wx, sess)
+      .writeStream.format("memory").queryName("authstream").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, 1L, "mobile", "w" * 28),              // wx hit → 200
+        (2L, 2L, "mobile", "sess-2"),              // session hit → 200
+        (3L, 3L, "mobile", "x" * 28),              // wx miss → 307
+        (4L, 4L, "admin", null),                   // anonymous admin → 200, uid ""
+        (5L, 5L, "mobile", null))                  // anonymous mobile → 307
+      q.processAllAvailable()
+      val rows = spark.table("authstream").collect()
+        .map(r => r.getAs[Long]("event_id") -> (r.getAs[Int]("status"), r.getAs[String]("uid"))).toMap
+      assert(rows(1L) == (200, "wx:1"))
+      assert(rows(2L) == (200, "sess:2"))
+      assert(rows(3L) == (307, null))
+      assert(rows(4L) == (200, ""))
+      assert(rows(5L) == (307, null))
+    } finally q.stop()
+  }
+
   test("routed foreachBatch sink demultiplexes micro-batches by module (G4/G11)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
