@@ -72,9 +72,28 @@ object Multimodal {
         (col("frame_idx") * 100).cast("int").as("frame_offset"),
         expr("md5(substring(text, frame_idx * 100 + 1, 100))").as("frame_hash"))
 
+  /** Audio-style payloads (doc_id % 3 == 1): stub-decoded sample-rate /
+    * duration metadata plus fixed-stride chunk sampling — the same
+    * generator pattern as video frames, over a second modality. */
+  def qMultimodalAudio(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 1)
+      .withColumn("byte_len", octet_length(col("text")))
+      .withColumn("sample_rate", when(col("doc_id") % 2 === 0, 16000).otherwise(44100))
+      .withColumn("duration_ms", (col("byte_len") * 4).cast("int"))
+      .withColumn("n_chunks", lit(1) + least(floor(col("duration_ms") / 500), lit(7)).cast("int"))
+      .select(col("doc_id"), col("sample_rate"), col("duration_ms"), col("text"), col("n_chunks"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("p", "chunk_idx")))
+      .select(
+        col("doc_id"), col("sample_rate"), col("duration_ms"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * 500).cast("int").as("chunk_start_ms"),
+        expr("md5(substring(text, chunk_idx * 50 + 1, 50))").as("chunk_hash"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_multimodal_frames" -> (qMultimodalFrames _))
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_audio" -> (qMultimodalAudio _))
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -86,6 +105,17 @@ object Multimodal {
         |  CAST(16 + (octet_length(encode(text)) * 13) % 464 AS INTEGER) AS height,
         |  CAST(1 + least(octet_length(encode(text)) // 100, 4) AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
+    "q_multimodal_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS sample_rate,
+        |    CAST(octet_length(encode(text)) * 4 AS INTEGER) AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |c AS (SELECT a.*, 1 + least(duration_ms // 500, 7) AS n_chunks FROM a)
+        |SELECT doc_id, sample_rate, duration_ms,
+        |  CAST(i AS INTEGER) AS chunk_idx, CAST(i * 500 AS INTEGER) AS chunk_start_ms,
+        |  md5(substring(text, CAST(i * 50 + 1 AS INTEGER), 50)) AS chunk_hash
+        |FROM c, unnest(range(0, n_chunks)) AS t(i)""".stripMargin,
     "q_multimodal_frames" ->
       """WITH v AS (
         |  SELECT doc_id, text,
