@@ -123,7 +123,32 @@ object Dedup {
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("simhash16")))
       .select("doc_id", "simhash16", "n_bucket")
 
+  /** Content-defined chunking (Gear CDC) + chunk-hash dedup: documents
+    * are split at content-determined boundaries and chunk hashes are
+    * grouped — shared chunks across near-duplicate docs (the injected
+    * tail-append copies) surface as multi-owner hash groups while edits
+    * stay localized. Rows-only (the gear table lives JVM-side); DedupSpec
+    * asserts reassembly and edit-stability properties. */
+  def qDedupCdcChunks(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CdcBoundaries.register(s)
+    corpus(s, d)
+      .withColumn("bounds", expr("cdc_boundaries(text)"))
+      .withColumn("chunks", expr(
+        """transform(sequence(1, size(bounds)), i ->
+          |  substring(text,
+          |    IF(i = 1, 1, element_at(bounds, i - 1) + 1),
+          |    element_at(bounds, i) - IF(i = 1, 0, element_at(bounds, i - 1))))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("chunk_len")).as("chunk_len"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_cdc_chunks" -> (qDedupCdcChunks _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),

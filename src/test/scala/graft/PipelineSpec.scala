@@ -91,6 +91,38 @@ class PipelineSpec extends SparkSpec {
     assert(shards.filter(col("shard") < 0 || col("shard") >= 1024).count() == 0)
   }
 
+  test("CDC chunking: chunks reassemble exactly; boundaries stable under a prefix edit") {
+    import graft.functions.CdcBoundaries
+    val texts = Tables.documents(spark, sf).select("text").limit(50)
+      .collect().map(_.getString(0))
+    texts.foreach { t =>
+      val bs = CdcBoundaries.boundaries(t)
+      // reassembly: boundaries tile the string
+      assert(bs.last == t.length)
+      val chunks = (Array(0) ++ bs).sliding(2).map { case Array(a, b) => t.substring(a, b) }.toSeq
+      assert(chunks.mkString == t)
+      // size bounds (last chunk may be short)
+      chunks.dropRight(1).foreach(c =>
+        assert(c.length >= CdcBoundaries.MinChunk && c.length <= CdcBoundaries.MaxChunk))
+    }
+    // edit stability: prepend an edit, most chunk hashes survive
+    val t = texts.maxBy(_.length)
+    def hashes(x: String) = {
+      val bs = CdcBoundaries.boundaries(x)
+      (Array(0) ++ bs).sliding(2).map { case Array(a, b) => x.substring(a, b).hashCode }.toSet
+    }
+    val orig = hashes(t)
+    val edited = hashes("EDITED PREFIX INSERTED HERE " + t)
+    val survived = orig.intersect(edited).size.toDouble / orig.size
+    assert(survived >= 0.5, s"only ${(survived * 100).round}% of chunks survived a prefix edit")
+  }
+
+  test("CDC chunk dedup: injected exact copies share every chunk hash (n_docs >= 2 groups exist)") {
+    val g = Dedup.qDedupCdcChunks(spark, sf).cache()
+    assert(g.filter(col("n_docs") >= 2).count() > 0)
+    assert(g.filter(col("chunk_len") > graft.functions.CdcBoundaries.MaxChunk).count() == 0)
+  }
+
   test("text stats: ratios bounded, quality in [0,1], counts positive") {
     val st = TextAnalysis.qTextStats(spark, sf).cache()
     assert(st.count() == 500)
