@@ -107,7 +107,21 @@ object TpchDeep {
       .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
   }
 
+  /** Q10-style returned-item report: revenue lost to returns per
+    * customer, top 20 — join + conditional filter + agg + deterministic
+    * top-k. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(discCol).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_items" -> (q10ReturnedItems _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q14_promo_share" -> (q14PromoShare _),
@@ -118,6 +132,14 @@ object TpchDeep {
   private val discSql = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, CAST(SUM($discSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders o

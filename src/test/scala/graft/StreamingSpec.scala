@@ -149,6 +149,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed streaming gateway flow: auth dispatch + status-routed foreachBatch sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gwflow").toString
+    val in = MemoryStream[(Long, Long, String, String)]
+    val requests = in.toDF().toDF("event_id", "user_id", "domain", "token")
+    val wx = Seq(("w" * 28, "wx:1")).toDF("w_token", "w_uid")
+    val sess = Seq(("sess-2", "sess:2")).toDF("s_token", "s_uid")
+    val enriched = graft.operators.Gateway.authDispatch(requests, wx, sess)
+    val q = enriched.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = batch.persist()
+        try {
+          c.filter(col("status") === 200).write.mode("append").parquet(s"$dir/authorized")
+          c.filter(col("status") === 307).write.mode("append").parquet(s"$dir/redirected")
+        } finally { c.unpersist(); () }
+    }.start()
+    try {
+      in.addData((1L, 1L, "mobile", "w" * 28), (2L, 2L, "admin", null),
+        (3L, 3L, "mobile", null), (4L, 4L, "mobile", "y" * 28))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/authorized").count() == 2)  // wx hit + anon admin
+      assert(spark.read.parquet(s"$dir/redirected").count() == 2)  // anon mobile + wx miss
+    } finally q.stop()
+  }
+
   test("routed foreachBatch sink demultiplexes micro-batches by module (G4/G11)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
