@@ -135,10 +135,15 @@ object Relational {
       .select("op", "k")
   }
 
-  /** Semi/anti joins: customers with vs without orders, counted per nation. */
+  /** Semi/anti joins: customers with vs without RECENT orders (the
+    * recency filter keeps the anti side non-empty — virtually every
+    * customer has SOME order at every scale factor), counted per
+    * nation. */
   def qSemiAnti(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
-    val ordKeys = Tables.orders(s, d).select(col("o_custkey"))
+    val ordKeys = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-06-01 00:00:00")))
+      .select(col("o_custkey"))
     val nation = broadcast(Tables.nation(s, d))
     val withOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
       .join(nation, col("c_nationkey") === col("n_nationkey"))
@@ -239,8 +244,10 @@ object Relational {
   /** Multiset set ops: INTERSECT ALL / EXCEPT ALL over supplier-key
     * multisets (with duplicates), then counted per key. */
   def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.lineitem(s, d).filter(col("l_quantity") < 25).select(col("l_suppkey").as("k"))
-    val b = Tables.lineitem(s, d).filter(col("l_discount") > 0.03).select(col("l_suppkey").as("k"))
+    // a strictly outnumbers b per key (≈80% vs ≈50% of rows) so the
+    // EXCEPT ALL leg carries real multiset differences
+    val a = Tables.lineitem(s, d).filter(col("l_quantity") < 40).select(col("l_suppkey").as("k"))
+    val b = Tables.lineitem(s, d).filter(col("l_discount") > 0.05).select(col("l_suppkey").as("k"))
     a.intersectAll(b).withColumn("op", lit("intersect_all"))
       .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
       .groupBy("op", "k").agg(count(lit(1)).as("n"))
@@ -292,8 +299,8 @@ object Relational {
         |FULL JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
     "q_setops_all" ->
-      """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 25),
-        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.03),
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 40),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05),
         |u AS (
         |  SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t1
         |  UNION ALL
@@ -371,11 +378,13 @@ object Relational {
     "q_semi_anti" ->
       """SELECT n_name, 'with_orders' AS grp, COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY n_name
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') GROUP BY n_name
         |UNION ALL
         |SELECT n_name, 'no_orders' AS grp, COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY n_name""".stripMargin,
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') GROUP BY n_name""".stripMargin,
     "q_distinct_stats" ->
       """SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
         |  COUNT(DISTINCT c_custkey) AS n_cust, COUNT(*) AS n,

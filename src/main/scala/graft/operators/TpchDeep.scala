@@ -101,7 +101,10 @@ object TpchDeep {
       .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
     c.crossJoin(broadcast(globalAvg))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(Tables.orders(s, d).select(col("o_custkey")),
+      // anti against recent orders — "idle lately", keeps the path live
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-06-01 00:00:00")))
+          .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
@@ -187,6 +190,7 @@ object TpchDeep {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         |FROM customer, g
         |WHERE c_acctbal > avg_bal
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin)
 }
