@@ -89,13 +89,52 @@ object Advanced {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** The same as-of semantics on the NATIVE operator
+    * (graft.plans.AsOfJoin: custom LogicalPlan + Strategy + merge-join
+    * exec) — one merge pass per key group instead of join + window.
+    * Shares q_asof_join's oracle (identical results by construction). */
+  def qAsofJoinNative(s: SparkSession, d: String): DataFrame = {
+    graft.plans.AsOfStrategy.register(s)
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      expr("ts - make_interval(0, 0, 0, 8000 + (event_id * 13) % 6000, 0, 0, 0)").as("cutoff"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val lPlan = ev.queryExecution.analyzed
+    val rPlan = o.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      plan.output.find(_.name == n).get
+    val node = graft.plans.AsOfJoin(lPlan, rPlan,
+      attr(lPlan, "user_id"), attr(lPlan, "cutoff"),
+      attr(rPlan, "o_custkey"), attr(rPlan, "o_orderdate"), attr(rPlan, "o_orderkey"))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(s, node)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_orderdate"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join_native" -> (qAsofJoinNative _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_asof_join" -> (qAsofJoin _),
     "q_udaf_weighted_price" -> (qUdafWeightedPrice _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
+  private val asofOracle =
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    ts - to_days(CAST(8000 + (event_id * 13) % 6000 AS INTEGER)) AS cutoff
+        |  FROM events),
+        |j AS (
+        |  SELECT event_id, user_id, o_orderkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id
+        |      ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+        |  FROM ev LEFT JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate <= cutoff)
+        |SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+        |FROM j WHERE rn = 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_asof_join_native" -> asofOracle,
     "q_grouping_sets" ->
       """SELECT n_name, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

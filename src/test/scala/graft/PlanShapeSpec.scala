@@ -39,6 +39,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(1)"))
   }
 
+  test("native as-of join plans through AsOfJoinExec (custom strategy fires)") {
+    val p = plan("q_asof_join_native")
+    assert(p.contains("AsOfJoin"), s"custom exec missing from plan:\n${p.take(600)}")
+  }
+
   test("gateway auth dims broadcast (no shuffle of the event stream for auth)") {
     val p = plan("q_gw_auth_dispatch")
     assert(p.contains("BroadcastHashJoin"))
