@@ -79,6 +79,22 @@ class AdvancedSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("event_type"))
   }
 
+  test("parquet sink codecs: zstd/snappy/gzip all round-trip; compression is real") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_codecs").toString
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    val sizes = Seq("none", "snappy", "gzip", "zstd").map { codec =>
+      val path = s"$dir/$codec"
+      li.write.mode("overwrite").option("compression", codec).parquet(path)
+      assert(spark.read.parquet(path).count() == n, s"$codec roundtrip")
+      val size = new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(_.length).sum
+      codec -> size
+    }.toMap
+    assert(sizes("zstd") < sizes("none"))
+    assert(sizes("gzip") < sizes("none"))
+  }
+
   test("grouping sets emits exactly the three requested groupings") {
     val g = Advanced.qGroupingSets(spark, sf).cache()
     assert(g.filter(col("n_name").isNotNull && col("o_orderpriority").isNotNull).count() == 0)

@@ -149,6 +149,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlator state survives a checkpointed query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val in = MemoryStream[GwEvent]
+    // file sink (memory sink cannot recover from a checkpoint)
+    def start() = Correlator.correlate(in.toDS(), timeoutMs = 30000L)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(GwEvent("persist-me", "request", ts(0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: the in-flight request must still be
+    // registered so the response correlates with the original latency
+    val q2 = start()
+    try {
+      in.addData(GwEvent("persist-me", "response", ts(7)))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).as[Correlator.Correlated].collect()
+        .map(c => c.sn -> (c.outcome, c.latency_ms)).toMap
+      assert(rows("persist-me") == ("matched", 7000L))
+    } finally q2.stop()
+  }
+
   test("composed streaming gateway flow: auth dispatch + status-routed foreachBatch sinks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
