@@ -123,7 +123,34 @@ object TpchDeep {
       .orderBy(desc("revenue"), col("c_custkey"))
       .limit(20)
 
+  /** Q13-style: distribution of customers by order count (left join so
+    * zero-order customers land in the 0 bucket, then a second
+    * aggregation over the counts). */
+  def q13OrderCountDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q18-style large-volume customers: orders whose total quantity
+    * exceeds a threshold (aggregate-filtered IN-subquery shape). */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_ordercount_dist" -> (q13OrderCountDist _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -135,6 +162,20 @@ object TpchDeep {
   private val discSql = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q13_ordercount_dist" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM cc GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, n_name, CAST(SUM($discSql) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_items

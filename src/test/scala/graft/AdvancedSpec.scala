@@ -95,6 +95,15 @@ class AdvancedSpec extends SparkSpec {
     assert(sizes("gzip") < sizes("none"))
   }
 
+  test("uuid() serial numbers are unique across partitions (G10 semantics)") {
+    // the reference's sn is 64 random bytes (gateway.ts:313); the engine
+    // uses uuid() — monotonically_increasing_id would collide across runs
+    val n = 100000
+    val distinct = spark.range(n).repartition(8)
+      .selectExpr("uuid() AS sn").distinct().count()
+    assert(distinct == n)
+  }
+
   test("grouping sets emits exactly the three requested groupings") {
     val g = Advanced.qGroupingSets(spark, sf).cache()
     assert(g.filter(col("n_name").isNotNull && col("o_orderpriority").isNotNull).count() == 0)
