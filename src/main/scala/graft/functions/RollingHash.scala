@@ -12,10 +12,14 @@ import org.apache.spark.sql.types._
   * and adds, no division). Codegen'd so fingerprinting stays inside
   * whole-stage codegen next to the rest of the projection.
   *
-  * The rolling property (h(s[1..n]) derivable from h(s[0..n-1]) in O(1))
-  * is what makes this the right primitive for windowed/content-defined
-  * chunking at 100 TB — this expression computes the whole-string hash;
-  * chunked variants reuse the same arithmetic.
+  * The accumulator is reduced BEFORE the ×257 step overflows: with
+  * acc < M < 2^61, `acc·256 mod M` is computed from the split
+  * acc = hi·2^53 + lo as `hi + (lo << 8)` (since 2^61 ≡ 1 mod M), so
+  * every intermediate stays under 2^63 and the result is the true
+  * Σ b·257^i mod (2^61-1). That makes the O(1) rolling/subtract
+  * property real (257 is invertible mod M), and the value reproducible
+  * by any engine that can do 128-bit or split-modular arithmetic —
+  * the DuckDB oracle folds the same recurrence in HUGEINT.
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
 
@@ -23,9 +27,9 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
 
   @inline private def mix(acc: Long, b: Int): Long = {
-    // acc = (acc * 257 + b) mod (2^61 - 1), using the Mersenne identity
-    // x mod (2^61-1) = (x >> 61) + (x & M) — inputs stay < 2^63.
-    val m = (acc << 8) + acc + b // acc * 257 + b
+    // (acc * 257 + b) mod M without 64-bit overflow:
+    // acc*256 ≡ (acc >>> 53) + ((acc & (2^53-1)) << 8)  (mod M)
+    val m = (acc >>> 53) + ((acc & RollingHash.Low53) << 8) + acc + b // < 3·2^61
     val r = (m >>> 61) + (m & RollingHash.M)
     if (r >= RollingHash.M) r - RollingHash.M else r
   }
@@ -46,7 +50,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
          |byte[] $bytes = $c.getBytes();
          |long $acc = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  long $m = ($acc << 8) + $acc + ($bytes[$i] & 0xff);
+         |  long $m = ($acc >>> 53) + (($acc & ${RollingHash.Low53}L) << 8) + $acc + ($bytes[$i] & 0xff);
          |  long $r = ($m >>> 61) + ($m & ${RollingHash.M}L);
          |  $acc = ($r >= ${RollingHash.M}L) ? $r - ${RollingHash.M}L : $r;
          |}
@@ -60,18 +64,23 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
 object RollingHash {
   val M: Long = (1L << 61) - 1
+  val Low53: Long = (1L << 53) - 1
 
   /** Reference implementation for tests (same arithmetic, plain Scala). */
   def hash(s: String): Long = {
     val bytes = s.getBytes("UTF-8")
     var acc = 0L
     for (b <- bytes) {
-      val m = (acc << 8) + acc + (b & 0xff)
+      val m = (acc >>> 53) + ((acc & Low53) << 8) + acc + (b & 0xff)
       val r = (m >>> 61) + (m & M)
       acc = if (r >= M) r - M else r
     }
     acc
   }
+
+  /** BigInt cross-check used by the spec: the definitionally-true value. */
+  def hashBig(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(BigInt(0))((a, b) => (a * 257 + (b & 0xff)) % BigInt(M)).toLong
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -78,16 +78,22 @@ object Advanced {
         count(lit(1)).as("n"))
   }
 
-  /** HLL approximate distinct vs exact — rows-only (sketch internals are
-    * engine-specific); AdvancedSpec bounds the relative error. */
+  /** HLL approximate distinct vs exact. Oracle-checked: the exact
+    * counts hash-match DuckDB, and the sketch estimates are exposed as
+    * bounded-error booleans (|approx−exact|/exact ≤ 10%) — the sketch
+    * internals themselves are engine-specific so raw estimates can't
+    * hash-match, but the error contract can. AdvancedSpec additionally
+    * bounds the raw relative error. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
+          .cast("double") / countDistinct(col("l_orderkey")) <= 0.10).as("approx_orders_ok"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.02) - countDistinct(col("l_partkey")))
+          .cast("double") / countDistinct(col("l_partkey")) <= 0.10).as("approx_parts_ok"))
 
   /** The same as-of semantics on the NATIVE operator
     * (graft.plans.AsOfJoin: custom LogicalPlan + Strategy + merge-join
@@ -154,6 +160,13 @@ object Advanced {
         |    ON user_id = o_custkey AND o_orderdate <= cutoff)
         |SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
         |FROM j WHERE rn = 1""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_orders_ok,
+        |  TRUE AS approx_parts_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_udaf_weighted_price" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)

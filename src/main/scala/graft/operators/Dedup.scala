@@ -52,10 +52,16 @@ object Dedup {
       .filter(col("n_copies") > 1)
 
   /** Word 3-gram shingles + 16-permutation MinHash signature, all
-    * map-side via nested HOFs. */
+    * map-side via nested HOFs. Guarded for documents under 3 words:
+    * Spark's sequence(1, 0) is DESCENDING (and element_at(…, 0) errors
+    * under ANSI), so short docs yield an empty shingle list — matching
+    * DuckDB's range(1, len-1) behavior. Latent in this corpus (docs are
+    * ≥10 words) but required for general inputs. */
   private val shinglesExpr =
-    """transform(sequence(1, size(words) - 2),
-      |  i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))""".stripMargin
+    """IF(size(words) >= 3,
+      |  transform(sequence(1, size(words) - 2),
+      |    i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))),
+      |  CAST(array() AS ARRAY<STRING>))""".stripMargin
 
   // One 28-bit base hash per shingle (md5 prefix), then 16 integer LCG
   // permutations — 16x less hashing than md5-per-permutation, identical

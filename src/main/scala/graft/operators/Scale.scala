@@ -37,8 +37,36 @@ object Scale {
     saltedCountSum(Tables.events(s, d), col("event_type"), col("event_id"), col("value"))
       .withColumnRenamed("k", "event_type")
 
+  /** G6 rate limiting composed with the salt pattern for the reference's
+    * constant `"anonymous"` token (gateway.ts keys every unauthenticated
+    * call by the same string — the textbook hot key: partitioning the
+    * limiter window by token puts EVERY row on one reducer). Phase 1
+    * counts per (token, bucket, salt) — uniform shuffle even when one
+    * bucket is hot; phase 2 combines to exact per-bucket counts (tiny);
+    * phase 3 summarizes the limiter outcome per token. Identical to a
+    * direct per-bucket aggregate (counts are associative) — that is the
+    * unsalted oracle. Buckets are 1 hour with the ≤10 threshold so both
+    * allow and deny branches are live at corpus event rates (~14/hour;
+    * the reference's 1-second window sees ≤2 events at any sf). */
+  def qSaltedRateLimit(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(lit("anonymous").as("token"),
+        date_trunc("hour", col("ts")).as("bucket"), col("event_id"))
+      .groupBy(col("token"), col("bucket"),
+        pmod(hash(col("event_id")), lit(16)).as("_salt"))   // phase 1: uniform
+      .agg(count(lit(1)).as("pc"))
+      .groupBy("token", "bucket")                           // phase 2: exact counts
+      .agg(sum(col("pc")).cast("long").as("c"))
+      .groupBy("token")                                     // phase 3: limiter summary
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).cast("long").as("n_events"),
+        max(col("c")).as("max_calls_1h"),
+        sum(when(col("c") > 10, col("c") - 10).otherwise(0L)).cast("long").as("n_denied"),
+        sum(when(col("c") > 10, 1).otherwise(0)).cast("long").as("n_hot_buckets"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_agg" -> (qSaltedAgg _))
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_rate_limit" -> (qSaltedRateLimit _))
 
   // The oracle is the UNSALTED aggregate — proving the two-phase plan
   // computes the same answer.
@@ -46,5 +74,16 @@ object Scale {
     "q_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_salted_rate_limit" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT 'anonymous' AS token,
+        |  COUNT(*) AS n_buckets,
+        |  CAST(SUM(c) AS BIGINT) AS n_events,
+        |  MAX(c) AS max_calls_1h,
+        |  CAST(SUM(CASE WHEN c > 10 THEN c - 10 ELSE 0 END) AS BIGINT) AS n_denied,
+        |  CAST(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets
+        |FROM b""".stripMargin)
 }

@@ -56,8 +56,10 @@ object Similarity {
 
   /** ANN via hyperplane LSH: bucket candidates once, probe the query's
     * bucket plus all Hamming-1 neighbors, cosine-rank within the probed
-    * set. Rows-only (sign bits near zero are not oracle-stable);
-    * SimilaritySpec checks recall vs [[qSimTopK]]. */
+    * set. Oracle-checked: the LCG coefficients are integer-exact and the
+    * plane dot products fold left-to-right, so DuckDB reproduces even
+    * the sign bits; PipelineSpec additionally checks recall vs
+    * [[qSimTopK]]. */
   def qSimAnnLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
@@ -75,25 +77,63 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ 0.95 among LSH-cobucketed
-    * pairs — the embedding analogue of MinHash-LSH dedup. Rows-only for
-    * the same sign-bit reason. */
-  def qSimNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    // corpus embeddings are random (no natural cosine>=0.95 pairs), so
-    // inject near copies (vec_id%10==0, +1_000_000, first 4 dims nudged
-    // by 1e-3) — the hit path is real at every scale factor, mirroring
-    // the derived text-dedup corpus
+  /** The near-dup corpus: real embeddings plus injected near copies
+    * (vec_id%10==0, +1_000_000, first 4 dims nudged by 1e-3) — corpus
+    * embeddings are random so no natural cosine≥0.95 pairs exist; the
+    * injected pairs make the hit path real at every scale factor,
+    * mirroring the derived text-dedup corpus. */
+  private def neardupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
     val near = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(ce, (x, i) -> IF(i < 4, x + 0.001d, x))").as("ce"))
-    val e = base.unionByName(near)
-      .withColumn("bucket", expr(bucketExpr))
-    val a = e.select(col("vec_id").as("a_id"), col("ce").as("qe"), col("bucket"))
-    val b = e.select(col("vec_id").as("b_id"), col("ce"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+    base.unionByName(near)
+  }
+
+  /** Multi-band hyperplane codes for `ce`: `bands` independent codes of
+    * `bits` sign bits each, exploded to one (band, code) row per band.
+    * Code width scales with corpus size (log2(n/4)) so expected bucket
+    * population stays ~4 at any scale: candidate pairs then grow
+    * ~linearly with n — the property the single fixed-width bucket of
+    * round 1 lacked (its within-bucket pair count was O(n²/2^bits)). */
+  private def bandedCodes(corpus: DataFrame, n: Long, bands: Int): DataFrame = {
+    val bits = math.max(4, math.min(12, (math.log(n / 4.0) / math.log(2)).ceil.toInt))
+    def codeExpr(b: Int): String =
+      (0 until bits).map(i => s"IF(${planeExpr(b * bits + i)} >= 0, ${1 << i}, 0)").mkString(" + ")
+    val codes = (0 until bands)
+      .map(b => s"struct($b AS band, ${codeExpr(b)} AS code)")
+      .mkString("array(", ", ", ")")
+    corpus.withColumn("bc", explode(expr(codes)))
+      .select(col("vec_id"), col("bc.band").as("band"), col("bc.code").as("code"))
+  }
+
+  /** Distinct candidate pairs from the banded equi-join (a pair that
+    * collides in several bands is emitted once). Exposed for the
+    * linear-growth assertion in PipelineSpec. */
+  def neardupCandidates(s: SparkSession, d: String): DataFrame = {
+    val corpus = neardupCorpus(s, d)
+    val coded = bandedCodes(corpus, corpus.count(), bands = 4)
+    val a = coded.select(col("vec_id").as("a_id"), col("band"), col("code"))
+    val b = coded.select(col("vec_id").as("b_id"), col("band"), col("code"))
+    a.join(b, Seq("band", "code")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ 0.95 among banded-LSH
+    * candidate pairs — the embedding analogue of MinHash-LSH dedup.
+    * Verification joins the (small) candidate set back to the vectors by
+    * id — two linear shuffles — so the quadratic work is confined to
+    * bounded buckets. Oracle-checked (the adaptive bit width is
+    * re-derived in SQL from the corpus count); PipelineSpec asserts
+    * injected-pair recall and near-linear candidate growth. */
+  def qSimNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val corpus = neardupCorpus(s, d)
+    val va = corpus.select(col("vec_id").as("a_id"), col("ce").as("qe"))
+    val vb = corpus.select(col("vec_id").as("b_id"), col("ce"))
+    neardupCandidates(s, d)
+      .join(va, "a_id").join(vb, "b_id")
       .withColumn("cosine", expr(cosExpr))
       .filter(col("cosine") >= 0.95)
       .select("a_id", "b_id", "cosine")
@@ -171,7 +211,64 @@ object Similarity {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
 
+  // Shared DuckDB fragments. The hyperplane coefficients are an
+  // integer-exact LCG and the dot-product folds are explicit LEFT folds
+  // (list_reduce with a prepended 0), mirroring Spark's aggregate()
+  // exactly — the same sequence of IEEE double ops in both engines means
+  // even the sign bits of near-zero plane sums agree, which is what
+  // makes the LSH bucketing oracle-checkable at all.
+  private val dkCos =
+    """round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
+      |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6)""".stripMargin
+
+  private def dkPlane(p: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64),
+       |  i -> list_extract(ce, i + 1) * ((CAST((1103515245 * (($p) * 131 + i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) - 0.5))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  private val dkBucket: String =
+    (0 until 4).map(k => s"(CASE WHEN ${dkPlane(k.toString)} >= 0 THEN ${1 << k} ELSE 0 END)")
+      .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q_sim_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |coded AS (SELECT vec_id, ce, $dkBucket AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, ce AS qe, bucket AS qb FROM coded WHERE vec_id % 20 = 0),
+         |probes AS (SELECT q_id, qe,
+         |  unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS probe FROM q),
+         |cand AS (SELECT q_id, qe, vec_id AS c_id, ce
+         |  FROM probes JOIN coded ON probe = bucket AND q_id <> vec_id),
+         |scored AS (SELECT q_id, c_id, $dkCos AS cos_r FROM cand),
+         |ranked AS (SELECT q_id, c_id, cos_r,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, c_id AS neighbor_id, cos_r AS cosine
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_sim_neardup_pairs" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, ce FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i -> CASE WHEN i <= 4 THEN ce[i] + 0.001 ELSE ce[i] END)
+         |  FROM base WHERE vec_id % 10 = 0),
+         |bv AS (SELECT GREATEST(4, LEAST(12, CAST(CEIL(LOG2(COUNT(*) / 4.0)) AS INTEGER))) AS bits
+         |  FROM corpus),
+         |coded AS (
+         |  SELECT vec_id, band, list_sum(list_transform(range(0, bits),
+         |    j -> CASE WHEN ${dkPlane("band * bits + j")} >= 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS code
+         |  FROM (SELECT vec_id, ce, unnest([0, 1, 2, 3]) AS band FROM corpus) CROSS JOIN bv),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM coded a JOIN coded b ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT a_id, b_id, $dkCos AS cosine
+         |  FROM cand JOIN (SELECT vec_id, ce AS qe FROM corpus) va ON a_id = va.vec_id
+         |  JOIN (SELECT vec_id, ce FROM corpus) vb ON b_id = vb.vec_id)
+         |SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.95""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),

@@ -91,9 +91,10 @@ object TextAnalysis {
           .as("weighted_checksum"))
 
   /** Rabin-Karp rolling-hash fingerprints via the codegen RollingHash
-    * expression — rows-only (the oracle can't fold over UTF-8 bytes);
-    * TextSpec cross-checks the expression against a plain-Scala
-    * reference implementation. */
+    * expression. Oracle-checked: the corpus is ASCII, so the DuckDB
+    * oracle folds the identical (acc·257+b) mod 2^61-1 recurrence over
+    * code points in HUGEINT; PipelineSpec additionally cross-checks the
+    * codegen path against plain-Scala and BigInt references. */
   def qRollingFingerprint(s: SparkSession, d: String): DataFrame = {
     graft.functions.RollingHash.register(s)
     Tables.documents(s, d)
@@ -138,6 +139,16 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ascii(substring(text, i, 1)) AS HUGEINT))),
+        |      (acc, b) -> (acc * 257 + b) % 2305843009213693951) AS BIGINT) AS fp_rolling
+        |  FROM documents)
+        |SELECT doc_id, fp_rolling, fp_rolling % 1024 AS shard FROM f""".stripMargin,
     "q_langid_ngram" ->
       s"""WITH b AS (SELECT doc_id, lang,
          |    list_transform(range(1, length(text)), i -> substring(text, i, 2)) AS bigrams

@@ -33,18 +33,42 @@ object TpchDeep {
   }
 
   /** Q7-style volume shipping between two nations (either direction),
-    * grouped by supplier/customer nation and ship year. */
+    * grouped by supplier/customer nation and ship year.
+    *
+    * Plan note (100 TB): the OR-of-conjunctions nation-pair predicate is
+    * not derivable by Catalyst into per-dim IN-lists, so we derive it by
+    * hand — `n_name IN (pair)` is applied to BOTH nation dims before any
+    * fact join. The supplier side prunes lineitem map-side via a
+    * broadcast join (2/25 of rows survive); the customer side prunes
+    * orders before the orderkey shuffle. Only ~8% of each fact table
+    * reaches the big lineitem⋈orders join, versus round 1's plan that
+    * joined everything and filtered last (it was the slowest query in
+    * the suite at 5.5 s). The final filter keeps only cross-nation
+    * pairs, as in the original predicate. */
   def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
-    val n1 = broadcast(Tables.nation(s, d)
-      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
-    val n2 = broadcast(Tables.nation(s, d)
-      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supp = broadcast(Tables.supplier(s, d)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    // customer is too large to broadcast at full scale: shuffle-join it
+    // against the already-pruned nation dim, leaving orders carrying
+    // cust_nation for only the two relevant nations.
+    val cust = Tables.customer(s, d)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val prunedOrders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
     Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(n1, col("s_nationkey") === col("s_nk"))
-      .join(n2, col("c_nationkey") === col("c_nk"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(prunedOrders, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
@@ -148,7 +172,53 @@ object TpchDeep {
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))
   }
 
+  /** Q17-style small-quantity revenue: lineitems below 20% of their
+    * part's average quantity (correlated scalar subquery, decorrelated
+    * to a per-part aggregate + join). The threshold compare is kept in
+    * exact integer-scaled decimals (5·qty·cnt < Σqty) rather than a
+    * double `0.2·avg`, so the boundary is engine-stable. */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val parts = broadcast(Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey")))
+    val li = Tables.lineitem(s, d)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_qty"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("cnt") < col("sum_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q21-style waiting suppliers: late lineitems (shipped >60 days after
+    * the order date — this corpus has no commit/receipt dates) in
+    * multi-supplier orders where no OTHER supplier was late — the
+    * EXISTS + NOT EXISTS-on-the-same-fact decorrelation stress shape
+    * (planned as a left-semi plus a left-anti with a non-equi residual
+    * on the supplier key). */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val late = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    late
+      .join(li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q13_ordercount_dist" -> (q13OrderCountDist _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -162,6 +232,27 @@ object TpchDeep {
   private val discSql = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q17_small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pk, COUNT(*) AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1' GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name""".stripMargin,
     "q13_ordercount_dist" ->
       """WITH cc AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

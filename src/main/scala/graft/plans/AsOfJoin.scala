@@ -33,6 +33,18 @@ case class AsOfJoin(
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression, rightTie: Expression)
   extends BinaryNode {
+  // v1 restriction asserted loudly at construction: internals read
+  // key/time as Long, so only long- and timestamp-typed (both evaluate
+  // to Long) columns are accepted. Int/date keys would need widening
+  // casts by the caller.
+  {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ok: org.apache.spark.sql.types.DataType => Boolean =
+      t => t == LongType || t == TimestampType || t == TimestampNTZType
+    require(Seq(leftKey, rightKey, leftTime, rightTime, rightTie).forall(e => ok(e.dataType)),
+      s"AsOfJoin v1 supports only LONG/TIMESTAMP key, time, and tie columns; got " +
+        Seq(leftKey, leftTime, rightKey, rightTime, rightTie).map(_.dataType.simpleString).mkString(", "))
+  }
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -82,13 +94,23 @@ case class AsOfJoinExec(
       val timesTmp = scala.collection.mutable.ArrayBuffer.empty[Long]
 
       def loadKey(k: Long): Unit = {
-        // skip right groups below k, buffer the k group if present
-        while (rBuf.hasNext && rKey.eval(rBuf.head).asInstanceOf[Long] < k) rBuf.next()
+        // skip right groups below k — null-keyed right rows sort first
+        // (Ascending = NULLS FIRST) and can never equi-match, so they
+        // are consumed here too
+        while (rBuf.hasNext && {
+          val rv = rKey.eval(rBuf.head)
+          rv == null || rv.asInstanceOf[Long] < k
+        }) rBuf.next()
         rowsTmp.clear(); timesTmp.clear()
-        while (rBuf.hasNext && rKey.eval(rBuf.head).asInstanceOf[Long] == k) {
+        while (rBuf.hasNext && {
+          val rv = rKey.eval(rBuf.head)
+          rv != null && rv.asInstanceOf[Long] == k
+        }) {
           val r = rBuf.next().copy()
-          rowsTmp += r
-          timesTmp += rTime.eval(r).asInstanceOf[Long]
+          // a null right time can never satisfy time <= cutoff (SQL
+          // comparison semantics) — exclude it from the buffer
+          val tv = rTime.eval(r)
+          if (tv != null) { rowsTmp += r; timesTmp += tv.asInstanceOf[Long] }
         }
         times = timesTmp.toArray
         rows = rowsTmp.toArray
@@ -97,13 +119,21 @@ case class AsOfJoinExec(
       }
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
+        val kv = lKey.eval(lRow)
+        val cv = lTime.eval(lRow)
+        if (kv == null || cv == null) {
+          // null key or cutoff matches nothing (`=`/`<=` are null-
+          // rejecting) → left-outer null right side, same as the
+          // composed join+window form
+          toUnsafe(joiner(lRow, nullRight))
+        } else {
+        val k = kv.asInstanceOf[Long]
         if (!bufValid || k != bufKey) {
           // left is sorted by key, so forward-only loading is complete
           if (bufValid && k < bufKey) throw new IllegalStateException("left not sorted by key")
           loadKey(k)
         }
-        val cutoff = lTime.eval(lRow).asInstanceOf[Long]
+        val cutoff = cv.asInstanceOf[Long]
         // binary search: last index with time <= cutoff (ties already
         // ordered by tie ascending → last one is the max tie)
         var lo = 0; var hi = times.length - 1; var ans = -1
@@ -114,6 +144,7 @@ case class AsOfJoinExec(
         val joined =
           if (ans >= 0) joiner(lRow, rows(ans)) else joiner(lRow, nullRight)
         toUnsafe(joined)
+        }
       }
     }
   }

@@ -30,10 +30,17 @@ object CorrelatorV2 {
       val out = Seq.newBuilder[Correlated]
       evs.foreach { e =>
         if (e.kind == "request") {
+          // a re-registered sn replaces the previous request: drop the
+          // old timer so it can't later fire against the new request
+          if (inFlight.exists()) getHandle.deleteTimer(inFlight.get() + timeoutMs)
           inFlight.update(e.ts.getTime)
           getHandle.registerTimer(e.ts.getTime + timeoutMs)
         } else if (inFlight.exists()) {
           out += Correlated(sn, "matched", e.ts.getTime - inFlight.get())
+          // delete the pending timer (derivable: request ts + timeout) —
+          // without this a later reuse of the same sn would be clobbered
+          // by the stale timer firing (spurious timeout + cleared state)
+          getHandle.deleteTimer(inFlight.get() + timeoutMs)
           inFlight.clear()
         } else {
           out += Correlated(sn, "unmatched_response", -1L)
@@ -44,10 +51,13 @@ object CorrelatorV2 {
 
     override def handleExpiredTimer(sn: String, timers: TimerValues,
         info: ExpiredTimerInfo): Iterator[Correlated] =
-      if (inFlight.exists()) {
+      // defense in depth: only time out if this timer belongs to the
+      // CURRENT in-flight request (a stale timer for a superseded or
+      // matched request must not clear live state)
+      if (inFlight.exists() && info.getExpiryTimeInMs() == inFlight.get() + timeoutMs) {
         inFlight.clear()
         Iterator.single(Correlated(sn, "timeout", -1L))
-      } else Iterator.empty // timer for an already-matched request
+      } else Iterator.empty // timer for an already-matched/superseded request
   }
 
   def correlate(events: Dataset[GwEvent], timeoutMs: Long = 30000L,

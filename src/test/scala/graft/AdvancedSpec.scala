@@ -15,9 +15,15 @@ class AdvancedSpec extends SparkSpec {
     val r = Advanced.qApproxDistinct(spark, sf).collect()
     assert(r.nonEmpty)
     r.foreach { row =>
-      val (a, e) = (row.getAs[Long]("approx_orders"), row.getAs[Long]("exact_orders"))
-      assert(math.abs(a - e).toDouble / e < 0.15, s"approx $a vs exact $e")
+      assert(row.getAs[Boolean]("approx_orders_ok"), s"orders HLL error > 10%: $row")
+      assert(row.getAs[Boolean]("approx_parts_ok"), s"parts HLL error > 10%: $row")
     }
+    // raw error bound on the sketch itself (independent of the boolean)
+    val raw = Tables.lineitem(spark, sf)
+      .agg(approx_count_distinct(col("l_orderkey")).as("a"),
+        countDistinct(col("l_orderkey")).as("e")).collect()(0)
+    val (a, e) = (raw.getAs[Long]("a"), raw.getAs[Long]("e"))
+    assert(math.abs(a - e).toDouble / e < 0.15, s"approx $a vs exact $e")
   }
 
   test("as-of join picks the latest order at or before the cutoff, null when none") {

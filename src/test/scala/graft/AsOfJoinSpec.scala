@@ -1,0 +1,71 @@
+package graft
+
+import graft.plans.{AsOfJoin, AsOfStrategy}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Property tests for the native as-of join operator
+  * (graft.plans.AsOfJoin): randomized keys/times INCLUDING nulls on both
+  * sides, compared row-for-row against the composed join+window
+  * formulation — the two must be extensionally equal. Also asserts the
+  * loud type check at construction (v1 is LONG/TIMESTAMP only).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def nativeAsof(l: DataFrame, r: DataFrame): DataFrame = {
+    AsOfStrategy.register(spark)
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+      AsOfJoin(lp, rp, attr(lp, "k"), attr(lp, "t"),
+        attr(rp, "rk"), attr(rp, "rt"), attr(rp, "tie")))
+  }
+
+  private def composedAsof(l: DataFrame, r: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(desc_nulls_last("rt"), desc_nulls_last("tie"))
+    l.join(r, col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  test("native as-of join == composed join+window on randomized data with nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    def opt(p: Double, v: => Long): Option[Long] = if (rnd.nextDouble() < p) None else Some(v)
+    val lRows = (1 to 500).map(i =>
+      (i.toLong, opt(0.1, rnd.nextInt(25).toLong), opt(0.1, rnd.nextInt(1000).toLong)))
+    val rRows = (1 to 800).map(i =>
+      (opt(0.1, rnd.nextInt(25).toLong), opt(0.1, rnd.nextInt(1000).toLong), i.toLong, rnd.nextLong()))
+    val l = lRows.toDF("id", "k", "t")
+    val r = rRows.toDF("rk", "rt", "tie", "payload")
+    val cols = Seq("id", "k", "t", "rk", "rt", "tie", "payload").map(col)
+    val native = nativeAsof(l, r).select(cols: _*).collect().map(_.toSeq).sortBy(_.toString)
+    val composed = composedAsof(l, r).select(cols: _*).collect().map(_.toSeq).sortBy(_.toString)
+    assert(native.length == lRows.length, "native must emit exactly one row per left row")
+    assert(native.length == composed.length)
+    native.zip(composed).foreach { case (n, c) => assert(n == c, s"native $n != composed $c") }
+    // null-keyed and null-time left rows must survive with a null right side
+    val nullLeft = nativeAsof(l, r).filter(col("k").isNull || col("t").isNull)
+    assert(nullLeft.count() > 0)
+    assert(nullLeft.filter(col("rk").isNotNull || col("rt").isNotNull).count() == 0)
+  }
+
+  test("as-of join rejects unsupported key types loudly at construction") {
+    import spark.implicits._
+    val l = Seq((1, 2, 3)).toDF("id", "k", "t") // INT columns — unsupported in v1
+    val r = Seq((1L, 2L, 3L, 4L)).toDF("rk", "rt", "tie", "payload")
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(lp, rp, attr(lp, "k"), attr(lp, "t"),
+        attr(rp, "rk"), attr(rp, "rt"), attr(rp, "tie"))
+    }
+    assert(e.getMessage.contains("LONG/TIMESTAMP"))
+  }
+}

@@ -66,6 +66,18 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter(col("cosine") < 0.95).count() == 0)
   }
 
+  test("near-dup LSH candidate pairs grow ~linearly with corpus size (banded codes)") {
+    // 10x the corpus (sf0.01 -> sf0.1) must grow the candidate set far
+    // below quadratically (100x): the code width adapts (log2(n/4)) so
+    // bucket population stays bounded. Allow 3x the linear ratio for
+    // ceil-granularity in the bit count.
+    val c1 = Similarity.neardupCandidates(spark, "/root/testdata/sf0.01").count()
+    val c2 = Similarity.neardupCandidates(spark, "/root/testdata/sf0.1").count()
+    assert(c1 > 0 && c2 > 0)
+    val growth = c2.toDouble / c1
+    assert(growth <= 30.0, s"candidates grew ${growth}x for 10x data — not near-linear")
+  }
+
   test("brute-force top-k: 5 ranked neighbors per query, cosine in [-1,1] descending") {
     val tk = Similarity.qSimTopK(spark, sf).cache()
     val perQ = tk.groupBy("q_id").agg(count(lit(1)).as("n"),
@@ -85,6 +97,9 @@ class PipelineSpec extends SparkSpec {
     assert(rows.length == 500)
     rows.take(50).foreach { r =>
       assert(r.getAs[Long]("fp_rolling") == RollingHash.hash(r.getAs[String]("text")))
+      // definitional cross-check: the split-modular arithmetic really is
+      // Σ b·257^i mod 2^61-1 (BigInt reference)
+      assert(r.getAs[Long]("fp_rolling") == RollingHash.hashBig(r.getAs[String]("text")))
     }
     // shard bound
     val shards = graft.operators.TextAnalysis.qRollingFingerprint(spark, sf)

@@ -24,6 +24,27 @@ class ScaleSpec extends SparkSpec {
     assert(physical.contains("HashAggregate"))
   }
 
+  test("salted rate limiter (constant anonymous hot key) matches the unsalted computation") {
+    val salted = Scale.qSaltedRateLimit(spark, sf).collect()
+    assert(salted.length == 1) // one token — the reference's constant key
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).cast("long").as("n_events"),
+        max(col("c")).as("max_calls_1h"),
+        sum(when(col("c") > 10, col("c") - 10).otherwise(0L)).cast("long").as("n_denied"),
+        sum(when(col("c") > 10, 1).otherwise(0)).cast("long").as("n_hot_buckets"))
+      .collect()(0)
+    val sr = salted(0)
+    for (f <- Seq("n_buckets", "n_events", "max_calls_1h", "n_denied", "n_hot_buckets"))
+      assert(sr.getAs[Long](f) == direct.getAs[Long](f), s"$f differs")
+    // the phase-1 grouping must include the salt expression (uniform
+    // shuffle even when one bucket is hot) — Catalyst inlines the _salt
+    // alias into a grouping expression, so match the pmod(hash(...)) form
+    val plan = Scale.qSaltedRateLimit(spark, sf).queryExecution.optimizedPlan.toString
+    assert(plan.contains("pmod(hash("), "salt expression missing from the phase-1 aggregate")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")

@@ -149,6 +149,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G1 end-to-end: file-source request stream → auth dispatch → routed sink") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fileout").toString
+    // the gateway's HTTP ingest analogue: request envelopes arriving as
+    // files in a watched directory (G1), flowing through the SAME
+    // authDispatch operator as batch, demuxed by module into per-module
+    // sinks (G4/G11)
+    val batch1 = Seq(
+      (1L, 1L, "mobile", "w" * 28),                 // wx hit → 200
+      (2L, 2L, "admin", null.asInstanceOf[String]), // anonymous admin → 200
+      (3L, 3L, "mobile", null.asInstanceOf[String])) // anonymous mobile → 307
+      .toDF("event_id", "user_id", "domain", "token")
+    batch1.write.mode("append").parquet(srcDir)
+    val wx = Seq(("w" * 28, "wx:1")).toDF("w_token", "w_uid")
+    val sess = Seq(("sess-x", "sess:x")).toDF("s_token", "s_uid")
+    val stream = spark.readStream.schema(batch1.schema).parquet(srcDir)
+    val enriched = graft.operators.Gateway.authDispatch(stream, wx, sess)
+      .withColumn("mod_name", col("domain"))
+    val q = StreamOps.routedSink(enriched, outDir, Seq("mobile", "admin"))
+    try {
+      q.processAllAvailable()
+      // a late-arriving file is picked up incrementally by the source
+      Seq((4L, 4L, "admin", null.asInstanceOf[String]))
+        .toDF("event_id", "user_id", "domain", "token")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val mobile = spark.read.parquet(s"$outDir/mobile")
+      val admin = spark.read.parquet(s"$outDir/admin")
+      assert(mobile.count() == 2)
+      assert(admin.count() == 2)
+      assert(admin.filter(col("status") =!= 200).count() == 0)
+      assert(mobile.select("event_id").as[Long].collect().toSet == Set(1L, 3L))
+      val st = mobile.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("status")).toMap
+      assert(st(1L) == 200 && st(3L) == 307)
+    } finally q.stop()
+  }
+
   test("correlator state survives a checkpointed query restart") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
