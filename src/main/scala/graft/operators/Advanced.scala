@@ -84,16 +84,30 @@ object Advanced {
     * internals themselves are engine-specific so raw estimates can't
     * hash-match, but the error contract can. AdvancedSpec additionally
     * bounds the raw relative error. */
-  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
-          .cast("double") / countDistinct(col("l_orderkey")) <= 0.10).as("approx_orders_ok"),
-        (abs(approx_count_distinct(col("l_partkey"), 0.02) - countDistinct(col("l_partkey")))
-          .cast("double") / countDistinct(col("l_partkey")) <= 0.10).as("approx_parts_ok"))
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // Exact distincts as two-phase (dedup-then-count) aggregations
+    // rather than multi-COUNT(DISTINCT) in one Aggregate: Spark plans
+    // the latter with an Expand that replicates every input row once
+    // per distinct column (4x shuffle volume here — it benched 6.2 s at
+    // sf0.1 vs 1.5 s for this form). The dedup shuffles carry
+    // map-side-combined partials, the HLL sketch runs in its own single
+    // pass, and the three 3-row results join for free.
+    def exactDistinct(c: String, as: String) =
+      li.select(col("l_returnflag"), col(c)).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+    val approx = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey")).as("ao"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+    exactDistinct("l_orderkey", "exact_orders")
+      .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
+      .join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.10)
+          .as("approx_orders_ok"),
+        (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.10)
+          .as("approx_parts_ok"))
+  }
 
   /** The same as-of semantics on the NATIVE operator
     * (graft.plans.AsOfJoin: custom LogicalPlan + Strategy + merge-join

@@ -44,15 +44,14 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component (LCG over the
-    * (plane, dim) index — integer-exact in any engine). */
-  private def planeExpr(k: Int): String =
-    s"aggregate(zip_with(ce, sequence(0, 63), (x, i) -> x * ((CAST((CAST(1103515245 AS BIGINT) * ($k * 131 + i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) - 0.5)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-
-  /** 4-bit hyperplane LSH bucket for a (double-cast) embedding column
-    * named `ce`. */
-  private val bucketExpr: String =
-    (0 until 4).map(k => s"IF(${planeExpr(k)} >= 0, ${1 << k}, 0)").mkString(" + ")
+  /** Deterministic hyperplane LSH codes: plane p's component i is the
+    * integer-exact LCG `((1103515245·(p·131+i)+12345) mod 2^31)/2^31 −
+    * 0.5`, evaluated by the fused codegen expression
+    * [[graft.functions.HyperplaneCodes]] (same multiply-then-left-fold
+    * double arithmetic as the DuckDB oracle's list_reduce — sign bits
+    * are engine-identical, keeping the LSH queries hash-checkable). */
+  private def codesExpr(bands: Int, bits: Int): String =
+    s"hyperplane_codes(ce, $bands, $bits)"
 
   /** ANN via hyperplane LSH: bucket candidates once, probe the query's
     * bucket plus all Hamming-1 neighbors, cosine-rank within the probed
@@ -62,9 +61,10 @@ object Similarity {
     * [[qSimTopK]]. */
   def qSimAnnLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    graft.functions.HyperplaneCodes.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bucket", expr(s"${codesExpr(1, 4)}[0]"))
     val cands = e.select(col("vec_id").as("c_id"), col("ce"), col("bucket"))
     val queries = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("bucket").as("qb"))
@@ -98,14 +98,10 @@ object Similarity {
     * ~linearly with n — the property the single fixed-width bucket of
     * round 1 lacked (its within-bucket pair count was O(n²/2^bits)). */
   private def bandedCodes(corpus: DataFrame, n: Long, bands: Int): DataFrame = {
+    graft.functions.HyperplaneCodes.register(corpus.sparkSession)
     val bits = math.max(4, math.min(12, (math.log(n / 4.0) / math.log(2)).ceil.toInt))
-    def codeExpr(b: Int): String =
-      (0 until bits).map(i => s"IF(${planeExpr(b * bits + i)} >= 0, ${1 << i}, 0)").mkString(" + ")
-    val codes = (0 until bands)
-      .map(b => s"struct($b AS band, ${codeExpr(b)} AS code)")
-      .mkString("array(", ", ", ")")
-    corpus.withColumn("bc", explode(expr(codes)))
-      .select(col("vec_id"), col("bc.band").as("band"), col("bc.code").as("code"))
+    corpus.select(col("vec_id"),
+      posexplode(expr(codesExpr(bands, bits))).as(Seq("band", "code")))
   }
 
   /** Distinct candidate pairs from the banded equi-join (a pair that

@@ -216,7 +216,90 @@ object TpchDeep {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** Q8-style national market share: of the ECONOMY-part volume sold to
+    * ASIA-region customers, the share supplied by NATION_1, per order
+    * year. Both fact sides are pruned before the orderkey shuffle (part
+    * filter via broadcast onto lineitem; region filter via the
+    * customer→nation chain onto orders) — the q7 lesson applied from the
+    * start. The share is a double ratio of two exact-decimal sums. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val econParts = broadcast(Tables.part(s, d)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+    val suppNation = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    val asiaCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cnk"))),
+        col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"))
+    val asiaOrders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(econParts, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_1", discCol)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+          sum(discCol).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q9-style profit by supplier nation and year. The corpus has no
+    * partsupp table, so supply cost is modeled as p_retailprice·qty/10;
+    * revenue and cost are carried as SEPARATE exact-decimal sums and
+    * combined in doubles only at the end (engine-stable). */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val redParts = broadcast(Tables.part(s, d)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice")))
+    val suppNation = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    Tables.lineitem(s, d)
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(
+        (sum(discCol).cast("double") -
+          sum(dec(col("p_retailprice")) * dec(col("l_quantity"))).cast("double") / 10.0)
+          .as("profit"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q15-style top supplier(s) for 2001-Q1: revenue view + scalar-max
+    * subquery, double equality safe because both sides derive from the
+    * same exact-decimal sum. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("2001-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("2001-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discCol).cast("double").as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q13_ordercount_dist" -> (q13OrderCountDist _),
@@ -232,6 +315,44 @@ object TpchDeep {
   private val discSql = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_1' THEN $discSql
+         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    / CAST(SUM($discSql) AS DOUBLE) AS mkt_share,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+         |GROUP BY 1""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS supp_nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+         |  CAST(SUM($discSql) AS DOUBLE)
+         |    - CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+         |               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 10.0 AS profit,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(SUM($discSql) AS DOUBLE) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '2001-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
     "q17_small_qty_revenue" ->
       """WITH pp AS (
         |  SELECT l_partkey AS pk, COUNT(*) AS cnt,
