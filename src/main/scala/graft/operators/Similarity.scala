@@ -152,8 +152,12 @@ object Similarity {
   def qSimIvf(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val k = 8
+    // the corpus feeds 2 train assignments + the index pass + the probe
+    // pass — persist so the parquet scan and float cast run once (at
+    // cluster scale this is the materialized sample/index relation)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // -- train: deterministic init + 2 Lloyd iterations. Each round's
     // centroids are cached (8 tiny rows) — without this every broadcast
     // re-derives the full lineage and the train cost grows per iteration.

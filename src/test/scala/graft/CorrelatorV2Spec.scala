@@ -54,4 +54,37 @@ class CorrelatorV2Spec extends AnyFunSuite {
       assert(!rows.contains("flush"))
     } finally q.stop()
   }
+
+  test("sn reuse after a match: the first request's timer must not clobber the second") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[GwEvent]
+    val q = CorrelatorV2.correlate(in.toDS(), timeoutMs = 30000L, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("corrv2reuse").outputMode("append").start()
+    try {
+      // request + response for sn "r" at t=0/2; a matched pair
+      in.addData(GwEvent("r", "request", ts(0)), GwEvent("r", "response", ts(2)))
+      q.processAllAvailable()
+      // the SAME sn is reused at t=40 — after the first request's (now
+      // deleted) timer would have fired at t=30
+      in.addData(GwEvent("r", "request", ts(40)))
+      q.processAllAvailable()
+      // advance the watermark past t=30+delay but before 40+30 timeout:
+      // with the round-1 bug the stale timer fires here, emits a
+      // spurious timeout, and clears the live request's state
+      in.addData(GwEvent("wm", "request", ts(60)))
+      q.processAllAvailable()
+      // the reused sn's response arrives at t=45 event time (late but
+      // within the watermark? no — use t=61 to stay above watermark)
+      in.addData(GwEvent("r", "response", ts(61)))
+      q.processAllAvailable()
+      in.addData(GwEvent("flush", "request", ts(300)))
+      q.processAllAvailable()
+      val rRows = spark.table("corrv2reuse").as[Correlator.Correlated].collect()
+        .filter(_.sn == "r").map(c => (c.outcome, c.latency_ms)).sorted
+      // exactly two matches, no timeout, no unmatched_response
+      assert(rRows.toSeq == Seq(("matched", 2000L), ("matched", 21000L)),
+        s"got ${rRows.toSeq}")
+    } finally q.stop()
+  }
 }
