@@ -48,6 +48,13 @@ object CdcBoundaries {
     }
   }
 
+  /** The ASCII slice of the gear table as unsigned decimal strings —
+    * inlined into the DuckDB oracle so the oracle runs the SAME chunker
+    * (the table is part of the algorithm's public spec, not hidden
+    * state). */
+  def gearAsciiUnsigned: Seq[String] =
+    Gear.take(128).map(java.lang.Long.toUnsignedString).toSeq
+
   def boundaries(s: String): Array[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var h = 0L

@@ -136,8 +136,10 @@ object Dedup {
     * are split at content-determined boundaries and chunk hashes are
     * grouped — shared chunks across near-duplicate docs (the injected
     * tail-append copies) surface as multi-owner hash groups while edits
-    * stay localized. Rows-only (the gear table lives JVM-side); DedupSpec
-    * asserts reassembly and edit-stability properties. */
+    * stay localized. Oracle-checked: the DuckDB oracle inlines the ASCII
+    * gear slice and runs the identical chunking state machine as a
+    * recursive CTE; PipelineSpec asserts reassembly and edit-stability
+    * properties. */
   def qDedupCdcChunks(s: SparkSession, d: String): DataFrame = {
     graft.functions.CdcBoundaries.register(s)
     corpus(s, d)
@@ -170,7 +172,54 @@ object Dedup {
   private val sigSql =
     "list_transform(range(0, 16), k -> list_min(list_transform(hashes, h -> ((2654435761 + 40503 * k) * h + 2654435769 * k + 97) % 2147483647)))"
 
+  // DuckDB replica of the Gear chunker: the ASCII gear slice is inlined
+  // as HUGEINT literals and the per-char state machine ((h<<1)+gear,
+  // mask cut with min/max bounds, h reset) runs as a RECURSIVE CTE —
+  // one iteration per char position, all rows advancing in lockstep.
+  // (A list_reduce formulation hits DuckDB lambda-vectorization bugs;
+  // the recursive CTE uses only plain row expressions.)
+  private val gearLit: String = graft.functions.CdcBoundaries.gearAsciiUnsigned
+    .map(g => s"CAST('$g' AS HUGEINT)").mkString("[", ",", "]")
+  private val cdcNewH =
+    s"(h * 2 + $gearLit[ascii(substring(text, i + 1, 1)) + 1]) % CAST('18446744073709551616' AS HUGEINT)"
+  private val cdcCut =
+    s"((i + 1 - lastb >= ${graft.functions.CdcBoundaries.MinChunk} AND ($cdcNewH) % ${graft.functions.CdcBoundaries.Mask + 1} = 0) " +
+      s"OR i + 1 - lastb >= ${graft.functions.CdcBoundaries.MaxChunk})"
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_cdc_chunks" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |fold AS (
+         |  SELECT doc_id, text, length(text) AS n, 0 AS i,
+         |    CAST(0 AS HUGEINT) AS h, 0 AS lastb, '' AS b
+         |  FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id, text, n, i + 1,
+         |    CASE WHEN $cdcCut THEN CAST(0 AS HUGEINT) ELSE $cdcNewH END,
+         |    CASE WHEN $cdcCut THEN i + 1 ELSE lastb END,
+         |    CASE WHEN $cdcCut THEN b || ',' || CAST(i + 1 AS VARCHAR) ELSE b END
+         |  FROM fold WHERE i < n),
+         |final AS (SELECT doc_id, text, n, b FROM fold WHERE i = n),
+         |blist AS (
+         |  SELECT doc_id, text, n,
+         |    CASE WHEN b = '' THEN CAST([] AS INTEGER[])
+         |         ELSE list_transform(string_split(substring(b, 2), ','), s -> CAST(s AS INTEGER))
+         |    END AS bounds0
+         |  FROM final),
+         |withb AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN len(bounds0) = 0 OR bounds0[len(bounds0)] <> n
+         |         THEN list_append(bounds0, n) ELSE bounds0 END AS fb
+         |  FROM blist),
+         |chunks AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(fb) + 1),
+         |    i -> substring(text,
+         |           CASE WHEN i = 1 THEN 1 ELSE fb[i - 1] + 1 END,
+         |           fb[i] - CASE WHEN i = 1 THEN 0 ELSE fb[i - 1] END))) AS chunk
+         |  FROM withb)
+         |SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_refs,
+         |  COUNT(DISTINCT doc_id) AS n_docs, CAST(MIN(length(chunk)) AS INTEGER) AS chunk_len
+         |FROM chunks GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH $corpusSql
          |SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id

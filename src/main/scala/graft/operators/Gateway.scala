@@ -196,6 +196,13 @@ object Gateway {
     * oracle can't run zlib); round-trip properties are in CodecsSpec. */
   def qCodecRoundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Codecs
+    // Oracle-checked via format-determined invariants: raw compressed
+    // lengths are zlib-implementation-specific, but (a) round-trips must
+    // restore the payload, (b) the zlib magic must be present, (c) the
+    // deflate overhead is bounded (≤64 B even for incompressible input),
+    // and (d) gzip wraps the SAME deflate stream with exactly 12 more
+    // bytes of framing ((10+8) gzip header/trailer − (2+4) zlib) — all
+    // engine-independent. CodecsSpec covers real ratios unit-level.
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("deflated", Codecs.deflate(col("payload")))
@@ -203,11 +210,11 @@ object Gateway {
       .select(
         col("doc_id"),
         octet_length(col("payload")).as("orig_len"),
-        octet_length(col("deflated")).as("deflate_len"),
-        octet_length(col("gzipped")).as("gzip_len"),
         Codecs.zlibMagic(col("deflated")).as("has_zlib_magic"),
         (Codecs.inflate(col("deflated")) === col("payload")).as("deflate_roundtrip_ok"),
-        (Codecs.gunzip(col("gzipped")) === col("payload")).as("gzip_roundtrip_ok"))
+        (Codecs.gunzip(col("gzipped")) === col("payload")).as("gzip_roundtrip_ok"),
+        (octet_length(col("deflated")) <= octet_length(col("payload")) + 64).as("deflate_bounded"),
+        (octet_length(col("gzipped")) - octet_length(col("deflated"))).as("gzip_wrap_delta"))
   }
 
 
@@ -272,7 +279,10 @@ object Gateway {
 
   /** G2/G11 — msgpack wire-format round-trip over derived request
     * envelopes: encode {mod, fun, arg, ctx} per event, measure sizes,
-    * decode back and compare. Rows-only (the oracle has no msgpack);
+    * decode back and compare. Oracle-checked: the packet length is
+    * analytically determined by the msgpack spec (fixmap/fixstr headers
+    * + int-width breakpoints at 127/32767/2^31), so DuckDB derives the
+    * exact byte count per row — any encoder drift breaks the hash.
     * AdvancedSpec covers the codec unit-level. */
   def qMsgpackRoundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Msgpack
@@ -305,6 +315,19 @@ object Gateway {
     "q_gw_codec_roundtrip" -> (qCodecRoundtrip _))
 
   val oracle: Map[String, String] = Map(
+    "q_gw_msgpack_roundtrip" ->
+      """SELECT event_id, event_type AS mod_name,
+        |  CAST(60 + length(event_type) +
+        |    CASE WHEN user_id <= 127 THEN 1 WHEN user_id <= 32767 THEN 3
+        |         WHEN user_id <= 2147483647 THEN 5 ELSE 9 END AS INTEGER) AS packet_len,
+        |  TRUE AS roundtrip_ok
+        |FROM events""".stripMargin,
+    "q_gw_codec_roundtrip" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS orig_len,
+        |  TRUE AS has_zlib_magic, TRUE AS deflate_roundtrip_ok,
+        |  TRUE AS gzip_roundtrip_ok, TRUE AS deflate_bounded,
+        |  12 AS gzip_wrap_delta
+        |FROM documents""".stripMargin,
     "q_gw_pipeline" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type AS mod_name, ts,

@@ -44,6 +44,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("AsOfJoin"), s"custom exec missing from plan:\n${p.take(600)}")
   }
 
+  test("q7: derived nation-pair IN filter reaches the nation scans (pre-join pruning)") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("In(n_name"), s"nation IN-filter not pushed:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), "supplier-side prune must broadcast")
+  }
+
+  test("q_approx_distinct plans without Expand (two-phase distinct, not multi-COUNT DISTINCT)") {
+    val p = plan("q_approx_distinct")
+    assert(!p.contains("Expand"), "multi-distinct Expand regressed into the plan")
+  }
+
+  test("q8: part/region filters pushed to their scans; dims broadcast") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(p_type,ECONOMY)"))
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
   test("gateway auth dims broadcast (no shuffle of the event stream for auth)") {
     val p = plan("q_gw_auth_dispatch")
     assert(p.contains("BroadcastHashJoin"))
