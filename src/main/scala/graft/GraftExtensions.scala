@@ -10,7 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - the native as-of join planner strategy ([[plans.AsOfStrategy]]) —
   *    so [[plans.AsOfJoin]] logical nodes plan without any per-query
-  *    `register` call, and
+  *    `register` call,
+  *  - the [[plans.DeriveInFilters]] optimizer rule (OR-of-conjunctions
+  *    → pushable IN conjuncts), and
   *  - the five codegen expressions (cosine_sim, rolling_hash,
   *    minhash_perms, hyperplane_codes, cdc_boundaries) as session
   *    functions usable from SQL text.
@@ -22,6 +24,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => plans.AsOfStrategy)
+    e.injectOptimizerRule(_ => plans.DeriveInFilters)
     GraftExtensions.functionBuilders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))

@@ -109,6 +109,33 @@ object Advanced {
           .as("approx_parts_ok"))
   }
 
+  /** Exact quantiles (interpolated percentile — same index/interpolation
+    * formula in Spark and DuckDB's quantile_cont, so doubles hash-match)
+    * plus a bounded-error boolean for the t-digest approx_percentile
+    * sketch (the sketch itself is engine-specific, its error contract
+    * isn't — same pattern as q_approx_distinct's HLL columns). */
+  def qQuantileStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+        expr("percentile(l_quantity, 0.25D)").as("q1_qty"),
+        expr("percentile(l_quantity, 0.75D)").as("q3_qty"),
+        expr("percentile(l_extendedprice, 0.95D)").as("p95_price"),
+        expr("""abs(approx_percentile(l_extendedprice, 0.5D, 10000)
+                    - percentile(l_extendedprice, 0.5D))
+                  / percentile(l_extendedprice, 0.5D) <= 0.01""").as("approx_median_ok"))
+
+  /** Deterministic reproducible sampling — the 100 TB pattern for
+    * debugging/eyeballing: an md5-bucket filter (~10% keyspace) rather
+    * than rand()/TABLESAMPLE, so every engine, run, and partitioning
+    * selects the SAME rows. The oracle runs the identical predicate. */
+  def qDetSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10) AS BIGINT) < 6554"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice")).as("sampled_total"))
+
   /** The same as-of semantics on the NATIVE operator
     * (graft.plans.AsOfJoin: custom LogicalPlan + Strategy + merge-join
     * exec) — one merge pass per key group instead of join + window.
@@ -133,6 +160,8 @@ object Advanced {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_stats" -> (qQuantileStats _),
+    "q_det_sample" -> (qDetSample _),
     "q_asof_join_native" -> (qAsofJoinNative _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_asof_join" -> (qAsofJoin _),
@@ -174,6 +203,20 @@ object Advanced {
         |    ON user_id = o_custkey AND o_orderdate <= cutoff)
         |SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
         |FROM j WHERE rn = 1""".stripMargin,
+    "q_quantile_stats" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q3_qty,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        |  TRUE AS approx_median_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_det_sample" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_sampled,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_total
+        |FROM orders
+        |WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) < 6554
+        |GROUP BY 1""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * NO per-query register calls. */
 class ExtensionsSpec extends SparkSpec {
 
-  test("a session built with GraftExtensions resolves graft functions and plans AsOfJoin natively") {
+  private def withExtSession[T](f: SparkSession => T): T = {
     spark // force the shared session first so we can restore it
     val old = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
@@ -19,7 +19,17 @@ class ExtensionsSpec extends SparkSpec {
       .config("spark.sql.shuffle.partitions", "2")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
-    try {
+    try f(s2) finally {
+      old.foreach { o =>
+        SparkSession.setDefaultSession(o)
+        SparkSession.setActiveSession(o)
+      }
+    }
+  }
+
+  test("a session built with GraftExtensions resolves graft functions and plans AsOfJoin natively") {
+    withExtSession { s2 =>
+    {
       // functions resolve from SQL text without any register() call
       val r = s2.sql(
         """SELECT rolling_hash('abc') AS h,
@@ -45,11 +55,39 @@ class ExtensionsSpec extends SparkSpec {
           attr(rp, "rk"), attr(rp, "rt"), attr(rp, "tie")))
         .select(col("id"), col("payload")).collect()
       assert(out.length == 1 && out(0).getLong(1) == 42L)
-    } finally {
-      old.foreach { o =>
-        SparkSession.setDefaultSession(o)
-        SparkSession.setActiveSession(o)
-      }
+    }
+    }
+  }
+
+  test("DeriveInFilters: OR-of-conjunctions predicate yields pushed IN filters") {
+    withExtSession { s2 =>
+      // single-relation: both attributes IN-derived and pushed to the scan
+      val naive = Tables.part(s2, sf).filter(
+        (col("p_brand") === "Brand#1" && col("p_size") === 1) ||
+        (col("p_brand") === "Brand#2" && col("p_size") === 2))
+      val p1 = naive.queryExecution.executedPlan.toString
+      assert("p_brand#\\d+ IN \\(Brand#1,Brand#2\\)".r.findFirstIn(p1).isDefined,
+        s"derived brand IN missing:\n${p1.take(800)}")
+      assert("p_size#\\d+ IN \\(1,2\\)".r.findFirstIn(p1).isDefined,
+        s"derived size IN missing:\n${p1.take(800)}")
+      // q7 shape: the nation-pair disjunction filters AFTER the joins,
+      // yet both nation scans receive the derived IN list
+      def dims(nameAs: String, keyAs: String) = Tables.nation(s2, sf)
+        .select(col("n_nationkey").as(keyAs), col("n_name").as(nameAs))
+      val joined = Tables.supplier(s2, sf)
+        .join(dims("supp_nation", "snk"), col("s_nationkey") === col("snk"))
+        .join(Tables.customer(s2, sf), col("s_suppkey") % 25 === col("c_custkey") % 25)
+        .join(dims("cust_nation", "cnk"), col("c_nationkey") === col("cnk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      val p2 = joined.queryExecution.optimizedPlan.toString
+      assert("n_name#\\d+ IN \\(NATION_1,NATION_2\\)".r.findAllIn(p2).size >= 2,
+        s"nation IN not derived onto both dim subtrees:\n${p2.take(1200)}")
+      // semantics unchanged: same count as the plain session without the rule
+      val plainCount = Tables.part(spark, sf).filter(
+        (col("p_brand") === "Brand#1" && col("p_size") === 1) ||
+        (col("p_brand") === "Brand#2" && col("p_size") === 2)).count()
+      assert(naive.count() == plainCount)
     }
   }
 }
