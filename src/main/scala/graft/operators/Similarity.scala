@@ -146,8 +146,17 @@ object Similarity {
     * centroid update is an explode-by-dimension average (the shuffle is
     * on (cluster, dim) — 64·k cells, trivially uniform). At 100 TB the
     * train step runs on a sample; assignment stays a map-side broadcast
-    * pass. Rows-only (iterative float means are not oracle-stable);
-    * SimilaritySpec checks recall vs brute force.
+    * pass.
+    *
+    * Oracle-checked, which for an ITERATIVE float algorithm requires
+    * engineering every step to a deterministic fold: similarities are
+    * rounded to 6 dp with a cid/vec_id tie-break before any argmin, and
+    * each centroid mean is a vec_id-sorted LEFT FOLD of the members'
+    * components divided by the count — the same op sequence DuckDB's
+    * list_reduce performs, so the two engines produce bit-identical
+    * centroids at every Lloyd step (a plain avg() would depend on
+    * partition merge order). PipelineSpec additionally checks recall
+    * vs brute force.
     */
   def qSimIvf(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -158,6 +167,12 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("sim", expr("round(cosine_sim(ce, centroid), 6)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
+        .filter(col("rn") <= n)
     // -- train: deterministic init + 2 Lloyd iterations. Each round's
     // centroids are cached (8 tiny rows) — without this every broadcast
     // re-derives the full lineage and the train cost grows per iteration.
@@ -166,15 +181,14 @@ object Similarity {
         col("ce").as("centroid"))
       .cache()
     for (_ <- 1 to 2) {
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("sim", expr("cosine_sim(ce, centroid)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("ce"))
-      val next = assigned
-        .select(col("cid"), posexplode(col("ce")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+      val next = assign(e, centroids, 1)
+        .select(col("vec_id"), col("cid"), posexplode(col("ce")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        // vec_id-sorted left-fold mean: merge-order-independent
+        .agg(expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, x))), p -> p.x),
+                     CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("sx"),
+          count(lit(1)).as("cnt"))
+        .withColumn("m", col("sx") / col("cnt"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("centroid"))
         .cache()
@@ -183,19 +197,10 @@ object Similarity {
       centroids = next
     }
     // -- index: assign every vector to its cell
-    val cells = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", expr("cosine_sim(ce, centroid)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
-      .filter(col("rn") === 1)
+    val cells = assign(e, centroids, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
     // -- search: queries probe their nprobe=2 nearest cells
-    val probes = e.filter(col("vec_id") % 20 === 0)
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", expr("cosine_sim(ce, centroid)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
-      .filter(col("rn") <= 2)
+    val probes = assign(e.filter(col("vec_id") % 20 === 0), centroids, 2)
       .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
     cells.join(broadcast(probes), Seq("cid")).filter(col("q_id") =!= col("c_id"))
@@ -231,7 +236,67 @@ object Similarity {
     (0 until 4).map(k => s"(CASE WHEN ${dkPlane(k.toString)} >= 0 THEN ${1 << k} ELSE 0 END)")
       .mkString(" + ")
 
+  /** DuckDB cosine between two named DOUBLE[] columns (same list_sum
+    * formulation that hash-matches the codegen cosine_sim at 6 dp). */
+  private def dkCos2(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
+       |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
+       |   sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))), 6)""".stripMargin
+
+  /** One unrolled Lloyd iteration: assign to `prev` centroids, recompute
+    * means as vec_id-sorted left folds (mirroring the Spark side
+    * exactly), yielding centroid CTE `c`. */
+  private def dkLloyd(prev: String, a: String, m: String, c: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, cid, ce FROM (
+       |    SELECT e.vec_id, $prev.cid, e.ce,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dkCos2("e.ce", s"$prev.centroid")} DESC, $prev.cid) AS rn
+       |    FROM e CROSS JOIN $prev) WHERE rn = 1),
+       |${a}d AS (
+       |  SELECT vec_id, cid, u.dim AS dim, u.x AS x FROM (
+       |    SELECT vec_id, cid, unnest(list_transform(range(0, 64),
+       |      j -> struct_pack(dim := CAST(j AS INTEGER), x := ce[j + 1]))) AS u
+       |    FROM $a)),
+       |$m AS (
+       |  SELECT cid, dim,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list(struct_pack(vec_id := vec_id, x := x))), p -> p.x)),
+       |      (acc, v) -> acc + v) / COUNT(*) AS m
+       |  FROM ${a}d GROUP BY cid, dim),
+       |$c AS (
+       |  SELECT cid, list_transform(list_sort(list(struct_pack(dim := dim, m := m))), p -> p.m) AS centroid
+       |  FROM $m GROUP BY cid)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sim_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
+         |  FROM (SELECT vec_id, ce FROM e ORDER BY vec_id LIMIT 8)),
+         |${dkLloyd("c0", "a1", "m1", "c1")},
+         |${dkLloyd("c1", "a2", "m2", "c2")},
+         |cells AS (
+         |  SELECT vec_id AS c_id, cid, ce FROM (
+         |    SELECT e.vec_id, c2.cid, e.ce,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, ce AS qe, cid FROM (
+         |    SELECT e.vec_id, c2.cid, e.ce,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2 WHERE e.vec_id % 20 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q_id, c_id, ${dkCos2("qe", "ce")} AS cos_r
+         |  FROM cells JOIN probes USING (cid) WHERE q_id <> c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cos_r,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, c_id AS neighbor_id, cos_r AS cosine
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |coded AS (SELECT vec_id, ce, $dkBucket AS bucket FROM e),
