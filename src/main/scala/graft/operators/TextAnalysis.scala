@@ -2,6 +2,7 @@ package graft.operators
 
 import graft._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM data pipelines over `documents`:
@@ -130,7 +131,66 @@ object TextAnalysis {
       .withColumn("hit_rate", col("s_en").cast("double") / col("n_bigrams"))
   }
 
+  private val bm25Terms = Seq("hash", "merge", "vector")
+
+  /** BM25 keyword search over `documents` (k1=1.2, b=0.75, the +1 idf
+    * variant): per-term tf, corpus df, and average document length feed
+    * the standard saturation formula; top-20 docs by rounded score.
+    * Everything is two corpus passes (per-doc tf map-side, one tiny
+    * global agg broadcast back) — the scale shape of scoring, not an
+    * inverted index, which is the right Spark form when the query term
+    * set is small. Oracle-checked: tf/df/dl are integers, avgdl is an
+    * exact-decimal mean, and the float formula is written with the
+    * identical operator order in both engines, with the score rounded
+    * to 6 dp before ranking. */
+  def qTextBm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("words"), size(col("words")).as("dl"))
+    val withTf = bm25Terms.foldLeft(docs)((df, t) =>
+      df.withColumn(s"tf_$t", expr(s"size(filter(words, w -> w = '$t'))")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avgdl"))
+    val dfAgg = withTf.agg(
+      bm25Terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("long").as(s"df_$t")).head,
+      bm25Terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("long").as(s"df_$t")).tail: _*)
+    val scoreExpr = bm25Terms.map(t =>
+        s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * 2.2) / " +
+          s"(tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))")
+      .mkString("round(", " + ", ", 6)")
+    withTf.crossJoin(broadcast(stats)).crossJoin(broadcast(dfAgg))
+      .withColumn("score", expr(scoreExpr))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+      .select((Seq(col("doc_id")) ++ bm25Terms.map(t => col(s"tf_$t")) :+ col("score")): _*)
+  }
+
+  /** TF-IDF top-3 terms per document: the vocabulary-wide shape BM25's
+    * fixed-term scoring doesn't exercise — explode to (doc, word),
+    * aggregate document frequency over the whole vocabulary (the one
+    * real shuffle, on the word key), broadcast-join idf back, rank
+    * within each document. Ties and floats are deterministic: integer
+    * tf/df, idf = ln(N/df) of exact integers, score rounded to 6 dp,
+    * (score desc, word) tie-break. */
+  def qTfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("word"))
+    tf.join(dfreq, "word").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", expr("round(tf * ln(n_docs / (1.0 * df)), 6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "word", "tf", "df", "tfidf")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_top_terms" -> (qTfidfTopTerms _),
+    "q_text_bm25" -> (qTextBm25 _),
     "q_langid_ngram" -> (qLangidNgram _),
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_text_stats" -> (qTextStats _),
@@ -139,6 +199,45 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_tfidf_top_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, word, tf, df, round(tf * ln(n_docs / (1.0 * df)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (word), nd),
+        |r AS (
+        |  SELECT doc_id, word, tf, df, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, word, tf, df, tfidf FROM r WHERE rank <= 3""".stripMargin,
+    "q_text_bm25" -> {
+      val tfCols = bm25Terms.map(t =>
+        s"CAST(len(list_filter(words, x -> x = '$t')) AS INTEGER) AS tf_$t").mkString(",\n    ")
+      val dfCols = bm25Terms.map(t =>
+        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n    ")
+      val score = bm25Terms.map(t =>
+          s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * 2.2) / " +
+            s"(tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))")
+        .mkString("round(", " + ", ", 6)")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |d AS (SELECT doc_id, CAST(len(words) AS INTEGER) AS dl,
+         |    $tfCols
+         |  FROM w),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+         |fr AS (SELECT
+         |    $dfCols
+         |  FROM d),
+         |scored AS (
+         |  SELECT doc_id, ${bm25Terms.map(t => s"tf_$t").mkString(", ")},
+         |    $score AS score
+         |  FROM d, st, fr)
+         |SELECT doc_id, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, score
+         |FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
     "q_rolling_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
