@@ -62,6 +62,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("EqualTo(r_name,ASIA)"))
   }
 
+  test("window top-k plans with WindowGroupLimit (rank filter pushed below the full window)") {
+    // Spark's InferWindowGroupLimit turns rank<=k into a per-partition
+    // group limit BEFORE the window sort — the difference between
+    // sorting every group fully and keeping k rows per group at 100 TB
+    val p = plan("q_window_topk")
+    assert(p.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n${p.take(600)}")
+  }
+
   test("gateway auth dims broadcast (no shuffle of the event stream for auth)") {
     val p = plan("q_gw_auth_dispatch")
     assert(p.contains("BroadcastHashJoin"))

@@ -45,6 +45,35 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("pmod(hash("), "salt expression missing from the phase-1 aggregate")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // 95% of the left rows share one key — the runtime complement to the
+    // STATIC salting patterns above: no query rewrite, AQE re-plans the
+    // oversized shuffle partition into parallel splits.
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000).select(
+        when(col("id") % 100 < 95, 7L).otherwise(col("id") % 1000).as("k"), col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k").select(sum(col("v") + col("w")).as("s"))
+      val total = j.collect()(0).getLong(0)
+      assert(total > 0)
+      assert(j.queryExecution.executedPlan.toString.contains("skew=true"),
+        "AQE did not mark the skewed join")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
