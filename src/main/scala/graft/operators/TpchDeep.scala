@@ -296,7 +296,58 @@ object TpchDeep {
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
   }
 
+  /** Q2-style minimum-cost supplier (no partsupp in this corpus, so
+    * "supplies part P" is derived from lineitem and "cost" is the
+    * supplier's account balance): for each LARGE-type part, the
+    * EUROPE-region supplier(s) with the minimum balance among its
+    * suppliers — the correlated-scalar-min + equality-join-back
+    * decorrelation shape. Double equality on the min is safe: both
+    * sides of the compare are the same stored value. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val euroSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val ps = pairs.join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+    val minBal = ps.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    ps.join(minBal, col("l_partkey") === col("mk"))
+      .filter(col("s_acctbal") === col("min_bal"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+        col("s_acctbal"))
+      .orderBy(desc("s_acctbal"), col("p_partkey"), col("s_name"))
+      .limit(50)
+  }
+
+  /** Q16-style supplier counts by part attributes with a NOT IN
+    * subquery excluding "complained-about" suppliers (name contains
+    * '7') — the NOT IN anti-join planning shape, expressed through the
+    * SQL surface since the DataFrame API has no IN-subquery. */
+  def q16SupplierCount(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q16_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q16_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q16_supplier")
+    s.sql(
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM graft_q16_lineitem)
+        |JOIN graft_q16_part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM graft_q16_supplier WHERE s_name LIKE '%7%')
+        |GROUP BY p_brand, p_type, p_size""".stripMargin)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q16_supplier_count" -> (q16SupplierCount _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -315,6 +366,28 @@ object TpchDeep {
   private val discSql = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |es AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ps AS (SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name
+        |  FROM pairs JOIN es ON l_suppkey = s_suppkey),
+        |mb AS (SELECT l_partkey AS mk, MIN(s_acctbal) AS min_bal FROM ps GROUP BY 1)
+        |SELECT s_name, n_name, p_partkey, p_name, s_acctbal
+        |FROM ps JOIN mb ON l_partkey = mk AND s_acctbal = min_bal
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'LARGE'
+        |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 50""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
     "q8_market_share" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_1' THEN $discSql
