@@ -87,4 +87,38 @@ class CorrelatorV2Spec extends AnyFunSuite {
         s"got ${rRows.toSeq}")
     } finally q.stop()
   }
+
+  test("temporal enrich join: events pick the latest dim version at-or-before their time") {
+    import graft.streaming.TemporalJoin
+    import graft.streaming.TemporalJoin.In
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[In]
+    val q = TemporalJoin.enrich(in.toDS())
+      .writeStream.format("memory").queryName("temporal1").outputMode("append").start()
+    try {
+      // batch 1: v1 at t0, v2 at t10; events at t5 (→v1) and t15 (→v2);
+      // an event for an unknown key (→null); a same-timestamp pair where
+      // the dim must win ordering (event at t10 sees v2)
+      in.addData(
+        In("a", "dim", ts(0), "v1"), In("a", "dim", ts(10), "v2"),
+        In("a", "event", ts(5), null), In("a", "event", ts(15), null),
+        In("a", "event", ts(10), null),
+        In("ghost", "event", ts(7), null))
+      q.processAllAvailable()
+      // batch 2: a third version, then events straddling it — state
+      // carried the history across batches
+      in.addData(In("a", "dim", ts(20), "v3"),
+        In("a", "event", ts(18), null), In("a", "event", ts(25), null))
+      q.processAllAvailable()
+      val rows = spark.table("temporal1").as[TemporalJoin.Enriched].collect()
+        .map(e => (e.key, e.ts.getTime) -> (e.value, e.matched)).toMap
+      assert(rows(("a", ts(5).getTime)) == ("v1", true))
+      assert(rows(("a", ts(10).getTime)) == ("v2", true))
+      assert(rows(("a", ts(15).getTime)) == ("v2", true))
+      assert(rows(("a", ts(18).getTime)) == ("v2", true))
+      assert(rows(("a", ts(25).getTime)) == ("v3", true))
+      assert(rows(("ghost", ts(7).getTime)) == (null, false))
+    } finally q.stop()
+  }
 }
