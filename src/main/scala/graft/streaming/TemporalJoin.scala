@@ -83,4 +83,76 @@ object TemporalJoin {
       .transformWithState(new TemporalProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Watermark-correct (event-time) variant: events are BUFFERED in
+    * state with an event-time timer and only matched once the watermark
+    * passes their timestamp — so a dimension version that ARRIVES after
+    * an event but carries an earlier version-time is still applied,
+    * as long as it is no later than the watermark allows. This is the
+    * full event-time temporal join contract (v1 above is the cheaper
+    * processing-order variant); the cost is per-event state + timer and
+    * emission latency of one watermark delay. Expired timers also prune
+    * the version history: everything older than the latest version
+    * at-or-before the fired timestamp can never be matched again. */
+  class EventTimeTemporalProcessor extends StatefulProcessor[String, In, Enriched] {
+
+    @transient private var versions: ListState[(Long, String)] = _
+    @transient private var pending: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      versions = getHandle.getListState[(Long, String)]("versions",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
+      pending = getHandle.getListState[Long]("pending", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[In],
+        timers: TimerValues): Iterator[Enriched] = {
+      rows.foreach { r =>
+        if (r.kind == "dim") versions.appendValue((r.ts.getTime, r.value))
+        else {
+          pending.appendValue(r.ts.getTime)
+          getHandle.registerTimer(r.ts.getTime)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Enriched] = {
+      val upTo = info.getExpiryTimeInMs()
+      val vs = { val b = Seq.newBuilder[(Long, String)]
+        val it = versions.get(); while (it.hasNext) b += it.next(); b.result() }
+      val (due, rest) = { val b = Seq.newBuilder[Long]
+        val it = pending.get(); while (it.hasNext) b += it.next()
+        b.result().partition(_ <= upTo) }
+      val out = due.sorted.map { t =>
+        val best = vs.filter(_._1 <= t).sortBy(v => (v._1, v._2)).lastOption
+        best match {
+          case Some((_, v)) => Enriched(key, new Timestamp(t), v, matched = true)
+          case None => Enriched(key, new Timestamp(t), null, matched = false)
+        }
+      }
+      if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
+      // prune: only the latest version at-or-before `upTo` can still
+      // match a future event (their timestamps all exceed upTo)
+      val keepFrom = vs.filter(_._1 <= upTo).map(_._1).maxOption
+      keepFrom.foreach { kf =>
+        val kept = vs.filter(_._1 >= kf)
+        if (kept.size < vs.size) versions.put(kept.toArray)
+      }
+      out.iterator
+    }
+  }
+
+  /** Event-time (watermark-correct) temporal enrich — see
+    * [[EventTimeTemporalProcessor]]. */
+  def enrichEventTime(input: Dataset[In], watermarkDelay: String = "10 seconds"): Dataset[Enriched] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(new EventTimeTemporalProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

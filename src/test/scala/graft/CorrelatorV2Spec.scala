@@ -121,4 +121,35 @@ class CorrelatorV2Spec extends AnyFunSuite {
       assert(rows(("ghost", ts(7).getTime)) == (null, false))
     } finally q.stop()
   }
+
+  test("event-time temporal join applies a late-ARRIVING dim retroactively (watermark-correct)") {
+    import graft.streaming.TemporalJoin
+    import graft.streaming.TemporalJoin.In
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[In]
+    val q = TemporalJoin.enrichEventTime(in.toDS(), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("temporal2").outputMode("append").start()
+    try {
+      // the event arrives FIRST; its matching dim arrives in a later
+      // micro-batch but with an EARLIER version-time. The watermark
+      // (10 s delay) has not passed t=10 yet, so the event is buffered.
+      in.addData(In("a", "event", ts(10), null))
+      q.processAllAvailable()
+      in.addData(In("a", "dim", ts(5), "v_late_arrival"), In("ghost", "event", ts(12), null))
+      q.processAllAvailable()
+      // advance the watermark past t=12 → both buffered events resolve:
+      // "a" retroactively matches the late-arriving dim, "ghost" has no
+      // version and emits the left-outer null
+      in.addData(In("wm", "event", ts(40), null))
+      q.processAllAvailable()
+      in.addData(In("wm2", "event", ts(80), null))
+      q.processAllAvailable()
+      val rows = spark.table("temporal2").as[TemporalJoin.Enriched].collect()
+        .map(e => (e.key, e.ts.getTime) -> (e.value, e.matched)).toMap
+      assert(rows(("a", ts(10).getTime)) == ("v_late_arrival", true),
+        s"late-arriving dim not applied retroactively: $rows")
+      assert(rows(("ghost", ts(12).getTime)) == (null, false))
+    } finally q.stop()
+  }
 }
