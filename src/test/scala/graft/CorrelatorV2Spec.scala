@@ -152,4 +152,47 @@ class CorrelatorV2Spec extends AnyFunSuite {
       assert(rows(("ghost", ts(12).getTime)) == (null, false))
     } finally q.stop()
   }
+
+  test("event-time temporal join == batch as-of join on randomized data in random arrival order") {
+    import graft.streaming.TemporalJoin
+    import graft.streaming.TemporalJoin.In
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    // unique (key, version-time) pairs so tie-breaks can't diverge
+    val dims = rnd.shuffle((0 until 120).toList).take(80).map { i =>
+      In(s"k${i % 10}", "dim", ts(i), s"v$i")
+    }
+    val events = (0 until 150).map { i =>
+      In(s"k${rnd.nextInt(12)}", "event", ts(rnd.nextInt(130)), null)
+    }.distinct
+    // ARRIVAL order is random and split across micro-batches — the
+    // event-time variant must be insensitive to it (within watermark)
+    val all = rnd.shuffle(dims ++ events)
+    val batches = all.grouped(all.size / 3 + 1).toSeq
+    val in = MemoryStream[In]
+    val q = TemporalJoin.enrichEventTime(in.toDS(), watermarkDelay = "1000 seconds")
+      .writeStream.format("memory").queryName("temporal3").outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // flush: advance the watermark far past every buffered event
+      in.addData(In("flush", "event", ts(100000), null))
+      q.processAllAvailable()
+      val streamed = spark.table("temporal3").as[TemporalJoin.Enriched].collect()
+        .filter(_.key != "flush")
+        .map(e => (e.key, e.ts.getTime, e.value)).sortBy(_.toString)
+      // batch reference: composed as-of (latest dim at-or-before) on the same data
+      val dimDf = dims.map(d => (d.key, d.ts.getTime, d.value)).toDF("dk", "vt", "v")
+      val evDf = events.map(e => (e.key, e.ts.getTime)).distinct.toDF("key", "t")
+      val w = Window.partitionBy("key", "t").orderBy(desc_nulls_last("vt"))
+      val expected = evDf.join(dimDf, col("key") === col("dk") && col("vt") <= col("t"), "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("key", "t", "v").as[(String, Long, String)].collect().sortBy(_.toString)
+      assert(streamed.length == expected.length,
+        s"row counts differ: streamed ${streamed.length} vs batch ${expected.length}")
+      streamed.zip(expected).foreach { case (s, e) => assert(s == e, s"$s != $e") }
+    } finally q.stop()
+  }
 }
