@@ -15,6 +15,7 @@ object SparkEntry {
       (operators.Relational.registry, operators.Relational.oracle),
       (operators.Gateway.registry, operators.Gateway.oracle),
       (operators.Dedup.registry, operators.Dedup.oracle),
+      (operators.Curation.registry, operators.Curation.oracle),
       (operators.TextAnalysis.registry, operators.TextAnalysis.oracle),
       (operators.Similarity.registry, operators.Similarity.oracle),
       (operators.Multimodal.registry, operators.Multimodal.oracle),

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline — the 100 TB use case
+  * the individual operators exist for, composed into one dataflow:
+  *
+  *   raw corpus → quality gate → language gate → exact dedup →
+  *   MinHash-LSH near-dup removal → surviving-corpus stats
+  *
+  * run over the derived corpus with injected exact/near duplicates (see
+  * [[Dedup.corpus]]) so every stage removes real rows. The output is
+  * the funnel: row counts after each stage plus the surviving token
+  * mass — the numbers a data-curation run reports.
+  *
+  * Determinism/oracle notes: the quality and language gates use
+  * integer-exact comparisons (2·stopwords ≤ words; en-marker count > 0),
+  * exact dedup keeps min doc_id per md5, and near-dup removal drops the
+  * HIGHER id of each verified LSH pair computed AMONG the survivors of
+  * the earlier stages — all reproduced verbatim in the DuckDB oracle
+  * (shared SQL fragments with the Dedup/TextAnalysis oracles).
+  *
+  * Scale shape: gates are map-side; exact dedup is one hash shuffle;
+  * LSH is the banded equi-join (never all-pairs); the funnel aggregates
+  * are single-row.
+  */
+object Curation {
+
+  def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
+    val flagged = Dedup.corpus(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_stop", expr(s"size(filter(words, w -> w IN $stopList))"))
+      // quality: long enough and not stopword-soup (integer-exact)
+      .withColumn("pass_quality", col("n_words") >= 20 && col("n_stop") * 2 <= col("n_words"))
+      // language: english markers present
+      .withColumn("pass_lang", col("n_stop") > 0)
+    val s1 = flagged.filter(col("pass_quality") && col("pass_lang"))
+    // exact dedup among survivors: keep the lowest doc_id per content hash
+    val s2 = s1.withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("n_words"))
+    // near-dup removal among the exact-deduped survivors: verified LSH
+    // pairs (jaccard >= 0.5) drop their higher id
+    val sigs = Dedup.withSignature(s2)
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = bands.as("x")
+      .join(bands.withColumnRenamed("doc_id", "b_id").as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("b_id"))
+      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
+    val drops = cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("b_id")).distinct()
+    val s3 = s2.join(drops, col("doc_id") === col("b_id"), "left_anti")
+    // the funnel
+    val a1 = flagged.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("pass_quality"), 1).otherwise(0)).cast("long").as("n_quality"),
+      sum(when(col("pass_quality") && col("pass_lang"), 1).otherwise(0)).cast("long").as("n_lang"))
+    val a2 = s2.agg(count(lit(1)).as("n_exact"))
+    val a3 = s3.agg(count(lit(1)).as("n_final"),
+      sum(col("n_words")).cast("long").as("final_ws_tokens"))
+    a1.crossJoin(a2).crossJoin(a3)
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> (qCurationPipeline _))
+
+  val oracle: Map[String, String] = Map(
+    "q_curation_pipeline" -> {
+      val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
+      s"""WITH ${Dedup.corpusSql},
+         |flagged AS (
+         |  SELECT doc_id, text, words,
+         |    CAST(len(words) AS INTEGER) AS n_words,
+         |    CAST(len(list_filter(words, w -> w IN $stopList)) AS INTEGER) AS n_stop
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM corpus)),
+         |gated AS (
+         |  SELECT *,
+         |    (n_words >= 20 AND n_stop * 2 <= n_words) AS pass_quality,
+         |    (n_stop > 0) AS pass_lang
+         |  FROM flagged),
+         |s1 AS (SELECT * FROM gated WHERE pass_quality AND pass_lang),
+         |s2 AS (
+         |  SELECT doc_id, text, words, n_words FROM (
+         |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM s1)
+         |  WHERE doc_id = keep_id),
+         |sh AS (SELECT doc_id, n_words, ${Dedup.shinglesSql} AS shingles FROM s2),
+         |hs AS (SELECT doc_id, n_words, shingles, ${Dedup.hashesSql} AS hashes FROM sh),
+         |sg AS (SELECT doc_id, n_words, ${Dedup.sigSql} AS sig,
+         |    list_distinct(shingles) AS sset FROM hs),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
+         |  FROM sg, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |drops AS (
+         |  SELECT DISTINCT b_id FROM (
+         |    SELECT a_id, b_id,
+         |      CAST(len(list_distinct(list_intersect(sa.sset, sb.sset))) AS DOUBLE) /
+         |        (len(sa.sset) + len(sb.sset)
+         |         - len(list_distinct(list_intersect(sa.sset, sb.sset)))) AS jaccard
+         |    FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT b_id FROM drops)),
+         |a1 AS (
+         |  SELECT COUNT(*) AS n_total,
+         |    CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |    CAST(SUM(CASE WHEN pass_quality AND pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+         |  FROM gated),
+         |a2 AS (SELECT COUNT(*) AS n_exact FROM s2),
+         |a3 AS (SELECT COUNT(*) AS n_final,
+         |    CAST(SUM(n_words) AS BIGINT) AS final_ws_tokens FROM s3)
+         |SELECT n_total, n_quality, n_lang, n_exact, n_final, final_ws_tokens
+         |FROM a1, a2, a3""".stripMargin
+    })
+}

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** documents + injected exact/near duplicates (identical on oracle side). */
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs
       .unionByName(docs.filter(col("doc_id") % 5 === 0)
@@ -36,7 +36,7 @@ object Dedup {
           concat(col("text"), lit(" extra tail token stream appended here")).as("text")))
   }
 
-  private val corpusSql: String =
+  private[operators] val corpusSql: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
@@ -57,7 +57,7 @@ object Dedup {
     * under ANSI), so short docs yield an empty shingle list — matching
     * DuckDB's range(1, len-1) behavior. Latent in this corpus (docs are
     * ≥10 words) but required for general inputs. */
-  private val shinglesExpr =
+  private[operators] val shinglesExpr =
     """IF(size(words) >= 3,
       |  transform(sequence(1, size(words) - 2),
       |    i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))),
@@ -66,10 +66,10 @@ object Dedup {
   // One 28-bit base hash per shingle (md5 prefix), then 16 integer LCG
   // permutations — 16x less hashing than md5-per-permutation, identical
   // in the oracle. Products stay under 2^60 (ANSI-safe).
-  private val baseHashExpr =
+  private[operators] val baseHashExpr =
     "transform(shingles, sh -> cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint))"
 
-  private def withSignature(df: DataFrame): DataFrame = {
+  private[operators] def withSignature(df: DataFrame): DataFrame = {
     // minhash_perms is the codegen form of
     //   transform(sequence(0,15), k -> array_min(transform(hashes,
     //     h -> ((2654435761 + 40503*k)*h + 2654435769*k + 97) % 2147483647)))
@@ -165,11 +165,11 @@ object Dedup {
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
-  private val hashesSql =
+  private[operators] val hashesSql =
     "list_transform(shingles, sh -> CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT))"
-  private val sigSql =
+  private[operators] val sigSql =
     "list_transform(range(0, 16), k -> list_min(list_transform(hashes, h -> ((2654435761 + 40503 * k) * h + 2654435769 * k + 97) % 2147483647)))"
 
   // DuckDB replica of the Gear chunker: the ASCII gear slice is inlined

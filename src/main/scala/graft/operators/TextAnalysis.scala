@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+  private[operators] val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu")
   private val stopFr = Seq("le", "la", "de", "et", "un", "est", "que")
 
-  private def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ",", ")")
+  private[operators] def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** Document statistics + composite quality score. */
   def qTextStats(s: SparkSession, d: String): DataFrame =
