@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of sbt's default
+// LoggedOutput, which prefixes every line with "[info] " — that prefix
+// kept the driver from parsing Bench's single JSON output line
+// (BENCH_r01/r02 both captured the line but recorded parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

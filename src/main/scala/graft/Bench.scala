@@ -32,15 +32,19 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary").foreach(run)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { run(fn) } catch {
-        case t: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-          name -> -1.0
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs =
+        try { run(fn); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+            -1.0
+        }
+      name -> secs
     }.toSeq
     val total = results.map(_._2).filter(_ >= 0).sum
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // slowest first; stop adding entries once the line would exceed the cap
     val sorted = results.sortBy(-_._2)
     val sb = new StringBuilder
@@ -50,7 +54,7 @@ object Bench {
       if (sb.length + piece.length <= 1600) { sb.append(piece); kept += 1 }
     }
     val omitted = results.size - kept
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{${sb.result()}},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.result()}},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

@@ -33,12 +33,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name,
+          "expectedNum" -> n.toString, "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** A literal-int argument (bands/bits of hyperplane_codes): validated
+    * as foldable + integral at plan time so a misuse surfaces as an
+    * AnalysisException, not an NPE/ClassCastException from `eval()`. */
+  private def litInt(name: String, arg: String, e: Expression): Int = {
+    val ok = e.foldable && (e.eval() match {
+      case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short | _: java.lang.Byte => true
+      case _ => false
+    })
+    if (!ok) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map("funcName" -> name, "paramName" -> arg, "paramType" -> "INT"))
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => functions.CosineSimilarity(exprs(0), exprs(1))),
-    "rolling_hash" -> (exprs => functions.RollingHash(exprs.head)),
-    "minhash_perms" -> (exprs => functions.MinHashPerms(exprs.head)),
-    "cdc_boundaries" -> (exprs => functions.CdcBoundaries(exprs.head)),
-    "hyperplane_codes" -> (exprs => functions.HyperplaneCodes(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue(),
-      exprs(2).eval().asInstanceOf[Number].intValue())))
+    "cosine_sim" -> (exprs => { arity("cosine_sim", exprs, 2)
+      functions.CosineSimilarity(exprs(0), exprs(1)) }),
+    "rolling_hash" -> (exprs => { arity("rolling_hash", exprs, 1)
+      functions.RollingHash(exprs.head) }),
+    "minhash_perms" -> (exprs => { arity("minhash_perms", exprs, 1)
+      functions.MinHashPerms(exprs.head) }),
+    "cdc_boundaries" -> (exprs => { arity("cdc_boundaries", exprs, 1)
+      functions.CdcBoundaries(exprs.head) }),
+    "hyperplane_codes" -> (exprs => { arity("hyperplane_codes", exprs, 3)
+      functions.HyperplaneCodes(exprs.head,
+        litInt("hyperplane_codes", "bands", exprs(1)),
+        litInt("hyperplane_codes", "bits", exprs(2))) }))
 }

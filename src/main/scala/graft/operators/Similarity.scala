@@ -99,7 +99,10 @@ object Similarity {
     * round 1 lacked (its within-bucket pair count was O(n²/2^bits)). */
   private def bandedCodes(corpus: DataFrame, n: Long, bands: Int): DataFrame = {
     graft.functions.HyperplaneCodes.register(corpus.sparkSession)
-    val bits = math.max(4, math.min(12, (math.log(n / 4.0) / math.log(2)).ceil.toInt))
+    // ceil(log2(n/4)) derived integer-exactly as bitLength(n-1) - 2: float
+    // log could land an ulp above an exact power of two and ceil one wider
+    // than the oracle's LOG2. The SQL side uses the same bit-length form.
+    val bits = math.max(4, math.min(12, 64 - java.lang.Long.numberOfLeadingZeros(n - 1) - 2))
     corpus.select(col("vec_id"),
       posexplode(expr(codesExpr(bands, bits))).as(Seq("band", "code")))
   }
@@ -196,11 +199,22 @@ object Similarity {
       centroids.unpersist()
       centroids = next
     }
-    // -- index: assign every vector to its cell
-    val cells = assign(e, centroids, 1)
+    // -- train done. The centroids are k tiny rows: materialize them to
+    // the driver and release every cached block now (the session is
+    // shared across queries — leaked MEMORY_AND_DISK blocks would
+    // accumulate per invocation), then rebuild them as a literal
+    // relation so the probe plan carries no training lineage at all.
+    val centRows = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    centroids.unpersist()
+    e.unpersist()
+    import s.implicits._
+    val centLit = centRows.toSeq.toDF("cid", "centroid")
+    // -- index: assign every vector to its cell (fresh map-side scan)
+    val cells = assign(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
     // -- search: queries probe their nprobe=2 nearest cells
-    val probes = assign(e.filter(col("vec_id") % 20 === 0), centroids, 2)
+    val probes = assign(e.filter(col("vec_id") % 20 === 0), centLit, 2)
       .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
     cells.join(broadcast(probes), Seq("cid")).filter(col("q_id") =!= col("c_id"))
@@ -319,7 +333,7 @@ object Similarity {
          |  SELECT vec_id + 1000000,
          |    list_transform(range(1, 65), i -> CASE WHEN i <= 4 THEN ce[i] + 0.001 ELSE ce[i] END)
          |  FROM base WHERE vec_id % 10 = 0),
-         |bv AS (SELECT GREATEST(4, LEAST(12, CAST(CEIL(LOG2(COUNT(*) / 4.0)) AS INTEGER))) AS bits
+         |bv AS (SELECT GREATEST(4, LEAST(12, CAST(LENGTH(BIN(COUNT(*) - 1)) AS INTEGER) - 2)) AS bits
          |  FROM corpus),
          |coded AS (
          |  SELECT vec_id, band, list_sum(list_transform(range(0, bits),
