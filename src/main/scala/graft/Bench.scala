@@ -1,21 +1,36 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
   * prints ONE compact JSON line (the only stdout output).
   *
-  * Each query is materialized through the `noop` datasource sink rather than
-  * `.count()`: under a count Catalyst prunes every unreferenced column, so
-  * projection-heavy queries (string/math/text ops) would be timed as bare
-  * scans. The noop sink evaluates the full result rows and discards them —
-  * the honest cost, with no disk in the measurement.
+  * Each query is materialized through the `noop` datasource sink rather
+  * than `.count()`: under a count Catalyst prunes every unreferenced
+  * column, so projection-heavy queries (string/math/text ops) would be
+  * timed as bare scans. The noop sink evaluates the full result rows and
+  * discards them — the honest cost, with no disk in the measurement.
   *
-  * The JSON line is kept short (3-decimal seconds, length-capped query map,
-  * slowest first) so the driver's bounded output-tail capture always holds
-  * the complete line; `value` still totals ALL queries, and any entries
-  * dropped from the map are counted in `omitted`.
+  * Each query runs REPS=3 times after the session warmup and the
+  * per-query MEDIAN is reported (total = sum of medians): single-shot
+  * timing in a shared JVM let one GC/first-touch pause inflate whichever
+  * query it landed on by ~10x, making per-query numbers noise (round-3
+  * finding — q_gw_route reported 11.9s, re-timed 0.67s).
+  *
+  * A SparkListener additionally accumulates shuffle-write bytes and
+  * spill (memory+disk) per task; the per-run delta gives each query a
+  * scale signature beyond wall time, emitted for the slowest queries as
+  * `"shuffle":{q:[shuffle_bytes,spill_bytes]}`.
+  *
+  * The JSON line is kept short (3-decimal seconds, length-capped query
+  * map, slowest first) so the driver's bounded output-tail capture always
+  * holds the complete line; `value` still totals ALL queries, and any
+  * entries dropped from the map are counted in `omitted`.
   */
 object Bench {
+  private val REPS = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,21 +40,60 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Task-level scale counters. Listener delivery is async; deltas are
+    // read only after waitQuiesce saw the counters stable, so attribution
+    // error is bounded to stragglers of the PREVIOUS query (none, once
+    // stable).
+    val shuffleBytes = new AtomicLong
+    val spillBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    def waitQuiesce(): Unit = {
+      var prev = -1L
+      var cur = shuffleBytes.get + spillBytes.get
+      var tries = 0
+      while (prev != cur && tries < 20) { // stable snapshot, max ~1s
+        Thread.sleep(50); prev = cur; cur = shuffleBytes.get + spillBytes.get
+        tries += 1
+      }
+    }
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally CacheTracker.releaseAll() // builder-persisted intermediates
     // Warm up session machinery (codegen, parquet reader, shuffle paths)
     // so the first timed query isn't charged for JVM/session init.
     SparkEntry.queries.get("q1_pricing_summary").foreach(run)
+
+    // (name, median secs, median shuffle bytes, median spill bytes);
+    // secs = -1 marks a failed query (excluded from the total).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val secs =
-        try { run(fn); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case t: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-            -1.0
-        }
-      name -> secs
+      val runs = (1 to REPS).map { _ =>
+        waitQuiesce()
+        val sh0 = shuffleBytes.get; val sp0 = spillBytes.get
+        val t0 = System.nanoTime()
+        val secs =
+          try { run(fn); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case t: Throwable =>
+              System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+              -1.0
+          }
+        waitQuiesce()
+        (secs, shuffleBytes.get - sh0, spillBytes.get - sp0)
+      }
+      def medianD(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      def medianL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      if (runs.exists(_._1 < 0)) (name, -1.0, 0L, 0L)
+      else (name, medianD(runs.map(_._1)), medianL(runs.map(_._2)), medianL(runs.map(_._3)))
     }.toSeq
     val total = results.map(_._2).filter(_ >= 0).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
@@ -49,12 +103,16 @@ object Bench {
     val sorted = results.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
-    sorted.foreach { case (k, v) =>
+    sorted.foreach { case (k, v, _, _) =>
       val piece = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
-      if (sb.length + piece.length <= 1600) { sb.append(piece); kept += 1 }
+      if (sb.length + piece.length <= 1150) { sb.append(piece); kept += 1 }
     }
     val omitted = results.size - kept
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{${sb.result()}},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
+    // scale signature of the slowest queries: [shuffle_bytes, spill_bytes]
+    val shuf = sorted.take(10)
+      .map { case (k, _, sh, sp) => "\"" + k + "\":[" + sh + "," + sp + "]" }
+      .mkString(",")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle":{$shuf},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

@@ -46,9 +46,11 @@ object Curation {
       .select(col("doc_id"), col("text"), col("n_words"))
     // near-dup removal among the exact-deduped survivors: verified LSH
     // pairs (jaccard >= 0.5) drop their higher id
-    val sigs = Dedup.withSignature(s2)
+    // persisted cache outlives the builder — released via CacheTracker
+    // by the harness once the funnel row materializes
+    val sigs = graft.CacheTracker.track(Dedup.withSignature(s2)
       .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))

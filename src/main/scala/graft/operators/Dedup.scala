@@ -92,10 +92,13 @@ object Dedup {
     // signatures feed three plan branches (bands + both jaccard sides):
     // persist so shingling/hashing runs once. At cluster scale this would
     // be MEMORY_AND_DISK or a checkpoint; the relation stays tiny
-    // relative to its input (ids + 16 longs + distinct shingles).
-    val sigs = withSignature(corpus(s, d))
+    // relative to its input (ids + 16 longs + distinct shingles). The
+    // cache outlives this builder (the returned plan reads it), so it is
+    // registered with CacheTracker and released by the harness after the
+    // result materializes — a shared session must not accumulate blocks.
+    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
       .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = sigs.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))

@@ -173,4 +173,18 @@ class PipelineSpec extends SparkSpec {
     val perDoc = f.groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
     assert(perDoc.filter(col("n") =!= col("mx") + 1).count() == 0)
   }
+
+  test("builder persists are fully released by CacheTracker (no leaked blocks)") {
+    // the three cache-carrying queries in one shared session, harness-style
+    CacheTracker.releaseAll() // clean slate (other suites share the session)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Seq(Dedup.qDedupLshPairs(spark, sf),
+        operators.Curation.qCurationPipeline(spark, sf),
+        Similarity.qSimIvf(spark, sf)).foreach { df =>
+      df.write.format("noop").mode("overwrite").save()
+      CacheTracker.releaseAll()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
 }
