@@ -58,4 +58,29 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Exact row count of a parquet table from file-footer metadata only —
+    * no Spark job, no data pages read. Operators that size a data
+    * structure from the corpus cardinality (e.g. the adaptive LSH bit
+    * width) use this instead of `df.count()`: at 100 TB a driver-side
+    * count() is a second full pass over the table plus a scheduling
+    * barrier, just to compute one integer. Handles both a single parquet
+    * file and a directory of part files. */
+  def parquetRowCount(s: SparkSession, dir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      else Array(root)
+    files.map { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -112,7 +112,14 @@ object Similarity {
     * linear-growth assertion in PipelineSpec. */
   def neardupCandidates(s: SparkSession, d: String): DataFrame = {
     val corpus = neardupCorpus(s, d)
-    val coded = bandedCodes(corpus, corpus.count(), bands = 4)
+    // Corpus cardinality for the adaptive bit width WITHOUT a pre-count
+    // job: footer metadata gives the base table's exact rows and the
+    // injected union adds exactly one row per vec_id%10==0 — with the
+    // corpus's contiguous 0..n-1 ids that is ceil(n/10) = (n+9)/10. The
+    // oracle derives the same value as COUNT(*) + (COUNT(*)+9)//10 over
+    // the base relation, so the bucketing stays engine-identical.
+    val nBase = Tables.parquetRowCount(s, d, "embeddings")
+    val coded = bandedCodes(corpus, nBase + (nBase + 9) / 10, bands = 4)
     val a = coded.select(col("vec_id").as("a_id"), col("band"), col("code"))
     val b = coded.select(col("vec_id").as("b_id"), col("band"), col("code"))
     a.join(b, Seq("band", "code")).filter(col("a_id") < col("b_id"))
@@ -333,8 +340,9 @@ object Similarity {
          |  SELECT vec_id + 1000000,
          |    list_transform(range(1, 65), i -> CASE WHEN i <= 4 THEN ce[i] + 0.001 ELSE ce[i] END)
          |  FROM base WHERE vec_id % 10 = 0),
-         |bv AS (SELECT GREATEST(4, LEAST(12, CAST(LENGTH(BIN(COUNT(*) - 1)) AS INTEGER) - 2)) AS bits
-         |  FROM corpus),
+         |bv AS (SELECT GREATEST(4, LEAST(12,
+         |    CAST(LENGTH(BIN(COUNT(*) + (COUNT(*) + 9) // 10 - 1)) AS INTEGER) - 2)) AS bits
+         |  FROM base),
          |coded AS (
          |  SELECT vec_id, band, list_sum(list_transform(range(0, bits),
          |    j -> CASE WHEN ${dkPlane("band * bits + j")} >= 0
