@@ -150,13 +150,14 @@ object Similarity {
     * hyperplane LSH: a k-means coarse quantizer partitions the corpus
     * into `k` cells; a query scans only its `nprobe` nearest cells.
     *
-    * The quantizer trains with deterministic seeds (the embeddings of
-    * the k lowest vec_ids) and a fixed number of Lloyd iterations, all
-    * as DataFrame ops: assignment is a broadcast cross-join argmin,
-    * centroid update is an explode-by-dimension average (the shuffle is
-    * on (cluster, dim) — 64·k cells, trivially uniform). At 100 TB the
-    * train step runs on a sample; assignment stays a map-side broadcast
-    * pass.
+    * The quantizer trains on a deterministic 1/8 sample (vec_id%8==0)
+    * with deterministic seeds (the embeddings of the k lowest sample
+    * vec_ids) and a fixed number of Lloyd iterations, all as DataFrame
+    * ops: assignment is a broadcast cross-join argmin, centroid update
+    * is an explode-by-dimension average (the shuffle is on
+    * (cluster, dim) — 64·k cells, trivially uniform). This is the
+    * 100 TB shape: training never scans the full relation; the full
+    * corpus is touched only by the map-side broadcast assignment.
     *
     * Oracle-checked, which for an ITERATIVE float algorithm requires
     * engineering every step to a deterministic fold: similarities are
@@ -183,15 +184,20 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
         .filter(col("rn") <= n)
-    // -- train: deterministic init + 2 Lloyd iterations. Each round's
+    // -- train on a deterministic 1/8 sample (vec_id % 8 == 0): the
+    // quantizer only needs the corpus's coarse cluster structure, so at
+    // 100 TB the Lloyd iterations must not scan the full relation — the
+    // full corpus is touched only by the map-side broadcast assignment
+    // below. Init is deterministic + 2 Lloyd iterations; each round's
     // centroids are cached (8 tiny rows) — without this every broadcast
     // re-derives the full lineage and the train cost grows per iteration.
-    var centroids = e.orderBy("vec_id").limit(k)
+    val sample = e.filter(col("vec_id") % 8 === 0)
+    var centroids = sample.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
         col("ce").as("centroid"))
       .cache()
     for (_ <- 1 to 2) {
-      val next = assign(e, centroids, 1)
+      val next = assign(sample, centroids, 1)
         .select(col("vec_id"), col("cid"), posexplode(col("ce")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         // vec_id-sorted left-fold mean: merge-order-independent
@@ -264,16 +270,16 @@ object Similarity {
        |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
        |   sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))), 6)""".stripMargin
 
-  /** One unrolled Lloyd iteration: assign to `prev` centroids, recompute
-    * means as vec_id-sorted left folds (mirroring the Spark side
-    * exactly), yielding centroid CTE `c`. */
-  private def dkLloyd(prev: String, a: String, m: String, c: String): String =
+  /** One unrolled Lloyd iteration over source relation `src`: assign to
+    * `prev` centroids, recompute means as vec_id-sorted left folds
+    * (mirroring the Spark side exactly), yielding centroid CTE `c`. */
+  private def dkLloyd(src: String, prev: String, a: String, m: String, c: String): String =
     s"""$a AS (
        |  SELECT vec_id, cid, ce FROM (
-       |    SELECT e.vec_id, $prev.cid, e.ce,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${dkCos2("e.ce", s"$prev.centroid")} DESC, $prev.cid) AS rn
-       |    FROM e CROSS JOIN $prev) WHERE rn = 1),
+       |    SELECT $src.vec_id, $prev.cid, $src.ce,
+       |      ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+       |        ORDER BY ${dkCos2(s"$src.ce", s"$prev.centroid")} DESC, $prev.cid) AS rn
+       |    FROM $src CROSS JOIN $prev) WHERE rn = 1),
        |${a}d AS (
        |  SELECT vec_id, cid, u.dim AS dim, u.x AS x FROM (
        |    SELECT vec_id, cid, unnest(list_transform(range(0, 64),
@@ -292,11 +298,12 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
          |c0 AS (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
-         |  FROM (SELECT vec_id, ce FROM e ORDER BY vec_id LIMIT 8)),
-         |${dkLloyd("c0", "a1", "m1", "c1")},
-         |${dkLloyd("c1", "a2", "m2", "c2")},
+         |  FROM (SELECT vec_id, ce FROM s ORDER BY vec_id LIMIT 8)),
+         |${dkLloyd("s", "c0", "a1", "m1", "c1")},
+         |${dkLloyd("s", "c1", "a2", "m2", "c2")},
          |cells AS (
          |  SELECT vec_id AS c_id, cid, ce FROM (
          |    SELECT e.vec_id, c2.cid, e.ce,
