@@ -13,9 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    `register` call,
   *  - the [[plans.DeriveInFilters]] optimizer rule (OR-of-conjunctions
   *    → pushable IN conjuncts), and
-  *  - the five codegen expressions (cosine_sim, rolling_hash,
-  *    minhash_perms, hyperplane_codes, cdc_boundaries) as session
-  *    functions usable from SQL text.
+  *  - the six codegen expressions (cosine_sim, rolling_hash,
+  *    minhash_perms, hyperplane_codes, cdc_boundaries,
+  *    msgpack_envelope) as session functions usable from SQL text.
   *
   * The per-object `register(spark)` helpers remain for ad-hoc sessions
   * (each query builder still calls them defensively — idempotent), but a
@@ -67,5 +67,7 @@ object GraftExtensions {
     "hyperplane_codes" -> (exprs => { arity("hyperplane_codes", exprs, 3)
       functions.HyperplaneCodes(exprs.head,
         litInt("hyperplane_codes", "bands", exprs(1)),
-        litInt("hyperplane_codes", "bits", exprs(2))) }))
+        litInt("hyperplane_codes", "bits", exprs(2))) }),
+    "msgpack_envelope" -> (exprs => { arity("msgpack_envelope", exprs, 1)
+      functions.MsgpackEnvelope(exprs.head) }))
 }

@@ -287,21 +287,22 @@ object Gateway {
   def qMsgpackRoundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Msgpack
     import org.apache.spark.sql.functions.udf
+    graft.functions.MsgpackEnvelope.register(s)
     val enc = udf((mod: String, fun: String, arg: Long, wxuser: String) =>
       Msgpack.encode(Map("mod" -> mod, "fun" -> fun, "arg" -> arg,
         "ctx" -> Map("wxuser" -> wxuser))))
-    val ok = udf((bytes: Array[Byte], mod: String, arg: Long) => {
-      val m = Msgpack.decode(bytes).asInstanceOf[Map[Any, Any]]
-      m("mod") == mod && m("arg") == arg
-    })
+    // decode side is the typed Catalyst expression (binary -> struct):
+    // field comparisons stay columnar/codegen, no Map[Any,Any] boxing
     Tables.events(s, d)
       .select(col("event_id"), col("event_type").as("mod_name"),
         lit("call").as("fun"), col("user_id"),
         substring(md5(uid), 1, 28).as("wxuser"))
       .withColumn("packet", enc(col("mod_name"), col("fun"), col("user_id"), col("wxuser")))
+      .withColumn("env", expr("msgpack_envelope(packet)"))
       .select(col("event_id"), col("mod_name"),
         octet_length(col("packet")).as("packet_len"),
-        ok(col("packet"), col("mod_name"), col("user_id")).as("roundtrip_ok"))
+        (col("env.mod") === col("mod_name") &&
+          col("env.arg") === col("user_id")).as("roundtrip_ok"))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -69,4 +69,34 @@ class GatewaySpec extends SparkSpec {
       .select("decision").distinct().collect().map(_.getString(0)).toSet
     assert(dec == Set("passthrough_deflate", "inflate_gzip", "inflate_raw", "raw", "deflate", "gzip"))
   }
+
+  test("msgpack_envelope: typed struct decode; NULL on malformed bytes") {
+    import graft.functions.{Msgpack, MsgpackEnvelope}
+    MsgpackEnvelope.register(spark)
+    import spark.implicits._
+    val good = Msgpack.encode(Map(
+      "mod" -> "wx", "fun" -> "call", "arg" -> 7L, "ctx" -> Map("wxuser" -> "u1")))
+    val partial = Msgpack.encode(Map("mod" -> "only"))     // fields absent
+    val mistyped = Msgpack.encode(Map("mod" -> 3L, "arg" -> "nope"))
+    val nonMap = Msgpack.encode("hello")                   // top-level not a map
+    val garbage = Array[Byte](0xc1.toByte, 1, 2)           // 0xc1: reserved tag
+    val truncated = good.dropRight(3)
+    val rows = Seq("good" -> good, "partial" -> partial, "mistyped" -> mistyped,
+        "nonmap" -> nonMap, "garbage" -> garbage, "trunc" -> truncated)
+      .toDF("k", "b")
+      .selectExpr("k", "msgpack_envelope(b) AS env")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = rows("good").getStruct(1)
+    assert(g.getAs[String]("mod") == "wx" && g.getAs[String]("fun") == "call")
+    assert(g.getAs[Long]("arg") == 7L)
+    assert(g.getAs[Map[String, String]]("ctx") == Map("wxuser" -> "u1"))
+    val p = rows("partial").getStruct(1)
+    assert(p.getAs[String]("mod") == "only" && p.isNullAt(p.fieldIndex("fun"))
+      && p.isNullAt(p.fieldIndex("arg")) && p.isNullAt(p.fieldIndex("ctx")))
+    val m = rows("mistyped").getStruct(1) // map decodes; wrong-typed fields null
+    assert(m.isNullAt(m.fieldIndex("mod")) && m.isNullAt(m.fieldIndex("arg")))
+    Seq("nonmap", "garbage", "trunc").foreach { k =>
+      assert(rows(k).isNullAt(1), s"$k should decode to NULL")
+    }
+  }
 }
