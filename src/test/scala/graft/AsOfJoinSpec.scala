@@ -56,7 +56,7 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("as-of join rejects unsupported key types loudly at construction") {
     import spark.implicits._
-    val l = Seq((1, 2, 3)).toDF("id", "k", "t") // INT columns — unsupported in v1
+    val l = Seq(("a", "b", "c")).toDF("id", "k", "t") // STRING — no LONG embedding
     val r = Seq((1L, 2L, 3L, 4L)).toDF("rk", "rt", "tie", "payload")
     val lp = l.queryExecution.analyzed
     val rp = r.queryExecution.analyzed
@@ -67,5 +67,38 @@ class AsOfJoinSpec extends SparkSpec {
         attr(rp, "rk"), attr(rp, "rt"), attr(rp, "tie"))
     }
     assert(e.getMessage.contains("LONG/TIMESTAMP"))
+  }
+
+  test("as-of join widens INT keys and DATE times (strategy casts, same results)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    // INT key, DATE time on both sides — previously rejected by v1
+    val l = (1 to 300).map(i => (i.toLong, rnd.nextInt(20), rnd.nextInt(700)))
+      .toDF("id", "k", "di")
+      .select(col("id"), col("k"), date_add(lit("2024-01-01").cast("date"), col("di")).as("t"))
+    val r = (1 to 500).map(i => (rnd.nextInt(20), rnd.nextInt(700), i.toLong))
+      .toDF("rk", "di", "tie")
+      .select(col("rk"), date_add(lit("2024-01-01").cast("date"), col("di")).as("rt"), col("tie"))
+    val native = nativeAsof(l, r)
+      .select("id", "k", "t", "rk", "rt", "tie").collect().map(_.toSeq).sortBy(_.toString)
+    val composed = composedAsof(l, r)
+      .select("id", "k", "t", "rk", "rt", "tie").collect().map(_.toSeq).sortBy(_.toString)
+    assert(native.length == 300)
+    assert(native.length == composed.length)
+    native.zip(composed).foreach { case (n, c) => assert(n == c, s"native $n != composed $c") }
+  }
+
+  test("as-of join participates in whole-stage codegen") {
+    import spark.implicits._
+    val l = (1 to 50).map(i => (i.toLong, (i % 5).toLong, i.toLong)).toDF("id", "k", "t")
+    val r = (1 to 50).map(i => ((i % 5).toLong, i.toLong, i.toLong, i * 10L)).toDF("rk", "rt", "tie", "payload")
+    val df = nativeAsof(l, r)
+    // materialize THIS df's QueryExecution (count() would plan a new one):
+    // AQE finalizes the plan and codegen-collapse runs per stage
+    assert(df.collect().length == 50)
+    val plan = df.queryExecution.executedPlan.toString
+    // the star prefix marks operators inside a WholeStageCodegen region
+    assert("\\*\\(\\d+\\) AsOfJoin".r.findFirstIn(plan).isDefined,
+      s"AsOfJoin not codegen'd:\n${plan.take(1200)}")
   }
 }
