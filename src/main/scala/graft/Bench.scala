@@ -21,7 +21,7 @@ import java.util.concurrent.atomic.AtomicLong
   * A SparkListener additionally accumulates shuffle-write bytes and
   * spill (memory+disk) per task; the per-run delta gives each query a
   * scale signature beyond wall time, emitted for the slowest queries as
-  * `"shuffle":{q:[shuffle_bytes,spill_bytes]}`.
+  * `"shuffle_kb":{q:[shuffle_kb,spill_kb]}`.
   *
   * The JSON line is kept short (3-decimal seconds, length-capped query
   * map, slowest first) so the driver's bounded output-tail capture always
@@ -108,11 +108,12 @@ object Bench {
       if (sb.length + piece.length <= 1150) { sb.append(piece); kept += 1 }
     }
     val omitted = results.size - kept
-    // scale signature of the slowest queries: [shuffle_bytes, spill_bytes]
+    // scale signature of the slowest queries: [shuffle_kb, spill_kb]
+    // (KB keeps the line comfortably under the driver's tail capture)
     val shuf = sorted.take(10)
-      .map { case (k, _, sh, sp) => "\"" + k + "\":[" + sh + "," + sp + "]" }
+      .map { case (k, _, sh, sp) => "\"" + k + "\":[" + sh / 1024 + "," + sp / 1024 + "]" }
       .mkString(",")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle":{$shuf},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

@@ -102,6 +102,23 @@ object TpchDeep {
           col("l_quantity").between(20, 50)))
       .agg(sum(discCol).cast("double").as("revenue"), count(lit(1)).as("n"))
 
+  /** Q6-style forecasting-revenue-change: revenue forgone to small
+    * discounts on small-quantity lineitems shipped in one year.
+    * lineitem-only: the whole predicate pushes to the parquet scan
+    * (shipdate range prunes row groups via min/max stats), the
+    * aggregate is a map-side partial + single-row exchange — one pass,
+    * no join, at any scale. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+
   /** Customers above their nation's average balance — correlated scalar
     * subquery shape, decorrelated to an aggregate + join. Exact-decimal
     * average so the threshold is engine-stable. */
@@ -357,6 +374,7 @@ object TpchDeep {
     "q18_large_orders" -> (q18LargeOrders _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q4_priority_exists" -> (q4PriorityExists _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q14_promo_share" -> (q14PromoShare _),
     "q19_brackets" -> (q19Brackets _),
@@ -366,6 +384,12 @@ object TpchDeep {
   private val discSql = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |es AS (
