@@ -161,11 +161,59 @@ object Dedup {
         min(col("chunk_len")).as("chunk_len"))
   }
 
+  /** Connected components over the verified near-dup pairs — the step a
+    * curation pipeline needs AFTER pair generation: pairwise matches
+    * grouped into duplicate clusters, each with a canonical id (the
+    * component's min doc_id) and its size.
+    *
+    * Min-label propagation to fixpoint (GraphX-style without the GraphX
+    * dependency): label(v) starts as v; each round v takes the min of
+    * its own and its neighbors' labels — one equi-join + one groupBy
+    * shuffle per round, converging in O(component diameter) rounds
+    * (near-dup components are tiny quasi-cliques, so 2-3 rounds). The
+    * convergence check is `sum(label)` (labels are per-node
+    * non-increasing, so the decimal-exact sum strictly decreases until
+    * fixpoint) — no self-join against the previous generation needed.
+    * The oracle computes the same fixpoint as a recursive transitive
+    * closure + MIN, which is only feasible on small data — the
+    * propagation form is the one that scales. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")).toDF("a_id", "b_id"))
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty graph
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val next = edges.join(labels, edges("b_id") === labels("id"))
+        .select(edges("a_id").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+    }
+    pairs.unpersist()
+    graft.CacheTracker.track(labels)
+    labels.join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cdc_chunks" -> (qDedupCdcChunks _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   private[operators] val shinglesSql =
@@ -188,6 +236,29 @@ object Dedup {
   private val cdcCut =
     s"((i + 1 - lastb >= ${graft.functions.CdcBoundaries.MinChunk} AND ($cdcNewH) % ${graft.functions.CdcBoundaries.Mask + 1} = 0) " +
       s"OR i + 1 - lastb >= ${graft.functions.CdcBoundaries.MaxChunk})"
+
+  // Shared CTE chain: derived corpus -> shingles -> MinHash signatures
+  // -> banded candidates -> exact-Jaccard-scored pairs (`j`). Used by
+  // both the pair query and the clustering query.
+  private val lshJChain: String =
+    s"""$corpusSql,
+       |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
+       |hs AS (SELECT doc_id, shingles, $hashesSql AS hashes FROM sh),
+       |sg AS (SELECT doc_id, $sigSql AS sig, list_distinct(shingles) AS sset FROM hs),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
+       |  FROM sg, unnest(range(0, 4)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT a_id, b_id,
+       |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+       |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
+       |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_cdc_chunks" ->
@@ -234,27 +305,27 @@ object Dedup {
          |hs AS (SELECT doc_id, $hashesSql AS hashes FROM sh)
          |SELECT doc_id, array_to_string($sigSql, ',') AS signature FROM hs""".stripMargin,
     "q_dedup_lsh_pairs" ->
-      s"""WITH $corpusSql,
-         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
-         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
-         |hs AS (SELECT doc_id, shingles, $hashesSql AS hashes FROM sh),
-         |sg AS (SELECT doc_id, $sigSql AS sig, list_distinct(shingles) AS sset FROM hs),
-         |bands AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
-         |  FROM sg, unnest(range(0, 4)) AS t(b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y
-         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-         |j AS (
-         |  SELECT a_id, b_id,
-         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
-         |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
-         |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)
+      s"""WITH $lshJChain
          |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
+    // same pair pipeline, then connected components: the oracle takes
+    // the closure fixpoint (recursive reach + MIN) that matches the
+    // engine's label-propagation fixpoint extensionally
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+         |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),

@@ -174,6 +174,23 @@ class PipelineSpec extends SparkSpec {
     assert(perDoc.filter(col("n") =!= col("mx") + 1).count() == 0)
   }
 
+  test("dedup clusters: canonical = component min; every exact-dup pair co-clustered") {
+    val cl = Dedup.qDedupClusters(spark, sf).cache()
+    // canonical id is a member of its own cluster (labels reached fixpoint)
+    val byCluster = cl.groupBy("cluster_id").agg(min("doc_id").as("min_id"))
+    assert(byCluster.filter(col("cluster_id") =!= col("min_id")).count() == 0)
+    assert(cl.filter(col("cluster_size") < 2).count() == 0)
+    // every injected exact copy (doc_id%5==0 -> +1_000_000) lands in the
+    // same cluster as its original
+    val orig = cl.filter(col("doc_id") < 1000000 && col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("o_id"), col("cluster_id").as("o_cl"))
+    val dup = cl.filter(col("doc_id") >= 1000000 && col("doc_id") < 2000000)
+      .select((col("doc_id") - 1000000L).as("o_id"), col("cluster_id").as("d_cl"))
+    assert(dup.count() == 100) // all sf0.001 exact copies are clustered
+    assert(orig.join(dup, "o_id").filter(col("o_cl") =!= col("d_cl")).count() == 0)
+    CacheTracker.releaseAll()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
