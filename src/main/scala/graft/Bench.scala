@@ -76,6 +76,12 @@ object Bench {
     // (name, median secs, median shuffle bytes, median spill bytes);
     // secs = -1 marks a failed query (excluded from the total).
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // JMH-style clean point at each query boundary (outside timing):
+      // pay the previous query's GC debt here, not inside the next
+      // query's measurement — cache-churning queries otherwise inflate
+      // whichever query happens to run after them.
+      System.gc()
+      Thread.sleep(200)
       val runs = (1 to REPS).map { _ =>
         waitQuiesce()
         val sh0 = shuffleBytes.get; val sp0 = spillBytes.get

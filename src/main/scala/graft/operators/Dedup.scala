@@ -167,10 +167,12 @@ object Dedup {
     * component's min doc_id) and its size.
     *
     * Min-label propagation to fixpoint (GraphX-style without the GraphX
-    * dependency): label(v) starts as v; each round v takes the min of
-    * its own and its neighbors' labels — one equi-join + one groupBy
-    * shuffle per round, converging in O(component diameter) rounds
-    * (near-dup components are tiny quasi-cliques, so 2-3 rounds). The
+    * dependency): label(v) initializes to min(v, neighbors) — the first
+    * propagation step fused into the vertex-set build, one shuffle —
+    * then each round v takes the min of its own and its neighbors'
+    * labels (one equi-join + one groupBy shuffle per round), converging
+    * in O(component diameter) rounds; near-dup components are tiny
+    * quasi-cliques, so the init is usually already the fixpoint. The
     * convergence check is `sum(label)` (labels are per-node
     * non-increasing, so the decimal-exact sum strictly decreases until
     * fixpoint) — no self-join against the previous generation needed.
@@ -182,8 +184,12 @@ object Dedup {
     val pairs = qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")).toDF("a_id", "b_id"))
-    var labels = edges.select(col("a_id").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // init fused with propagation step 1: label(v) = min(v, neighbors)
+    // in the same single shuffle that builds the vertex set — for
+    // clique-shaped components (the common near-dup case) this is
+    // already the fixpoint, so the loop only confirms
+    var labels = edges.groupBy(col("a_id").as("id"))
+      .agg(min(least(col("a_id"), col("b_id"))).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
