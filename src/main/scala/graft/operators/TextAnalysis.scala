@@ -188,7 +188,68 @@ object TextAnalysis {
       .select("doc_id", "rank", "word", "tf", "df", "tfidf")
   }
 
+  /** Benchmark decontamination — the n-gram overlap check every LLM
+    * training pipeline runs before training (is an eval example's text
+    * present in the corpus?). The "benchmark" here is DERIVED with a
+    * live hit path: a 25-word span (words 4..28) of every doc_id%50==0
+    * document plays the eval set, so its source doc is contaminated by
+    * construction. Train docs are 5-gram shingled map-side (distinct
+    * per doc); the eval gram set is tiny at any scale (benchmarks are
+    * thousands of items, not billions), so the overlap test is a
+    * BROADCAST semi-join — the only shuffle is the per-doc overlap
+    * count. Output: contaminated docs with gram counts + overlap ratio. */
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    def grams5(arr: String) =
+      s"IF(size($arr) < 5, array(), transform(sequence(1, size($arr) - 4), i -> concat_ws(' ', slice($arr, i, 5))))"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(expr(grams5("slice(words, 4, 25)"))).as("gram")).distinct()
+    // the FULL corpus is scanned (that is what decontamination means) —
+    // each eval span's source doc is flagged by construction
+    val train = docs
+      .select(col("doc_id"), array_distinct(expr(grams5("words"))).as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
+    train.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_overlap")) // grams are distinct per doc
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("contamination"))
+  }
+
+  /** Gopher-style document quality rules (public heuristics from the
+    * Gopher/MassiveText filtering literature): mean word length bounds,
+    * top-2-gram repetition ratio, document size bound, and the overall
+    * pass flag. The word-level stats are map-side HOFs; the repetition
+    * ratio needs the per-doc 2-gram mode — one explode + two
+    * aggregations, both keyed by doc_id, so the data shuffles once and
+    * stays partitioned for the second agg. */
+  def qGopherQuality(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("mean_word_len",
+        expr("aggregate(transform(words, x -> length(x)), 0, (a, x) -> a + x)")
+          .cast("double") / col("n_words"))
+    val rep2 = w
+      .select(col("doc_id"), explode(expr(
+        "IF(size(words) < 2, array(), transform(sequence(1, size(words) - 1), i -> concat_ws(' ', slice(words, i, 2))))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max2"), sum("c").as("tot2"))
+    w.join(rep2, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        (col("max2").cast("double") / col("tot2")).as("top_2gram_ratio"),
+        (col("mean_word_len") >= 3 && col("mean_word_len") <= 10).as("pass_word_len"),
+        (col("max2").cast("double") / col("tot2") <= 0.2).as("pass_repetition"),
+        (col("n_words") >= 20).as("pass_size"))
+      .withColumn("pass_all",
+        col("pass_word_len") && col("pass_repetition") && col("pass_size"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_gopher_quality" -> (qGopherQuality _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_langid_ngram" -> (qLangidNgram _),
@@ -199,6 +260,45 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |eg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(words[4:28]) - 3),
+        |    i -> array_to_string((words[4:28])[i:i+4], ' '))) AS gram
+        |  FROM docs WHERE doc_id % 50 = 0 AND len(words[4:28]) >= 5),
+        |tg AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(words) < 5 THEN []
+        |    ELSE list_transform(range(1, len(words) - 3),
+        |      i -> array_to_string(words[i:i+4], ' ')) END) AS grams
+        |  FROM docs),
+        |tx AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM tg),
+        |ov AS (
+        |  SELECT doc_id, n_grams, COUNT(*) AS n_overlap
+        |  FROM tx JOIN eg USING (gram) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, n_overlap,
+        |  CAST(n_overlap AS DOUBLE) / n_grams AS contamination
+        |FROM ov""".stripMargin,
+    "q_gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(words) AS n_words,
+        |    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mean_word_len
+        |  FROM w),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN []
+        |    ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS g
+        |  FROM w),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM gc GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_words AS INTEGER) AS n_words, b.mean_word_len,
+        |  CAST(max2 AS DOUBLE) / tot2 AS top_2gram_ratio,
+        |  (b.mean_word_len >= 3 AND b.mean_word_len <= 10) AS pass_word_len,
+        |  (CAST(max2 AS DOUBLE) / tot2 <= 0.2) AS pass_repetition,
+        |  (b.n_words >= 20) AS pass_size,
+        |  ((b.mean_word_len >= 3 AND b.mean_word_len <= 10)
+        |    AND (CAST(max2 AS DOUBLE) / tot2 <= 0.2) AND (b.n_words >= 20)) AS pass_all
+        |FROM base b JOIN rep USING (doc_id)""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),

@@ -191,6 +191,22 @@ class PipelineSpec extends SparkSpec {
     CacheTracker.releaseAll()
   }
 
+  test("decontamination flags every eval-span source doc; gopher rules are sane") {
+    val c = TextAnalysis.qDecontaminate(spark, sf).cache()
+    // each doc_id%50==0 doc donated words 4..28 as an eval item — its
+    // 5-grams are in the benchmark by construction, so it must be flagged
+    val sources = Tables.documents(spark, sf).filter(col("doc_id") % 50 === 0).count()
+    assert(c.filter(col("doc_id") % 50 === 0).count() == sources)
+    assert(c.filter(col("contamination") <= 0 || col("contamination") > 1).count() == 0)
+    assert(c.filter(col("n_overlap") > col("n_grams")).count() == 0)
+    val g = TextAnalysis.qGopherQuality(spark, sf).cache()
+    assert(g.count() == 500) // one row per doc
+    assert(g.filter(col("top_2gram_ratio") <= 0 || col("top_2gram_ratio") > 1).count() == 0)
+    assert(g.filter(col("pass_all") =!=
+      (col("pass_word_len") && col("pass_repetition") && col("pass_size"))).count() == 0)
+    assert(g.filter(col("pass_all")).count() > 0) // corpus docs mostly pass
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
