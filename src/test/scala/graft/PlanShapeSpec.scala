@@ -75,4 +75,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"), "auth lookups must not sort-merge the stream")
   }
+
+  test("q6: full predicate pushed to the lineitem scan (no join, one pass)") {
+    // PushedFilters is truncated in plan toString — assert the scan-level
+    // DataFilters via the Filter condition + the pushed-list prefix
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"nothing pushed:\n${p.take(800)}")
+    assert("l_shipdate#\\d+ >= 1996-01-01".r.findFirstIn(p).isDefined
+      && "l_quantity#\\d+ < 24".r.findFirstIn(p).isDefined,
+      s"q6 predicate incomplete:\n${p.take(900)}")
+    assert(!p.contains("Join"), "q6 must be a single-table pass")
+  }
+
+  test("decontamination: eval gram set broadcast (corpus never shuffles for the overlap test)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n${p.take(800)}")
+  }
 }
