@@ -86,6 +86,23 @@ object Dedup {
       .select(col("doc_id"),
         expr("array_join(transform(sig, x -> cast(x as string)), ',')").as("signature"))
 
+  /** Banded-LSH candidate pairs from a signature relation: 4 bands × 4
+    * rows exploded to (band_idx, band_hash) keys, equi-joined, a_id <
+    * b_id, distinct. The one shuffle of the LSH pipeline, on a key that
+    * spreads uniformly. */
+  private[operators] def bandedCandidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))
+        .as(Seq("band_idx", "band_hash")))
+    bands.as("x")
+      .join(bands.withColumnRenamed("doc_id", "b_id").as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("b_id"))
+      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+  }
+
   /** LSH candidate pairs (4 bands × 4 rows) verified with exact distinct
     * shingle Jaccard; near-dup threshold 0.5. */
   def qDedupLshPairs(s: SparkSession, d: String): DataFrame = {
@@ -99,16 +116,7 @@ object Dedup {
     val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
       .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bands = sigs.select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))
-          .as(Seq("band_idx", "band_hash")))
-    val cand = bands.as("x")
-      .join(bands.withColumnRenamed("doc_id", "b_id").as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("b_id"))
-      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+    val cand = bandedCandidates(sigs)
     val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
     cand.join(sa, "a_id").join(sb, "b_id")
@@ -159,6 +167,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_refs"),
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("chunk_len")).as("chunk_len"))
+  }
+
+  /** MinHash sketch accuracy, the sketch-error-contract pattern (like
+    * the HLL query): for every LSH candidate pair, the 16-permutation
+    * signature-agreement estimate of Jaccard next to the exact distinct-
+    * shingle Jaccard, plus a 3σ-ish bound flag (σ = √(J(1−J)/16) ≤
+    * 0.125). Both engines compute agreement over the SAME integer
+    * signatures, so even the estimate column is hash-checked — at scale
+    * this is the query you run on a sample to validate the sketch
+    * before trusting banded dedup on the full corpus. */
+  def qMinhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa_sig"), col("sset").as("sa_set"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb_sig"), col("sset").as("sb_set"))
+    bandedCandidates(sigs).join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_match",
+        expr("size(filter(zip_with(sa_sig, sb_sig, (x, y) -> x = y), b -> b))"))
+      .withColumn("n_inter", size(array_intersect(col("sa_set"), col("sb_set"))))
+      .withColumn("n_union", size(col("sa_set")) + size(col("sb_set")) - col("n_inter"))
+      .withColumn("est_jaccard", col("n_match") / lit(16.0))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .select(col("a_id"), col("b_id"), col("n_match"), col("est_jaccard"), col("jaccard"),
+        (abs(col("est_jaccard") - col("jaccard")) <= 0.45).as("within_bound"))
   }
 
   /** Connected components over the verified near-dup pairs — the step a
@@ -220,6 +253,7 @@ object Dedup {
     "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   private[operators] val shinglesSql =
@@ -315,6 +349,19 @@ object Dedup {
          |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
+    "q_minhash_estimate" ->
+      s"""WITH $lshJChain,
+         |est AS (
+         |  SELECT a_id, b_id,
+         |    len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS n_match,
+         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+         |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
+         |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)
+         |SELECT a_id, b_id, CAST(n_match AS INTEGER) AS n_match,
+         |  n_match / 16.0 AS est_jaccard,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
+         |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
+         |FROM est""".stripMargin,
     // same pair pipeline, then connected components: the oracle takes
     // the closure fixpoint (recursive reach + MIN) that matches the
     // engine's label-propagation fixpoint extensionally
