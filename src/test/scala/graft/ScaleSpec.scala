@@ -98,4 +98,38 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
     assert(j.count() == Tables.lineitem(spark, sf).count())
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // At 100 TB a selective dim filter should reach the fact scan even
+    // when the dim is too big to broadcast: Spark's InjectRuntimeFilter
+    // builds a bloom filter from the filtered creation side and applies
+    // might_contain on the fact side. On by default but gated behind a
+    // 10 GB application-side scan threshold — lower the gates to prove
+    // the engine configuration exercises it, and that results match the
+    // unfiltered-plan baseline.
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join shape
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val sel = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${optimized.take(900)}")
+      val baseline = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == baseline, "bloom-filtered join changed the result")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
