@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
+  /** Map-side quality + language gates over a (doc_id, text) relation —
+    * pure per-row expressions, so the SAME builder runs in a batch scan
+    * or a structured stream (StreamingSpec proves the latter). */
+  private[graft] def gateFlags(docs: DataFrame): DataFrame = {
     val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
-    val flagged = Dedup.corpus(s, d)
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_words", size(col("words")))
       .withColumn("n_stop", expr(s"size(filter(words, w -> w IN $stopList))"))
@@ -39,6 +42,10 @@ object Curation {
       .withColumn("pass_quality", col("n_words") >= 20 && col("n_stop") * 2 <= col("n_words"))
       // language: english markers present
       .withColumn("pass_lang", col("n_stop") > 0)
+  }
+
+  def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val flagged = gateFlags(Dedup.corpus(s, d))
     val s1 = flagged.filter(col("pass_quality") && col("pass_lang"))
     // exact dedup among survivors: keep the lowest doc_id per content hash
     val s2 = s1.withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))

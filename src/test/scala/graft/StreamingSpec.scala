@@ -275,6 +275,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation gates stream: the batch gate builder runs unchanged on a document stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val gated = graft.operators.Curation.gateFlags(in.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_words", "pass_quality", "pass_lang")
+    val q = gated.writeStream.format("memory").queryName("gates").outputMode("append").start()
+    try {
+      val good = ("the quick value with a of stream data " * 3).trim // stopwords present, 24 words
+      in.addData((1L, good), (2L, "short doc"), (3L, ("nostopword " * 25).trim))
+      q.processAllAvailable()
+      val rows = spark.table("gates").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+      assert(rows(1L) == ((true, true)))   // long + english markers
+      assert(rows(2L)._1 == false)         // too short
+      assert(rows(3L) == ((true, false)))  // long but no english markers
+    } finally q.stop()
+  }
+
   test("socket source e2e: a real TCP network source feeds the gateway parse path") {
     // the one connector class MemoryStream/file-source don't cover: a
     // network socket (Kafka is unavailable in this sandbox; localhost
