@@ -70,6 +70,35 @@ class GatewaySpec extends SparkSpec {
     assert(dec == Set("passthrough_deflate", "inflate_gzip", "inflate_raw", "raw", "deflate", "gzip"))
   }
 
+  test("msgpack_envelope property: random envelopes decode typed; random bytes never throw") {
+    import graft.functions.{Msgpack, MsgpackEnvelope}
+    val rnd = new scala.util.Random(20260812L)
+    def rndStr(): String = {
+      // whole code points only — indexing into a surrogate pair would
+      // build an invalid UTF-16 string no UTF-8 wire format can carry
+      val alphabets = Seq(
+        Seq("a", "b", "c", "d"), Seq("α", "β", "γ"), Seq("模", "块", "名"), Seq("🎈", "o", "k"))
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (1 to (1 + rnd.nextInt(40))).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    (1 to 200).foreach { i =>
+      val mod = rndStr(); val fun = rndStr(); val arg = rnd.nextLong()
+      val ctx = (1 to rnd.nextInt(4)).map(_ => rndStr() -> rndStr()).toMap
+      val row = MsgpackEnvelope.decodeRow(Msgpack.encode(
+        Map("mod" -> mod, "fun" -> fun, "arg" -> arg, "ctx" -> ctx)))
+      assert(row != null, s"case $i decoded to null")
+      assert(row.getUTF8String(0).toString == mod && row.getUTF8String(1).toString == fun)
+      assert(row.getLong(2) == arg)
+      if (ctx.isEmpty) assert(row.getMap(3).numElements() == 0)
+      else assert(row.getMap(3).numElements() == ctx.size)
+    }
+    // fuzz: arbitrary byte junk must yield null or a row, never throw
+    (1 to 500).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+      MsgpackEnvelope.decodeRow(junk) // no exception is the assertion
+    }
+  }
+
   test("msgpack_envelope: typed struct decode; NULL on malformed bytes") {
     import graft.functions.{Msgpack, MsgpackEnvelope}
     MsgpackEnvelope.register(spark)
