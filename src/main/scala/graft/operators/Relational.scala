@@ -173,6 +173,20 @@ object Relational {
       .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       .limit(20)
 
+  /** Fixed-width histogram of a measure — the binning family: 20
+    * integer-exact buckets (floor-divide, top bucket clamps the tail),
+    * per-bucket count, exact-decimal mass, and bounds. Map-side bucket
+    * assignment + one shuffle on the 20-value bucket key; at any scale
+    * this is a single pass. */
+  def qPriceHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("bucket", least(floor(col("l_extendedprice") / 5000), lit(19)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("bucket_total"),
+        min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"))
+
   /** Scalar string functions over part (row-level, codegen'd — no UDFs). */
   def qStringOps(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(
@@ -305,6 +319,7 @@ object Relational {
     "q_semi_anti" -> (qSemiAnti _),
     "q_distinct_stats" -> (qDistinctStats _),
     "q_topn_lineitems" -> (qTopNLineitems _),
+    "q_price_histogram" -> (qPriceHistogram _),
     "q_string_ops" -> (qStringOps _),
     "q_date_ops" -> (qDateOps _),
     "q_math_ops" -> (qMathOps _),
@@ -406,6 +421,12 @@ object Relational {
         |SELECT 'intersect' AS op, k FROM (SELECT k FROM cust INTERSECT SELECT k FROM ord) t1
         |UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM cust EXCEPT SELECT k FROM ord) t2
         |UNION ALL SELECT 'union_distinct' AS op, k FROM (SELECT k FROM cust UNION SELECT k FROM ord) t3""".stripMargin,
+    "q_price_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000), 19) AS INTEGER) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_semi_anti" ->
       """SELECT n_name, 'with_orders' AS grp, COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
