@@ -242,6 +242,22 @@ object Relational {
         dsum(col("value")).as("sum_value"))
 
 
+  /** Semi-structured props through Spark 4's VARIANT type — the modern
+    * path for schema-flexible columns (`parse_json` → binary variant →
+    * typed `variant_get` extraction), complementing the fixed-schema
+    * `from_json` form in [[qJsonEvents]]. The variant parse and field
+    * extraction are row-level and codegen-friendly; the aggregate
+    * shuffles 10 keys. */
+  def qVariantEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'int')"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   /** Full outer join: even-custkey customers vs all orders — both
     * left-orphan (customer without orders) and right-orphan (order whose
     * customer was filtered) rows occur. */
@@ -323,7 +339,8 @@ object Relational {
     "q_string_ops" -> (qStringOps _),
     "q_date_ops" -> (qDateOps _),
     "q_math_ops" -> (qMathOps _),
-    "q_json_events" -> (qJsonEvents _))
+    "q_json_events" -> (qJsonEvents _),
+    "q_variant_events" -> (qVariantEvents _))
 
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -474,6 +491,13 @@ object Relational {
         |  LEAST(l_discount, l_tax) AS min_rate,
         |  CAST(SIGN(l_discount - l_tax) AS DOUBLE) AS rate_sign
         |FROM lineitem""".stripMargin,
+    "q_variant_events" ->
+      """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q_json_events" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

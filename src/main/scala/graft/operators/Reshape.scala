@@ -70,7 +70,22 @@ object Reshape {
         element_at(map_keys(col("m")), 1).as("first_key"),
         element_at(map_values(col("m")), 1).as("first_val"))
 
+  /** UNPIVOT (melt) — the inverse of [[qPivotSegments]]: lineitem's
+    * per-row measures become (metric, value) rows. Spark's native
+    * unpivot keeps this a generator-style single pass (no union of N
+    * scans); the oracle is the dialect-safe UNION ALL form. */
+  def qUnpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "metric_value")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot_measures" -> (qUnpivotMeasures _),
     "q_pivot_segments" -> (qPivotSegments _),
     "q_explode_words" -> (qExplodeWords _),
     "q_null_funcs" -> (qNullFuncs _),
@@ -78,6 +93,15 @@ object Reshape {
     "q_map_ops" -> (qMapOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
     "q_pivot_segments" ->
       """SELECT c_nationkey,
         |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "AUTOMOBILE",
