@@ -84,7 +84,19 @@ object Reshape {
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "metric", "metric_value")
 
+  /** Array aggregation (collect_list family): per-nation sorted key
+    * list. collect_list is merge-order-dependent, so determinism (and
+    * oracle parity) comes from sort_array before serialization — the
+    * required practice whenever an array agg feeds output. */
+  def qArrayAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") % 100 === 0)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("c_custkey"))), ",").as("custkeys"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_agg" -> (qArrayAgg _),
     "q_unpivot_measures" -> (qUnpivotMeasures _),
     "q_pivot_segments" -> (qPivotSegments _),
     "q_explode_words" -> (qExplodeWords _),
@@ -93,6 +105,10 @@ object Reshape {
     "q_map_ops" -> (qMapOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_array_agg" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
+        |FROM customer WHERE c_custkey % 100 = 0 GROUP BY 1""".stripMargin,
     "q_unpivot_measures" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value
         |FROM lineitem WHERE l_orderkey % 50 = 0
