@@ -88,10 +88,48 @@ object Curation {
     a1.crossJoin(a2).crossJoin(a3)
   }
 
+  /** Quality-weighted deterministic downsampling — the corpus-balancing
+    * step after gating: high-quality docs kept at ~90%, the rest at
+    * ~10%, selected by an md5 bucket of doc_id (NOT rand(): every
+    * engine, run, and partitioning keeps the SAME docs — reproducible
+    * training sets). Map-side gate + map-side keep decision + one tiny
+    * grouped aggregate. */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = // 16-bit md5 bucket of the doc id, uniform on [0, 65536)
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)")
+    gateFlags(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .withColumn("keep_rate",
+        when(col("pass_quality") && col("pass_lang"), 58982L).otherwise(6554L))
+      .withColumn("kept", bucket < col("keep_rate"))
+      .groupBy("pass_quality", "pass_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("n_words")).otherwise(0)).cast("long").as("kept_words"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_sample" -> {
+      val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS INTEGER) AS n_words,
+         |    (len(words) >= 20 AND len(list_filter(words, w -> w IN $stopList)) * 2 <= len(words)) AS pass_quality,
+         |    (len(list_filter(words, w -> w IN $stopList)) > 0) AS pass_lang
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+         |k AS (
+         |  SELECT *,
+         |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+         |      < CASE WHEN pass_quality AND pass_lang THEN 58982 ELSE 6554 END) AS kept
+         |  FROM g)
+         |SELECT pass_quality, pass_lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+         |FROM k GROUP BY 1, 2""".stripMargin
+    },
     "q_curation_pipeline" -> {
       val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
       s"""WITH ${Dedup.corpusSql},
