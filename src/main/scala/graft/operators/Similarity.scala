@@ -237,7 +237,71 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
   }
 
+  /** Product quantization (PQ) — the third classic ANN path next to
+    * hyperplane LSH and IVF: 64 dims split into 8 subvectors of 8, each
+    * encoded as its nearest of 16 codebook centroids (16^8 cells), and
+    * query distances estimated by asymmetric distance computation (ADC):
+    * sum over groups of the query-subvector→centroid distance looked up
+    * by the candidate's code.
+    *
+    * Deterministic variant for oracle parity: codebooks are SEEDED (the
+    * 16 lowest sample vec_ids' subvectors, no Lloyd refinement) and every
+    * subdistance is a left-fold L2² scaled to an exact integer
+    * (round(d·10⁶) as BIGINT), so assignment argmin, the ADC sum, and
+    * the final ranking are integer comparisons — bit-identical across
+    * engines with no float-merge-order exposure.
+    *
+    * Scale shape: codebooks are tiny and broadcast; encoding is
+    * map-side; the ADC distance table (queries × 8 groups × 4 cents)
+    * is broadcast; the per-candidate estimate is one groupBy over
+    * (query, candidate) — PQ's win at 100 TB is memory (1 byte/group
+    * per vector) and cheap table-lookup distances, composable with the
+    * IVF cell pruning. Exact L2² of the returned pairs rides along for
+    * error inspection. */
+  def qSimPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+    val grpSlice = "slice(ce, grp * 8 + 1, 8)"
+    // integer-exact subdistance: left-fold L2^2 of two 8-dim slices, x1e6
+    def d6(a: String, b: String) =
+      s"CAST(round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        s"CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000, 0) AS BIGINT)"
+    val cents = e.filter(col("vec_id") % 8 === 0).orderBy("vec_id").limit(16)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"), col("ce"))
+      .select(col("cid"), explode(sequence(lit(0), lit(7))).as("grp"), col("ce"))
+      .select(col("cid"), col("grp"), expr(grpSlice).as("cent"))
+    val subs = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("grp"), col("ce"))
+      .select(col("vec_id"), col("grp"), expr(grpSlice).as("sub"))
+    val codes = subs.join(broadcast(cents), "grp")
+      .withColumn("dd", expr(d6("sub", "cent")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "grp").orderBy(col("dd"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("grp"), col("cid").as("code"))
+    val qd = subs.filter(col("vec_id") % 20 === 0)
+      .join(broadcast(cents), "grp")
+      .select(col("vec_id").as("q_id"), col("grp"), col("cid"),
+        expr(d6("sub", "cent")).as("d6"))
+    val est = codes.join(broadcast(qd),
+        codes("grp") === qd("grp") && codes("code") === qd("cid") &&
+        codes("vec_id") =!= qd("q_id"))
+      .groupBy(col("q_id"), codes("vec_id").as("c_id"))
+      .agg(sum(col("d6")).as("e6"))
+    val ranked = est.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("e6"), col("c_id"))))
+      .filter(col("rank") <= 5)
+    val qv = e.select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    val cv = e.select(col("vec_id").as("c_id"), col("ce"))
+    ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
+        (col("e6") / 1000000.0).as("est_d2"),
+        expr("""round(aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_pq" -> (qSimPq _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -295,7 +359,49 @@ object Similarity {
        |  SELECT cid, list_transform(list_sort(list(struct_pack(dim := dim, m := m))), p -> p.m) AS centroid
        |  FROM $m GROUP BY cid)""".stripMargin
 
+  /** Integer-exact PQ subdistance in DuckDB: left-fold L2² of two 8-dim
+    * slices ×1e6 as BIGINT (mirrors the Spark aggregate/zip_with fold). */
+  private def dkD6(a: String, b: String): String =
+    s"""CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |  (acc, x) -> acc + x) * 1000000) AS BIGINT)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_sim_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |grps AS (SELECT unnest(range(0, 8)) AS grp),
+         |seeds AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce
+         |  FROM (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0 ORDER BY vec_id LIMIT 16)),
+         |cents AS (
+         |  SELECT cid, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS cent FROM seeds, grps),
+         |subs AS (
+         |  SELECT vec_id, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS sub FROM e, grps),
+         |codes AS (
+         |  SELECT vec_id, grp, cid AS code FROM (
+         |    SELECT s.vec_id, s.grp, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.grp
+         |        ORDER BY ${dkD6("s.sub", "c.cent")}, c.cid) AS rn
+         |    FROM subs s JOIN cents c USING (grp)) WHERE rn = 1),
+         |qd AS (
+         |  SELECT s.vec_id AS q_id, s.grp, c.cid, ${dkD6("s.sub", "c.cent")} AS d6
+         |  FROM subs s JOIN cents c USING (grp) WHERE s.vec_id % 20 = 0),
+         |est AS (
+         |  SELECT qd.q_id, codes.vec_id AS c_id, SUM(qd.d6) AS e6
+         |  FROM codes JOIN qd ON codes.grp = qd.grp AND codes.code = qd.cid
+         |    AND codes.vec_id <> qd.q_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, c_id, e6,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY e6, c_id) AS INTEGER) AS rank
+         |  FROM est)
+         |SELECT r.q_id, r.rank, r.c_id AS neighbor_id,
+         |  r.e6 / 1000000.0 AS est_d2,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> (qv.ce[i] - cv.ce[i]) * (qv.ce[i] - cv.ce[i]))),
+         |    (acc, x) -> acc + x), 6) AS exact_d2
+         |FROM ranked r JOIN e qv ON r.q_id = qv.vec_id JOIN e cv ON r.c_id = cv.vec_id
+         |WHERE r.rank <= 5""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),

@@ -56,6 +56,28 @@ class PipelineSpec extends SparkSpec {
     assert(hit.toDouble / nBf >= 0.25, s"recall ${hit.toDouble / nBf} too low")
   }
 
+  test("PQ ADC: 5 ranked neighbors per query, exact distance rides along, recall positive") {
+    val pq = Similarity.qSimPq(spark, sf).cache()
+    val perQ = pq.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0)
+    assert(pq.filter(col("est_d2") < 0 || col("exact_d2") < 0).count() == 0)
+    // recall floor vs exact L2 top-5: random near-orthogonal embeddings
+    // are PQ's worst case (distance concentration), so the bound is low
+    // but must stay positive — observed 0.128 at sf0.001 with 16 cells
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as ce")
+    val q = e.filter(col("vec_id") % 20 === 0).select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    val d2 = expr("""aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
+                     CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("d2"), col("vec_id"))
+    val bf = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("d2", d2).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val hit = bf.join(pq.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(hit.toDouble / bf.count() >= 0.06, s"PQ recall ${hit.toDouble / bf.count()} too low")
+  }
+
   test("embedding near-dup pairs: every injected near copy is recovered at cosine >= 0.95") {
     val pairs = Similarity.qSimNearDupPairs(spark, sf).cache()
     val injected = pairs.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
