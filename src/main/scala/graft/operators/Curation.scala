@@ -47,10 +47,18 @@ object Curation {
   def qCurationPipeline(s: SparkSession, d: String): DataFrame = {
     val flagged = gateFlags(Dedup.corpus(s, d))
     val s1 = flagged.filter(col("pass_quality") && col("pass_lang"))
-    // exact dedup among survivors: keep the lowest doc_id per content hash
-    val s2 = s1.withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("keep_id"))
-      .select(col("doc_id"), col("text"), col("n_words"))
+    // exact dedup among survivors: keep the lowest doc_id per content hash.
+    // s2 (the gated, exact-deduped corpus) feeds THREE downstream branches
+    // — the signature build, the a2 count, and the a3 survivor aggregate —
+    // so it is persisted; without the cache each branch re-runs the gate +
+    // window-dedup lineage, i.e. two redundant passes over the gated
+    // corpus at 100 TB. Released by the harness via CacheTracker once the
+    // funnel row materializes.
+    val s2 = graft.CacheTracker.track(
+      s1.withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("text"), col("n_words"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // near-dup removal among the exact-deduped survivors: verified LSH
     // pairs (jaccard >= 0.5) drop their higher id
     // persisted cache outlives the builder — released via CacheTracker

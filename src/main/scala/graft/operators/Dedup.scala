@@ -212,9 +212,18 @@ object Dedup {
     * The oracle computes the same fixpoint as a recursive transitive
     * closure + MIN, which is only feasible on small data — the
     * propagation form is the one that scales. */
-  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    clustersFromPairs(qDedupLshPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** Clustering decoupled from pair generation: takes any verified-pairs
+    * relation `(a_id, b_id)` — a pipeline that already materialized
+    * `q_dedup_lsh_pairs` (or holds it CacheTracker-persisted) passes it
+    * here and pays only for the propagation, not LSH-again; the
+    * registry entry composes the two for the standalone oracle check.
+    * PipelineSpec proves supplied-pairs ≡ standalone. */
+  def clustersFromPairs(pairsIn: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+    val pairs = pairsIn.select(col("a_id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.union(pairs.select(col("b_id"), col("a_id")).toDF("a_id", "b_id"))
     // init fused with propagation step 1: label(v) = min(v, neighbors)

@@ -213,6 +213,21 @@ class PipelineSpec extends SparkSpec {
     CacheTracker.releaseAll()
   }
 
+  test("clusters from a supplied pairs relation match the standalone composition") {
+    // a pipeline that already materialized the verified pairs passes them
+    // straight to clustering — no LSH re-run; result must be identical
+    val pairs = Dedup.qDedupLshPairs(spark, sf).select("a_id", "b_id").cache()
+    try {
+      pairs.count() // materialize so clustering never touches the LSH lineage
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val supplied = rows(Dedup.clustersFromPairs(pairs))
+      CacheTracker.releaseAll()
+      val standalone = rows(Dedup.qDedupClusters(spark, sf))
+      assert(supplied.nonEmpty && supplied == standalone)
+    } finally { pairs.unpersist(); CacheTracker.releaseAll() }
+  }
+
   test("decontamination flags every eval-span source doc; gopher rules are sane") {
     val c = TextAnalysis.qDecontaminate(spark, sf).cache()
     // each doc_id%50==0 doc donated words 4..28 as an eval item — its

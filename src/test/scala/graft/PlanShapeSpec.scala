@@ -91,4 +91,26 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n${p.take(800)}")
   }
+
+  test("curation funnel reads the gated corpus once (s2/sigs cached, not recomputed per branch)") {
+    // The funnel's a2/a3 branches and the signature build must come from
+    // the persisted s2/sigs relations: the only parquet scans left in the
+    // main job graph are the single gate pass over the 3-branch derived
+    // corpus (the cache-population lineage executes once, inside the
+    // InMemoryRelation). Counted on the optimized LOGICAL plan — cached
+    // plan toString re-prints its lineage, so string counts lie.
+    try {
+      val qe = SparkEntry.queries("q_curation_pipeline")(spark, sf).queryExecution
+      val scans = qe.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      val cached = qe.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(scans.length == 3,
+        s"expected the single 3-union gate pass, got ${scans.length} parquet scans")
+      assert(cached.length >= 3,
+        s"s2/sigs branches must read the cache, got ${cached.length} InMemoryRelations")
+    } finally CacheTracker.releaseAll()
+  }
 }
