@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * the right side arrives sorted (key, time, tie), and a per-key binary
   * search resolves each left row — O(|L| log |R_k|) with no row
   * amplification, versus the composed form's |L|·|matches| intermediate
-  * blowup. Key/time/tie may be any integral, date, or timestamp type;
+  * blowup. The per-key right buffer is SPILL-SAFE: rows live in the
+  * same ExternalAppendOnlyUnsafeRowArray structure SortMergeJoinExec
+  * buffers its matches in (via [[org.apache.spark.sql.execution.GraftSpillableRowBuffer]]),
+  * governed by the sortMergeJoinExec.buffer.* thresholds — a skewed key
+  * with millions of right rows degrades to disk instead of OOMing the
+  * task. Key/time/tie may be any integral, date, or timestamp type;
   * [[AsOfStrategy]] widens narrow types to LONG (order- and
   * equality-preserving), so the exec reads every value as a Java long
   * and participates in whole-stage codegen.
@@ -80,6 +85,17 @@ case class AsOfJoinExec(
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
       SortOrder(rightTie, Ascending)))
 
+  // Per-key right-buffer thresholds: the same knobs SortMergeJoinExec
+  // uses for its matched-group buffer — beyond the in-memory row count
+  // the buffer spills via UnsafeExternalSorter instead of OOMing the
+  // task on a skewed key (one key with millions of right rows). The
+  // time column rides in a primitive long[] for the binary search
+  // (8 bytes/row — the row payload, not the index, is the memory risk).
+  private def bufferThresholds: (Int, Int, Long) = (
+    conf.sortMergeJoinExecBufferInMemoryThreshold,
+    conf.sortMergeJoinExecBufferSpillThreshold,
+    conf.sortMergeJoinExecBufferSpillSizeThreshold)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val lTime = BindReferences.bindReference(leftTime, left.output)
@@ -87,6 +103,7 @@ case class AsOfJoinExec(
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val rightSchema = right.output
     val outAttrs = output
+    val (inMemT, spillT, spillSzT) = bufferThresholds
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joiner = new JoinedRow
@@ -96,13 +113,15 @@ case class AsOfJoinExec(
         rightSchema.length)
       val rBuf = rIter.buffered
 
-      // per-key buffer of right rows (sorted by time, tie — child ordering)
+      // per-key buffer of right rows (sorted by time, tie — child
+      // ordering); rows live in the spill-safe buffer, times in a
+      // parallel primitive array for the binary search
       var bufKey = Long.MinValue
       var bufValid = false
-      var times: Array[Long] = Array.emptyLongArray
-      var rows: Array[InternalRow] = Array.empty
-      val rowsTmp = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      val timesTmp = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val rows = new org.apache.spark.sql.execution.GraftSpillableRowBuffer(
+        inMemT, spillT, spillSzT)
+      var times: Array[Long] = new Array[Long](16)
+      var nTimes = 0
 
       def loadKey(k: Long): Unit = {
         // skip right groups below k — null-keyed right rows sort first
@@ -112,19 +131,25 @@ case class AsOfJoinExec(
           val rv = rKey.eval(rBuf.head)
           rv == null || rv.asInstanceOf[Long] < k
         }) rBuf.next()
-        rowsTmp.clear(); timesTmp.clear()
+        rows.clear(); nTimes = 0
         while (rBuf.hasNext && {
           val rv = rKey.eval(rBuf.head)
           rv != null && rv.asInstanceOf[Long] == k
         }) {
-          val r = rBuf.next().copy()
+          // rows.add copies internally, so the sort iterator's reused
+          // row instance is safe to hand over uncopied; time is read
+          // before the next head() overwrites the instance
+          val r = rBuf.next()
           // a null right time can never satisfy time <= cutoff (SQL
           // comparison semantics) — exclude it from the buffer
           val tv = rTime.eval(r)
-          if (tv != null) { rowsTmp += r; timesTmp += tv.asInstanceOf[Long] }
+          if (tv != null) {
+            if (nTimes == times.length) times = java.util.Arrays.copyOf(times, nTimes * 2)
+            times(nTimes) = tv.asInstanceOf[Long]
+            nTimes += 1
+            rows.add(r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow])
+          }
         }
-        times = timesTmp.toArray
-        rows = rowsTmp.toArray
         bufKey = k
         bufValid = true
       }
@@ -147,13 +172,13 @@ case class AsOfJoinExec(
         val cutoff = cv.asInstanceOf[Long]
         // binary search: last index with time <= cutoff (ties already
         // ordered by tie ascending → last one is the max tie)
-        var lo = 0; var hi = times.length - 1; var ans = -1
+        var lo = 0; var hi = nTimes - 1; var ans = -1
         while (lo <= hi) {
           val mid = (lo + hi) >>> 1
           if (times(mid) <= cutoff) { ans = mid; lo = mid + 1 } else hi = mid - 1
         }
         val joined =
-          if (ans >= 0) joiner(lRow, rows(ans)) else joiner(lRow, nullRight)
+          if (ans >= 0) joiner(lRow, rows.get(ans)) else joiner(lRow, nullRight)
         toUnsafe(joined)
         }
       }
@@ -175,13 +200,18 @@ case class AsOfJoinExec(
   override def needCopyResult: Boolean = true
 
   override protected def doProduce(ctx: CodegenContext): String = {
+    val (inMemT, spillT, spillSzT) = bufferThresholds
     val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
       v => s"$v = inputs[0];")
     val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
       v => s"$v = inputs[1];")
     val heldRight = ctx.addMutableState("InternalRow", "asofHeldRight")
-    val bufRows = ctx.addMutableState("java.util.ArrayList<InternalRow>", "asofBufRows",
-      v => s"$v = new java.util.ArrayList<InternalRow>();")
+    // spill-safe per-key row buffer (the SortMergeJoin matched-buffer
+    // structure); the parallel long[] of times serves the binary search
+    val bufRows = ctx.addMutableState(
+      "org.apache.spark.sql.execution.GraftSpillableRowBuffer", "asofBufRows",
+      v => s"$v = new org.apache.spark.sql.execution.GraftSpillableRowBuffer(" +
+        s"$inMemT, $spillT, ${spillSzT}L);")
     val bufTimes = ctx.addMutableState("long[]", "asofBufTimes",
       v => s"$v = new long[16];")
     val bufLen = ctx.addMutableState("int", "asofBufLen")
@@ -214,7 +244,8 @@ case class AsOfJoinExec(
          |      $bufTimes = grown;
          |    }
          |    $bufTimes[$bufLen++] = ${rtEv.value};
-         |    $bufRows.add($rrow.copy());
+         |    // add() copies — the iterator's reused row instance is safe
+         |    $bufRows.add((org.apache.spark.sql.catalyst.expressions.UnsafeRow) $rrow);
          |  }
          |  $bufKey = k;
          |  $bufValid = true;
@@ -281,6 +312,7 @@ case class AsOfJoinExec(
        |    }
        |  }
        |  InternalRow $matched = ($ans >= 0) ? (InternalRow) $bufRows.get($ans) : null;
+       |  // (spilled buffers return a reused row — consumed before the next get)
        |  $leftVarsCode
        |  $rightVarsCode
        |  ${consume(ctx, leftVars ++ rightVars).trim}

@@ -88,6 +88,56 @@ class AsOfJoinSpec extends SparkSpec {
     native.zip(composed).foreach { case (n, c) => assert(n == c, s"native $n != composed $c") }
   }
 
+  test("skewed key spills the right buffer to disk, stays correct, and stays codegen'd") {
+    import spark.implicits._
+    // One hot key carries 100k right rows — far beyond the forced-down
+    // buffer thresholds, so the per-key buffer must go through the
+    // spillable path (the r4 verdict's OOM scenario) instead of holding
+    // every row of the group on heap.
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "32")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "1024")
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hot = 7L
+      val rnd = new scala.util.Random(7L)
+      val l = ((1 to 40).map(i => (i.toLong, hot, rnd.nextInt(100000).toLong)) ++
+        (41 to 60).map(i => (i.toLong, (i % 3).toLong, rnd.nextInt(1000).toLong)))
+        .toDF("id", "k", "t")
+      // tie is unique so native (max tie) and composed (tie desc) agree
+      val r = ((1 to 100000).map(i => (hot, rnd.nextInt(100000).toLong, i.toLong, rnd.nextLong())) ++
+        (1 to 500).map(i => ((i % 3).toLong, rnd.nextInt(1000).toLong, 100000L + i, rnd.nextLong())))
+        .toDF("rk", "rt", "tie", "payload")
+      val df = nativeAsof(l, r)
+      // materialize THIS QueryExecution so AQE finalizes the plan we assert on
+      assert(df.collect().length == 60)
+      val cols = Seq("id", "k", "t", "rk", "rt", "tie", "payload").map(col)
+      val native = df.select(cols: _*).collect().map(_.toSeq).sortBy(_.toString)
+      val composed = composedAsof(l, r).select(cols: _*).collect().map(_.toSeq).sortBy(_.toString)
+      assert(native.length == 60)
+      assert(native.length == composed.length)
+      native.zip(composed).foreach { case (n, c) => assert(n == c, s"native $n != composed $c") }
+      // the buffer really spilled (listener delivery is async — poll)
+      var tries = 0
+      while (spilled.get == 0 && tries < 40) { Thread.sleep(100); tries += 1 }
+      assert(spilled.get > 0, "expected nonzero spill metrics from the hot-key buffer")
+      // and the plan still runs inside whole-stage codegen
+      val plan = df.queryExecution.executedPlan.toString
+      assert("\\*\\(\\d+\\) AsOfJoin".r.findFirstIn(plan).isDefined,
+        s"AsOfJoin not codegen'd under spill confs:\n${plan.take(1200)}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    }
+  }
+
   test("as-of join participates in whole-stage codegen") {
     import spark.implicits._
     val l = (1 to 50).map(i => (i.toLong, (i % 5).toLong, i.toLong)).toDF("id", "k", "t")
