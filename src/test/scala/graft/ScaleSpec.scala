@@ -99,6 +99,53 @@ class ScaleSpec extends SparkSpec {
     assert(j.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("memory-constrained windowed aggregation spills to disk and stays correct") {
+    // The 100 TB story must survive memory pressure, not just have the
+    // right shuffle shapes: force WindowExec's row buffer (the same
+    // spillable ExternalAppendOnlyUnsafeRowArray structure the as-of
+    // join and SortMergeJoin use) down to a few rows so a running
+    // aggregation over full partitions has to spill, and prove the
+    // result is bit-identical to the unconstrained plan with nonzero
+    // spill metrics captured.
+    import org.apache.spark.sql.expressions.Window
+    val keep = Seq(
+      "spark.sql.windowExec.buffer.in.memory.threshold",
+      "spark.sql.windowExec.buffer.spill.threshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    val w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    def running = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).as("run_qty"),
+        row_number().over(w).as("rn"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    val baseline = running.collect()
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "16")
+      spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "128")
+      val constrained = running.collect()
+      assert(constrained.length == baseline.length)
+      constrained.zip(baseline).foreach { case (a, b) =>
+        assert(a == b, s"spilled run diverged: $a != $b") }
+      var tries = 0
+      while (spilled.get == 0 && tries < 40) { Thread.sleep(100); tries += 1 }
+      assert(spilled.get > 0, "expected nonzero spill metrics under constrained window buffer")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffled join") {
     // At 100 TB a selective dim filter should reach the fact scan even
     // when the dim is too big to broadcast: Spark's InjectRuntimeFilter
