@@ -22,6 +22,13 @@ import scala.util.control.NonFatal
   * Null contract: undecodable bytes, trailing garbage, or a non-map
   * top-level value yield a NULL struct; a well-formed map yields a row
   * whose individual fields are NULL where absent or differently typed.
+  *
+  * `arg` is typed VARIANT: the reference's `arg` is a dynamic `any`
+  * (`gateway.ts:192`), so ANY well-formed msgpack value — int, string,
+  * bool, double, binary, nested array/map — decodes losslessly into the
+  * open variant encoding and stays queryable through `variant_get`
+  * with pruning intact (the same Spark-4 path `q_variant_events`
+  * exercises for JSON).
   */
 case class MsgpackEnvelope(child: Expression) extends UnaryExpression {
 
@@ -50,8 +57,50 @@ object MsgpackEnvelope {
   val schema: StructType = StructType(Seq(
     StructField("mod", StringType),
     StructField("fun", StringType),
-    StructField("arg", LongType),
+    StructField("arg", VariantType),
     StructField("ctx", MapType(StringType, StringType))))
+
+  /** Decoded-msgpack value → Spark VARIANT, recursively (msgpack's
+    * dynamic value space embeds exactly: nil/bool/int/double/str/bin
+    * plus nested arrays and string-keyed objects). */
+  private def appendValue(b: org.apache.spark.types.variant.VariantBuilder, v: Any): Unit =
+    v match {
+      case null => b.appendNull()
+      case l: Long => b.appendLong(l)
+      case i: Int => b.appendLong(i.toLong)
+      case s: String => b.appendString(s)
+      case bo: Boolean => b.appendBoolean(bo)
+      case d: Double => b.appendDouble(d)
+      case bytes: Array[Byte] => b.appendBinary(bytes)
+      case m: Map[_, _] =>
+        val start = b.getWritePos
+        val fields = new java.util.ArrayList[
+          org.apache.spark.types.variant.VariantBuilder.FieldEntry]()
+        m.foreach { case (k, mv) =>
+          val key = String.valueOf(k) // msgpack allows non-string keys; variant doesn't
+          val id = b.addKey(key)
+          fields.add(new org.apache.spark.types.variant.VariantBuilder.FieldEntry(
+            key, id, b.getWritePos - start))
+          appendValue(b, mv)
+        }
+        b.finishWritingObject(start, fields)
+      case xs: Seq[_] =>
+        val start = b.getWritePos
+        val offsets = new java.util.ArrayList[Integer]()
+        xs.foreach { e =>
+          offsets.add(Int.box(b.getWritePos - start))
+          appendValue(b, e)
+        }
+        b.finishWritingArray(start, offsets)
+      case other => b.appendString(String.valueOf(other))
+    }
+
+  private def toVariant(v: Any): org.apache.spark.unsafe.types.VariantVal = {
+    val b = new org.apache.spark.types.variant.VariantBuilder(false)
+    appendValue(b, v)
+    val res = b.result()
+    new org.apache.spark.unsafe.types.VariantVal(res.getValue, res.getMetadata)
+  }
 
   /** Decode one envelope; null on malformed input (see class doc). */
   def decodeRow(bytes: Array[Byte]): InternalRow = try {
@@ -62,9 +111,11 @@ object MsgpackEnvelope {
           case Some(s: String) => UTF8String.fromString(s)
           case _ => null
         }
+        // arg is the reference's dynamic `any` — absent field stays
+        // NULL, any present value (even msgpack nil) becomes a variant
         val arg = mm.get("arg") match {
-          case Some(l: Long) => java.lang.Long.valueOf(l)
-          case _ => null
+          case Some(v) => toVariant(v)
+          case None => null
         }
         val ctx = mm.get("ctx") match {
           case Some(c: Map[_, _]) if c.forall { case (k, v) =>

@@ -299,10 +299,12 @@ object Gateway {
         substring(md5(uid), 1, 28).as("wxuser"))
       .withColumn("packet", enc(col("mod_name"), col("fun"), col("user_id"), col("wxuser")))
       .withColumn("env", expr("msgpack_envelope(packet)"))
+      // arg decodes as VARIANT (the reference's dynamic `any`) — the
+      // integer comes back out through the typed variant_get path
       .select(col("event_id"), col("mod_name"),
         octet_length(col("packet")).as("packet_len"),
         (col("env.mod") === col("mod_name") &&
-          col("env.arg") === col("user_id")).as("roundtrip_ok"))
+          expr("variant_get(env.arg, '$', 'bigint')") === col("user_id")).as("roundtrip_ok"))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

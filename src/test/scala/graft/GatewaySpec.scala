@@ -81,14 +81,28 @@ class GatewaySpec extends SparkSpec {
       val a = alphabets(rnd.nextInt(alphabets.length))
       (1 to (1 + rnd.nextInt(40))).map(_ => a(rnd.nextInt(a.length))).mkString
     }
+    // arg is the reference's dynamic `any` — draw a mixed-type value and
+    // assert the VARIANT decode preserves it (json round-trip per type)
+    def rndArg(): (Any, String) = rnd.nextInt(6) match {
+      case 0 => val l = rnd.nextLong(); (l, l.toString)
+      case 1 => val s = "str" + rnd.nextInt(1000); (s, "\"" + s + "\"")
+      case 2 => val b = rnd.nextBoolean(); (b, b.toString)
+      case 3 => (null, "null")
+      case 4 => val xs = Seq(1L, 2L, rnd.nextInt(9).toLong); (xs, s"[1,2,${xs(2)}]")
+      case 5 => val v = rnd.nextInt(99).toLong; (Map("k" -> v), s"""{"k":$v}""")
+    }
+    val utc = java.time.ZoneId.of("UTC")
     (1 to 200).foreach { i =>
-      val mod = rndStr(); val fun = rndStr(); val arg = rnd.nextLong()
+      val mod = rndStr(); val fun = rndStr(); val (arg, argJson) = rndArg()
       val ctx = (1 to rnd.nextInt(4)).map(_ => rndStr() -> rndStr()).toMap
       val row = MsgpackEnvelope.decodeRow(Msgpack.encode(
         Map("mod" -> mod, "fun" -> fun, "arg" -> arg, "ctx" -> ctx)))
       assert(row != null, s"case $i decoded to null")
       assert(row.getUTF8String(0).toString == mod && row.getUTF8String(1).toString == fun)
-      assert(row.getLong(2) == arg)
+      val v = row.get(2, org.apache.spark.sql.types.VariantType)
+        .asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+      assert(v != null, s"case $i: present arg must decode non-NULL (was $arg)")
+      assert(v.toJson(utc) == argJson, s"case $i: variant ${v.toJson(utc)} != $argJson")
       if (ctx.isEmpty) assert(row.getMap(3).numElements() == 0)
       else assert(row.getMap(3).numElements() == ctx.size)
     }
@@ -115,15 +129,21 @@ class GatewaySpec extends SparkSpec {
       .toDF("k", "b")
       .selectExpr("k", "msgpack_envelope(b) AS env")
       .collect().map(r => r.getString(0) -> r).toMap
+    val utc = java.time.ZoneId.of("UTC")
+    def argJson(r: org.apache.spark.sql.Row): String =
+      r.getAs[org.apache.spark.unsafe.types.VariantVal]("arg").toJson(utc)
     val g = rows("good").getStruct(1)
     assert(g.getAs[String]("mod") == "wx" && g.getAs[String]("fun") == "call")
-    assert(g.getAs[Long]("arg") == 7L)
+    assert(argJson(g) == "7")
     assert(g.getAs[Map[String, String]]("ctx") == Map("wxuser" -> "u1"))
     val p = rows("partial").getStruct(1)
     assert(p.getAs[String]("mod") == "only" && p.isNullAt(p.fieldIndex("fun"))
       && p.isNullAt(p.fieldIndex("arg")) && p.isNullAt(p.fieldIndex("ctx")))
-    val m = rows("mistyped").getStruct(1) // map decodes; wrong-typed fields null
-    assert(m.isNullAt(m.fieldIndex("mod")) && m.isNullAt(m.fieldIndex("arg")))
+    val m = rows("mistyped").getStruct(1) // map decodes; mistyped mod nulls,
+    assert(m.isNullAt(m.fieldIndex("mod")))
+    // ...but a non-integer arg is FAITHFUL now: the dynamic `any` decodes
+    // as a variant string instead of silently nulling (r4 verdict #4)
+    assert(argJson(m) == "\"nope\"")
     Seq("nonmap", "garbage", "trunc").foreach { k =>
       assert(rows(k).isNullAt(1), s"$k should decode to NULL")
     }
