@@ -169,35 +169,34 @@ object Similarity {
     * partition merge order). PipelineSpec additionally checks recall
     * vs brute force.
     */
-  def qSimIvf(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val k = 8
-    // the corpus feeds 2 train assignments + the index pass + the probe
-    // pass — persist so the parquet scan and float cast run once (at
-    // cluster scale this is the materialized sample/index relation)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def assign(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("sim", expr("round(cosine_sim(ce, centroid), 6)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
-        .filter(col("rn") <= n)
-    // -- train on a deterministic 1/8 sample (vec_id % 8 == 0): the
-    // quantizer only needs the corpus's coarse cluster structure, so at
-    // 100 TB the Lloyd iterations must not scan the full relation — the
-    // full corpus is touched only by the map-side broadcast assignment
-    // below. Init is deterministic + 2 Lloyd iterations; each round's
-    // centroids are cached (8 tiny rows) — without this every broadcast
-    // re-derives the full lineage and the train cost grows per iteration.
+  /** Cosine argmin assignment of every `df` row against a broadcast
+    * centroid relation, keeping each row's `n` nearest cells (rounded
+    * sim + cid tie-break — deterministic across engines). */
+  private def assignCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("sim", expr("round(cosine_sim(ce, centroid), 6)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))))
+      .filter(col("rn") <= n)
+
+  /** Coarse k-means quantizer trained on the deterministic 1/8 sample
+    * (vec_id % 8 == 0): deterministic seed (k lowest sample ids) + 2
+    * Lloyd iterations with vec_id-sorted left-fold means (bit-identical
+    * to the oracle's unrolled CTEs), materialized to the driver and
+    * returned as a (cid, centroid) literal relation so downstream plans
+    * carry no training lineage. At 100 TB training never scans the full
+    * relation — the full corpus is touched only by the map-side
+    * broadcast assignment. */
+  private def ivfCentroidsLit(e: DataFrame, k: Int): DataFrame = {
     val sample = e.filter(col("vec_id") % 8 === 0)
+    // each round's centroids are cached (k tiny rows) — without this
+    // every broadcast re-derives the full lineage per iteration
     var centroids = sample.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
         col("ce").as("centroid"))
       .cache()
     for (_ <- 1 to 2) {
-      val next = assign(sample, centroids, 1)
+      val next = assignCells(sample, centroids, 1)
         .select(col("vec_id"), col("cid"), posexplode(col("ce")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         // vec_id-sorted left-fold mean: merge-order-independent
@@ -212,22 +211,30 @@ object Similarity {
       centroids.unpersist()
       centroids = next
     }
-    // -- train done. The centroids are k tiny rows: materialize them to
-    // the driver and release every cached block now (the session is
-    // shared across queries — leaked MEMORY_AND_DISK blocks would
-    // accumulate per invocation), then rebuild them as a literal
-    // relation so the probe plan carries no training lineage at all.
     val centRows = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     centroids.unpersist()
+    import e.sparkSession.implicits._
+    centRows.toSeq.toDF("cid", "centroid")
+  }
+
+  def qSimIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // the corpus feeds 2 train assignments + the index pass + the probe
+    // pass — persist so the parquet scan and float cast run once (at
+    // cluster scale this is the materialized sample/index relation);
+    // released after the centroids are materialized to the driver (the
+    // session is shared across queries — leaked blocks would accumulate)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centLit = ivfCentroidsLit(e, k = 8)
     e.unpersist()
-    import s.implicits._
-    val centLit = centRows.toSeq.toDF("cid", "centroid")
     // -- index: assign every vector to its cell (fresh map-side scan)
-    val cells = assign(e, centLit, 1)
+    val cells = assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
     // -- search: queries probe their nprobe=2 nearest cells
-    val probes = assign(e.filter(col("vec_id") % 20 === 0), centLit, 2)
+    val probes = assignCells(e.filter(col("vec_id") % 20 === 0), centLit, 2)
       .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
     cells.join(broadcast(probes), Seq("cid")).filter(col("q_id") =!= col("c_id"))
@@ -244,49 +251,147 @@ object Similarity {
     * sum over groups of the query-subvector→centroid distance looked up
     * by the candidate's code.
     *
-    * Deterministic variant for oracle parity: codebooks are SEEDED (the
-    * 16 lowest sample vec_ids' subvectors, no Lloyd refinement) and every
-    * subdistance is a left-fold L2² scaled to an exact integer
-    * (round(d·10⁶) as BIGINT), so assignment argmin, the ADC sum, and
-    * the final ranking are integer comparisons — bit-identical across
-    * engines with no float-merge-order exposure.
+    * Deterministic and oracle-checked even though the codebooks are
+    * TRAINED (seeds + one Lloyd refinement per subspace on the 1/8
+    * sample — [[pqCodebooksLit]]): every subdistance is a left-fold L2²
+    * scaled to an exact integer (round(d·10⁶) as BIGINT), so assignment
+    * argmin, the ADC sum, and the final ranking are integer comparisons,
+    * and the refined codebook means use the same vec_id-sorted fold
+    * contract as the IVF quantizer — bit-identical across engines with
+    * no float-merge-order exposure.
     *
     * Scale shape: codebooks are tiny and broadcast; encoding is
-    * map-side; the ADC distance table (queries × 8 groups × 4 cents)
+    * map-side; the ADC distance table (queries × 8 groups × 16 cents)
     * is broadcast; the per-candidate estimate is one groupBy over
     * (query, candidate) — PQ's win at 100 TB is memory (1 byte/group
-    * per vector) and cheap table-lookup distances, composable with the
-    * IVF cell pruning. Exact L2² of the returned pairs rides along for
-    * error inspection. */
-  def qSimPq(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-    val grpSlice = "slice(ce, grp * 8 + 1, 8)"
-    // integer-exact subdistance: left-fold L2^2 of two 8-dim slices, x1e6
-    def d6(a: String, b: String) =
-      s"CAST(round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-        s"CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000, 0) AS BIGINT)"
-    val cents = e.filter(col("vec_id") % 8 === 0).orderBy("vec_id").limit(16)
+    * per vector) and cheap table-lookup distances, composed with IVF
+    * cell pruning in [[qSimIvfPq]]. Exact L2² of the returned pairs
+    * rides along for error inspection. */
+  private val grpSlice = "slice(ce, grp * 8 + 1, 8)"
+
+  /** Integer-exact PQ subdistance: left-fold L2² of two 8-dim slices,
+    * scaled ×1e6 to BIGINT so argmin/ADC-sum/ranking are pure integer
+    * comparisons (no float-merge-order exposure). */
+  private def d6(a: String, b: String) =
+    s"CAST(round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000, 0) AS BIGINT)"
+
+  /** Per-subspace 8-dim subvectors of every corpus vector (8 rows/vec). */
+  private def subvectors(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("grp"), col("ce"))
+    .select(col("vec_id"), col("grp"), expr(grpSlice).as("sub"))
+
+  /** PQ codebooks TRAINED on the deterministic 1/8 sample: per 8-dim
+    * subspace, 16 seeds (the lowest sample vec_ids' subvectors) refined
+    * by one Lloyd iteration — integer-exact d6 assignment, vec_id-sorted
+    * left-fold means (the same fold contract as the IVF quantizer, so
+    * both engines produce bit-identical refined codebooks) — then
+    * materialized to the driver as a (grp, cid, cent) literal relation.
+    * Training touches only the sample; the full corpus meets the
+    * codebooks in the map-side broadcast encode. */
+  private def pqCodebooksLit(e: DataFrame): DataFrame = {
+    val sample = e.filter(col("vec_id") % 8 === 0)
+    val seeds = sample.orderBy("vec_id").limit(16)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"), col("ce"))
       .select(col("cid"), explode(sequence(lit(0), lit(7))).as("grp"), col("ce"))
       .select(col("cid"), col("grp"), expr(grpSlice).as("cent"))
-    val subs = e
-      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("grp"), col("ce"))
-      .select(col("vec_id"), col("grp"), expr(grpSlice).as("sub"))
-    val codes = subs.join(broadcast(cents), "grp")
+    val refined = subvectors(sample).join(broadcast(seeds), "grp")
+      .withColumn("dd", expr(d6("sub", "cent")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "grp").orderBy(col("dd"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("cid"), col("vec_id"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy("grp", "cid", "dim")
+      // vec_id-sorted left-fold mean: merge-order-independent
+      .agg(expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, x))), p -> p.x),
+                   CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("sx"),
+        count(lit(1)).as("cnt"))
+      .withColumn("m", col("sx") / col("cnt"))
+      .groupBy("grp", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cent"))
+    val rows = refined.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    import e.sparkSession.implicits._
+    rows.toSeq.toDF("grp", "cid", "cent")
+  }
+
+  /** PQ codes for every corpus vector against the broadcast codebooks:
+    * map-side encode, one byte per (vector, subspace) at rest. */
+  private def pqCodes(e: DataFrame, cents: DataFrame): DataFrame =
+    subvectors(e).join(broadcast(cents), "grp")
       .withColumn("dd", expr(d6("sub", "cent")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id", "grp").orderBy(col("dd"), col("cid"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("grp"), col("cid").as("code"))
-    val qd = subs.filter(col("vec_id") % 20 === 0)
-      .join(broadcast(cents), "grp")
-      .select(col("vec_id").as("q_id"), col("grp"), col("cid"),
+
+  /** Per-query ADC table: query-subvector → codebook-centroid integer
+    * subdistances, one row per (query, subspace, centroid) — tiny and
+    * broadcast. Columns renamed q-side to keep downstream joins
+    * unambiguous. */
+  private def pqAdcTable(e: DataFrame, cents: DataFrame): DataFrame =
+    subvectors(e.filter(col("vec_id") % 20 === 0)).join(broadcast(cents), "grp")
+      .select(col("vec_id").as("qq_id"), col("grp").as("qgrp"), col("cid").as("qcid"),
         expr(d6("sub", "cent")).as("d6"))
+
+  def qSimPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+    val cents = pqCodebooksLit(e)
+    val codes = pqCodes(e, cents)
+    val qd = pqAdcTable(e, cents)
     val est = codes.join(broadcast(qd),
-        codes("grp") === qd("grp") && codes("code") === qd("cid") &&
-        codes("vec_id") =!= qd("q_id"))
-      .groupBy(col("q_id"), codes("vec_id").as("c_id"))
+        codes("grp") === col("qgrp") && codes("code") === col("qcid") &&
+        codes("vec_id") =!= col("qq_id"))
+      .groupBy(col("qq_id").as("q_id"), codes("vec_id").as("c_id"))
+      .agg(sum(col("d6")).as("e6"))
+    val ranked = est.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("e6"), col("c_id"))))
+      .filter(col("rank") <= 5)
+    val qv = e.select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    val cv = e.select(col("vec_id").as("c_id"), col("ce"))
+    ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
+        (col("e6") / 1000000.0).as("est_d2"),
+        expr("""round(aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
+  }
+
+  /** IVF×PQ — the production ANN composition: the k=8 coarse quantizer
+    * prunes the candidate set to each query's nprobe=2 cells, and PQ ADC
+    * ranks only within the probed cells. At 100 TB this is the shape
+    * that works: coarse training and PQ training both touch only the
+    * 1/8 sample, encoding and cell assignment are map-side against
+    * broadcast codebooks/centroids, and the ADC join runs over the
+    * pruned (query, candidate) pairs instead of the full cross product
+    * (the memory story is PQ's — one byte per subspace per vector).
+    * Codes are computed on the raw vectors (shared across cells);
+    * residual encoding per cell is the classic refinement, documented
+    * not implemented. Deterministic/oracle-checked end to end: rounded
+    * cosine for cells/probes, integer d6 for codes/ADC, fold-exact
+    * trained codebooks — the oracle unrolls both trainings as CTEs. */
+  def qSimIvfPq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = ivfCentroidsLit(e, k = 8)
+    val pq = pqCodebooksLit(e)
+    e.unpersist()
+    val cells = assignCells(e, coarse, 1).select(col("vec_id").as("c_id"), col("cid"))
+    val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, 2)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val codes = pqCodes(e, pq).withColumnRenamed("vec_id", "c_id")
+    val qd = pqAdcTable(e, pq)
+    // IVF pruning: candidates are exactly the probed cells' members
+    val cand = cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+    val est = cand.join(codes, "c_id")
+      .join(broadcast(qd),
+        col("q_id") === col("qq_id") && col("grp") === col("qgrp") &&
+        col("code") === col("qcid"))
+      .groupBy("q_id", "c_id")
       .agg(sum(col("d6")).as("e6"))
     val ranked = est.withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("e6"), col("c_id"))))
@@ -302,6 +407,7 @@ object Similarity {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pq" -> (qSimPq _),
+    "q_sim_ivf_pq" -> (qSimIvfPq _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -366,30 +472,107 @@ object Similarity {
        |  list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
        |  (acc, x) -> acc + x) * 1000000) AS BIGINT)""".stripMargin
 
+  /** PQ codebook training unrolled in DuckDB (expects CTEs `e`, `grps`,
+    * and the sample `sm` upstream): seed subvectors from the 16 lowest
+    * sample vec_ids, one Lloyd iteration — integer-d6 assignment, then
+    * vec_id-sorted left-fold means per (grp, cid, dim) — yielding the
+    * refined codebook CTE `cents`. Mirrors [[pqCodebooksLit]] op for op. */
+  private val dkPqTrain: String =
+    s"""pseeds AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce
+       |  FROM (SELECT vec_id, ce FROM sm ORDER BY vec_id LIMIT 16)),
+       |cents0 AS (SELECT cid, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS cent FROM pseeds, grps),
+       |ssub AS (SELECT vec_id, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS sub FROM sm, grps),
+       |pa AS (
+       |  SELECT vec_id, grp, cid, sub FROM (
+       |    SELECT s.vec_id, s.grp, c.cid, s.sub,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.grp
+       |        ORDER BY ${dkD6("s.sub", "c.cent")}, c.cid) AS rn
+       |    FROM ssub s JOIN cents0 c USING (grp)) WHERE rn = 1),
+       |pad AS (
+       |  SELECT vec_id, grp, cid, u.dim AS dim, u.x AS x FROM (
+       |    SELECT vec_id, grp, cid, unnest(list_transform(range(0, 8),
+       |      j -> struct_pack(dim := CAST(j AS INTEGER), x := sub[j + 1]))) AS u
+       |    FROM pa)),
+       |pm AS (
+       |  SELECT grp, cid, dim,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list(struct_pack(vec_id := vec_id, x := x))), p -> p.x)),
+       |      (acc, v) -> acc + v) / COUNT(*) AS m
+       |  FROM pad GROUP BY grp, cid, dim),
+       |cents AS (
+       |  SELECT grp, cid,
+       |    list_transform(list_sort(list(struct_pack(dim := dim, m := m))), p -> p.m) AS cent
+       |  FROM pm GROUP BY grp, cid)""".stripMargin
+
+  /** Shared PQ encode/ADC tail against the trained `cents` CTE: codes
+    * for every vector, ADC table for the vec_id%20 queries. */
+  private val dkPqEncode: String =
+    s"""subs AS (
+       |  SELECT vec_id, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS sub FROM e, grps),
+       |codes AS (
+       |  SELECT vec_id, grp, cid AS code FROM (
+       |    SELECT s.vec_id, s.grp, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.grp
+       |        ORDER BY ${dkD6("s.sub", "c.cent")}, c.cid) AS rn
+       |    FROM subs s JOIN cents c USING (grp)) WHERE rn = 1),
+       |qd AS (
+       |  SELECT s.vec_id AS q_id, s.grp, c.cid, ${dkD6("s.sub", "c.cent")} AS d6
+       |  FROM subs s JOIN cents c USING (grp) WHERE s.vec_id % 20 = 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_sim_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |grps AS (SELECT unnest(range(0, 8)) AS grp),
-         |seeds AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce
-         |  FROM (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0 ORDER BY vec_id LIMIT 16)),
-         |cents AS (
-         |  SELECT cid, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS cent FROM seeds, grps),
-         |subs AS (
-         |  SELECT vec_id, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS sub FROM e, grps),
-         |codes AS (
-         |  SELECT vec_id, grp, cid AS code FROM (
-         |    SELECT s.vec_id, s.grp, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.grp
-         |        ORDER BY ${dkD6("s.sub", "c.cent")}, c.cid) AS rn
-         |    FROM subs s JOIN cents c USING (grp)) WHERE rn = 1),
-         |qd AS (
-         |  SELECT s.vec_id AS q_id, s.grp, c.cid, ${dkD6("s.sub", "c.cent")} AS d6
-         |  FROM subs s JOIN cents c USING (grp) WHERE s.vec_id % 20 = 0),
+         |sm AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
+         |$dkPqTrain,
+         |$dkPqEncode,
          |est AS (
          |  SELECT qd.q_id, codes.vec_id AS c_id, SUM(qd.d6) AS e6
          |  FROM codes JOIN qd ON codes.grp = qd.grp AND codes.code = qd.cid
          |    AND codes.vec_id <> qd.q_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, c_id, e6,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY e6, c_id) AS INTEGER) AS rank
+         |  FROM est)
+         |SELECT r.q_id, r.rank, r.c_id AS neighbor_id,
+         |  r.e6 / 1000000.0 AS est_d2,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> (qv.ce[i] - cv.ce[i]) * (qv.ce[i] - cv.ce[i]))),
+         |    (acc, x) -> acc + x), 6) AS exact_d2
+         |FROM ranked r JOIN e qv ON r.q_id = qv.vec_id JOIN e cv ON r.c_id = cv.vec_id
+         |WHERE r.rank <= 5""".stripMargin,
+    "q_sim_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |grps AS (SELECT unnest(range(0, 8)) AS grp),
+         |sm AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
+         |  FROM (SELECT vec_id, ce FROM sm ORDER BY vec_id LIMIT 8)),
+         |${dkLloyd("sm", "c0", "a1", "m1", "c1")},
+         |${dkLloyd("sm", "c1", "a2", "m2", "c2")},
+         |$dkPqTrain,
+         |$dkPqEncode,
+         |cells AS (
+         |  SELECT vec_id AS c_id, cid FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2 WHERE e.vec_id % 20 = 0) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.q_id, cl.c_id FROM probes p JOIN cells cl USING (cid)
+         |  WHERE p.q_id <> cl.c_id),
+         |est AS (
+         |  SELECT cand.q_id, cand.c_id, SUM(qd.d6) AS e6
+         |  FROM cand JOIN codes ON cand.c_id = codes.vec_id
+         |    JOIN qd ON qd.q_id = cand.q_id AND qd.grp = codes.grp AND qd.cid = codes.code
          |  GROUP BY 1, 2),
          |ranked AS (
          |  SELECT q_id, c_id, e6,

@@ -63,7 +63,8 @@ class PipelineSpec extends SparkSpec {
     assert(pq.filter(col("est_d2") < 0 || col("exact_d2") < 0).count() == 0)
     // recall floor vs exact L2 top-5: random near-orthogonal embeddings
     // are PQ's worst case (distance concentration), so the bound is low
-    // but must stay positive — observed 0.128 at sf0.001 with 16 cells
+    // but must stay positive — observed 0.112 at sf0.001 with trained
+    // (Lloyd-refined) 16-centroid codebooks
     val e = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "cast(embedding as array<double>) as ce")
     val q = e.filter(col("vec_id") % 20 === 0).select(col("vec_id").as("q_id"), col("ce").as("qe"))
@@ -76,6 +77,34 @@ class PipelineSpec extends SparkSpec {
       .filter(col("rk") <= 5).select(col("q_id"), col("vec_id").as("neighbor_id"))
     val hit = bf.join(pq.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"), "left_semi").count()
     assert(hit.toDouble / bf.count() >= 0.06, s"PQ recall ${hit.toDouble / bf.count()} too low")
+  }
+
+  test("IVF×PQ: 5 ranked neighbors per query; recall and PQ-agreement floors hold") {
+    val ip = Similarity.qSimIvfPq(spark, sf).cache()
+    val perQ = ip.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0)
+    assert(ip.filter(col("est_d2") < 0 || col("exact_d2") < 0).count() == 0)
+    // recall vs exact L2 top-5 (random embeddings = PQ's worst case;
+    // observed 0.160 at sf0.001 with trained codebooks + nprobe=2)
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as ce")
+    val q = e.filter(col("vec_id") % 20 === 0).select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    val d2 = expr("""aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
+                     CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("d2"), col("vec_id"))
+    val bf = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("d2", d2).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select(col("q_id"), col("vec_id").as("neighbor_id")).cache()
+    val nBf = bf.count()
+    val hit = bf.join(ip.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(hit.toDouble / nBf >= 0.06, s"IVF×PQ recall ${hit.toDouble / nBf} too low")
+    // cell pruning must broadly agree with the unpruned ADC ranking
+    // (observed 0.408 overlap at sf0.001 — pruning keeps ~2/8 of cells)
+    val pq = Similarity.qSimPq(spark, sf).select("q_id", "neighbor_id").cache()
+    val ov = pq.join(ip.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(ov.toDouble / pq.count() >= 0.2,
+      s"IVF×PQ diverged from the full ADC ranking (overlap ${ov.toDouble / pq.count()})")
   }
 
   test("embedding near-dup pairs: every injected near copy is recovered at cosine >= 0.95") {
