@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** documents + injected exact/near duplicates (identical on oracle side). */
-  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs
       .unionByName(docs.filter(col("doc_id") % 5 === 0)
@@ -57,7 +57,7 @@ object Dedup {
     * under ANSI), so short docs yield an empty shingle list — matching
     * DuckDB's range(1, len-1) behavior. Latent in this corpus (docs are
     * ≥10 words) but required for general inputs. */
-  private[operators] val shinglesExpr =
+  private[graft] val shinglesExpr =
     """IF(size(words) >= 3,
       |  transform(sequence(1, size(words) - 2),
       |    i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))),
@@ -119,6 +119,57 @@ object Dedup {
     val cand = bandedCandidates(sigs)
     val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_union", size(col("sa")) + size(col("sb")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
+  }
+
+  /** Exact all-pairs n-gram Jaccard similarity join via prefix filtering
+    * (the PPJoin family: Xiao et al., "Efficient Similarity Joins for
+    * Near Duplicate Detection", WWW'08) — the EXACT counterpart to the
+    * probabilistic MinHash-LSH path: no false negatives at the 0.5
+    * threshold, completing the dedup family (exact / MinHash-LSH /
+    * SimHash / n-gram Jaccard / CDC / embedding-cosine).
+    *
+    * Scale shape: a pair with Jaccard ≥ t must share at least one gram
+    * in each side's PREFIX — the first |x| − ceil(t·|x|) + 1 grams under
+    * a global ordering. Ordering rarest-first (ascending document
+    * frequency, gram as tiebreak) puts only the rarest grams in the
+    * prefix, so the candidate equi-join runs over short posting lists
+    * instead of the full inverted index; ubiquitous grams never generate
+    * candidates. Exact Jaccard then verifies candidates only. The DuckDB
+    * oracle generates candidates from the FULL inverted index — if the
+    * prefix filter ever dropped a qualifying pair, the hash check fails,
+    * so losslessness itself is oracle-verified. */
+  def qDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // distinct-gram sets feed three branches (df-count, ranked postings,
+    // both verify sides) — persist, released by the harness
+    val sets = graft.CacheTracker.track(corpus(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesExpr))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+      .filter(size(col("sset")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val grams = sets.select(col("doc_id"), col("sset"),
+        explode(col("sset")).as("gram"), size(col("sset")).as("sz"))
+      .select(col("doc_id"), col("gram"), col("sz"))
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    // integer-exact prefix length: sz - ceil(t*sz) + 1 with t = 0.5
+    val ranked = grams.join(gramDf, "gram")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
+      .select(col("doc_id"), col("gram"))
+    val cand = prefix.as("x")
+      .join(prefix.withColumnRenamed("doc_id", "b_id").as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("b_id"))
+      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+    val sa = sets.select(col("doc_id").as("a_id"), col("sset").as("sa"))
+    val sb = sets.select(col("doc_id").as("b_id"), col("sset").as("sb"))
     cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("n_union", size(col("sa")) + size(col("sb")) - col("n_inter"))
@@ -263,6 +314,7 @@ object Dedup {
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   private[operators] val shinglesSql =
@@ -388,6 +440,27 @@ object Dedup {
          |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
          |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
+    // candidates come from the FULL inverted index (no prefix filter) —
+    // equality with the engine's prefix-filtered result proves the
+    // filter lossless at the 0.5 threshold
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
+         |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+         |         WHERE len(shingles) > 0),
+         |g AS (SELECT doc_id, unnest(sset) AS gram FROM sets),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+         |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
+         |  FROM cand JOIN sets sa ON cand.a_id = sa.doc_id JOIN sets sb ON cand.b_id = sb.doc_id)
+         |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+         |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),

@@ -26,6 +26,32 @@ class PipelineSpec extends SparkSpec {
     assert(near.filter(col("jaccard") >= 1.0 || col("jaccard") < 0.5).count() == 0)
   }
 
+  test("ngram-jaccard prefix filter is lossless: equals brute-force all-pairs") {
+    val got = Dedup.qDedupNgramJaccard(spark, sf)
+      .select("a_id", "b_id", "jaccard").cache()
+    // brute force: all pairs of non-empty gram sets, exact Jaccard >= 0.5
+    val sets = Dedup.corpus(spark, sf)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("sset", array_distinct(expr(Dedup.shinglesExpr)))
+      .filter(size(col("sset")) > 0)
+      .select(col("doc_id"), col("sset"))
+    val brute = sets.select(col("doc_id").as("a_id"), col("sset").as("sa"))
+      .crossJoin(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+    assert(got.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(got).count() == 0)
+    // and it is a superset of what banded LSH finds (LSH may miss pairs;
+    // the exact join must not)
+    val lsh = Dedup.qDedupLshPairs(spark, sf).select("a_id", "b_id")
+    assert(lsh.exceptAll(got.select("a_id", "b_id")).count() == 0)
+    CacheTracker.releaseAll()
+  }
+
   test("simhash: identical docs share a fingerprint; fingerprints are 16 bits") {
     val sh = Dedup.qDedupSimhash(spark, sf).cache()
     assert(sh.filter(length(col("simhash16")) =!= 16).count() == 0)
