@@ -247,7 +247,42 @@ object TextAnalysis {
         col("pass_word_len") && col("pass_repetition") && col("pass_size"))
   }
 
+  /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05) — the
+    * frequency-sketch family alongside the HLL distinct-count sketch
+    * (q_approx_distinct): a d=4 × w=512 counter grid where every word
+    * occurrence increments one md5-derived cell per row, and a term's
+    * estimate is the MIN over its d cells. Reported for the exact top-20
+    * terms next to their true counts, with the CMS one-sided-error
+    * guarantee (estimate ≥ truth, always) as a checked column.
+    *
+    * 100 TB shape: this is the constant-memory frequency summary — the
+    * sketch is ≤ d·w = 2048 cells NO MATTER the corpus size, built in one
+    * pass with map-side partial aggregation (each task emits ≤ 2048
+    * partials), so the shuffle is O(partitions · 2048), not O(corpus).
+    * Deterministic md5 cell hashes make even the estimates hash-stable
+    * against the oracle — no probabilistic flake. */
+  def qCmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    // the 4 cell indexes of a term: row j hashes md5("j:term")
+    val cellsExpr =
+      "transform(sequence(0, 3), j -> cast(conv(substring(md5(concat(cast(j as string), ':', term)), 1, 7), 16, 10) as bigint) % 512)"
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val sketch = words
+      .select(posexplode(expr(cellsExpr)).as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+    val top = words.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+    val probes = top.select(col("term"), col("exact_cnt"),
+      posexplode(expr(cellsExpr)).as(Seq("j", "cell")))
+    probes.join(sketch, Seq("j", "cell")) // sketch ≤ 2048 rows → broadcast
+      .groupBy("term", "exact_cnt").agg(min(col("cnt")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .withColumn("never_under", col("cms_est") >= col("exact_cnt"))
+      .select("term", "exact_cnt", "cms_est", "overcount", "never_under")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
@@ -260,6 +295,26 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_cms_heavy_hitters" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cells AS (
+        |  SELECT j, CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 7) AS BIGINT) % 512 AS cell,
+        |    COUNT(*) AS cnt
+        |  FROM words, unnest(range(0, 4)) AS t(j)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT term, COUNT(*) AS exact_cnt FROM words
+        |  GROUP BY 1 ORDER BY exact_cnt DESC, term LIMIT 20),
+        |probes AS (
+        |  SELECT term, exact_cnt, j,
+        |    CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 7) AS BIGINT) % 512 AS cell
+        |  FROM top, unnest(range(0, 4)) AS t(j)),
+        |est AS (
+        |  SELECT term, exact_cnt, MIN(cnt) AS cms_est
+        |  FROM probes JOIN cells USING (j, cell) GROUP BY 1, 2)
+        |SELECT term, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
+        |  cms_est >= exact_cnt AS never_under
+        |FROM est""".stripMargin,
     "q_decontaminate" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |eg AS (

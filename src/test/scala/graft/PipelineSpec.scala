@@ -52,6 +52,14 @@ class PipelineSpec extends SparkSpec {
     CacheTracker.releaseAll()
   }
 
+  test("count-min sketch: one-sided error on every reported term") {
+    val out = TextAnalysis.qCmsHeavyHitters(spark, sf).cache()
+    assert(out.count() == 20)
+    // the CMS theorem: an estimate can only overcount, never undercount
+    assert(out.filter(!col("never_under")).count() == 0)
+    assert(out.filter(col("overcount") < 0).count() == 0)
+  }
+
   test("simhash: identical docs share a fingerprint; fingerprints are 16 bits") {
     val sh = Dedup.qDedupSimhash(spark, sf).cache()
     assert(sh.filter(length(col("simhash16")) =!= 16).count() == 0)
