@@ -140,34 +140,52 @@ object Dedup {
     * frequency, gram as tiebreak) puts only the rarest grams in the
     * prefix, so the candidate equi-join runs over short posting lists
     * instead of the full inverted index; ubiquitous grams never generate
-    * candidates. Exact Jaccard then verifies candidates only. The DuckDB
-    * oracle generates candidates from the FULL inverted index — if the
-    * prefix filter ever dropped a qualifying pair, the hash check fails,
-    * so losslessness itself is oracle-verified. */
+    * candidates. Exact Jaccard then verifies candidates only. Two more
+    * standard PPJoin bounds tighten the candidate join: (1) a pair with
+    * J ≥ t satisfies the LENGTH filter max(|x|,|y|) ≤ |x∩y|·(1+1/t)/2…
+    * more simply min/max ≥ t, so at t = 0.5 each side is at most 2× the
+    * other — encoded directly in the join condition; (2) document
+    * frequency is computed with a window over gram (one shuffle of the
+    * exploded relation) instead of a groupBy + join-back (two). The
+    * DuckDB oracle generates candidates from the FULL inverted index —
+    * if the prefix or length filter ever dropped a qualifying pair, the
+    * hash check fails, so losslessness itself is oracle-verified. */
+  /** Prefix-filtered candidate pairs for the n-gram Jaccard join.
+    * `lengthFilter = false` exists only so the spec can prove the
+    * length-ratio bound is a pure pruning step (candidates-with ⊆
+    * candidates-without); production always passes `true`. */
+  private[graft] def ngramCandidates(sets: DataFrame, lengthFilter: Boolean): DataFrame = {
+    val grams = sets.select(col("doc_id"),
+        explode(col("sset")).as("gram"), size(col("sset")).as("sz"))
+    // integer-exact prefix length: sz - ceil(t*sz) + 1 with t = 0.5
+    val ranked = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
+      .select(col("doc_id"), col("gram"), col("sz"))
+    val base = col("x.gram") === col("y.gram") && col("x.doc_id") < col("b_id")
+    val cond =
+      if (lengthFilter)
+        base && col("bsz") <= col("x.sz") * 2 && col("x.sz") <= col("bsz") * 2
+      else base
+    prefix.as("x")
+      .join(prefix.select(col("doc_id").as("b_id"), col("gram"),
+          col("sz").as("bsz")).as("y"), cond)
+      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+  }
+
   def qDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // distinct-gram sets feed three branches (df-count, ranked postings,
-    // both verify sides) — persist, released by the harness
+    // distinct-gram sets feed the posting branch and both verify sides
+    // — persist, released by the harness
     val sets = graft.CacheTracker.track(corpus(s, d)
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
       .filter(size(col("sset")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val grams = sets.select(col("doc_id"), col("sset"),
-        explode(col("sset")).as("gram"), size(col("sset")).as("sz"))
-      .select(col("doc_id"), col("gram"), col("sz"))
-    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    // integer-exact prefix length: sz - ceil(t*sz) + 1 with t = 0.5
-    val ranked = grams.join(gramDf, "gram")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
-    val prefix = ranked
-      .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
-      .select(col("doc_id"), col("gram"))
-    val cand = prefix.as("x")
-      .join(prefix.withColumnRenamed("doc_id", "b_id").as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("b_id"))
-      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+    val cand = ngramCandidates(sets, lengthFilter = true)
     val sa = sets.select(col("doc_id").as("a_id"), col("sset").as("sa"))
     val sb = sets.select(col("doc_id").as("b_id"), col("sset").as("sb"))
     cand.join(sa, "a_id").join(sb, "b_id")

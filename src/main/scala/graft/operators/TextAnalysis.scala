@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,29 +255,50 @@ object TextAnalysis {
     * terms next to their true counts, with the CMS one-sided-error
     * guarantee (estimate ≥ truth, always) as a checked column.
     *
-    * 100 TB shape: this is the constant-memory frequency summary — the
-    * sketch is ≤ d·w = 2048 cells NO MATTER the corpus size, built in one
-    * pass with map-side partial aggregation (each task emits ≤ 2048
-    * partials), so the shuffle is O(partitions · 2048), not O(corpus).
-    * Deterministic md5 cell hashes make even the estimates hash-stable
-    * against the oracle — no probabilistic flake. */
+    * 100 TB shape: the sketch IS the only full-corpus aggregate. Pass 1
+    * builds the ≤ d·w = 2048-cell grid with map-side partial aggregation
+    * (each task emits ≤ 2048 partials, shuffle O(partitions · 2048), not
+    * O(corpus)) and collects it to a dense broadcast-literal table — the
+    * same train→literal pattern as the IVF centroids. Pass 2 filters
+    * OCCURRENCES map-side on the sketch estimate (`cms_est ≥ ⌈N/w⌉`, a
+    * support threshold the sketch can answer without any term
+    * enumeration); only surviving occurrences — the candidate heavy
+    * hitters' — reach the exact-count groupBy, so there is NO unfiltered
+    * full-vocabulary aggregate anywhere in the plan (PlanShapeSpec
+    * asserts the Filter sits below the term aggregate). CMS never
+    * underestimates, so every term with true count ≥ threshold is
+    * guaranteed a candidate — the reported top-20 is exact. At 100 TB,
+    * widen w so N/w stays at the target support; the plan shape is
+    * unchanged. Deterministic md5 cell hashes make the estimates
+    * hash-stable against the oracle — no probabilistic flake. */
   def qCmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     // the 4 cell indexes of a term: row j hashes md5("j:term")
     val cellsExpr =
       "transform(sequence(0, 3), j -> cast(conv(substring(md5(concat(cast(j as string), ':', term)), 1, 7), 16, 10) as bigint) % 512)"
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("term"))
-    val sketch = words
+    // pass 1: build + collect the sketch (≤ 2048 rows) → dense literal
+    val cells = words
       .select(posexplode(expr(cellsExpr)).as(Seq("j", "cell")))
       .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
-    val top = words.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("term")).limit(20)
-    val probes = top.select(col("term"), col("exact_cnt"),
-      posexplode(expr(cellsExpr)).as(Seq("j", "cell")))
-    probes.join(sketch, Seq("j", "cell")) // sketch ≤ 2048 rows → broadcast
-      .groupBy("term", "exact_cnt").agg(min(col("cnt")).as("cms_est"))
+      .collect()
+    val table = Array.fill(4 * 512)(0L)
+    cells.foreach(r => table(r.getInt(0) * 512 + r.getLong(1).toInt) = r.getLong(2))
+    val nTotal = cells.iterator.filter(_.getInt(0) == 0).map(_.getLong(2)).sum
+    val threshold = math.max(nTotal / 512, 1L)
+    val tableLit = typedLit(table.toSeq)
+    def estOf(term: Column): Column = array_min(transform(
+      sequence(lit(0), lit(3)),
+      j => element_at(tableLit, (j.cast("long") * 512 +
+        conv(substring(md5(concat(j.cast("string"), lit(":"), term)), 1, 7),
+          16, 10).cast("long") % 512).cast("int") + 1)))
+    // pass 2: map-side sketch gate, THEN the exact count over survivors
+    words.filter(estOf(col("term")) >= lit(threshold))
+      .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("cms_est", estOf(col("term")))
       .withColumn("overcount", col("cms_est") - col("exact_cnt"))
       .withColumn("never_under", col("cms_est") >= col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(20)
       .select("term", "exact_cnt", "cms_est", "overcount", "never_under")
   }
 
@@ -297,24 +318,26 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q_cms_heavy_hitters" ->
       """WITH words AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_tot FROM words),
         |cells AS (
         |  SELECT j, CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 7) AS BIGINT) % 512 AS cell,
         |    COUNT(*) AS cnt
         |  FROM words, unnest(range(0, 4)) AS t(j)
         |  GROUP BY 1, 2),
-        |top AS (
-        |  SELECT term, COUNT(*) AS exact_cnt FROM words
-        |  GROUP BY 1 ORDER BY exact_cnt DESC, term LIMIT 20),
+        |vocab AS (
+        |  SELECT term, COUNT(*) AS exact_cnt FROM words GROUP BY 1),
         |probes AS (
         |  SELECT term, exact_cnt, j,
         |    CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 7) AS BIGINT) % 512 AS cell
-        |  FROM top, unnest(range(0, 4)) AS t(j)),
+        |  FROM vocab, unnest(range(0, 4)) AS t(j)),
         |est AS (
         |  SELECT term, exact_cnt, MIN(cnt) AS cms_est
         |  FROM probes JOIN cells USING (j, cell) GROUP BY 1, 2)
         |SELECT term, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
         |  cms_est >= exact_cnt AS never_under
-        |FROM est""".stripMargin,
+        |FROM est, tot
+        |WHERE cms_est >= greatest(n_tot // 512, 1)
+        |ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin,
     "q_decontaminate" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |eg AS (

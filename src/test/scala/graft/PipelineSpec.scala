@@ -49,15 +49,26 @@ class PipelineSpec extends SparkSpec {
     // the exact join must not)
     val lsh = Dedup.qDedupLshPairs(spark, sf).select("a_id", "b_id")
     assert(lsh.exceptAll(got.select("a_id", "b_id")).count() == 0)
+    // the length-ratio bound is a pure pruning step: candidates with the
+    // filter ⊆ candidates without, and never below the true pair count
+    // (losslessness of the pruned set is covered by the equality above)
+    val setsP = sets.persist()
+    val nWith = Dedup.ngramCandidates(setsP, lengthFilter = true).count()
+    val nWithout = Dedup.ngramCandidates(setsP, lengthFilter = false).count()
+    setsP.unpersist()
+    assert(nWith <= nWithout, s"length filter grew candidates: $nWith > $nWithout")
+    assert(nWith >= got.count())
     CacheTracker.releaseAll()
   }
 
   test("count-min sketch: one-sided error on every reported term") {
     val out = TextAnalysis.qCmsHeavyHitters(spark, sf).cache()
-    assert(out.count() == 20)
-    // the CMS theorem: an estimate can only overcount, never undercount
-    assert(out.filter(!col("never_under")).count() == 0)
-    assert(out.filter(col("overcount") < 0).count() == 0)
+    try {
+      assert(out.count() == 20)
+      // the CMS theorem: an estimate can only overcount, never undercount
+      assert(out.filter(!col("never_under")).count() == 0)
+      assert(out.filter(col("overcount") < 0).count() == 0)
+    } finally out.unpersist() // shared session: PlanShapeSpec reads this plan
   }
 
   test("simhash: identical docs share a fingerprint; fingerprints are 16 bits") {

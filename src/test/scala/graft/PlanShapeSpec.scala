@@ -113,4 +113,24 @@ class PlanShapeSpec extends SparkSpec {
         s"s2/sigs branches must read the cache, got ${cached.length} InMemoryRelations")
     } finally CacheTracker.releaseAll()
   }
+
+  test("count-min: exact-count aggregate is gated by the map-side sketch filter (no full-vocab groupBy)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val df = operators.TextAnalysis.qCmsHeavyHitters(spark, sf)
+    df.unpersist(true) // drop any identical-plan cache left by another suite
+    val qe = df.queryExecution
+    val termAggs = qe.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.exists(_.toString.contains("term")) => a
+    }
+    assert(termAggs.nonEmpty, "expected a groupBy(term) aggregate in the plan")
+    // every term aggregate must sit ABOVE the cms_est >= threshold filter,
+    // so only sketch-flagged candidate occurrences are ever counted
+    termAggs.foreach { a =>
+      val gated = a.child.collectFirst {
+        case f: Filter if f.condition.toString.contains("array_min") => f
+      }
+      assert(gated.isDefined,
+        s"exact-count aggregate not gated by the sketch estimate:\n${qe.optimizedPlan.toString.take(900)}")
+    }
+  }
 }
