@@ -369,8 +369,39 @@ object Similarity {
     * residual encoding per cell is the classic refinement, documented
     * not implemented. Deterministic/oracle-checked end to end: rounded
     * cosine for cells/probes, integer d6 for codes/ADC, fold-exact
-    * trained codebooks — the oracle unrolls both trainings as CTEs. */
-  def qSimIvfPq(s: SparkSession, d: String): DataFrame = {
+    * trained codebooks — the oracle unrolls both trainings as CTEs.
+    *
+    * Measured nprobe trade at sf0.001 (PipelineSpec sweep; recall@5 vs
+    * exact L2, 60-ish queries): nprobe=2 → 3 121 candidates, recall
+    * 0.160; nprobe=4 → 6 279, 0.120; nprobe=8 (all cells ≡ unpruned
+    * ADC) → 12 475, 0.112. On RANDOM embeddings recall FALLS as nprobe
+    * grows: distance concentration makes ADC estimates noisy, far cells
+    * contribute ADC false positives that displace true neighbors, so
+    * cell pruning acts as a beneficial pre-filter. The query ships
+    * nprobe=2 — the best measured point AND the cheapest. On clustered
+    * real-world embeddings the curve bends the usual way (higher nprobe
+    * recovers neighbors that straddle cell boundaries); the sweep spec
+    * records the curve so a corpus change re-measures it. */
+  def qSimIvfPq(s: SparkSession, d: String): DataFrame = ivfPqSearch(s, d, nprobe = 2)
+
+  /** IVF-pruned candidate pairs at a given `nprobe` (spec-visible so the
+    * sweep can report candidate counts next to recall). Probed cells are
+    * a prefix of the same distance ordering, so candidates at nprobe n
+    * are a subset of candidates at n+1 — asserted in PipelineSpec. */
+  private[graft] def ivfPqCandidates(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+    val coarse = ivfCentroidsLit(e, k = 8)
+    val cells = assignCells(e, coarse, 1).select(col("vec_id").as("c_id"), col("cid"))
+    val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+  }
+
+  private[graft] def ivfPqSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
@@ -379,7 +410,7 @@ object Similarity {
     val pq = pqCodebooksLit(e)
     e.unpersist()
     val cells = assignCells(e, coarse, 1).select(col("vec_id").as("c_id"), col("cid"))
-    val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, 2)
+    val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
     val codes = pqCodes(e, pq).withColumnRenamed("vec_id", "c_id")
     val qd = pqAdcTable(e, pq)
