@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * buffers its matches in (via [[org.apache.spark.sql.execution.GraftSpillableRowBuffer]]),
   * governed by the sortMergeJoinExec.buffer.* thresholds — a skewed key
   * with millions of right rows degrades to disk instead of OOMing the
-  * task. Key/time/tie may be any integral, date, or timestamp type;
+  * task. Spilled-buffer probes ride the buffer's cached forward cursor:
+  * left rows are time-sorted so the answer index never moves backwards
+  * within a key group, making the spill replay one sequential read per
+  * group (a backward probe — which this exec never issues — would
+  * restart the replay, the quadratic worst case).
+  * Key/time/tie may be any integral, date, or timestamp type;
   * [[AsOfStrategy]] widens narrow types to LONG (order- and
   * equality-preserving), so the exec reads every value as a Java long
   * and participates in whole-stage codegen.
