@@ -69,7 +69,7 @@ object Dedup {
   private[operators] val baseHashExpr =
     "transform(shingles, sh -> cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint))"
 
-  private[operators] def withSignature(df: DataFrame): DataFrame = {
+  private[graft] def withSignature(df: DataFrame): DataFrame = {
     // minhash_perms is the codegen form of
     //   transform(sequence(0,15), k -> array_min(transform(hashes,
     //     h -> ((2654435761 + 40503*k)*h + 2654435769*k + 97) % 2147483647)))

@@ -47,6 +47,32 @@ object StreamOps {
   def dedupWithinWatermark(events: DataFrame, delay: String, cols: String*): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
 
+  /** Streaming face of the exact-dedup stage (the batch qDedupExact's
+    * stream twin): first arrival per content hash within the watermark
+    * horizon. Hashing is map-side; state is one small row per DISTINCT
+    * hash inside the horizon, so the watermark — not the stream length —
+    * bounds state at 100 TB/day rates. `docs` needs (ts, doc_id, text). */
+  def exactDedupStream(docs: DataFrame, delay: String): DataFrame =
+    docs.withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Streaming MinHash near-dup suppression: the SAME fused map-side
+    * signature expression as the batch dedup path (no shuffle, codegen
+    * minhash_perms), then first arrival per full 16-permutation
+    * signature within the watermark. Byte-identical docs always share a
+    * signature; a distinct near-dup is suppressed only when all 16
+    * permutations collide (probability J^16 — a J=0.9 near-dup collides
+    * ~18% of the time), so this is the cheap in-flight guard; the banded
+    * LSH batch pass remains the thorough sweep. */
+  def minhashDedupStream(docs: DataFrame, delay: String): DataFrame =
+    graft.operators.Dedup.withSignature(docs)
+      .withColumn("sig_key",
+        expr("array_join(transform(sig, x -> cast(x as string)), ',')"))
+      .select(col("ts"), col("doc_id"), col("text"), col("sig_key"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("sig_key")
+
   /** G4/G11 routed sink: foreachBatch demultiplex by module — each
     * micro-batch is split by `mod_name` and appended to that module's
     * directory (the batch analogue of the per-module nanomsg socket,

@@ -294,6 +294,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup stage: exact and minhash dedup keep exactly the batch key sets, originals first") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the full dedup corpus (originals + injected exact/near copies),
+    // originals fed in micro-batch 1 and copies in micro-batch 2 so
+    // "first arrival" is deterministic
+    val corpus = operators.Dedup.corpus(spark, sf)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val (orig, dups) = corpus.partition(_._1 < 1000000L)
+    def feed(rows: Array[(Long, String)]) =
+      rows.toSeq.map { case (id, t) => (ts((id % 900).toInt), id, t) }
+    val inEx = MemoryStream[(Timestamp, Long, String)]
+    val inMh = MemoryStream[(Timestamp, Long, String)]
+    val qEx = StreamOps.exactDedupStream(inEx.toDF().toDF("ts", "doc_id", "text"), "1 hour")
+      .writeStream.format("memory").queryName("s_dedup_exact").outputMode("append").start()
+    val qMh = StreamOps.minhashDedupStream(inMh.toDF().toDF("ts", "doc_id", "text"), "1 hour")
+      .writeStream.format("memory").queryName("s_dedup_minhash").outputMode("append").start()
+    try {
+      Seq(inEx, inMh).foreach(_.addData(feed(orig)))
+      qEx.processAllAvailable(); qMh.processAllAvailable()
+      Seq(inEx, inMh).foreach(_.addData(feed(dups)))
+      qEx.processAllAvailable(); qMh.processAllAvailable()
+
+      // exact: kept hashes == the batch corpus's distinct hash set
+      val gotEx = spark.table("s_dedup_exact").cache()
+      val batchHashes = operators.Dedup.corpus(spark, sf)
+        .select(md5(col("text")).as("text_hash")).distinct().cache()
+      assert(gotEx.count() == batchHashes.count())
+      assert(gotEx.select("text_hash").exceptAll(batchHashes).count() == 0)
+      // first arrival: every injected EXACT copy (1M..2M) was suppressed
+      // by micro-batch 1's state; the near copies (2M+, new text) survive
+      assert(gotEx.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L).count() == 0)
+      assert(gotEx.filter(col("doc_id") >= 2000000L).count() ==
+        orig.count(_._1 % 7 == 0))
+
+      // minhash: kept signatures == the batch signature relation's
+      // distinct set (same builder, batch mode), exact copies suppressed
+      val gotMh = spark.table("s_dedup_minhash").cache()
+      val batchSigs = operators.Dedup.withSignature(operators.Dedup.corpus(spark, sf))
+        .select(expr("array_join(transform(sig, x -> cast(x as string)), ',')").as("sig_key"))
+        .distinct().cache()
+      assert(gotMh.count() == batchSigs.count())
+      assert(gotMh.select("sig_key").exceptAll(batchSigs).count() == 0)
+      assert(gotMh.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L).count() == 0)
+      Seq(gotEx, batchHashes, gotMh, batchSigs).foreach(_.unpersist())
+    } finally { qEx.stop(); qMh.stop() }
+  }
+
   test("socket source e2e: a real TCP network source feeds the gateway parse path") {
     // the one connector class MemoryStream/file-source don't cover: a
     // network socket (Kafka is unavailable in this sandbox; localhost
