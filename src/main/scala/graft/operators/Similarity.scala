@@ -221,15 +221,15 @@ object Similarity {
   def qSimIvf(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     // the corpus feeds 2 train assignments + the index pass + the probe
-    // pass — persist so the parquet scan and float cast run once (at
-    // cluster scale this is the materialized sample/index relation);
-    // released after the centroids are materialized to the driver (the
-    // session is shared across queries — leaked blocks would accumulate)
-    val e = Tables.embeddings(s, d)
+    // pass — persist so the parquet scan and float cast run once across
+    // ALL of them (at cluster scale this is the materialized
+    // sample/index relation); released by the harness via CacheTracker
+    // after the query materializes (the session is shared across
+    // queries — leaked blocks would accumulate)
+    val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val centLit = ivfCentroidsLit(e, k = 8)
-    e.unpersist()
     // -- index: assign every vector to its cell (fresh map-side scan)
     val cells = assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
@@ -403,12 +403,13 @@ object Similarity {
 
   private[graft] def ivfPqSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val e = Tables.embeddings(s, d)
+    // persisted through both trainings AND the index/encode/probe
+    // passes; released by the harness via CacheTracker
+    val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val coarse = ivfCentroidsLit(e, k = 8)
     val pq = pqCodebooksLit(e)
-    e.unpersist()
     val cells = assignCells(e, coarse, 1).select(col("vec_id").as("c_id"), col("cid"))
     val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
