@@ -145,6 +145,46 @@ object Similarity {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** SemDeDup-style semantic deduplication (cluster the embedding
+    * space, then prune near-identical vectors WITHIN each cluster —
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): a vector is a semantic duplicate
+    * iff a LOWER-id member of its k-means cell has rounded cosine
+    * ≥ 0.95 — the embedding-space analogue of exact dedup's
+    * keep-lowest-id contract (the paper ranks members by distance to
+    * their centroid; min-id is the deterministic, oracle-stable
+    * equivalent). Runs over the derived near-dup corpus (base ∪
+    * perturbed twins) so the hit path is live at every scale factor.
+    *
+    * Scale shape: the quadratic comparison is confined to cells —
+    * O(Σ|cell|²) — and the cell COUNT adapts to the corpus:
+    * k = max(8, ⌈n/1024⌉) from parquet footer metadata (no pre-count
+    * job), so expected cell population stays ~1k at any scale and the
+    * pairwise work grows linearly with n. Training touches only the
+    * 1/8 sample, centroids broadcast as literals, assignment is
+    * map-side; the within-cell pair join is one equi-join shuffle on
+    * the cell id. */
+  def qSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val corpus = graft.CacheTracker.track(neardupCorpus(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nBase = Tables.parquetRowCount(s, d, "embeddings")
+    val n = nBase + (nBase + 9) / 10
+    val k = math.max(8, ((n + 1023) / 1024).toInt)
+    val cents = ivfCentroidsLit(corpus, k)
+    val cells = assignCells(corpus, cents, 1).select(col("vec_id"), col("cid"), col("ce"))
+    val a = cells.select(col("cid"), col("vec_id").as("a_id"), col("ce").as("qe"))
+    val b = cells.select(col("cid"), col("vec_id").as("b_id"), col("ce"))
+    val dups = a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_r", expr(cosExpr))
+      .filter(col("cos_r") >= 0.95)
+      .select(col("b_id").as("vec_id")).distinct()
+    cells.select(col("vec_id"), col("cid").as("cell_id"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("dup"), lit(false)).as("is_semantic_dup"))
+  }
+
 
   /** IVF (inverted-file) ANN — the other classic scale path besides
     * hyperplane LSH: a k-means coarse quantizer partitions the corpus
@@ -438,6 +478,7 @@ object Similarity {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivf_pq" -> (qSimIvfPq _),
     "q_sim_topk" -> (qSimTopK _),
@@ -553,6 +594,37 @@ object Similarity {
        |  FROM subs s JOIN cents c USING (grp) WHERE s.vec_id % 20 = 0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, ce FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i -> CASE WHEN i <= 4 THEN ce[i] + 0.001 ELSE ce[i] END)
+         |  FROM base WHERE vec_id % 10 = 0),
+         |kk AS (
+         |  SELECT greatest(8, CAST((COUNT(*) + (COUNT(*) + 9) // 10 + 1023) // 1024 AS INTEGER)) AS k
+         |  FROM base),
+         |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
+         |c0 AS (
+         |  SELECT cid, centroid FROM (
+         |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |      ce AS centroid FROM s), kk
+         |  WHERE cid < k),
+         |${dkLloyd("s", "c0", "a1", "m1", "c1")},
+         |${dkLloyd("s", "c1", "a2", "m2", "c2")},
+         |cells AS (
+         |  SELECT vec_id, cid, ce FROM (
+         |    SELECT e.vec_id, c2.cid, e.ce,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2) WHERE rn = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${dkCos2("a.ce", "b.ce")} >= 0.95)
+         |SELECT c.vec_id, c.cid AS cell_id, (d.vec_id IS NOT NULL) AS is_semantic_dup
+         |FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id""".stripMargin,
     "q_sim_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |grps AS (SELECT unnest(range(0, 8)) AS grp),

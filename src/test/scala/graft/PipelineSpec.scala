@@ -188,6 +188,25 @@ class PipelineSpec extends SparkSpec {
     bf.unpersist()
   }
 
+  test("semantic dedup: flagged set is exactly the co-clustered injected twins; base stays clean") {
+    val sd = Similarity.qSemanticDedup(spark, sf).cache()
+    try {
+      val flagged = sd.filter(col("is_semantic_dup"))
+      // base vectors are never flagged: their twins carry HIGHER ids and
+      // random 64-dim cosines never reach 0.95 (~7 sigma)
+      assert(flagged.filter(col("vec_id") < 1000000L).count() == 0)
+      // every injected twin that lands in its original's cell is flagged;
+      // the tiny perturbation can straddle a cell boundary, so allow a
+      // small miss margin
+      val nTwin = Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 0).count()
+      val hit = flagged.filter(col("vec_id") >= 1000000L).count()
+      assert(hit >= (nTwin * 0.9).toLong, s"flagged $hit of $nTwin injected twins")
+      // one row per corpus vector, cell ids within range
+      assert(sd.count() == Tables.embeddings(spark, sf).count() + nTwin)
+      assert(sd.filter(col("cell_id") < 0 || col("cell_id") >= 8).count() == 0)
+    } finally { sd.unpersist(); CacheTracker.releaseAll() }
+  }
+
   test("embedding near-dup pairs: every injected near copy is recovered at cosine >= 0.95") {
     val pairs = Similarity.qSimNearDupPairs(spark, sf).cache()
     val injected = pairs.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
