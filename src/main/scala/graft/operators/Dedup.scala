@@ -152,8 +152,18 @@ object Dedup {
     * hash check fails, so losslessness itself is oracle-verified. */
   /** Prefix-filtered candidate pairs for the n-gram Jaccard join.
     * `lengthFilter = false` exists only so the spec can prove the
-    * length-ratio bound is a pure pruning step (candidates-with ⊆
-    * candidates-without); production always passes `true`. */
+    * length/positional bounds are pure pruning steps (candidates-with ⊆
+    * candidates-without); production always passes `true`.
+    *
+    * With the filter on, the join condition carries the two remaining
+    * PPJoin bounds: the LENGTH filter (J ≥ 0.5 ⇒ each side ≤ 2× the
+    * other) and the POSITIONAL filter — a shared gram at ranks (i, j)
+    * can witness a qualifying pair only if the remaining suffixes could
+    * still reach the required overlap α = ⌈(|x|+|y|)/3⌉, i.e.
+    * 1 + min(|x|−i, |y|−j) ≥ α. Lossless: for a true pair the
+    * globally-minimal common gram sits in BOTH prefixes and every other
+    * common gram ranks after it on both sides, so that occurrence
+    * always passes. */
   private[graft] def ngramCandidates(sets: DataFrame, lengthFilter: Boolean): DataFrame = {
     val grams = sets.select(col("doc_id"),
         explode(col("sset")).as("gram"), size(col("sset")).as("sz"))
@@ -164,15 +174,18 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
-      .select(col("doc_id"), col("gram"), col("sz"))
+      .select(col("doc_id"), col("gram"), col("sz"), col("rn"))
     val base = col("x.gram") === col("y.gram") && col("x.doc_id") < col("b_id")
     val cond =
       if (lengthFilter)
-        base && col("bsz") <= col("x.sz") * 2 && col("x.sz") <= col("bsz") * 2
+        base && col("bsz") <= col("x.sz") * 2 && col("x.sz") <= col("bsz") * 2 &&
+          // 1 + min(...) ≥ ⌈(sz+bsz)/3⌉, in integer-exact multiply form
+          col("x.sz") + col("bsz") <=
+            (lit(1) + least(col("x.sz") - col("x.rn"), col("bsz") - col("brn"))) * 3
       else base
     prefix.as("x")
       .join(prefix.select(col("doc_id").as("b_id"), col("gram"),
-          col("sz").as("bsz")).as("y"), cond)
+          col("sz").as("bsz"), col("rn").as("brn")).as("y"), cond)
       .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
   }
 
