@@ -115,11 +115,90 @@ object Curation {
         sum(when(col("kept"), col("n_words")).otherwise(0)).cast("long").as("kept_words"))
   }
 
+  /** Temperature-based mixture resampling (the multilingual-pretraining
+    * α-sampling of XLM-R/mT5, α = 0.5): rebalance per-source shares
+    * toward p^α by DOWNSAMPLING — keep rate r_s = √(n_min/n_s), the
+    * α = 0.5 closed form where the smallest source keeps everything and
+    * larger sources shed proportionally more. The per-doc keep decision
+    * is the deterministic md5-bucket coin of qWeightedSample (never
+    * rand(): same kept set on every engine/run/partitioning).
+    *
+    * Scale shape: one tiny groupBy for source counts, the rate table
+    * (|sources| rows) broadcasts, and the keep pass is map-side — the
+    * corpus is scanned twice and shuffled never (the final audit
+    * aggregate is |sources| rows). */
+  def qMixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val rates = counts
+      .withColumn("n_min", min(col("n_src")).over(Window.partitionBy(lit(1))))
+      .withColumn("keep_rate", round(sqrt(col("n_min").cast("double") / col("n_src")), 6))
+      .withColumn("thresh", expr("CAST(round(keep_rate * 65536) AS BIGINT)"))
+      .select("source", "keep_rate", "thresh")
+    val bucket = // 16-bit md5 bucket of the doc id, uniform on [0, 65536)
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)")
+    docs.join(broadcast(rates), "source")
+      .withColumn("kept", bucket < col("thresh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max(col("keep_rate")).as("keep_rate"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"))
+  }
+
+  /** Greedy sequence packing for pretraining batches: documents
+    * concatenate in doc_id order within each source shard and split
+    * into fixed 2048-token context windows; a document is attributed to
+    * the window its first token lands in. The per-window stats audit
+    * packing efficiency (docs per window, fill).
+    *
+    * Scale shape: ONE window function partitioned by shard — packing is
+    * per-shard by construction, so there is never a global sort; at
+    * 100 TB the shard key is the file/source partition the data already
+    * lives in. */
+  def qSeqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", expr("(cum - n_tok) div 2048"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_temperature" -> (qMixTemperature _),
+    "q_seq_pack" -> (qSeqPack _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source,
+        |    round(sqrt(CAST((SELECT MIN(n_src) FROM c) AS DOUBLE) / n_src), 6) AS keep_rate
+        |  FROM c),
+        |k AS (
+        |  SELECT d.source, r.keep_rate,
+        |    (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |      < CAST(round(r.keep_rate * 65536) AS BIGINT)) AS kept
+        |  FROM documents d JOIN r USING (source))
+        |SELECT source, COUNT(*) AS n_docs, MAX(keep_rate) AS keep_rate,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY 1""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, (cum - n_tok) // 2048 AS bin_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "q_weighted_sample" -> {
       val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
       s"""WITH g AS (

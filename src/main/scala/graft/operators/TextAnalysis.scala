@@ -302,7 +302,38 @@ object TextAnalysis {
       .select("term", "exact_cnt", "cms_est", "overcount", "never_under")
   }
 
+  /** PII redaction — the scrubbing stage of a training-data pipeline:
+    * emails, NANP-style phone numbers, and dotted-quad IPs are replaced
+    * with typed placeholder tokens. Pure per-row regex, so the operator
+    * is a projection at any scale (map-side, codegen, no shuffle). The
+    * corpus text has no natural PII, so a live hit path is derived by
+    * appending a synthetic contact line to every 9th document — the
+    * identical injection on the oracle side, as with the dedup corpus.
+    * Patterns stay inside the regex subset Java and RE2 interpret
+    * identically (no alternation, no backreferences). */
+  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567 at 10.0.42.7")))
+        .otherwise(col("text")))
+      .withColumn("n_redactions",
+        regexp_count(col("text"), lit(emailRe)) +
+        regexp_count(col("text"), lit(phoneRe)) +
+        regexp_count(col("text"), lit(ipRe)))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>")))
+      .select("doc_id", "n_redactions", "clean_text")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> (qPiiScrub _),
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_gopher_quality" -> (qGopherQuality _),
@@ -316,6 +347,22 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 at 10.0.42.7'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}'))
+        |     + len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INTEGER) AS n_redactions,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS clean_text
+        |FROM t""".stripMargin,
     "q_cms_heavy_hitters" ->
       """WITH words AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |tot AS (SELECT COUNT(*) AS n_tot FROM words),

@@ -373,6 +373,33 @@ class PipelineSpec extends SparkSpec {
     assert(g.filter(col("pass_all")).count() > 0) // corpus docs mostly pass
   }
 
+  test("pii scrub redacts every injected contact; mix rates and packing bins hold their contracts") {
+    import graft.operators.Curation
+    // pii: every 9th doc got the synthetic contact line — all three
+    // pattern families must be redacted and counted
+    val pii = TextAnalysis.qPiiScrub(spark, sf).cache()
+    val injected = pii.filter(col("doc_id") % 9 === 0)
+    assert(injected.filter(col("n_redactions") < 3).count() == 0)
+    assert(injected.filter(!col("clean_text").contains("<EMAIL>") ||
+      !col("clean_text").contains("<PHONE>") || !col("clean_text").contains("<IP>")).count() == 0)
+    assert(pii.filter(col("clean_text").rlike("@")).count() == 0)
+    pii.unpersist()
+    // mix: rates in (0,1], the smallest source keeps everything, kept <= docs
+    val mix = Curation.qMixTemperature(spark, sf).cache()
+    assert(mix.filter(col("keep_rate") <= 0 || col("keep_rate") > 1).count() == 0)
+    assert(mix.orderBy(col("n_docs")).limit(1).filter(col("keep_rate") =!= 1.0).count() == 0)
+    assert(mix.filter(col("n_kept") > col("n_docs")).count() == 0)
+    mix.unpersist()
+    // pack: token totals are conserved and every shard's packing starts at bin 0
+    val pack = Curation.qSeqPack(spark, sf).cache()
+    val total = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(pack.agg(sum("n_tokens")).head().getLong(0) == total)
+    assert(pack.groupBy("source").agg(min("bin_id").as("b0"))
+      .filter(col("b0") =!= 0L).count() == 0)
+    pack.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
