@@ -114,6 +114,19 @@ class PlanShapeSpec extends SparkSpec {
     } finally CacheTracker.releaseAll()
   }
 
+  test("pii scrub is a pure projection; mix broadcasts rates; packing windows by shard") {
+    // pii: map-side regex only — any Exchange would mean a needless shuffle
+    assert(!plan("q_pii_scrub").contains("Exchange"),
+      "pii scrub must not shuffle")
+    // mix: the per-source rate table joins broadcast, the corpus never shuffles for it
+    assert(plan("q_mix_temperature").contains("BroadcastHashJoin"),
+      "mix rate table must broadcast")
+    // pack: the running sum partitions by source (parallel), not a global window
+    val pp = plan("q_seq_pack")
+    assert(pp.contains("hashpartitioning(source"),
+      s"packing window must partition by shard:\n${pp.take(600)}")
+  }
+
   test("count-min: exact-count aggregate is gated by the map-side sketch filter (no full-vocab groupBy)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
     val df = operators.TextAnalysis.qCmsHeavyHitters(spark, sf)
