@@ -127,6 +127,53 @@ object Dedup {
       .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
   }
 
+  /** INCREMENTAL dedup — the shape production dedup actually runs at
+    * 100 TB: a new ingest batch ("incoming", here doc_id%3==0 of the
+    * derived corpus) is deduplicated AGAINST the existing corpus
+    * ("history", the rest), never the world against itself. Exact drops
+    * are a broadcast-able anti-join on content hash; near-dup drops come
+    * from the banded-LSH join restricted to incoming×history (cost ∝
+    * |batch| · bucket overlap, NOT |corpus|²) with exact shingle-Jaccard
+    * verification. Each incoming doc gets a disposition:
+    * kept / dropped_exact / dropped_near (exact takes precedence — the
+    * near check runs only on exact survivors). The injected exact/near
+    * copies land on the incoming side whenever their original sits in
+    * history, so both drop paths are live. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = graft.CacheTracker.track(withSignature(corpus(s, d))
+      .select(col("doc_id"), md5(col("text")).as("h"), col("sig"),
+        array_distinct(col("shingles")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val incoming = all.filter(col("doc_id") % 3 === 0)
+    val history = all.filter(col("doc_id") % 3 =!= 0)
+    // exact: incoming content hash already present in history
+    val exactDrop = incoming.join(history.select(col("h")).distinct(),
+      Seq("h"), "left_semi").select(col("doc_id"))
+    val survivors = incoming.join(exactDrop, Seq("doc_id"), "left_anti")
+    // near: banded LSH, incoming side vs history side ONLY
+    def bands(df: DataFrame, idCol: String) = df.select(col("doc_id").as(idCol),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = bands(survivors, "i_id")
+      .join(bands(history, "h_id"), Seq("band_idx", "band_hash"))
+      .select("i_id", "h_id").distinct()
+    val si = survivors.select(col("doc_id").as("i_id"), col("sset").as("sa"))
+    val sh = history.select(col("doc_id").as("h_id"), col("sset").as("sb"))
+    val nearDrop = cand.join(si, "i_id").join(sh, "h_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i_id").as("doc_id")).distinct()
+    incoming.select(col("doc_id"))
+      .join(exactDrop.withColumn("de", lit(true)), Seq("doc_id"), "left")
+      .join(nearDrop.withColumn("dn", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("de"), "dropped_exact").when(col("dn"), "dropped_near")
+          .otherwise("kept").as("status"))
+  }
+
   /** Exact all-pairs n-gram Jaccard similarity join via prefix filtering
     * (the PPJoin family: Xiao et al., "Efficient Similarity Joins for
     * Near Duplicate Detection", WWW'08) — the EXACT counterpart to the
@@ -343,6 +390,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -393,6 +441,38 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM corpus),
+         |shx AS (SELECT doc_id, text, $shinglesSql AS shingles FROM w),
+         |hsx AS (SELECT doc_id, text, shingles, $hashesSql AS hashes FROM shx),
+         |sg AS (SELECT doc_id, md5(text) AS h, $sigSql AS sig,
+         |  list_distinct(shingles) AS sset FROM hsx),
+         |inc AS (SELECT * FROM sg WHERE doc_id % 3 = 0),
+         |hist AS (SELECT * FROM sg WHERE doc_id % 3 <> 0),
+         |ed AS (SELECT DISTINCT i.doc_id FROM inc i JOIN hist t ON i.h = t.h),
+         |surv AS (SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
+         |bi AS (SELECT doc_id AS i_id, b AS band_idx,
+         |  array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
+         |  FROM surv, unnest(range(0, 4)) AS t(b)),
+         |bh AS (SELECT doc_id AS h_id, b AS band_idx,
+         |  array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
+         |  FROM hist, unnest(range(0, 4)) AS t(b)),
+         |cand AS (SELECT DISTINCT i_id, h_id FROM bi JOIN bh USING (band_idx, band_hash)),
+         |nd AS (
+         |  SELECT DISTINCT i_id AS doc_id FROM (
+         |    SELECT c.i_id,
+         |      CAST(len(list_distinct(list_intersect(a.sset, b.sset))) AS DOUBLE) /
+         |        (len(a.sset) + len(b.sset)
+         |         - len(list_distinct(list_intersect(a.sset, b.sset)))) AS jaccard
+         |    FROM cand c JOIN surv a ON c.i_id = a.doc_id JOIN hist b ON c.h_id = b.doc_id)
+         |  WHERE jaccard >= 0.5)
+         |SELECT i.doc_id,
+         |  CASE WHEN ed.doc_id IS NOT NULL THEN 'dropped_exact'
+         |       WHEN nd.doc_id IS NOT NULL THEN 'dropped_near'
+         |       ELSE 'kept' END AS status
+         |FROM inc i LEFT JOIN ed ON i.doc_id = ed.doc_id
+         |  LEFT JOIN nd ON i.doc_id = nd.doc_id""".stripMargin,
     "q_dedup_cdc_chunks" ->
       s"""WITH RECURSIVE $corpusSql,
          |fold AS (

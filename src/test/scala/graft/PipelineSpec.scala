@@ -61,6 +61,38 @@ class PipelineSpec extends SparkSpec {
     CacheTracker.releaseAll()
   }
 
+  test("incremental dedup: exact copies drop exactly, near copies drop via LSH, originals keep") {
+    val inc = Dedup.qDedupIncremental(spark, sf).cache()
+    try {
+      // every incoming injected EXACT copy has its original in history
+      // ((1M+v)%3==0 ⇒ v%3==2 ⇒ v in history) → dropped_exact, always
+      val exactCopies = inc.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+      assert(exactCopies.count() > 0)
+      assert(exactCopies.filter(col("status") =!= "dropped_exact").count() == 0)
+      // incoming NEAR copies (tail-appended, original in history): never
+      // exact-dropped; LSH banding must catch most
+      val nearCopies = inc.filter(col("doc_id") >= 2000000L)
+      assert(nearCopies.count() > 0)
+      assert(nearCopies.filter(col("status") === "dropped_exact").count() == 0)
+      val nNear = nearCopies.count()
+      val caught = nearCopies.filter(col("status") === "dropped_near").count()
+      assert(caught >= (nNear * 0.8).toLong, s"LSH caught $caught of $nNear near copies")
+      // originals are never exact-dropped (their texts are unique), and
+      // any near-drop of an original must correspond to a GENUINE
+      // J >= 0.5 partnership the all-pairs LSH relation also knows about
+      // (the word-soup corpus has real similar pairs beyond the injected)
+      val clean = inc.filter(col("doc_id") < 1000000L &&
+        col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0).cache()
+      assert(clean.filter(col("status") === "dropped_exact").count() == 0)
+      val pairs = Dedup.qDedupLshPairs(spark, sf)
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+      val unexplained = clean.filter(col("status") === "dropped_near")
+        .join(pairs, Seq("doc_id"), "left_anti").count()
+      clean.unpersist()
+      assert(unexplained == 0, s"$unexplained near-drops without an LSH-known partner")
+    } finally { inc.unpersist(); CacheTracker.releaseAll() }
+  }
+
   test("count-min sketch: one-sided error on every reported term") {
     val out = TextAnalysis.qCmsHeavyHitters(spark, sf).cache()
     try {
