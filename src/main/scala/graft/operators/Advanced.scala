@@ -26,6 +26,23 @@ object Advanced {
         |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery (SQL surface): each customer's top-2
+    * orders by total price, written as the per-row subquery users
+    * actually type. Spark 4 DECORRELATES the ORDER BY + LIMIT lateral
+    * into a ranked join — the optimized plan is the window top-k, with
+    * no per-row re-execution — which is exactly the property that makes
+    * the construct usable at 100 TB. */
+  def qLateralTopn(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM graft_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin)
+  }
+
   /** As-of join (SURVEY.md §4.3): for each event, the latest order of the
     * matching customer at or before a per-event cutoff. Composed from
     * built-ins (left range-join + windowed pick of the latest row) so
@@ -164,6 +181,7 @@ object Advanced {
     "q_det_sample" -> (qDetSample _),
     "q_asof_join_native" -> (qAsofJoinNative _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_lateral_topn" -> (qLateralTopn _),
     "q_asof_join" -> (qAsofJoin _),
     "q_udaf_weighted_price" -> (qUdafWeightedPrice _),
     "q_approx_distinct" -> (qApproxDistinct _))
@@ -183,6 +201,12 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin,
     "q_asof_join_native" -> asofOracle,
     "q_grouping_sets" ->
       """SELECT n_name, o_orderpriority, COUNT(*) AS n,

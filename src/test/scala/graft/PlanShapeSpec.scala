@@ -114,6 +114,14 @@ class PlanShapeSpec extends SparkSpec {
     } finally CacheTracker.releaseAll()
   }
 
+  test("lateral top-n decorrelates to a ranked join (no per-row subquery execution)") {
+    val p = plan("q_lateral_topn")
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      s"lateral should decorrelate to a window rank:\n${p.take(700)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "decorrelated lateral must not fall back to a per-row nested loop")
+  }
+
   test("pii scrub is a pure projection; mix broadcasts rates; packing windows by shard") {
     // pii: map-side regex only — any Exchange would mean a needless shuffle
     assert(!plan("q_pii_scrub").contains("Exchange"),

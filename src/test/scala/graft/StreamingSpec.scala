@@ -342,6 +342,30 @@ class StreamingSpec extends SparkSpec {
     } finally { qEx.stop(); qMh.stop() }
   }
 
+  test("composed streaming curation: quality/language gates chain into the exact-dedup stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    // the batch gate builder feeds the streaming dedup stage unchanged —
+    // the front half of qCurationPipeline as one continuous stream
+    val gated = graft.operators.Curation.gateFlags(in.toDF().toDF("ts", "doc_id", "text"))
+      .filter(col("pass_quality") && col("pass_lang"))
+      .select("ts", "doc_id", "text")
+    val q = StreamOps.exactDedupStream(gated, "1 hour")
+      .writeStream.format("memory").queryName("s_curation").outputMode("append").start()
+    try {
+      val good = ("the quick value with a of stream data " * 3).trim // passes both gates
+      in.addData((ts(0), 1L, good), (ts(1), 2L, "short doc"),
+        (ts(2), 3L, ("nostopword " * 25).trim))
+      q.processAllAvailable()
+      in.addData((ts(3), 4L, good)) // duplicate content, later micro-batch
+      q.processAllAvailable()
+      val kept = spark.table("s_curation").collect().map(_.getAs[Long]("doc_id")).toSet
+      // 2 fails the quality gate, 3 the language gate, 4 is a dup of 1
+      assert(kept == Set(1L))
+    } finally q.stop()
+  }
+
   test("socket source e2e: a real TCP network source feeds the gateway parse path") {
     // the one connector class MemoryStream/file-source don't cover: a
     // network socket (Kafka is unavailable in this sandbox; localhost
