@@ -69,5 +69,7 @@ object GraftExtensions {
         litInt("hyperplane_codes", "bands", exprs(1)),
         litInt("hyperplane_codes", "bits", exprs(2))) }),
     "msgpack_envelope" -> (exprs => { arity("msgpack_envelope", exprs, 1)
-      functions.MsgpackEnvelope(exprs.head) }))
+      functions.MsgpackEnvelope(exprs.head) }),
+    "shingles3" -> (exprs => { arity("shingles3", exprs, 1)
+      functions.Shingles3(exprs.head) }))
 }

@@ -51,13 +51,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_copies") > 1)
 
-  /** Word 3-gram shingles + 16-permutation MinHash signature, all
-    * map-side via nested HOFs. Guarded for documents under 3 words:
-    * Spark's sequence(1, 0) is DESCENDING (and element_at(…, 0) errors
-    * under ANSI), so short docs yield an empty shingle list — matching
-    * DuckDB's range(1, len-1) behavior. Latent in this corpus (docs are
-    * ≥10 words) but required for general inputs. */
-  private[graft] val shinglesExpr =
+  /** Word 3-gram shingles: the fused codegen [[graft.functions.Shingles3]]
+    * expression (registered by [[withSignature]]/the query builders; the
+    * HOF twin below remains the independent cross-check in PipelineSpec).
+    * Guarded for documents under 3 words: short docs yield an empty
+    * shingle list — matching DuckDB's range(1, len-1) behavior. Latent
+    * in this corpus (docs are ≥10 words) but required for general
+    * inputs. */
+  private[graft] val shinglesExpr = "shingles3(words)"
+
+  /** The original higher-order-function formulation of [[shinglesExpr]]
+    * (interpreted; Spark's sequence(1, 0) is DESCENDING and
+    * element_at(…, 0) errors under ANSI, hence the size guard) — kept as
+    * the independent parity reference for the codegen expression. */
+  private[graft] val shinglesHofExpr =
     """IF(size(words) >= 3,
       |  transform(sequence(1, size(words) - 2),
       |    i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))),
@@ -75,6 +82,7 @@ object Dedup {
     //     h -> ((2654435761 + 40503*k)*h + 2654435769*k + 97) % 2147483647)))
     // — same constants as the oracle, fused single pass.
     graft.functions.MinHashPerms.register(df.sparkSession)
+    graft.functions.Shingles3.register(df.sparkSession)
     df.withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr))
       .withColumn("hashes", expr(baseHashExpr))
@@ -237,6 +245,7 @@ object Dedup {
   }
 
   def qDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
     // distinct-gram sets feed the posting branch and both verify sides
     // — persist, released by the harness
     val sets = graft.CacheTracker.track(corpus(s, d)

@@ -30,9 +30,11 @@ class PipelineSpec extends SparkSpec {
     val got = Dedup.qDedupNgramJaccard(spark, sf)
       .select("a_id", "b_id", "jaccard").cache()
     // brute force: all pairs of non-empty gram sets, exact Jaccard >= 0.5
+    // (shingled with the INDEPENDENT interpreted HOF form, so this also
+    // cross-checks the codegen shingles3 the production path uses)
     val sets = Dedup.corpus(spark, sf)
       .withColumn("words", split(col("text"), " "))
-      .withColumn("sset", array_distinct(expr(Dedup.shinglesExpr)))
+      .withColumn("sset", array_distinct(expr(Dedup.shinglesHofExpr)))
       .filter(size(col("sset")) > 0)
       .select(col("doc_id"), col("sset"))
     val brute = sets.select(col("doc_id").as("a_id"), col("sset").as("sa"))
@@ -59,6 +61,19 @@ class PipelineSpec extends SparkSpec {
     assert(nWith <= nWithout, s"length filter grew candidates: $nWith > $nWithout")
     assert(nWith >= got.count())
     CacheTracker.releaseAll()
+  }
+
+  test("codegen shingles3 is byte-identical to the interpreted HOF form, edges included") {
+    graft.functions.Shingles3.register(spark)
+    val w = Dedup.corpus(spark, sf).withColumn("words", split(col("text"), " "))
+    assert(w.filter(expr(Dedup.shinglesExpr) =!= expr(Dedup.shinglesHofExpr)).count() == 0)
+    // short-doc edges: 0/1/2 words → empty, exactly 3 → one shingle
+    import spark.implicits._
+    val edge = Seq("", "a", "a b", "a b c", "a b c d").toDF("text")
+      .withColumn("words", split(col("text"), " "))
+      .select(expr(Dedup.shinglesExpr).as("got"), expr(Dedup.shinglesHofExpr).as("want"))
+    assert(edge.filter(col("got") =!= col("want")).count() == 0)
+    assert(edge.select(max(size(col("got")))).head().getInt(0) == 2)
   }
 
   test("incremental dedup: exact copies drop exactly, near copies drop via LSH, originals keep") {
