@@ -71,5 +71,7 @@ object GraftExtensions {
     "msgpack_envelope" -> (exprs => { arity("msgpack_envelope", exprs, 1)
       functions.MsgpackEnvelope(exprs.head) }),
     "shingles3" -> (exprs => { arity("shingles3", exprs, 1)
-      functions.Shingles3(exprs.head) }))
+      functions.ShinglesN(exprs.head, 3) }),
+    "shingles_n" -> (exprs => { arity("shingles_n", exprs, 2)
+      functions.ShinglesN(exprs.head, litInt("shingles_n", "n", exprs(1))) }))
 }

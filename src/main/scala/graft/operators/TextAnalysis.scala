@@ -199,8 +199,9 @@ object TextAnalysis {
     * BROADCAST semi-join — the only shuffle is the per-doc overlap
     * count. Output: contaminated docs with gram counts + overlap ratio. */
   def qDecontaminate(s: SparkSession, d: String): DataFrame = {
-    def grams5(arr: String) =
-      s"IF(size($arr) < 5, array(), transform(sequence(1, size($arr) - 4), i -> concat_ws(' ', slice($arr, i, 5))))"
+    graft.functions.Shingles3.register(s)
+    // fused codegen 5-grams (byte-identical to the HOF slice/concat form)
+    def grams5(arr: String) = s"shingles_n($arr, 5)"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
     val evalGrams = docs.filter(col("doc_id") % 50 === 0)
@@ -225,6 +226,7 @@ object TextAnalysis {
     * aggregations, both keyed by doc_id, so the data shuffles once and
     * stays partitioned for the second agg. */
   def qGopherQuality(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
     val w = Tables.documents(s, d)
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_words", size(col("words")))
@@ -232,9 +234,7 @@ object TextAnalysis {
         expr("aggregate(transform(words, x -> length(x)), 0, (a, x) -> a + x)")
           .cast("double") / col("n_words"))
     val rep2 = w
-      .select(col("doc_id"), explode(expr(
-        "IF(size(words) < 2, array(), transform(sequence(1, size(words) - 1), i -> concat_ws(' ', slice(words, i, 2))))"))
-        .as("g"))
+      .select(col("doc_id"), explode(expr("shingles_n(words, 2)")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("max2"), sum("c").as("tot2"))
     w.join(rep2, "doc_id")

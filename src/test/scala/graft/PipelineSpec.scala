@@ -74,6 +74,13 @@ class PipelineSpec extends SparkSpec {
       .select(expr(Dedup.shinglesExpr).as("got"), expr(Dedup.shinglesHofExpr).as("want"))
     assert(edge.filter(col("got") =!= col("want")).count() == 0)
     assert(edge.select(max(size(col("got")))).head().getInt(0) == 2)
+    // the generalized widths match their HOF twins too (gopher 2-grams,
+    // decontamination 5-grams)
+    def hof(n: Int) =
+      s"IF(size(words) < $n, CAST(array() AS ARRAY<STRING>), transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n))))"
+    Seq(1, 2, 5).foreach { n =>
+      assert(w.filter(expr(s"shingles_n(words, $n)") =!= expr(hof(n))).count() == 0, s"n=$n")
+    }
   }
 
   test("incremental dedup: exact copies drop exactly, near copies drop via LSH, originals keep") {
