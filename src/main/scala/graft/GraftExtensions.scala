@@ -73,5 +73,7 @@ object GraftExtensions {
     "shingles3" -> (exprs => { arity("shingles3", exprs, 1)
       functions.ShinglesN(exprs.head, 3) }),
     "shingles_n" -> (exprs => { arity("shingles_n", exprs, 2)
-      functions.ShinglesN(exprs.head, litInt("shingles_n", "n", exprs(1))) }))
+      functions.ShinglesN(exprs.head, litInt("shingles_n", "n", exprs(1))) }),
+    "bigram_hits" -> (exprs => { arity("bigram_hits", exprs, 2)
+      functions.BigramHits.fromExprs(exprs) }))
 }

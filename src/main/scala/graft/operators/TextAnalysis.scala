@@ -113,12 +113,13 @@ object TextAnalysis {
     * The profile tables are literals so the whole operator stays
     * map-side. */
   def qLangidNgram(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BigramHits.register(s)
+    // fused byte-scan count per profile (codepoint-exact for ASCII
+    // profiles; the HOF twin is the parity reference in the spec)
     def score(name: String, prof: Seq[String]) =
-      expr(s"size(filter(bigrams, b -> b IN ${inList(prof)}))").as(name)
+      expr(s"bigram_hits(text, '${prof.mkString(",")}')").as(name)
     Tables.documents(s, d)
-      .withColumn("bigrams",
-        expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-      .withColumn("n_bigrams", size(col("bigrams")))
+      .withColumn("n_bigrams", greatest(length(col("text")) - 1, lit(0)))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         score("s_en", bgEn), score("s_es", bgEs), score("s_de", bgDe), score("s_fr", bgFr))
       .withColumn("pred_lang_ngram",

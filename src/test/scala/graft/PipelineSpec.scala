@@ -83,6 +83,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bigram_hits byte scan matches the HOF bigram filter, multibyte text included") {
+    graft.functions.BigramHits.register(spark)
+    val profile = Seq("th", "he", "in", "er", "an")
+    val hof = s"""size(filter(transform(sequence(1, length(text) - 1),
+      i -> substring(text, i, 2)), b -> b IN ('th','he','in','er','an')))"""
+    val fused = s"bigram_hits(text, '${profile.mkString(",")}')"
+    val corpus = Tables.documents(spark, sf).select("text")
+    assert(corpus.filter(expr(fused) =!= expr(hof)).count() == 0)
+    // multibyte codepoints between/around ASCII pairs must not shift counts
+    import spark.implicits._
+    val edge = Seq("the", "Überther", "théth", "tüh", "日本thes", "", "t").toDF("text")
+    assert(edge.filter(length(col("text")) >= 2)
+      .filter(expr(fused) =!= expr(hof)).count() == 0)
+    assert(edge.filter(col("text") === "the").select(expr(fused)).head().getInt(0) == 2)
+  }
+
   test("incremental dedup: exact copies drop exactly, near copies drop via LSH, originals keep") {
     val inc = Dedup.qDedupIncremental(spark, sf).cache()
     try {
