@@ -333,7 +333,27 @@ object TextAnalysis {
       .select("doc_id", "n_redactions", "clean_text")
   }
 
+  /** Overlapping fixed-window document chunking — the RAG/embedding
+    * preprocessing stage: 64-word windows at stride 48 (16-word
+    * overlap), one output row per chunk. Chunk count is
+    * 1 + ⌈max(n−64, 0)/48⌉, so every word is covered and a final short
+    * window appears only when needed. Pure projection + explode:
+    * map-side at any scale, no shuffle; the 1.33× row amplification is
+    * the operator's contract, not a plan artifact. */
+  def qDocChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_chunks",
+        lit(1) + expr("(greatest(n_words - 64, 0) + 47) div 48"))
+      .select(col("doc_id"), col("n_words"),
+        posexplode(expr(
+          "transform(sequence(0, n_chunks - 1), i -> concat_ws(' ', slice(words, i * 48 + 1, 64)))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunks" -> (qDocChunks _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -348,6 +368,17 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_doc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, words, len(words) AS n_words,
+        |  1 + (greatest(len(words) - 64, 0) + 47) // 48 AS n_chunks FROM w),
+        |x AS (SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |  CAST(i AS INTEGER) AS chunk_id,
+        |  array_to_string(words[i*48+1 : i*48+64], ' ') AS chunk_text
+        |  FROM c, unnest(range(0, n_chunks)) AS t(i))
+        |SELECT doc_id, n_words, chunk_id, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS chunk_tokens
+        |FROM x""".stripMargin,
     "q_pii_scrub" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -443,6 +443,22 @@ class PipelineSpec extends SparkSpec {
     assert(g.filter(col("pass_all")).count() > 0) // corpus docs mostly pass
   }
 
+  test("doc chunks: windows tile every word exactly; interior chunks are full-width") {
+    import org.apache.spark.sql.expressions.Window
+    val ch = TextAnalysis.qDocChunks(spark, sf)
+      .withColumn("mx", max("chunk_id").over(Window.partitionBy("doc_id"))).cache()
+    try {
+      // the final window ends exactly at the document's last word
+      val last = ch.filter(col("chunk_id") === col("mx"))
+      assert(last.filter(col("chunk_id") * 48 + col("chunk_tokens") =!= col("n_words")).count() == 0)
+      // every interior window is the full 64 tokens
+      assert(ch.filter(col("chunk_id") =!= col("mx"))
+        .filter(col("chunk_tokens") =!= 64).count() == 0)
+      // docs within one window produce exactly one chunk
+      assert(ch.filter(col("n_words") <= 64 && col("mx") =!= 0).count() == 0)
+    } finally ch.unpersist()
+  }
+
   test("pii scrub redacts every injected contact; mix rates and packing bins hold their contracts") {
     import graft.operators.Curation
     // pii: every 9th doc got the synthetic contact line — all three
