@@ -172,7 +172,12 @@ object Similarity {
     val n = nBase + (nBase + 9) / 10
     val k = math.max(8, ((n + 1023) / 1024).toInt)
     val cents = ivfCentroidsLit(corpus, k)
-    val cells = assignCells(corpus, cents, 1).select(col("vec_id"), col("cid"), col("ce"))
+    // cells feed three branches (both pairwise sides + the final
+    // disposition join) — persist so the assignment cross-join + window
+    // runs once; released by the harness
+    val cells = graft.CacheTracker.track(
+      assignCells(corpus, cents, 1).select(col("vec_id"), col("cid"), col("ce"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = cells.select(col("cid"), col("vec_id").as("a_id"), col("ce").as("qe"))
     val b = cells.select(col("cid"), col("vec_id").as("b_id"), col("ce"))
     val dups = a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
