@@ -114,6 +114,21 @@ class PlanShapeSpec extends SparkSpec {
     } finally CacheTracker.releaseAll()
   }
 
+  test("PlanAudit reports the shapes the guards assert (self-audit surface)") {
+    val m1 = PlanAudit.metrics(SparkEntry.queries("q1_pricing_summary")(spark, sf)).toMap
+    assert(m1("parquet_scans") == 1)
+    assert(m1("scans_with_pushed_filters") == 1)
+    val m5 = PlanAudit.metrics(SparkEntry.queries("q5_region_revenue")(spark, sf)).toMap
+    assert(m5("broadcast_hash_joins") >= 3, s"q5 dims should broadcast: $m5")
+    val mp = PlanAudit.metrics(SparkEntry.queries("q_pii_scrub")(spark, sf)).toMap
+    assert(mp("shuffle_exchanges") == 0, s"pii scrub must be shuffle-free: $mp")
+    // codegen spans render pre-execution only for non-adaptive plans
+    // (AQE wraps exchanges and finalizes codegen per stage at runtime)
+    assert(mp("codegen_spans") >= 1, s"pii scrub should whole-stage-codegen: $mp")
+    // and the DataFrame face renders one row per metric
+    assert(PlanAudit.describe(SparkEntry.queries("q_pii_scrub")(spark, sf)).count() == 10)
+  }
+
   test("lateral top-n decorrelates to a ranked join (no per-row subquery execution)") {
     val p = plan("q_lateral_topn")
     assert(p.contains("Window") || p.contains("WindowGroupLimit"),
