@@ -176,7 +176,33 @@ object Advanced {
         col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_orderdate"))
   }
 
+  /** HLL sketch PERSISTENCE + union (Apache DataSketches via Spark's
+    * hll_sketch_agg family) — the pattern q_approx_distinct doesn't
+    * exercise: sketches built per (flag, shard) partition survive as
+    * binary columns ("sketch at rest" — at 100 TB you materialize one
+    * sketch per day/partition once) and distinct counts for any shard
+    * combination come from hll_union_agg over the tiny sketch relation
+    * WITHOUT rescanning the fact data. The estimate is engine-specific,
+    * so the oracle checks the exact counts plus the ≤5% error contract
+    * (lgK=12 ⇒ ~1.6% expected). */
+  def qHllSketchUnion(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sketches = li
+      .groupBy(col("l_returnflag"), (col("l_orderkey") % 8).as("shard"))
+      .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+    val unioned = sketches.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_shards"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+    val exact = li.select("l_returnflag", "l_orderkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_orders"))
+    exact.join(unioned, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_orders"), col("n_shards"),
+        (abs(col("est") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.05)
+          .as("union_ok"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_sketch_union" -> (qHllSketchUnion _),
     "q_quantile_stats" -> (qQuantileStats _),
     "q_det_sample" -> (qDetSample _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -201,6 +227,12 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_hll_sketch_union" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_orderkey % 8) AS n_shards,
+        |  TRUE AS union_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
         |FROM customer c,

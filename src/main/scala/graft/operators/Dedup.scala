@@ -394,7 +394,83 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** C4-style repeated-span removal (Raffel et al. '20 dedup the corpus
+    * at the span level, not just whole documents): documents are cut
+    * into non-overlapping 10-word spans, any span whose exact text
+    * occurs more than once ANYWHERE in the corpus is dropped from every
+    * document, and the survivors are reassembled in order. Runs over the
+    * injected-duplicate corpus so the hit path is live (exact copies
+    * collide on every span, near copies on all but the tail).
+    *
+    * Scale shape: one shuffle keyed on the span hash to count
+    * occurrences (map-side combine applies — the key is md5, uniform),
+    * one doc-keyed shuffle to reassemble. Both are the minimum for
+    * corpus-global span dedup; nothing is quadratic and no side is
+    * collected. At 100 TB the span-count relation is Zipf-skewed but
+    * the aggregation is a sum — AQE's skew split plus partial
+    * aggregation absorb it. */
+  def qDedupSpan(s: SparkSession, d: String): DataFrame = {
+    val spans = corpus(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, (size(words) + 9) div 10 - 1), i -> concat_ws(' ', slice(words, i * 10 + 1, 10)))"))
+          .as(Seq("span_idx", "span")))
+      .withColumn("h", md5(col("span")))
+    val occ = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    spans.join(occ, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > 1, 1).otherwise(0)).as("n_dup_spans"),
+        concat_ws(" ", expr(
+          "transform(filter(sort_array(collect_list(struct(span_idx, span, n_occ))), x -> x.n_occ <= 1), x -> x.span)"))
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_fraction"),
+        col("clean_text"))
+  }
+
+  /** Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): each document keeps only the MIN
+    * shingle hash in every sliding window of 4 consecutive shingles
+    * (guarantee: any shared run of ≥ 6 words produces at least one
+    * shared fingerprint), documents are joined on fingerprints, and
+    * pairs sharing ≥ 2 are reported with an overlap score. The winnow
+    * subsamples the shingle set ~4× (expected density 2/(w+1)), so the
+    * posting-list join touches a quarter of the data LSH banding sees.
+    *
+    * Scale shape: fingerprint extraction is map-side (HOF over the
+    * codegen shingle hashes); fingerprints seen in > 50 documents are
+    * dropped before the self-join (MOSS's common-code guard — here the
+    * boilerplate guard), which caps every posting list and bounds
+    * candidate volume at 50·|posts|. The pair aggregation shuffles on
+    * (a_id, b_id) — uniform by construction. */
+  def qDedupWinnow(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
+    val posts = corpus(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("hashes", expr(baseHashExpr))
+      .filter(size(col("hashes")) >= 1)
+      .withColumn("fps", array_distinct(expr(
+        "IF(size(hashes) >= 4, transform(sequence(0, size(hashes) - 4), i -> array_min(slice(hashes, i + 1, 4))), array(array_min(hashes)))")))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"), explode(col("fps")).as("fp"))
+    val rare = posts.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+    val p = posts.join(rare.select("fp"), "fp")
+    p.as("x").join(p.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.n_fps").as("a_fps"), col("y.n_fps").as("b_fps"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 2)
+      .select(col("a_id"), col("b_id"), col("shared_fps"), col("a_fps"), col("b_fps"),
+        round(col("shared_fps").cast("double") / least(col("a_fps"), col("b_fps")), 6)
+          .as("overlap"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_span" -> (qDedupSpan _),
+    "q_dedup_winnow" -> (qDedupWinnow _),
     "q_dedup_cdc_chunks" -> (qDedupCdcChunks _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
@@ -450,6 +526,43 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_span" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |sp AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS span_idx,
+         |    array_to_string(words[i*10+1 : i*10+10], ' ') AS span
+         |  FROM w, unnest(range(0, (len(words) + 9) // 10)) AS t(i)),
+         |occ AS (SELECT md5(span) AS h, COUNT(*) AS n_occ FROM sp GROUP BY 1),
+         |j AS (SELECT doc_id, span_idx, span, n_occ
+         |  FROM sp JOIN occ ON md5(sp.span) = occ.h)
+         |SELECT doc_id, COUNT(*) AS n_spans,
+         |  SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+         |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction,
+         |  coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE n_occ <= 1), '') AS clean_text
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "q_dedup_winnow" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
+         |hs AS (SELECT doc_id, $hashesSql AS hashes FROM sh),
+         |fpl AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(hashes) >= 4
+         |      THEN list_transform(range(0, len(hashes) - 3), i -> list_min(hashes[i+1 : i+4]))
+         |      ELSE [list_min(hashes)] END) AS fps
+         |  FROM hs WHERE len(hashes) >= 1),
+         |posts AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM fpl),
+         |rare AS (SELECT fp FROM posts GROUP BY fp HAVING COUNT(*) <= 50),
+         |p AS (SELECT doc_id, n_fps, fp FROM posts JOIN rare USING (fp)),
+         |pairs AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    x.n_fps AS a_fps, y.n_fps AS b_fps, COUNT(*) AS shared_fps
+         |  FROM p x JOIN p y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a_id, b_id, shared_fps, CAST(a_fps AS INTEGER) AS a_fps,
+         |  CAST(b_fps AS INTEGER) AS b_fps,
+         |  round(CAST(shared_fps AS DOUBLE) / least(a_fps, b_fps), 6) AS overlap
+         |FROM pairs WHERE shared_fps >= 2""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM corpus),

@@ -352,7 +352,31 @@ object TextAnalysis {
           .as(Seq("chunk_id", "chunk_text")))
       .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
 
+  /** Word-distribution Shannon entropy per document — the gibberish /
+    * repetition signal (low entropy = a few words dominate; high =
+    * diverse vocabulary) used alongside the Gopher rules in quality
+    * filtering. H = ln(N) − (Σ c·ln c)/N over per-doc word counts.
+    *
+    * Entirely MAP-SIDE: the per-doc histogram is a HOF over the words
+    * array (docs are bounded; no explode, no shuffle at any corpus
+    * scale). Float determinism: the Σ c·ln c fold runs over the SORTED
+    * distinct-word array, so both engines execute the identical
+    * left-fold of IEEE ops (same add order), then round to 6 dp. */
+  def qTextEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("uniq", sort_array(array_distinct(col("words"))))
+      .withColumn("n_distinct", size(col("uniq")))
+      .withColumn("clnc", expr(
+        "aggregate(transform(uniq, u -> cast(size(filter(words, w -> w = u)) as double) * ln(size(filter(words, w -> w = u)))), cast(0.0 as double), (a, x) -> a + x)"))
+      .withColumn("entropy", round(log(col("n_words")) - col("clnc") / col("n_words"), 6))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("entropy"),
+        when(col("n_distinct") > 1, round(col("entropy") / log(col("n_distinct")), 6))
+          .otherwise(0.0).as("norm_entropy"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_entropy" -> (qTextEntropy _),
     "q_doc_chunks" -> (qDocChunks _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
@@ -368,6 +392,25 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_text_entropy" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |u AS (SELECT doc_id, words, len(words) AS n_words,
+        |    list_sort(list_distinct(words)) AS uniq FROM w),
+        |e AS (SELECT doc_id, n_words, len(uniq) AS n_distinct,
+        |    list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(uniq, u2 ->
+        |          CAST(len(list_filter(words, x -> x = u2)) AS DOUBLE)
+        |            * ln(len(list_filter(words, x -> x = u2))))),
+        |      (a, x) -> a + x) AS clnc
+        |  FROM u)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |  CAST(n_distinct AS INTEGER) AS n_distinct,
+        |  round(ln(n_words) - clnc / n_words, 6) AS entropy,
+        |  CASE WHEN n_distinct > 1
+        |    THEN round(round(ln(n_words) - clnc / n_words, 6) / ln(n_distinct), 6)
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM e""".stripMargin,
     "q_doc_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |c AS (SELECT doc_id, words, len(words) AS n_words,

@@ -101,6 +101,27 @@ class AdvancedSpec extends SparkSpec {
     assert(sizes("gzip") < sizes("none"))
   }
 
+  test("hll sketches are mergeable: sharded union tracks the direct whole-column estimate") {
+    // the property that makes sketch-at-rest work at 100 TB: unioning the
+    // 8 per-shard sketches sees the same hash set the one-pass sketch
+    // sees. The estimates are NOT bit-identical — a direct sketch answers
+    // with the HIP estimator, which a union invalidates (DataSketches
+    // falls back to the composite estimator) — but both sit within the
+    // lgK=12 error envelope, so they agree to ~1%.
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 12))").as("direct_est"))
+    val sharded = li.groupBy(col("l_returnflag"), (col("l_orderkey") % 8).as("shard"))
+      .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("union_est"))
+    assert(direct.join(sharded, "l_returnflag")
+      .filter(abs(col("direct_est") - col("union_est")).cast("double")
+        / col("direct_est") > 0.03).count() == 0)
+    // and the shipped query's error contract holds
+    assert(Advanced.qHllSketchUnion(spark, sf).filter(!col("union_ok")).count() == 0)
+  }
+
   test("uuid() serial numbers are unique across partitions (G10 semantics)") {
     // the reference's sn is 64 random bytes (gateway.ts:313); the engine
     // uses uuid() — monotonically_increasing_id would collide across runs

@@ -486,6 +486,49 @@ class PipelineSpec extends SparkSpec {
     pack.unpersist()
   }
 
+  test("span dedup: exact copies vanish entirely; untouched docs reassemble verbatim") {
+    val g = Dedup.qDedupSpan(spark, sf).cache()
+    try {
+      // the 100 injected exact copies duplicate every span → all dropped
+      val copies = g.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+      assert(copies.count() == 100)
+      assert(copies.filter(col("dup_fraction") =!= 1.0 || col("clean_text") =!= "").count() == 0)
+      assert(g.filter(col("dup_fraction") < 0 || col("dup_fraction") > 1).count() == 0)
+      // any doc with zero duplicated spans must reassemble to its exact text
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val intact = g.filter(col("n_dup_spans") === 0).join(docs, "doc_id")
+      assert(intact.count() > 100) // the corpus genuinely contains such docs
+      assert(intact.filter(col("clean_text") =!= col("text")).count() == 0)
+    } finally g.unpersist()
+  }
+
+  test("winnowing recovers every injected duplicate pair; overlap and ids are well-formed") {
+    val pairs = Dedup.qDedupWinnow(spark, sf).cache()
+    try {
+      val exact = pairs.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
+      assert(exact.count() == 100)
+      assert(exact.filter(col("overlap") =!= 1.0).count() == 0)
+      // near copies: the appended tail adds few shingles; winnow still links all 72
+      assert(pairs.filter(col("a_id") < 1000000L &&
+        col("b_id") === col("a_id") + 2000000L).count() == 72)
+      assert(pairs.filter(col("a_id") >= col("b_id")).count() == 0)
+      assert(pairs.filter(col("overlap") <= 0 || col("overlap") > 1.0).count() == 0)
+      assert(pairs.filter(col("shared_fps") > least(col("a_fps"), col("b_fps"))).count() == 0)
+    } finally pairs.unpersist()
+  }
+
+  test("entropy: bounded by ln(n_distinct), normalized to [0,1], all docs scored") {
+    val g = TextAnalysis.qTextEntropy(spark, sf).cache()
+    try {
+      assert(g.count() == 500)
+      assert(g.filter(col("entropy") < -1e-9).count() == 0)
+      assert(g.filter(col("entropy") > log(col("n_distinct")) + 1e-6).count() == 0)
+      assert(g.filter(col("norm_entropy") < 0 || col("norm_entropy") > 1.000001).count() == 0)
+      // docs repeat words (n_distinct < n_words), so entropy is strictly interior
+      assert(g.filter(col("norm_entropy") > 0 && col("norm_entropy") < 1).count() > 0)
+    } finally g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
