@@ -166,13 +166,75 @@ object Curation {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Stratified train/validation/test split — the held-out-set stage:
+    * within every language stratum, docs land in train/val/test at
+    * 80/10/10 by the same deterministic md5 coin as the samplers (a doc
+    * NEVER migrates between splits when the corpus grows — adding data
+    * never contaminates yesterday's test set, which a rank-based exact
+    * split cannot promise). Map-side assignment + one tiny grouped
+    * audit; the per-stratum totals ride a window over the |lang×split|
+    * aggregate, not the corpus. */
+  def qSplitStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket =
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total", sum("n_docs").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("split"), col("n_docs"), col("lang_total"),
+        round(col("n_docs").cast("double") / col("lang_total"), 6).as("frac"))
+  }
+
+  /** Deterministic training-shard layout — the final write stage of the
+    * pipeline: every doc is assigned to one of 16 shards by an md5
+    * bucket and ordered WITHIN its shard by the full md5 (a
+    * reproducible global shuffle of the training order, computed
+    * without any global sort: the only exchange is the shard-keyed
+    * partitioning and each shard orders independently — at 100 TB this
+    * is repartition(shard) + sortWithinPartitions, embarrassingly
+    * parallel across shards). */
+  def qShardLayout(s: SparkSession, d: String): DataFrame = {
+    val wdw = Window.partitionBy("shard_id").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("shard_id", expr("CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) % 16"))
+      .withColumn("pos", row_number().over(wdw))
+      .select("doc_id", "shard_id", "pos")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_stratified" -> (qSplitStratified _),
+    "q_shard_layout" -> (qShardLayout _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_seq_pack" -> (qSeqPack _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_split_stratified" ->
+      """WITH a AS (
+        |  SELECT lang,
+        |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 80
+        |         THEN 'train'
+        |         WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90
+        |         THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (SELECT lang, split, COUNT(*) AS n_docs FROM a GROUP BY 1, 2)
+        |SELECT lang, split, n_docs,
+        |  SUM(n_docs) OVER (PARTITION BY lang) AS lang_total,
+        |  round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang), 6) AS frac
+        |FROM g""".stripMargin,
+    "q_shard_layout" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 AS shard_id
+        |  FROM documents)
+        |SELECT doc_id, shard_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM h""".stripMargin,
     "q_mix_temperature" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
         |r AS (

@@ -529,6 +529,29 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("split is stratified and leak-free; shard layout is a dense permutation") {
+    import graft.operators.Curation
+    val sp = Curation.qSplitStratified(spark, sf).cache()
+    try {
+      // every stratum sums to 1 and no split is empty corpus-wide
+      assert(sp.groupBy("lang").agg(sum("frac").as("s"))
+        .filter(abs(col("s") - 1.0) > 1e-6).count() == 0)
+      assert(sp.groupBy("split").count().count() == 3)
+      // the md5 coin tracks 80/10/10 corpus-wide (tolerance: 500 docs)
+      val train = sp.filter(col("split") === "train").agg(sum("n_docs")).head().getLong(0)
+      assert(train > 350 && train < 450, s"train split off: $train/500")
+    } finally sp.unpersist()
+    val sh = Curation.qShardLayout(spark, sf).cache()
+    try {
+      assert(sh.count() == 500)
+      assert(sh.select("doc_id").distinct().count() == 500)
+      // positions within each shard are exactly 1..n (dense, no gaps)
+      assert(sh.groupBy("shard_id")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1).count() == 0)
+    } finally sh.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)

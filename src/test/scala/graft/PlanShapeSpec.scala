@@ -150,6 +150,22 @@ class PlanShapeSpec extends SparkSpec {
       s"packing window must partition by shard:\n${pp.take(600)}")
   }
 
+  test("entropy is shuffle-free; span dedup and winnowing shuffle only where the algorithm must") {
+    // entropy: the histogram is a HOF over the words array — a projection
+    assert(!plan("q_text_entropy").contains("Exchange"),
+      "entropy must stay map-side")
+    // span dedup: exactly two shuffle keys — the span hash (occurrence
+    // count) and doc_id (reassembly); a third would mean a redundant pass
+    val sp = plan("q_dedup_span")
+    val spEx = "Exchange hashpartitioning".r.findAllIn(sp).size
+    assert(spEx <= 3, s"span dedup shuffled $spEx times:\n${sp.take(600)}")
+    // winnowing: fingerprint extraction is map-side; the df cap and the
+    // pair join share the fp-keyed partitioning
+    val wn = plan("q_dedup_winnow")
+    assert(!wn.contains("CartesianProduct") && !wn.contains("BroadcastNestedLoopJoin"),
+      "winnow pair join must be an equi-join on fp, never a product")
+  }
+
   test("count-min: exact-count aggregate is gated by the map-side sketch filter (no full-vocab groupBy)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
     val df = operators.TextAnalysis.qCmsHeavyHitters(spark, sf)
