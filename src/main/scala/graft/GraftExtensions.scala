@@ -75,5 +75,7 @@ object GraftExtensions {
     "shingles_n" -> (exprs => { arity("shingles_n", exprs, 2)
       functions.ShinglesN(exprs.head, litInt("shingles_n", "n", exprs(1))) }),
     "bigram_hits" -> (exprs => { arity("bigram_hits", exprs, 2)
-      functions.BigramHits.fromExprs(exprs) }))
+      functions.BigramHits.fromExprs(exprs) }),
+    "winnow_fps" -> (exprs => { arity("winnow_fps", exprs, 1)
+      functions.WinnowFps(exprs.head) }))
 }

@@ -73,7 +73,7 @@ object Dedup {
   // One 28-bit base hash per shingle (md5 prefix), then 16 integer LCG
   // permutations — 16x less hashing than md5-per-permutation, identical
   // in the oracle. Products stay under 2^60 (ANSI-safe).
-  private[operators] val baseHashExpr =
+  private[graft] val baseHashExpr =
     "transform(shingles, sh -> cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint))"
 
   private[graft] def withSignature(df: DataFrame): DataFrame = {
@@ -445,16 +445,29 @@ object Dedup {
     * boilerplate guard), which caps every posting list and bounds
     * candidate volume at 50·|posts|. The pair aggregation shuffles on
     * (a_id, b_id) — uniform by construction. */
+  /** The interpreted-HOF twin of [[graft.functions.WinnowFps]] — kept as
+    * the independent parity reference in PipelineSpec (same pattern as
+    * shinglesHofExpr ↔ Shingles3). */
+  private[graft] val winnowHofExpr =
+    "array_distinct(IF(size(hashes) >= 4, transform(sequence(0, size(hashes) - 4), i -> array_min(slice(hashes, i + 1, 4))), array(array_min(hashes))))"
+
   def qDedupWinnow(s: SparkSession, d: String): DataFrame = {
     graft.functions.Shingles3.register(s)
-    val posts = corpus(s, d)
+    graft.functions.WinnowFps.register(s)
+    // the posting relation feeds three plan branches (df counts + both
+    // sides of the pair join); the extraction above it — shingling, md5
+    // hashing, per-window mins — is the dominant cost, so it runs as the
+    // fused codegen winnow_fps expression (the HOF form benched 18 s of
+    // a 35 s query) and the tiny (doc_id, n_fps, fp) relation persists
+    // so the three branches pay it once (same fix as qDedupLshPairs)
+    val posts = graft.CacheTracker.track(corpus(s, d)
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr))
       .withColumn("hashes", expr(baseHashExpr))
       .filter(size(col("hashes")) >= 1)
-      .withColumn("fps", array_distinct(expr(
-        "IF(size(hashes) >= 4, transform(sequence(0, size(hashes) - 4), i -> array_min(slice(hashes, i + 1, 4))), array(array_min(hashes)))")))
+      .withColumn("fps", expr("winnow_fps(hashes)"))
       .select(col("doc_id"), size(col("fps")).as("n_fps"), explode(col("fps")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rare = posts.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
     val p = posts.join(rare.select("fp"), "fp")
     p.as("x").join(p.as("y"),

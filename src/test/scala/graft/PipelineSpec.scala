@@ -502,6 +502,26 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("winnow_fps codegen is identical to the interpreted HOF form, edges included") {
+    graft.functions.Shingles3.register(spark)
+    graft.functions.WinnowFps.register(spark)
+    val h = Dedup.corpus(spark, sf)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(Dedup.shinglesExpr))
+      .withColumn("hashes", expr(Dedup.baseHashExpr))
+      .filter(size(col("hashes")) >= 1)
+    assert(h.filter(expr("winnow_fps(hashes)") =!= expr(Dedup.winnowHofExpr)).count() == 0)
+    // edges: arrays shorter than the window (1..3 hashes) take the
+    // whole-array min; empty arrays yield empty fingerprint sets
+    import spark.implicits._
+    val edge = Seq(Seq.empty[Long], Seq(5L), Seq(9L, 2L), Seq(3L, 1L, 2L), Seq(4L, 3L, 2L, 1L, 9L))
+      .toDF("hashes")
+    assert(edge.filter(size(col("hashes")) >= 1)
+      .filter(expr("winnow_fps(hashes)") =!= expr(Dedup.winnowHofExpr)).count() == 0)
+    assert(edge.filter(size(col("hashes")) === 0)
+      .select(size(expr("winnow_fps(hashes)"))).head().getInt(0) == 0)
+  }
+
   test("winnowing recovers every injected duplicate pair; overlap and ids are well-formed") {
     val pairs = Dedup.qDedupWinnow(spark, sf).cache()
     try {
