@@ -220,6 +220,13 @@ object Dedup {
     * common gram ranks after it on both sides, so that occurrence
     * always passes. */
   private[graft] def ngramCandidates(sets: DataFrame, lengthFilter: Boolean): DataFrame = {
+    // Measured A/B (sf0.1, local[32]): replacing gram strings with 60-bit
+    // md5 prefixes before the two shuffles cut shuffle bytes ~3x but ran
+    // ~1.4s SLOWER steady-state — the per-gram digest costs more than
+    // memory-speed shuffle saves, so the string key ships. On a
+    // network-bound cluster that trade flips; the hash variant is the
+    // one-line change documented here (hash inside the explode select,
+    // rank by (df, hash); exact verification makes collisions harmless).
     val grams = sets.select(col("doc_id"),
         explode(col("sset")).as("gram"), size(col("sset")).as("sz"))
     // integer-exact prefix length: sz - ceil(t*sz) + 1 with t = 0.5
