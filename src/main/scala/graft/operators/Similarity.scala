@@ -482,7 +482,40 @@ object Similarity {
                 CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
   }
 
+  /** Per-dimension embedding statistics — the data-validation /
+    * feature-store audit stage (drift detection, bad-batch screening):
+    * mean, stddev, min, max for each of the 64 dimensions (drift and
+    * bad-batch screening over the corpus the ANN indexes serve).
+    *
+    * Shape: posexplode to (dim, value) then ONE groupBy(dim) with
+    * map-side partial aggregation — 64 groups regardless of corpus
+    * size, so the shuffle is O(partitions · 64) partials. Float
+    * determinism: sums run over round(value·10^7) integers in
+    * DECIMAL(38,0) (exact at any corpus size — no float-summation
+    * order sensitivity, no BIGINT overflow of the squared sums);
+    * mean/std derive from the exact sums with the identical expression
+    * in both engines, rounded to 6 dp. */
+  def qEmbColstats(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("sv", expr("CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT)"))
+    e.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(sv AS DECIMAL(38,0))")).as("ssum"),
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("ssq"),
+        round(min(col("v").cast("double")), 6).as("min_v"),
+        round(max(col("v").cast("double")), 6).as("max_v"))
+      .select(col("dim"), col("n"),
+        round(col("ssum").cast("double") / col("n") / lit(1e7), 6).as("mean_v"),
+        round(sqrt(
+          (col("ssq").cast("double") / col("n") -
+            (col("ssum").cast("double") / col("n")) * (col("ssum").cast("double") / col("n")))
+          ) / lit(1e7), 6).as("std_v"),
+        col("min_v"), col("max_v"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_colstats" -> (qEmbColstats _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivf_pq" -> (qSimIvfPq _),
@@ -599,6 +632,28 @@ object Similarity {
        |  FROM subs s JOIN cents c USING (grp) WHERE s.vec_id % 20 = 0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_emb_colstats" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+        |    CAST(embedding[t.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS t(i)),
+        |s AS (
+        |  SELECT dim, v,
+        |    CAST(round(v * 10000000) AS BIGINT) AS sv
+        |  FROM x),
+        |g AS (
+        |  SELECT dim, COUNT(*) AS n,
+        |    SUM(CAST(sv AS HUGEINT)) AS ssum,
+        |    SUM(CAST(sv AS HUGEINT) * sv) AS ssq,
+        |    round(MIN(v), 6) AS min_v, round(MAX(v), 6) AS max_v
+        |  FROM s GROUP BY 1)
+        |SELECT dim, n,
+        |  round(CAST(ssum AS DOUBLE) / n / 10000000.0, 6) AS mean_v,
+        |  round(sqrt(CAST(ssq AS DOUBLE) / n
+        |      - (CAST(ssum AS DOUBLE) / n) * (CAST(ssum AS DOUBLE) / n)) / 10000000.0, 6)
+        |    AS std_v,
+        |  min_v, max_v
+        |FROM g""".stripMargin,
     "q_semantic_dedup" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |e AS (

@@ -572,6 +572,17 @@ class PipelineSpec extends SparkSpec {
     } finally sh.unpersist()
   }
 
+  test("embedding column stats: 64 dims, exact counts, bounds ordered, std positive") {
+    val g = Similarity.qEmbColstats(spark, sf).cache()
+    try {
+      assert(g.count() == 64)
+      val n = Tables.embeddings(spark, sf).count()
+      assert(g.filter(col("n") =!= n).count() == 0)
+      assert(g.filter(col("min_v") > col("mean_v") || col("mean_v") > col("max_v")).count() == 0)
+      assert(g.filter(col("std_v") <= 0 || col("std_v").isNull).count() == 0)
+    } finally g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
