@@ -78,6 +78,18 @@ class SourcesSpec extends SparkSpec {
     } finally p.unpersist()
   }
 
+  test("xml round-trip (Spark 4 native source) preserves rows and nested values") {
+    val dir = tmp("graft_xml")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").limit(50)
+    docs.write.mode("overwrite").option("rowTag", "doc").xml(dir)
+    val back = spark.read.option("rowTag", "doc").xml(dir)
+    assert(back.count() == 50)
+    // values survive the trip (xml infers longs for integral columns)
+    assert(back.select(col("doc_id").cast("long"), col("lang"), col("n_chars").cast("int"))
+      .exceptAll(docs.select(col("doc_id"), col("lang"), col("n_chars"))).count() == 0)
+  }
+
   test("partitioned ORC round-trip preserves rows and prunes partitions on read") {
     val dir = tmp("graft_orc")
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
