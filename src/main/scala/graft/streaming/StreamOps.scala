@@ -73,6 +73,20 @@ object StreamOps {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("sig_key")
 
+  /** Streaming heavy hitters (trending terms): tumbling-window term
+    * counts gated by a support threshold — the streaming face of the
+    * batch CMS support gate (q_cms_heavy_hitters). The explode is
+    * map-side; the windowed count gets two-phase partial aggregation,
+    * so the shuffle carries per-task partials, and in streaming mode
+    * the watermark (caller-applied, as with the other window builders)
+    * bounds state to the live window set, not the stream length. */
+  def heavyHittersWindowed(docs: DataFrame, size: String, minCount: Long): DataFrame =
+    docs.select(col("ts"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(window(col("ts"), size), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("ws"), col("term"), col("n"))
+
   /** G4/G11 routed sink: foreachBatch demultiplex by module — each
     * micro-batch is split by `mod_name` and appended to that module's
     * directory (the batch analogue of the per-module nanomsg socket,

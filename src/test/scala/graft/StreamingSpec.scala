@@ -122,6 +122,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters match the batch twin; sub-support terms stay gated") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val docs = in.toDF().toDF("ts", "text").withWatermark("ts", "10 seconds")
+    val q = StreamOps.heavyHittersWindowed(docs, "10 seconds", 3L)
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    try {
+      in.addData((ts(0), "a a b"), (ts(1), "a b c"), (ts(2), "b c"))
+      q.processAllAvailable()
+      // push the watermark past the first window so append finalizes it
+      in.addData((ts(60), "next window"))
+      q.processAllAvailable()
+      val rows = spark.table("hh").collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("n")).toMap
+      assert(rows == Map("a" -> 3L, "b" -> 3L), s"got $rows") // c=2 gated out
+      // identical operator over the same rows as a batch table
+      val bt = StreamOps.heavyHittersWindowed(
+          Seq((ts(0), "a a b"), (ts(1), "a b c"), (ts(2), "b c")).toDF("ts", "text"),
+          "10 seconds", 3L)
+        .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("n")).toMap
+      assert(bt == rows)
+    } finally q.stop()
+  }
+
   test("auth dispatch runs unchanged on a streaming source (same operator as the batch query)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
