@@ -90,6 +90,25 @@ class SourcesSpec extends SparkSpec {
       .exceptAll(docs.select(col("doc_id"), col("lang"), col("n_chars"))).count() == 0)
   }
 
+  test("corrupt parquet files: fail loudly by default, skip-and-continue when opted in") {
+    val dir = tmp("graft_corrupt")
+    Tables.documents(spark, sf).select("doc_id", "lang").limit(20)
+      .write.mode("overwrite").parquet(dir)
+    // a truncated/garbage part file lands in the directory (the failed-
+    // writer / partial-upload case a 100 TB ingest hits routinely)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-99999-garbage.snappy.parquet"),
+      "this is not parquet".getBytes)
+    // default: the job must FAIL — silent data loss is never the default
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    // explicit opt-in: corrupt file skipped, valid rows all survive
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(dir).count() == 20)
+    finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+  }
+
   test("partitioned ORC round-trip preserves rows and prunes partitions on read") {
     val dir = tmp("graft_orc")
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
