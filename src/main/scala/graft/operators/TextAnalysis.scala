@@ -381,7 +381,34 @@ object TextAnalysis {
         when(col("n_distinct") > 1, round(col("entropy") / log(col("n_distinct")), 6))
           .otherwise(0.0).as("norm_entropy"))
 
+  /** Corpus-frequency vocabulary encoding — the tokenize→ids step that
+    * feeds training: build the vocabulary ranked by corpus frequency
+    * (rank 1 = most frequent; ties break lexically), then encode every
+    * document as its space-joined token-id sequence in position order.
+    *
+    * Scale shape: the vocabulary relation is |word types|, not |corpus|
+    * (Heaps' law: sublinear in corpus size), so the global
+    * frequency-rank window runs over a relation orders of magnitude
+    * smaller than the data — at web scale rank it with a
+    * range-partitioned sort instead. The encode join BROADCASTs the
+    * vocab (plan-asserted); per-doc reassembly is one doc-keyed shuffle
+    * with a map-side sort_array — never a global sort. */
+  def qVocabEncode(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("token_id", row_number().over(Window.orderBy(desc("freq"), col("word"))))
+      .select("word", "token_id")
+    words.join(broadcast(vocab), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min("token_id").as("top_rank_used"),
+        expr("array_join(transform(sort_array(collect_list(struct(pos, token_id))), x -> cast(x.token_id as string)), ' ')")
+          .as("token_ids"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_encode" -> (qVocabEncode _),
     "q_text_entropy" -> (qTextEntropy _),
     "q_doc_chunks" -> (qDocChunks _),
     "q_pii_scrub" -> (qPiiScrub _),
@@ -398,6 +425,20 @@ object TextAnalysis {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_encode" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(t.i AS INTEGER) AS pos, words[t.i + 1] AS word
+        |  FROM w0, unnest(range(0, len(words))) AS t(i)),
+        |v AS (
+        |  SELECT word,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS INTEGER) AS token_id
+        |  FROM w GROUP BY word)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  MIN(token_id) AS top_rank_used,
+        |  string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
+        |FROM w JOIN v USING (word)
+        |GROUP BY doc_id""".stripMargin,
     "q_text_entropy" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |u AS (SELECT doc_id, words, len(words) AS n_words,

@@ -592,6 +592,27 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("vocab encoding: ids dense from 1, sequences position-exact, totals conserved") {
+    val g = TextAnalysis.qVocabEncode(spark, sf).cache()
+    try {
+      assert(g.count() == 500)
+      // every doc's encoded sequence has exactly n_tokens ids
+      assert(g.filter(size(split(col("token_ids"), " ")) =!= col("n_tokens")).count() == 0)
+      // id space is dense from 1: some doc uses rank 1, and no id exceeds
+      // the distinct word-type count of the corpus
+      assert(g.agg(min("top_rank_used")).head().getInt(0) == 1)
+      val vTypes = Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("w")).distinct().count()
+      val maxId = g.select(max(expr(
+        "array_max(transform(split(token_ids, ' '), x -> cast(x as int)))"))).head().getInt(0)
+      assert(maxId == vTypes, s"max id $maxId != $vTypes word types")
+      // total encoded tokens == total corpus words
+      val totalWords = Tables.documents(spark, sf)
+        .select(sum(size(split(col("text"), " ")))).head().getLong(0)
+      assert(g.agg(sum("n_tokens")).head().getLong(0) == totalWords)
+    } finally g.unpersist()
+  }
+
   test("embedding column stats: 64 dims, exact counts, bounds ordered, std positive") {
     val g = Similarity.qEmbColstats(spark, sf).cache()
     try {

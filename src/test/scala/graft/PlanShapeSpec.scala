@@ -166,6 +166,12 @@ class PlanShapeSpec extends SparkSpec {
       "winnow pair join must be an equi-join on fp, never a product")
   }
 
+  test("vocab encode broadcasts the vocabulary (the corpus never shuffles for the id join)") {
+    val p = plan("q_vocab_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n${p.take(600)}")
+  }
+
   test("count-min: exact-count aggregate is gated by the map-side sketch filter (no full-vocab groupBy)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
     val df = operators.TextAnalysis.qCmsHeavyHitters(spark, sf)
