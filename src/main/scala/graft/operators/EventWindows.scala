@@ -20,7 +20,41 @@ object EventWindows {
   def qWindowSession(s: SparkSession, d: String): DataFrame =
     StreamOps.sessionCounts(graft.Tables.events(s, d), "30 minutes", col("user_id"))
 
+  /** Sequential funnel analysis (view → click → purchase): how many
+    * users reach each stage IN ORDER — a later-stage event only counts
+    * if it happens at or after the user's first previous-stage event.
+    * The conditional-min cascade is the standard scalable form: every
+    * aggregation and join keys on user_id, so the whole funnel is one
+    * partitioning reused across stages (no broadcast of user-sized
+    * relations, no per-user collect); stage relations shrink
+    * monotonically. Output: one row per stage with reached-user counts
+    * and the conversion fraction vs the previous stage (integer-count
+    * division — deterministic). */
+  def qEventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    val rows = stage(v, "1_view")
+      .unionByName(stage(c, "2_click"))
+      .unionByName(stage(p, "3_purchase"))
+    import org.apache.spark.sql.expressions.Window
+    rows.withColumn("prev", lag("n_users", 1).over(Window.orderBy("stage")))
+      .withColumn("conversion",
+        when(col("prev").isNull, 1.0)
+          .otherwise(round(col("n_users").cast("double") / col("prev"), 6)))
+      .select("stage", "n_users", "conversion")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_funnel" -> (qEventFunnel _),
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_window_sliding" -> (qWindowSliding _),
     "q_window_session" -> (qWindowSession _))
@@ -30,6 +64,25 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1),
+        |stages AS (
+        |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
+        |SELECT stage, n_users,
+        |  CASE WHEN LAG(n_users) OVER (ORDER BY stage) IS NULL THEN 1.0
+        |       ELSE round(CAST(n_users AS DOUBLE) / LAG(n_users) OVER (ORDER BY stage), 6)
+        |  END AS conversion
+        |FROM stages""".stripMargin,
     "q_window_tumbling" ->
       s"""SELECT ${bucketSql(21600)} AS ws,
          |  ${bucketSql(21600)} + INTERVAL 6 HOUR AS we,

@@ -122,6 +122,23 @@ class AdvancedSpec extends SparkSpec {
     assert(Advanced.qHllSketchUnion(spark, sf).filter(!col("union_ok")).count() == 0)
   }
 
+  test("event funnel: stages shrink monotonically and ordering is enforced") {
+    val f = operators.EventWindows.qEventFunnel(spark, sf).orderBy("stage").collect()
+    assert(f.map(_.getAs[String]("stage")).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val ns = f.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel must shrink: ${ns.toSeq}")
+    assert(ns(2) > 0, "live purchase path expected in the corpus")
+    assert(f.map(_.getAs[Double]("conversion")).forall(c => c > 0 && c <= 1.0))
+    // ordering matters: without the ts >= previous-stage constraint the
+    // click stage would count every view∩click user — the constrained
+    // count must be no larger
+    val ev = Tables.events(spark, sf)
+    val unordered = ev.filter(col("event_type") === "view").select("user_id").distinct()
+      .join(ev.filter(col("event_type") === "click").select("user_id").distinct(), "user_id")
+      .count()
+    assert(ns(1) <= unordered)
+  }
+
   test("uuid() serial numbers are unique across partitions (G10 semantics)") {
     // the reference's sn is 64 random bytes (gateway.ts:313); the engine
     // uses uuid() — monotonically_increasing_id would collide across runs
