@@ -224,7 +224,7 @@ object Curation {
         |  FROM documents),
         |g AS (SELECT lang, split, COUNT(*) AS n_docs FROM a GROUP BY 1, 2)
         |SELECT lang, split, n_docs,
-        |  SUM(n_docs) OVER (PARTITION BY lang) AS lang_total,
+        |  CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
         |  round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang), 6) AS frac
         |FROM g""".stripMargin,
     "q_shard_layout" ->
@@ -257,7 +257,7 @@ object Curation {
         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t)
-        |SELECT source, (cum - n_tok) // 2048 AS bin_id, COUNT(*) AS n_docs,
+        |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2""".stripMargin,

@@ -599,17 +599,17 @@ object Dedup {
          |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
          |p0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
          |p1 AS (
-         |  SELECT x.id, CAST(150000000000 AS BIGINT) + (SUM(x.c) * 85) // 100 AS pr
+         |  SELECT x.id, CAST(150000000000 + (SUM(x.c) * 85) // 100 AS BIGINT) AS pr
          |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
          |        FROM edges e JOIN p0 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
          |  GROUP BY 1),
          |p2 AS (
-         |  SELECT x.id, CAST(150000000000 AS BIGINT) + (SUM(x.c) * 85) // 100 AS pr
+         |  SELECT x.id, CAST(150000000000 + (SUM(x.c) * 85) // 100 AS BIGINT) AS pr
          |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
          |        FROM edges e JOIN p1 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
          |  GROUP BY 1),
          |p3 AS (
-         |  SELECT x.id, CAST(150000000000 AS BIGINT) + (SUM(x.c) * 85) // 100 AS pr
+         |  SELECT x.id, CAST(150000000000 + (SUM(x.c) * 85) // 100 AS BIGINT) AS pr
          |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
          |        FROM edges e JOIN p2 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
          |  GROUP BY 1)
@@ -626,7 +626,7 @@ object Dedup {
          |j AS (SELECT doc_id, span_idx, span, n_occ
          |  FROM sp JOIN occ ON md5(sp.span) = occ.h)
          |SELECT doc_id, COUNT(*) AS n_spans,
-         |  SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+         |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
          |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction,
          |  coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE n_occ <= 1), '') AS clean_text
          |FROM j GROUP BY doc_id""".stripMargin,
