@@ -54,22 +54,27 @@ case class WinnowFps(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j"); val m = ctx.freshName("m")
       val end = ctx.freshName("end"); val out = ctx.freshName("out")
       val k = ctx.freshName("k"); val it = ctx.freshName("it")
+      val x = ctx.freshName("x")
+      // Raw java.util types + explicit boxing: Janino's generics support is
+      // partial, and a <Long> type argument here silently fails whole-stage
+      // compilation (Spark falls back to interpreted eval, losing the win
+      // this expression exists for).
       s"""
          |int $n = $c.numElements();
-         |java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>();
+         |java.util.LinkedHashSet $seen = new java.util.LinkedHashSet();
          |int $nw = $n >= 4 ? $n - 3 : ($n > 0 ? 1 : 0);
          |for (int $i = 0; $i < $nw; $i++) {
          |  long $m = $c.getLong($i);
          |  int $end = java.lang.Math.min($i + 4, $n);
          |  for (int $j = $i + 1; $j < $end; $j++) {
-         |    long x = $c.getLong($j); if (x < $m) $m = x;
+         |    long $x = $c.getLong($j); if ($x < $m) $m = $x;
          |  }
-         |  $seen.add($m);
+         |  $seen.add(java.lang.Long.valueOf($m));
          |}
          |long[] $out = new long[$seen.size()];
          |int $k = 0;
-         |for (java.util.Iterator<Long> $it = $seen.iterator(); $it.hasNext(); $k++) {
-         |  $out[$k] = $it.next().longValue();
+         |for (java.util.Iterator $it = $seen.iterator(); $it.hasNext(); $k++) {
+         |  $out[$k] = ((java.lang.Long) $it.next()).longValue();
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
