@@ -381,25 +381,46 @@ object TextAnalysis {
         when(col("n_distinct") > 1, round(col("entropy") / log(col("n_distinct")), 6))
           .otherwise(0.0).as("norm_entropy"))
 
+  /** Vocab sizes up to this many word types are broadcast for the encode
+    * join (a few tens of MB of strings+ints); beyond it the id join falls
+    * back to a shuffled hash join on `word`, which scales without bound. */
+  private[graft] val VocabBroadcastMaxTypes = 2000000L
+
   /** Corpus-frequency vocabulary encoding — the tokenize→ids step that
     * feeds training: build the vocabulary ranked by corpus frequency
     * (rank 1 = most frequent; ties break lexically), then encode every
     * document as its space-joined token-id sequence in position order.
     *
     * Scale shape: the vocabulary relation is |word types|, not |corpus|
-    * (Heaps' law: sublinear in corpus size), so the global
-    * frequency-rank window runs over a relation orders of magnitude
-    * smaller than the data — at web scale rank it with a
-    * range-partitioned sort instead. The encode join BROADCASTs the
-    * vocab (plan-asserted); per-doc reassembly is one doc-keyed shuffle
-    * with a map-side sort_array — never a global sort. */
+    * (Heaps' law: sublinear in corpus size), but a global rank window
+    * would still drag every word type through ONE task. Instead the rank
+    * is a range-partitioned sort: `repartitionByRange` on the strict
+    * total order (freq desc, word) makes each partition a contiguous run
+    * of the global order, a within-partition sort orders the run, and
+    * `zipWithIndex` adds the per-partition offsets — every stage stays
+    * parallel, and the ids are identical to `row_number()` because the
+    * key order is strict (word is unique). The encode join broadcasts
+    * the vocab while it fits ([[VocabBroadcastMaxTypes]]; plan-asserted
+    * at test scale) and degrades to a shuffled hash join above that.
+    * Per-doc reassembly is one doc-keyed shuffle with a map-side
+    * sort_array — never a global sort. */
   def qVocabEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val words = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-    val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("token_id", row_number().over(Window.orderBy(desc("freq"), col("word"))))
-      .select("word", "token_id")
-    words.join(broadcast(vocab), "word")
+    val freqs = graft.CacheTracker.track(
+      words.groupBy("word").agg(count(lit(1)).as("freq")).persist())
+    val nTypes = freqs.count() // vocab-sized action; also decides the join shape
+    val vocab = freqs
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("freq").desc, col("word").asc)
+      .sortWithinPartitions(col("freq").desc, col("word"))
+      .select(col("word")).as[String].rdd
+      .zipWithIndex()
+      .map { case (w, i) => (w, (i + 1L).toInt) }
+      .toDF("word", "token_id")
+    val dim = if (nTypes <= VocabBroadcastMaxTypes) broadcast(vocab) else vocab
+    words.join(dim, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         min("token_id").as("top_rank_used"),

@@ -170,6 +170,18 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_vocab_encode")
     assert(p.contains("BroadcastHashJoin"),
       s"vocab join must broadcast:\n${p.take(600)}")
+    graft.CacheTracker.releaseAll() // builder persists the freq relation
+  }
+
+  test("vocab rank is range-partitioned — no global window, no single-partition exchange") {
+    val df = operators.TextAnalysis.qVocabEncode(spark, sf)
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"vocabulary rank regressed to a window:\n${p.take(600)}")
+      assert(!p.contains("SinglePartition"),
+        s"single-partition exchange in the encode plan:\n${p.take(600)}")
+    } finally graft.CacheTracker.releaseAll()
   }
 
   test("count-min: exact-count aggregate is gated by the map-side sketch filter (no full-vocab groupBy)") {
