@@ -411,8 +411,8 @@ object Similarity {
     * pruned (query, candidate) pairs instead of the full cross product
     * (the memory story is PQ's — one byte per subspace per vector).
     * Codes are computed on the raw vectors (shared across cells);
-    * residual encoding per cell is the classic refinement, documented
-    * not implemented. Deterministic/oracle-checked end to end: rounded
+    * [[qSimIvfPqRes]] is the residual-encoding refinement of this
+    * query. Deterministic/oracle-checked end to end: rounded
     * cosine for cells/probes, integer d6 for codes/ADC, fold-exact
     * trained codebooks — the oracle unrolls both trainings as CTEs.
     *
@@ -482,6 +482,75 @@ object Similarity {
                 CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
   }
 
+  /** IVF×PQ with RESIDUAL encoding — the classic refinement (Jégou et
+    * al. 2011, "Product quantization for nearest neighbor search",
+    * §IV): PQ quantizes the residual r = x − centroid(cell(x)) instead
+    * of x itself, so the 16 codebook cells per subspace spend their
+    * resolution on the within-cell spread rather than re-describing the
+    * coarse structure the IVF assignment already captured. A bonus of
+    * residual space: ‖(q−c) − (x−c)‖² = ‖q−x‖², so ADC estimates remain
+    * direct estimates of the true distance.
+    *
+    * Everything stays sample-trained and broadcast: the coarse
+    * quantizer is unchanged; PQ codebooks train on the SAMPLE's
+    * residuals; encoding is map-side against broadcast books. The one
+    * structural change is the ADC table — a query's residual differs
+    * per probed cell, so the table gains a cell key and grows to
+    * queries × nprobe × 8 groups × 16 centroids. Still tiny, still
+    * broadcast; candidate pairs are identical to [[qSimIvfPq]] (same
+    * coarse quantizer, same nprobe), only the ranking changes. */
+  def qSimIvfPqRes(s: SparkSession, d: String): DataFrame = ivfPqResidualSearch(s, d, nprobe = 2)
+
+  private[graft] def ivfPqResidualSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = graft.CacheTracker.track(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val coarse = ivfCentroidsLit(e, k = 8)
+    // residual relation: every vector minus its own cell's centroid —
+    // the residual keeps the name `ce` so the PQ trainer/encoder apply
+    // unchanged; persisted because training, encoding and the candidate
+    // side all branch from it
+    val resid = graft.CacheTracker.track(
+      assignCells(e, coarse, 1)
+        .select(col("vec_id"), col("cid"),
+          expr("zip_with(ce, centroid, (x, y) -> x - y)").as("ce"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pq = pqCodebooksLit(resid.select("vec_id", "ce"))
+    val codes = pqCodes(resid.select("vec_id", "ce"), pq).withColumnRenamed("vec_id", "c_id")
+    val cells = resid.select(col("vec_id").as("c_id"), col("cid"))
+    // queries probe their nprobe nearest cells; the query residual is
+    // PER PROBED CELL (q minus that cell's centroid)
+    val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"),
+        expr("zip_with(ce, centroid, (x, y) -> x - y)").as("qres"))
+    val qsubs = probes
+      .select(col("q_id"), col("cid"), explode(sequence(lit(0), lit(7))).as("grp"), col("qres"))
+      .select(col("q_id"), col("cid"), col("grp"),
+        expr("slice(qres, grp * 8 + 1, 8)").as("sub"))
+    val qd = qsubs.join(broadcast(pq.withColumnRenamed("cid", "pcid")), "grp")
+      .select(col("q_id").as("qq_id"), col("cid").as("qcell"), col("grp").as("qgrp"),
+        col("pcid").as("qcid"), expr(d6("sub", "cent")).as("d6"))
+    val cand = cells.join(broadcast(probes.select("q_id", "cid")), Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+    val est = cand.join(codes, "c_id")
+      .join(broadcast(qd),
+        col("q_id") === col("qq_id") && col("cid") === col("qcell") &&
+        col("grp") === col("qgrp") && col("code") === col("qcid"))
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("d6")).as("e6"))
+    val ranked = est.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("e6"), col("c_id"))))
+      .filter(col("rank") <= 5)
+    val qv = e.select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    val cv = e.select(col("vec_id").as("c_id"), col("ce"))
+    ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
+        (col("e6") / 1000000.0).as("est_d2"),
+        expr("""round(aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
+  }
+
   /** Per-dimension embedding statistics — the data-validation /
     * feature-store audit stage (drift detection, bad-batch screening):
     * mean, stddev, min, max for each of the 64 dimensions (drift and
@@ -519,6 +588,7 @@ object Similarity {
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivf_pq" -> (qSimIvfPq _),
+    "q_sim_ivf_pq_res" -> (qSimIvfPqRes _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
@@ -737,6 +807,65 @@ object Similarity {
          |  SELECT cand.q_id, cand.c_id, SUM(qd.d6) AS e6
          |  FROM cand JOIN codes ON cand.c_id = codes.vec_id
          |    JOIN qd ON qd.q_id = cand.q_id AND qd.grp = codes.grp AND qd.cid = codes.code
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, c_id, e6,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY e6, c_id) AS INTEGER) AS rank
+         |  FROM est)
+         |SELECT r.q_id, r.rank, r.c_id AS neighbor_id,
+         |  r.e6 / 1000000.0 AS est_d2,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i -> (qv.ce[i] - cv.ce[i]) * (qv.ce[i] - cv.ce[i]))),
+         |    (acc, x) -> acc + x), 6) AS exact_d2
+         |FROM ranked r JOIN e qv ON r.q_id = qv.vec_id JOIN e cv ON r.c_id = cv.vec_id
+         |WHERE r.rank <= 5""".stripMargin,
+    "q_sim_ivf_pq_res" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |grps AS (SELECT unnest(range(0, 8)) AS grp),
+         |sraw AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
+         |  FROM (SELECT vec_id, ce FROM sraw ORDER BY vec_id LIMIT 8)),
+         |${dkLloyd("sraw", "c0", "a1", "m1", "c1")},
+         |${dkLloyd("sraw", "c1", "a2", "m2", "c2")},
+         |cellsr AS (
+         |  SELECT vec_id, cid, list_transform(range(1, 65), i -> ce[i] - centroid[i]) AS ce
+         |  FROM (
+         |    SELECT e.vec_id, c2.cid, e.ce, c2.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2) WHERE rn = 1),
+         |sm AS (SELECT vec_id, ce FROM cellsr WHERE vec_id % 8 = 0),
+         |$dkPqTrain,
+         |subs AS (SELECT vec_id, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS sub FROM cellsr, grps),
+         |codes AS (
+         |  SELECT vec_id, grp, cid AS code FROM (
+         |    SELECT s.vec_id, s.grp, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.grp
+         |        ORDER BY ${dkD6("s.sub", "c.cent")}, c.cid) AS rn
+         |    FROM subs s JOIN cents c USING (grp)) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2 WHERE e.vec_id % 20 = 0) WHERE rn <= 2),
+         |qres AS (
+         |  SELECT p.q_id, p.cid, list_transform(range(1, 65), i -> e.ce[i] - c2.centroid[i]) AS qr
+         |  FROM probes p JOIN e ON e.vec_id = p.q_id JOIN c2 ON c2.cid = p.cid),
+         |qsubs AS (SELECT q_id, cid, grp, qr[grp * 8 + 1 : grp * 8 + 8] AS sub FROM qres, grps),
+         |qd AS (
+         |  SELECT q.q_id, q.cid AS qcell, q.grp, c.cid AS pcid, ${dkD6("q.sub", "c.cent")} AS d6
+         |  FROM qsubs q JOIN cents c USING (grp)),
+         |cand AS (
+         |  SELECT p.q_id, cl.vec_id AS c_id, cid
+         |  FROM probes p JOIN cellsr cl USING (cid)
+         |  WHERE p.q_id <> cl.vec_id),
+         |est AS (
+         |  SELECT cand.q_id, cand.c_id, SUM(qd.d6) AS e6
+         |  FROM cand JOIN codes ON cand.c_id = codes.vec_id
+         |    JOIN qd ON qd.q_id = cand.q_id AND qd.qcell = cand.cid
+         |      AND qd.grp = codes.grp AND qd.pcid = codes.code
          |  GROUP BY 1, 2),
          |ranked AS (
          |  SELECT q_id, c_id, e6,

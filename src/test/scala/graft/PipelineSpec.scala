@@ -258,6 +258,40 @@ class PipelineSpec extends SparkSpec {
     bf.unpersist()
   }
 
+  test("IVF×PQ residual encoding: well-formed top-5; recall at nprobe=2 >= raw-code recall") {
+    val res = Similarity.qSimIvfPqRes(spark, sf).cache()
+    try {
+      val perQ = res.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0)
+      assert(res.filter(col("est_d2") < 0 || col("exact_d2") < 0).count() == 0)
+      val e = Tables.embeddings(spark, sf)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as ce")
+      val q = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("ce").as("qe"))
+      val d2 = expr("""aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
+                       CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        .orderBy(col("d2"), col("vec_id"))
+      val bf = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .withColumn("d2", d2).withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select(col("q_id"), col("vec_id").as("neighbor_id")).cache()
+      val nBf = bf.count()
+      val hitRes = bf.join(res.select("q_id", "neighbor_id"),
+        Seq("q_id", "neighbor_id"), "left_semi").count()
+      val raw = Similarity.qSimIvfPq(spark, sf).select("q_id", "neighbor_id")
+      val hitRaw = bf.join(raw, Seq("q_id", "neighbor_id"), "left_semi").count()
+      info(f"recall@5 nprobe=2: raw=${hitRaw.toDouble / nBf}%.3f residual=${hitRes.toDouble / nBf}%.3f")
+      // measured 0.160 vs 0.160 at sf0.001: on RANDOM embeddings the coarse
+      // centroids sit near the global mean, so residual space is close to a
+      // pure translation and the two rankings coincide; on clustered
+      // real-world embeddings the residual codes reclaim the codebook
+      // resolution the coarse structure wasted (Jégou et al. 2011, §IV).
+      assert(hitRes >= hitRaw,
+        s"residual recall $hitRes/$nBf fell below raw-code recall $hitRaw/$nBf")
+      bf.unpersist()
+    } finally { res.unpersist(); CacheTracker.releaseAll() }
+  }
+
   test("semantic dedup: flagged set is exactly the co-clustered injected twins; base stays clean") {
     val sd = Similarity.qSemanticDedup(spark, sf).cache()
     try {
