@@ -32,14 +32,7 @@ object EventWindows {
     * division — deterministic). */
   def qEventFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("tv"))
-    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") >= col("tv"))
-      .groupBy("user_id").agg(min("ts").as("tc"))
-    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") >= col("tc"))
-      .groupBy("user_id").agg(min("ts").as("tp"))
+    val (v, c, p) = funnelStageMins(ev)
     def stage(df: DataFrame, name: String) =
       df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
     val rows = stage(v, "1_view")
@@ -51,6 +44,29 @@ object EventWindows {
         when(col("prev").isNull, 1.0)
           .otherwise(round(col("n_users").cast("double") / col("prev"), 6)))
       .select("stage", "n_users", "conversion")
+  }
+
+  /** The three per-user stage-min relations of the cascade. */
+  private def funnelStageMins(ev: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    (v, c, p)
+  }
+
+  /** Per-user cascade relation (user_id, tv, tc, tp; null = unreached) —
+    * the batch face the streaming funnel
+    * ([[graft.streaming.FunnelStream]]) is spec-checked against. The
+    * stage counts [[qEventFunnel]] reports are the non-null counts of
+    * these columns. `ev` needs (user_id, event_type, ts). */
+  def funnelUserReach(ev: DataFrame): DataFrame = {
+    val (v, c, p) = funnelStageMins(ev)
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
