@@ -288,6 +288,61 @@ object Dedup {
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("simhash16")))
       .select("doc_id", "simhash16", "n_bucket")
 
+  /** SQL-shared predicate for bit j (1..64) of the 64-bit word simhash:
+    * each md5 hex char contributes two bits (the 8-bit for odd j, the
+    * 2-bit for even j), so the comparison text is valid in BOTH engines
+    * and the fingerprints are engine-identical by construction. */
+  private def simhashBit(hcol: String, j: Int): String = {
+    val ch = s"substring($hcol, ${(j + 1) / 2}, 1)"
+    if (j % 2 == 1) s"($ch >= '8')"
+    else s"($ch IN ('2','3','6','7','a','b','e','f'))"
+  }
+
+  /** SimHash near-duplicate PAIRS (Manku et al. 2007, "Detecting
+    * near-duplicates for web crawling") — the pair-producing complement
+    * of [[qDedupSimhash]]'s signature/bucket view: 64-bit per-word
+    * majority fingerprints, banded 4 × 16 bits, band equi-join for
+    * candidates, exact Hamming verify ≤ 3. The 4-band split makes
+    * recall EXACT by pigeonhole: ≤ 3 differing bits cannot touch all 4
+    * bands, so every qualifying pair collides in at least one band —
+    * PipelineSpec asserts equality with the brute-force pair set.
+    *
+    * Scale shape: the fingerprint is ONE pass — explode to words, md5
+    * once per word, 64 codegen'd conditional sums in a single
+    * doc-keyed aggregate (no per-bit rescans of the word array); the
+    * quadratic step is confined to 16-bit band buckets (expected
+    * population n/2^16 per band — at larger corpora widen the bands /
+    * add Manku's permuted tables, the documented knob); verification
+    * joins the candidate ids back to the persisted sig relation. */
+  def qDedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val words = corpus(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val aggCols = (1 to 64).map(j =>
+      sum(when(expr(simhashBit("h", j)), 1).otherwise(0)).as(s"c$j"))
+    val bitCols = (1 to 64).map(j =>
+      when(lit(2) * col(s"c$j") > col("n"), "1").otherwise("0"))
+    val sigs = graft.CacheTracker.track(
+      words.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+        .select(col("doc_id"), concat(bitCols: _*).as("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 3), b -> substring(sig, b * 16 + 1, 16))")).as(Seq("band", "bits")))
+    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("bits"))
+      .join(banded.select(col("doc_id").as("b_id"), col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 64), j -> substring(sa, j, 1) <> substring(sb, j, 1)))"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Content-defined chunking (Gear CDC) + chunk-hash dedup: documents
     * are split at content-determined boundaries and chunk hashes are
     * grouped — shared chunks across near-duplicate docs (the injected
@@ -542,7 +597,8 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
-    "q_dedup_simhash" -> (qDedupSimhash _))
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _))
 
   private[operators] val shinglesSql =
     "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
@@ -792,5 +848,30 @@ object Dedup {
          |                     IN ('8','9','a','b','c','d','e','f'))) > len(words)
          |           THEN '1' ELSE '0' END), '') AS simhash16
          |  FROM w)
-         |SELECT doc_id, simhash16, COUNT(*) OVER (PARTITION BY simhash16) AS n_bucket FROM f""".stripMargin)
+         |SELECT doc_id, simhash16, COUNT(*) OVER (PARTITION BY simhash16) AS n_bucket FROM f""".stripMargin,
+    "q_dedup_simhash_pairs" -> {
+      val sums = (1 to 64).map(j =>
+        s"SUM(CASE WHEN ${simhashBit("h", j)} THEN 1 ELSE 0 END) AS c$j").mkString(",\n         |    ")
+      val bits = (1 to 64).map(j => s"(CASE WHEN 2 * c$j > n THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM corpus),
+         |hh AS (SELECT doc_id, md5(wd) AS h FROM w),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n,
+         |    $sums
+         |  FROM hh GROUP BY 1),
+         |sg AS (SELECT doc_id, $bits AS sig FROM cnt),
+         |banded AS (
+         |  SELECT doc_id, b AS band, substring(sig, b * 16 + 1, 16) AS bits
+         |  FROM sg, unnest([0, 1, 2, 3]) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_filter(range(1, 65),
+         |      j -> substring(sa.sig, j, 1) <> substring(sb.sig, j, 1))) AS INTEGER) AS hamming
+         |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)
+         |SELECT a_id, b_id, hamming FROM v WHERE hamming <= 3""".stripMargin
+    })
 }

@@ -153,6 +153,42 @@ class PipelineSpec extends SparkSpec {
     assert(orig.join(dup, "o_id").filter(col("o_fp") =!= col("d_fp")).count() == 0)
   }
 
+  test("simhash pairs: banded join finds EXACTLY the brute-force hamming<=3 set (pigeonhole)") {
+    val got = Dedup.qDedupSimhashPairs(spark, sf).cache()
+    try {
+      // exact copies (doc_id%5 twins) differ in zero bits → every such
+      // pair must be present with hamming 0
+      val nCopies = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 5 === 0).count()
+      val exact = got.filter(col("a_id") + 1000000L === col("b_id") && col("hamming") === 0)
+      assert(exact.count() == nCopies, s"missing exact-copy pairs: ${exact.count()} != $nCopies")
+      // completeness + soundness: the banded candidate set cannot miss a
+      // hamming<=3 pair (4 bands, <=3 differing bits → >=1 untouched
+      // band), so the result must EQUAL the all-pairs reference
+      val e = Dedup.corpus(spark, sf)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", md5(col("w")))
+      val aggCols = (1 to 64).map(j => sum(when(
+        expr(if (j % 2 == 1) s"(substring(h, ${(j + 1) / 2}, 1) >= '8')"
+             else s"(substring(h, ${(j + 1) / 2}, 1) IN ('2','3','6','7','a','b','e','f'))"), 1)
+        .otherwise(0)).as(s"c$j"))
+      val bitCols = (1 to 64).map(j =>
+        when(lit(2) * col(s"c$j") > col("n"), "1").otherwise("0"))
+      val fp = e.groupBy("doc_id").agg(count(lit(1)).as("n"), aggCols: _*)
+        .select(col("doc_id"), concat(bitCols: _*).as("sig")).cache()
+      val ref = fp.select(col("doc_id").as("a_id"), col("sig").as("sa"))
+        .join(fp.select(col("doc_id").as("b_id"), col("sig").as("sb")),
+          col("a_id") < col("b_id"))
+        .withColumn("hamming",
+          expr("size(filter(sequence(1, 64), j -> substring(sa, j, 1) <> substring(sb, j, 1)))"))
+        .filter(col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        "banded result differs from the brute-force hamming<=3 pair set")
+      fp.unpersist()
+    } finally { got.unpersist(); CacheTracker.releaseAll() }
+  }
+
   test("IVF ANN reaches reasonable recall vs brute-force top-5") {
     val bf = Similarity.qSimTopK(spark, sf).select("q_id", "neighbor_id")
     val ivf = Similarity.qSimIvf(spark, sf).select("q_id", "neighbor_id")
