@@ -204,7 +204,69 @@ object Curation {
       .select("doc_id", "shard_id", "pos")
   }
 
+  /** Z-order (Morton) layout — the multi-dimensional clustering pass a
+    * lakehouse `OPTIMIZE ZORDER BY (size, lang)` runs before writing
+    * files: two 8-bit keys (a coarse document-size bucket and an md5
+    * bucket of lang) bit-interleave into one 16-bit Morton code, and
+    * `repartitionByRange(z)` + `sortWithinPartitions(z)` makes every
+    * output file a contiguous Morton RANGE — i.e. clustered in BOTH
+    * dimensions at once, so parquet min/max footer stats prune scans
+    * filtered on either column (not just the leading sort key, the
+    * failure mode of lexicographic layout). The interleave itself is a
+    * pure built-in-function fold (codegen'd; no UDF). The audit groups
+    * by the 256 top-level Morton cells and shows each cell is tight in
+    * both dimensions; ZorderSpec proves the written layout has
+    * non-overlapping per-partition z ranges. */
+  def qZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val z = zorderCode(s, d)
+    z.groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("z").cast("long").as("z_min"), max("z").cast("long").as("z_max"),
+        min("xb").cast("long").as("x_min"), max("xb").cast("long").as("x_max"),
+        min("yb").cast("long").as("y_min"), max("yb").cast("long").as("y_max"),
+        countDistinct("lang").as("n_langs"))
+  }
+
+  /** doc_id + the two 8-bit layout keys + the interleaved Morton code;
+    * the writer path ZorderSpec exercises is
+    * `zorderCode(...).repartitionByRange(col("z")).sortWithinPartitions("z")`. */
+  private[graft] def zorderCode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("xb", least(floor(col("n_chars") / 64), lit(255)).cast("long"))
+      .withColumn("yb", expr("CAST(conv(substring(md5(lang), 1, 2), 16, 10) AS BIGINT)"))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc + shiftleft(shiftright(xb, i) & 1, 2 * i)
+          |                 + shiftleft(shiftright(yb, i) & 1, 2 * i + 1))""".stripMargin))
+      .withColumn("zcell", (col("z") / 256).cast("long"))
+      .select("doc_id", "lang", "xb", "yb", "z", "zcell")
+
+  /** Exact-k per-stratum deterministic sample — the reservoir-sampling
+    * counterpart to [[qWeightedSample]]'s Bernoulli coin: rank docs
+    * within each lang by an md5 hash of doc_id (a fixed random-but-
+    * reproducible permutation) and keep the first k=20, which is exactly
+    * a seeded uniform sample without replacement. Scale shape: the
+    * rank-filter is recognized by Spark's WindowGroupLimit optimization
+    * (plan-asserted in PlanShapeSpec), so each map task keeps only its
+    * local top-k per group BEFORE the shuffle — the exchange carries
+    * O(k × strata × tasks) rows, not the corpus. `kept_id_sum` is an
+    * order-insensitive checksum pinning WHICH docs were kept. */
+  def qReservoirSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        max("rk").cast("long").as("max_rank"),
+        sum("doc_id").cast("long").as("kept_id_sum"),
+        max("h").as("max_hash"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> (qZorderLayout _),
+    "q_reservoir_sample" -> (qReservoirSample _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_shard_layout" -> (qShardLayout _),
     "q_mix_temperature" -> (qMixTemperature _),
@@ -213,6 +275,35 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |    least(CAST(floor(n_chars / 64) AS BIGINT), 255) AS xb,
+        |    CAST('0x' || substring(md5(lang), 1, 2) AS BIGINT) AS yb
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, lang, xb, yb,
+        |    CAST(list_sum(list_transform(range(0, 8),
+        |      i -> (((xb >> i) & 1) << (2 * i)) + (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |  FROM k)
+        |SELECT CAST(z // 256 AS BIGINT) AS zcell, COUNT(*) AS n_docs,
+        |  CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max,
+        |  CAST(MIN(xb) AS BIGINT) AS x_min, CAST(MAX(xb) AS BIGINT) AS x_max,
+        |  CAST(MIN(yb) AS BIGINT) AS y_min, CAST(MAX(yb) AS BIGINT) AS y_max,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM z GROUP BY 1""".stripMargin,
+    "q_reservoir_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM h)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(MAX(rk) AS BIGINT) AS max_rank,
+        |  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+        |  MAX(h) AS max_hash
+        |FROM r WHERE rk <= 20 GROUP BY 1""".stripMargin,
     "q_split_stratified" ->
       """WITH a AS (
         |  SELECT lang,

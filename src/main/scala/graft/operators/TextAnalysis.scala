@@ -219,6 +219,69 @@ object TextAnalysis {
         (col("n_overlap").cast("double") / col("n_grams")).as("contamination"))
   }
 
+  /** Bloom-gated decontamination — identical OUTPUT to [[qDecontaminate]]
+    * (the exact broadcast confirm join still runs), but the corpus-side
+    * gram stream is first probed against a broadcast Bloom filter built
+    * over the eval grams. Why at 100 TB: a Bloom at 1% FP costs ~10 bits
+    * per eval gram where the exact string set costs ~50+ bytes, so a
+    * million-item eval suite broadcasts as ~1.2 MB of bits instead of
+    * tens of MB of strings, and the probe is a map-side bit test with no
+    * join machinery — only true hits plus the ≤1% false positives ever
+    * reach the confirm join, which removes the FPs, keeping the result
+    * EXACT. This is the same row-level runtime-filter shape Spark's own
+    * `InjectRuntimeFilter` (bloom) applies to large shuffle joins; here
+    * it is explicit and sketch-gated like `q_cms_heavy_hitters`. The
+    * spec proves the gated pipeline is byte-identical to the ungated one
+    * even with a deliberately coarse (high-FP) filter. */
+  def qDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
+    def grams5(arr: String) = s"shingles_n($arr, 5)"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(expr(grams5("slice(words, 4, 25)"))).as("gram")).distinct()
+    // eval-sized action: benchmarks are thousands of items at any corpus scale
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bloomB = s.sparkContext.broadcast(evalGrams.stat.bloomFilter("gram", nEval, 0.01))
+    val mightContain = udf((g: String) => bloomB.value.mightContainString(g))
+    val train = docs
+      .select(col("doc_id"), array_distinct(expr(grams5("words"))).as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
+      .filter(mightContain(col("gram"))) // map-side gate: ~1% of corpus grams survive
+    train.join(broadcast(evalGrams), "gram") // exact confirm — removes Bloom FPs
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("contamination"))
+  }
+
+  /** Char-trigram LM cross-entropy — the CCNet-style perplexity quality
+    * gate (Wenzek et al. 2020 score docs with a KenLM model and drop the
+    * high-perplexity tail; here the LM is a char-trigram MLE trained on
+    * the corpus itself). xent(doc) = mean over its trigrams of
+    * ln(total/c) — no smoothing/OOV term is needed because every scored
+    * gram came out of the same corpus the counts did, so c >= 1 by
+    * construction. Scale shape: the trigram table is bounded by
+    * |alphabet|^3 regardless of corpus size, so the model BROADCASTS and
+    * training is one map-side-combined agg; scoring is explode +
+    * broadcast join + one doc-keyed aggregate — a single corpus-sized
+    * shuffle. Doubles follow the repo convention: exact-integer ratios
+    * through ln, rounded to 6 dp at the end. */
+  def qLmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").cast("long").as("n_total"))
+    grams.join(broadcast(counts), "g").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(log(col("n_total").cast("double") / col("c"))) / count(lit(1)), 6).as("xent"))
+      .withColumn("ppl_bucket", floor(col("xent")).cast("long"))
+      .withColumn("quality_pass", col("xent") < lit(8.0))
+  }
+
   /** Gopher-style document quality rules (public heuristics from the
     * Gopher/MassiveText filtering literature): mean word length bounds,
     * top-2-gram repetition ratio, document size bound, and the overall
@@ -435,6 +498,8 @@ object TextAnalysis {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_lm_perplexity" -> (qLmPerplexity _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_text_bm25" -> (qTextBm25 _),
@@ -444,6 +509,27 @@ object TextAnalysis {
     "q_text_langid" -> (qTextLangid _),
     "q_token_count" -> (qTokenCount _),
     "q_doc_fingerprint" -> (qDocFingerprint _))
+
+  /** Shared by q_decontaminate and q_decontaminate_bloom: the Bloom gate
+    * is a plan optimization, not a semantics change. */
+  private val decontaminateSql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |eg AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(words[4:28]) - 3),
+      |    i -> array_to_string((words[4:28])[i:i+4], ' '))) AS gram
+      |  FROM docs WHERE doc_id % 50 = 0 AND len(words[4:28]) >= 5),
+      |tg AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(words) < 5 THEN []
+      |    ELSE list_transform(range(1, len(words) - 3),
+      |      i -> array_to_string(words[i:i+4], ' ')) END) AS grams
+      |  FROM docs),
+      |tx AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM tg),
+      |ov AS (
+      |  SELECT doc_id, n_grams, COUNT(*) AS n_overlap
+      |  FROM tx JOIN eg USING (gram) GROUP BY 1, 2)
+      |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, n_overlap,
+      |  CAST(n_overlap AS DOUBLE) / n_grams AS contamination
+      |FROM ov""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_vocab_encode" ->
@@ -528,24 +614,25 @@ object TextAnalysis {
         |FROM est, tot
         |WHERE cms_est >= greatest(n_tot // 512, 1)
         |ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin,
-    "q_decontaminate" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |eg AS (
-        |  SELECT DISTINCT unnest(list_transform(range(1, len(words[4:28]) - 3),
-        |    i -> array_to_string((words[4:28])[i:i+4], ' '))) AS gram
-        |  FROM docs WHERE doc_id % 50 = 0 AND len(words[4:28]) >= 5),
-        |tg AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(words) < 5 THEN []
-        |    ELSE list_transform(range(1, len(words) - 3),
-        |      i -> array_to_string(words[i:i+4], ' ')) END) AS grams
-        |  FROM docs),
-        |tx AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM tg),
-        |ov AS (
-        |  SELECT doc_id, n_grams, COUNT(*) AS n_overlap
-        |  FROM tx JOIN eg USING (gram) GROUP BY 1, 2)
-        |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, n_overlap,
-        |  CAST(n_overlap AS DOUBLE) / n_grams AS contamination
-        |FROM ov""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+    // Bloom gate is a plan optimization, not a semantics change: the
+    // exact confirm join makes the output identical to q_decontaminate.
+    "q_decontaminate_bloom" -> decontaminateSql,
+    "q_lm_perplexity" ->
+      """WITH gr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) - 1), i -> substring(text, CAST(i AS INTEGER), 3))) AS g
+        |  FROM documents WHERE length(text) >= 3),
+        |c AS (SELECT g, COUNT(*) AS c FROM gr GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+        |x AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    ROUND(SUM(ln(CAST(n_total AS DOUBLE) / c)) / COUNT(*), 6) AS xent
+        |  FROM gr JOIN c USING (g), t GROUP BY doc_id)
+        |SELECT doc_id, n_grams, xent,
+        |  CAST(FLOOR(xent) AS BIGINT) AS ppl_bucket,
+        |  xent < 8.0 AS quality_pass
+        |FROM x""".stripMargin,
     "q_gopher_quality" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),

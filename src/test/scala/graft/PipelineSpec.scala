@@ -696,6 +696,85 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("bloom-gated decontamination is byte-identical to the exact pipeline") {
+    // the Bloom prefilter admits ~1% false positives; the confirm join
+    // must remove every one of them, leaving the ungated result exactly
+    val exact = TextAnalysis.qDecontaminate(spark, sf).collect().toSet
+    val gated = TextAnalysis.qDecontaminateBloom(spark, sf).collect().toSet
+    assert(exact.nonEmpty)
+    assert(gated == exact)
+  }
+
+  test("lm cross-entropy obeys the information bounds of an MLE trigram model") {
+    val g = TextAnalysis.qLmPerplexity(spark, sf).cache()
+    try {
+      // every scored gram has c >= 1, so 0 < xent <= ln(n_total); the
+      // upper bound is hit only by a singleton gram, the lower only if
+      // one gram were the whole corpus
+      val nTotal = Tables.documents(spark, sf)
+        .filter(length(col("text")) >= 3)
+        .select(sum(length(col("text")) - 2)).head().getLong(0)
+      val lnTotal = math.log(nTotal.toDouble)
+      assert(g.filter(col("xent") <= 0 || col("xent") > lnTotal).count() == 0)
+      assert(g.filter(col("ppl_bucket") =!= floor(col("xent")).cast("long")).count() == 0)
+      assert(g.filter(col("quality_pass") =!= (col("xent") < 8.0)).count() == 0)
+    } finally g.unpersist()
+  }
+
+  test("zorder cells are tight in BOTH dimensions (16x16 Morton tiles)") {
+    // zcell keeps the top 4 bits of each interleaved key, so every cell
+    // must span at most a 16-wide range in x AND in y — clustering on
+    // both columns at once, which lexicographic (x, y) sorting cannot give
+    val g = operators.Curation.qZorderLayout(spark, sf).cache()
+    try {
+      assert(g.count() >= 1)
+      assert(g.filter(col("x_max") - col("x_min") > 15).count() == 0)
+      assert(g.filter(col("y_max") - col("y_min") > 15).count() == 0)
+    } finally g.unpersist()
+  }
+
+  test("zorder writer layout: per-partition z ranges do not overlap") {
+    // the OPTIMIZE ZORDER file layout: range-partition + local sort on z
+    // means each output file owns a contiguous, disjoint Morton range,
+    // so parquet min/max stats prune on either source column
+    val parts = operators.Curation.zorderCode(spark, sf)
+      .repartitionByRange(4, col("z")).sortWithinPartitions("z")
+      .select("z").rdd
+      .mapPartitions { it =>
+        val zs = it.map(_.getLong(0)).toSeq
+        if (zs.isEmpty) Iterator.empty else Iterator((zs.min, zs.max, zs == zs.sorted))
+      }.collect().sortBy(_._1)
+    assert(parts.nonEmpty)
+    assert(parts.forall(_._3), "z not sorted within a partition")
+    parts.sliding(2).foreach {
+      case Array((_, aMax, _), (bMin, _, _)) => assert(aMax <= bMin, "overlapping z ranges")
+      case _ =>
+    }
+  }
+
+  test("reservoir sample keeps exactly min(k, stratum size) docs with the k smallest hashes") {
+    val g = operators.Curation.qReservoirSample(spark, sf).cache()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+        .cache()
+      val langCounts = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = g.collect().map(r => r.getString(0) -> r).toMap
+      assert(got.keySet == langCounts.keySet)
+      for ((lang, n) <- langCounts) {
+        val k = math.min(20L, n)
+        assert(got(lang).getAs[Long]("n_kept") == k)
+        // membership: the kept set IS the k hash-smallest — checksum matches
+        val expect = docs.filter(col("lang") === lang).collect()
+          .sortBy(r => (r.getString(2), r.getLong(0))).take(k.toInt)
+        assert(got(lang).getAs[Long]("kept_id_sum") == expect.map(_.getLong(0)).sum)
+        assert(got(lang).getAs[String]("max_hash") == expect.map(_.getString(2)).max)
+      }
+      docs.unpersist()
+    } finally g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)

@@ -70,6 +70,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n${p.take(600)}")
   }
 
+  test("reservoir sample plans map-side top-k (WindowGroupLimit before the shuffle)") {
+    // the exact-k sampler's rank<=20 filter must become a per-partition
+    // group limit, so the exchange carries O(k * strata * tasks) rows,
+    // not the corpus
+    val p = plan("q_reservoir_sample")
+    assert(p.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n${p.take(600)}")
+  }
+
   test("gateway auth dims broadcast (no shuffle of the event stream for auth)") {
     val p = plan("q_gw_auth_dispatch")
     assert(p.contains("BroadcastHashJoin"))
