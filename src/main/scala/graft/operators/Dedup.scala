@@ -307,10 +307,14 @@ object Dedup {
     * bands, so every qualifying pair collides in at least one band —
     * PipelineSpec asserts equality with the brute-force pair set.
     *
-    * Scale shape: the fingerprint is ONE pass — explode to words, md5
-    * once per word, 64 codegen'd conditional sums in a single
-    * doc-keyed aggregate (no per-bit rescans of the word array); the
-    * quadratic step is confined to 16-bit band buckets (expected
+    * Scale shape: the md5 hex-char bit tests run once per DISTINCT word
+    * (vocabulary-sized by Heaps' law) and pack into two ints; the
+    * corpus-sized work is then a broadcast word→bits join plus 64
+    * codegen'd integer shift-sums in ONE doc-keyed aggregate — no
+    * string ops at corpus volume. Bands are kept as 16-bit INTS end to
+    * end: the candidate equi-join keys on them and the Hamming verify
+    * is 4 xor+popcounts per pair instead of a 64-element string HOF.
+    * The quadratic step is confined to 16-bit band buckets (expected
     * population n/2^16 per band — at larger corpora widen the bands /
     * add Manku's permuted tables, the documented knob); verification
     * joins the candidate ids back to the persisted sig relation. */
@@ -318,27 +322,46 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val words = corpus(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // The hex-char bit tests run once per DISTINCT word (Heaps'-law
+    // vocabulary, not corpus volume): each word's 64 simhash bits pack
+    // into two ints, and the per-instance work downstream is integer
+    // shifts — the corpus never touches md5 strings again.
+    def pack(js: Range, top: Int) = js.map(j =>
+      s"(CASE WHEN ${simhashBit("h", j)} THEN CAST(${1L << (top - j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val vocab = words.select("w").distinct()
       .withColumn("h", md5(col("w")))
-    val aggCols = (1 to 64).map(j =>
-      sum(when(expr(simhashBit("h", j)), 1).otherwise(0)).as(s"c$j"))
-    val bitCols = (1 to 64).map(j =>
-      when(lit(2) * col(s"c$j") > col("n"), "1").otherwise("0"))
+      .select(col("w"), expr(pack(1 to 32, 32)).as("p1"), expr(pack(33 to 64, 64)).as("p2"))
+    // vocabulary joins like q_vocab_encode: broadcast while it fits
+    val dim = if (vocab.count() <= TextAnalysis.VocabBroadcastMaxTypes) broadcast(vocab) else vocab
+    val aggCols =
+      (1 to 32).map(j => sum(shiftright(col("p1"), 32 - j).bitwiseAND(lit(1L))).as(s"c$j")) ++
+      (33 to 64).map(j => sum(shiftright(col("p2"), 64 - j).bitwiseAND(lit(1L))).as(s"c$j"))
+    // majority vote per bit, re-packed straight into the four 16-bit
+    // band keys (the sig string never materializes)
+    def band(b: Int) = (1 to 16).map { i =>
+      val j = 16 * b + i
+      when(lit(2) * col(s"c$j") > col("n"), lit((1L << (16 - i)): Long)).otherwise(lit(0L))
+    }.reduce(_ + _).as(s"b$b")
     val sigs = graft.CacheTracker.track(
-      words.groupBy("doc_id")
+      words.join(dim, "w")
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n"), aggCols: _*)
-        .select(col("doc_id"), concat(bitCols: _*).as("sig"))
+        .select(col("doc_id") +: (0 to 3).map(band): _*)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val banded = sigs.select(col("doc_id"), posexplode(expr(
-      "transform(sequence(0, 3), b -> substring(sig, b * 16 + 1, 16))")).as(Seq("band", "bits")))
+    val banded = sigs.select(col("doc_id"), posexplode(array((0 to 3).map(b => col(s"b$b")): _*))
+      .as(Seq("band", "bits")))
     val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("bits"))
       .join(banded.select(col("doc_id").as("b_id"), col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa"))
-    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb"))
+    val sa = sigs.select(col("doc_id").as("a_id") +: (0 to 3).map(b => col(s"b$b").as(s"a$b")): _*)
+    val sb = sigs.select(col("doc_id").as("b_id") +: (0 to 3).map(b => col(s"b$b").as(s"bb$b")): _*)
     cand.join(sa, "a_id").join(sb, "b_id")
+      // xor + popcount per band: 4 codegen integer ops per pair, not a
+      // 64-element string HOF — the verify is now join-bound
       .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), j -> substring(sa, j, 1) <> substring(sb, j, 1)))"))
+        (0 to 3).map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"bb$b")))).reduce(_ + _).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }

@@ -131,11 +131,17 @@ object Gateway {
     * 1-second event-time window, deny above 10 (gateway.ts:139-171; the
     * RPUSHX bug is NOT replicated — SURVEY.md §7.3). Also a 1-hour window
     * for a denser signal at corpus event rates. */
-  def qRateLimit(s: SparkSession, d: String): DataFrame = {
+  def qRateLimit(s: SparkSession, d: String): DataFrame =
+    rateLimitStats(Tables.events(s, d))
+
+  /** The G6 window computation on any (user_id, ts) frame — shared with
+    * RateLimitStreamSpec, where it is the batch twin the streaming
+    * token-window limiter must reproduce. */
+  def rateLimitStats(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("tsm")
     val w1s = byUser.rangeBetween(-1000000L, 0)       // µs
     val w1h = byUser.rangeBetween(-3600000000L, 0)
-    Tables.events(s, d)
+    events
       .select(col("user_id"), unix_micros(col("ts")).as("tsm"))
       .withColumn("c1s", count(lit(1)).over(w1s))
       .withColumn("c1h", count(lit(1)).over(w1h))
