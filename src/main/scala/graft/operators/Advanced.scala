@@ -201,7 +201,88 @@ object Advanced {
           .as("union_ok"))
   }
 
+  /** KLL quantile sketches at rest (Apache DataSketches via Spark 4's
+    * kll_* family) — the quantile counterpart of [[qHllSketchUnion]]:
+    * one KLL sketch per (flag, shard) partition survives as a binary
+    * column, and any shard combination's quantiles come from
+    * kll_merge_agg over the tiny sketch relation WITHOUT rescanning the
+    * fact data — at 100 TB this is how you answer "p50 per segment,
+    * any segment grouping" from per-day sketches. KLL's guarantee is on
+    * RANK (~1.1% at k=400), so the value-space contract bound is loose
+    * (≤10%); the exact interpolated percentile is the hash-checked
+    * column, per the sketch-error-contract convention. */
+  def qKllQuantileMerge(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sketches = li
+      .groupBy(col("l_returnflag"), (col("l_orderkey") % 8).as("shard"))
+      .agg(expr("kll_sketch_agg_double(l_quantity, 400)").as("sk"))
+    val merged = sketches.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_shards"),
+        expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5D)").as("est"))
+    li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5D)").as("median_qty"))
+      .join(merged, "l_returnflag")
+      .select(col("l_returnflag"), col("median_qty"), col("n_shards"),
+        (abs(col("est") - col("median_qty")) / col("median_qty") <= 0.10).as("kll_median_ok"))
+  }
+
+  /** Frequent-items sketch (Spark 4 approx_top_k) vs the exact top-10
+    * terms: the Misra-Gries-family guarantee is DETERMINISTIC — any
+    * term with true count > N/maxItemsTracked is tracked, and every
+    * estimate is within that εN of truth — so with Zipfian text (top
+    * stopword counts ≫ εN at maxItemsTracked=8192) the containment and
+    * error booleans are stable under any partitioning/merge order.
+    * Exact side is hash-checked; the sketch runs in the same single
+    * pass it would replace at 100 TB (one agg, no vocab shuffle). */
+  def qApproxTopK(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val n = words.count() // corpus size for the εN bound (one cheap count scan)
+    val approx = words.agg(expr("approx_top_k(term, 20, 8192)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("approx_cnt"))
+    val exact = words.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("term")).limit(10)
+    exact.join(approx, Seq("term"), "left")
+      .select(col("term"), col("exact_cnt"),
+        col("approx_cnt").isNotNull.as("tracked_ok"),
+        (coalesce(abs(col("approx_cnt") - col("exact_cnt")), lit(Long.MaxValue))
+          <= lit(n / 8192L + 1L)).as("count_ok"))
+      .orderBy(desc("exact_cnt"), col("term"))
+  }
+
+  /** Theta sketches: distinct-count SET ALGEBRA at rest — the operation
+    * HLL cannot do (HLL unions only; theta supports intersection and
+    * difference on the sketch itself). One theta sketch of the distinct
+    * order keys per return flag, then |A∩B| for every flag pair comes
+    * from theta_intersection over the 3-row sketch relation — at 100 TB
+    * this is audience-overlap / cross-segment-leakage analysis without
+    * re-joining the fact table. Exact pair intersections (a distinct
+    * self-join) are the hash-checked columns; the theta estimate gets
+    * the ≤10% error-contract boolean (lgk=14 ⇒ ~0.8% expected). */
+  def qThetaSetops(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sk = li.groupBy("l_returnflag")
+      .agg(expr("theta_sketch_agg(l_orderkey, 14)").as("sk"),
+        countDistinct("l_orderkey").as("exact_n"))
+    val pairs = sk.select(col("l_returnflag").as("flag_a"), col("sk").as("sk_a"), col("exact_n").as("exact_a"))
+      .crossJoin(sk.select(col("l_returnflag").as("flag_b"), col("sk").as("sk_b"), col("exact_n").as("exact_b")))
+      .filter(col("flag_a") < col("flag_b"))
+      .withColumn("est_inter", expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))"))
+    val d1 = li.select(col("l_returnflag").as("flag_a"), col("l_orderkey")).distinct()
+    val d2 = li.select(col("l_returnflag").as("flag_b"), col("l_orderkey")).distinct()
+    val exactInter = d1.join(d2, "l_orderkey")
+      .filter(col("flag_a") < col("flag_b"))
+      .groupBy("flag_a", "flag_b").agg(count(lit(1)).as("exact_inter"))
+    pairs.join(exactInter, Seq("flag_a", "flag_b"))
+      .select(col("flag_a"), col("flag_b"), col("exact_a"), col("exact_b"), col("exact_inter"),
+        (abs(col("est_inter") - col("exact_inter")) / col("exact_inter") <= 0.10).as("inter_ok"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kll_quantile_merge" -> (qKllQuantileMerge _),
+    "q_approx_top_k" -> (qApproxTopK _),
+    "q_theta_setops" -> (qThetaSetops _),
     "q_hll_sketch_union" -> (qHllSketchUnion _),
     "q_quantile_stats" -> (qQuantileStats _),
     "q_det_sample" -> (qDetSample _),
@@ -227,6 +308,26 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_kll_quantile_merge" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  COUNT(DISTINCT l_orderkey % 8) AS n_shards,
+        |  TRUE AS kll_median_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_approx_top_k" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |e AS (SELECT term, COUNT(*) AS exact_cnt FROM w GROUP BY 1
+        |      ORDER BY exact_cnt DESC, term LIMIT 10)
+        |SELECT term, exact_cnt, TRUE AS tracked_ok, TRUE AS count_ok FROM e""".stripMargin,
+    "q_theta_setops" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag AS flag, l_orderkey FROM lineitem),
+        |n AS (SELECT flag, COUNT(*) AS n FROM d GROUP BY 1),
+        |i AS (SELECT a.flag AS flag_a, b.flag AS flag_b, COUNT(*) AS exact_inter
+        |      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.flag < b.flag
+        |      GROUP BY 1, 2)
+        |SELECT flag_a, flag_b, na.n AS exact_a, nb.n AS exact_b, exact_inter,
+        |  TRUE AS inter_ok
+        |FROM i JOIN n na ON na.flag = flag_a JOIN n nb ON nb.flag = flag_b""".stripMargin,
     "q_hll_sketch_union" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,

@@ -153,4 +153,30 @@ class AdvancedSpec extends SparkSpec {
     assert(g.filter(col("n_name").isNotNull && col("o_orderpriority").isNotNull).count() == 0)
     assert(g.filter(col("n_name").isNull && col("o_orderpriority").isNull).count() == 1)
   }
+
+  test("kll merge: per-shard sketches reproduce the exact median within the rank contract") {
+    val g = Advanced.qKllQuantileMerge(spark, sf).cache()
+    try {
+      assert(g.count() == 3)
+      assert(g.filter(col("n_shards") =!= 8).count() == 0)
+      assert(g.filter(!col("kll_median_ok")).count() == 0)
+    } finally g.unpersist()
+  }
+
+  test("approx_top_k tracks every exact top-10 term within the Misra-Gries eps*N bound") {
+    val g = Advanced.qApproxTopK(spark, sf).cache()
+    try {
+      assert(g.count() == 10)
+      assert(g.filter(!col("tracked_ok") || !col("count_ok")).count() == 0)
+    } finally g.unpersist()
+  }
+
+  test("theta set algebra: pairwise intersections within contract and bounded by set sizes") {
+    val g = Advanced.qThetaSetops(spark, sf).cache()
+    try {
+      assert(g.count() == 3) // 3 flags -> 3 unordered pairs
+      assert(g.filter(!col("inter_ok")).count() == 0)
+      assert(g.filter(col("exact_inter") > least(col("exact_a"), col("exact_b"))).count() == 0)
+    } finally g.unpersist()
+  }
 }
