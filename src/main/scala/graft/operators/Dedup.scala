@@ -135,6 +135,58 @@ object Dedup {
       .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
   }
 
+  /** Normalization-aware exact dedup — the C4/CCNet preprocessing rule
+    * exact hashing misses: lowercase, strip non-alphanumerics, collapse
+    * whitespace, THEN hash, so case/punctuation/spacing variants of the
+    * same content collapse into one group. A variant corpus with an
+    * uppercased+respaced copy of every doc_id%11==0 document gives the
+    * normalizer a live hit path (raw md5 finds none of those pairs —
+    * the spec proves the separation). Same one-shuffle shape as
+    * [[qDedupExact]]: normalization is map-side string work, the group
+    * is on the normalized hash. */
+  def qDedupNormalized(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variant = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    docs.unionByName(variant)
+      .withColumn("norm_hash", md5(trim(
+        regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))))
+      .groupBy("norm_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_variants"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_copies") > 1)
+  }
+
+  /** Asymmetric CONTAINMENT C(A,B) = |A∩B|/|A| over the LSH candidates —
+    * the measure that catches a short document embedded in a longer one
+    * (quotes, boilerplate inclusion, the tail-append injected near-dups
+    * here: the original's shingle set is fully contained in its
+    * extension), which symmetric Jaccard under-scores as the size ratio
+    * grows. Candidates come from the same banded MinHash join and
+    * persisted signature relation as [[qDedupLshPairs]] (recall argued
+    * there); the verify just swaps the measure, keeping pairs where
+    * either direction ≥ 0.9. */
+  def qDedupContainment(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = bandedCandidates(sigs)
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_a", size(col("sa")))
+      .withColumn("n_b", size(col("sb")))
+      .withColumn("cont_a_in_b", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b_in_a", col("n_inter").cast("double") / col("n_b"))
+      .filter(col("cont_a_in_b") >= 0.9 || col("cont_b_in_a") >= 0.9)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .select("a_id", "b_id", "n_a", "n_b", "n_inter", "cont_a_in_b", "cont_b_in_a", "jaccard")
+  }
+
   /** INCREMENTAL dedup — the shape production dedup actually runs at
     * 100 TB: a new ingest batch ("incoming", here doc_id%3==0 of the
     * derived corpus) is deduplicated AGAINST the existing corpus
@@ -616,6 +668,8 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
+    "q_dedup_normalized" -> (qDedupNormalized _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
@@ -800,6 +854,34 @@ object Dedup {
       s"""WITH $corpusSql
          |SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
          |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q_dedup_normalized" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, upper(text) || '  '
+        |    FROM documents WHERE doc_id % 11 = 0),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                            ' +', ' ', 'g'))) AS norm_hash
+        |  FROM c)
+        |SELECT norm_hash, COUNT(*) AS n_copies, COUNT(DISTINCT text) AS n_variants,
+        |  MIN(doc_id) AS keep_id
+        |FROM n GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH $lshJChain,
+         |jc AS (
+         |  SELECT a_id, b_id,
+         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+         |    len(sa.sset) AS n_a, len(sb.sset) AS n_b
+         |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)
+         |SELECT a_id, b_id, CAST(n_a AS INTEGER) AS n_a, CAST(n_b AS INTEGER) AS n_b,
+         |  CAST(n_inter AS INTEGER) AS n_inter,
+         |  CAST(n_inter AS DOUBLE) / n_a AS cont_a_in_b,
+         |  CAST(n_inter AS DOUBLE) / n_b AS cont_b_in_a,
+         |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+         |FROM jc
+         |WHERE CAST(n_inter AS DOUBLE) / n_a >= 0.9
+         |   OR CAST(n_inter AS DOUBLE) / n_b >= 0.9""".stripMargin,
     "q_dedup_minhash_sig" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),

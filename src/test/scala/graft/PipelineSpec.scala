@@ -696,6 +696,44 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("normalized dedup finds every injected case variant raw hashing cannot") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val nVariants = docs.filter(col("doc_id") % 11 === 0).count()
+    val g = Dedup.qDedupNormalized(spark, sf).cache()
+    try {
+      // every injected variant (id >= 3000000, never the min keeper) is a
+      // beyond-keeper member of some group
+      val extraMembers = g.agg(sum(col("n_copies") - 1)).head().getLong(0)
+      assert(extraMembers >= nVariants)
+      // raw md5 can't pair upper(text)||'  ' with text — the variant pairs
+      // exist ONLY under normalization
+      assert(g.filter(col("n_variants") >= 2).count() >= 1)
+      val raw = docs.unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(upper(col("text")), lit("  ")).as("text")))
+        .groupBy(md5(col("text"))).count().filter(col("count") > 1)
+        .agg(coalesce(sum(col("count") - 1), lit(0L))).head().getLong(0)
+      assert(extraMembers - raw >= nVariants)
+    } finally g.unpersist()
+  }
+
+  test("containment flags the tail-append pairs at 1.0 where jaccard under-scores them") {
+    val g = Dedup.qDedupContainment(spark, sf).cache()
+    try {
+      // injected tail-appends: original a fully contained in a+2000000
+      val tails = g.filter(col("b_id") === col("a_id") + 2000000L).cache()
+      assert(tails.count() >= 60) // 72 injected at sf0.001; banding may miss a few
+      assert(tails.filter(col("cont_a_in_b") < 1.0).count() == 0)
+      assert(tails.filter(col("jaccard") >= 1.0).count() == 0)
+      tails.unpersist()
+      // exact copies contain each other both ways (a_id < 1000000 keeps
+      // out the copy-vs-extension pairs of %35 docs, which also differ
+      // by exactly 1000000)
+      val copies = g.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
+      assert(copies.filter(col("cont_a_in_b") =!= 1.0 || col("cont_b_in_a") =!= 1.0).count() == 0)
+    } finally g.unpersist()
+  }
+
   test("bloom-gated decontamination is byte-identical to the exact pipeline") {
     // the Bloom prefilter admits ~1% false positives; the confirm join
     // must remove every one of them, leaving the ungated result exactly

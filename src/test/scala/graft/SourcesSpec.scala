@@ -90,6 +90,32 @@ class SourcesSpec extends SparkSpec {
       .exceptAll(docs.select(col("doc_id"), col("lang"), col("n_chars"))).count() == 0)
   }
 
+  test("binaryFile source: the multimodal file-ingest path (glob filter, recursive, content intact)") {
+    // the standard image/audio ingestion path at scale: raw media files
+    // become (path, modificationTime, length, content) rows that feed
+    // the Multimodal batch-decode plumbing; non-matching formats are
+    // excluded by pathGlobFilter at LISTING time (never read)
+    val dir = tmp("graft_binary")
+    val sub = java.nio.file.Paths.get(dir, "shard=0")
+    java.nio.file.Files.createDirectories(sub)
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 0, -1),
+                       "b.img" -> Array.tabulate(1024)(i => (i % 251).toByte))
+    payloads.foreach { case (n, b) =>
+      java.nio.file.Files.write(sub.resolve(n), b) }
+    java.nio.file.Files.writeString(sub.resolve("skip.txt"), "not media")
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+    val rows = df.collect()
+    assert(rows.length == 2, "glob filter must exclude skip.txt")
+    rows.foreach { r =>
+      val name = r.getAs[String]("path").split('/').last
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("content"), payloads(name)))
+      assert(r.getAs[Long]("length") == payloads(name).length.toLong)
+    }
+  }
+
   test("corrupt parquet files: fail loudly by default, skip-and-continue when opted in") {
     val dir = tmp("graft_corrupt")
     Tables.documents(spark, sf).select("doc_id", "lang").limit(20)
