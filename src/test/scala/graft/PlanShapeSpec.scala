@@ -70,6 +70,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n${p.take(600)}")
   }
 
+  test("lm perplexity broadcasts the trigram model (the corpus never shuffles for scoring)") {
+    // the model is bounded by |alphabet|^3, so the score join must be a
+    // broadcast — a sort-merge join here would shuffle the whole corpus
+    val p = plan("q_lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"corpus-shuffling join in:\n${p.take(800)}")
+  }
+
   test("reservoir sample plans map-side top-k (WindowGroupLimit before the shuffle)") {
     // the exact-k sampler's rank<=20 filter must become a per-partition
     // group limit, so the exchange carries O(k * strata * tasks) rows,
