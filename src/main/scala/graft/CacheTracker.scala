@@ -16,13 +16,23 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CacheTracker {
   private val tracked = ArrayBuffer.empty[Dataset[_]]
+  private val broadcasts = ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
 
   /** Register a persisted dataset for later release; returns it unchanged. */
   def track[T <: Dataset[_]](ds: T): T = synchronized { tracked += ds; ds }
 
-  /** Unpersist every tracked dataset (blocking) and clear the registry. */
+  /** Register a SparkContext broadcast (e.g. a Bloom filter a UDF in the
+    * returned plan captures) for destruction after materialization — the
+    * same lifetime problem [[track]] solves for persisted relations. */
+  def trackBroadcast[T <: org.apache.spark.broadcast.Broadcast[_]](b: T): T =
+    synchronized { broadcasts += b; b }
+
+  /** Unpersist every tracked dataset (blocking), destroy every tracked
+    * broadcast, and clear the registry. */
   def releaseAll(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = true))
     tracked.clear()
+    broadcasts.foreach(_.destroy())
+    broadcasts.clear()
   }
 }

@@ -227,11 +227,14 @@ object Advanced {
   }
 
   /** Frequent-items sketch (Spark 4 approx_top_k) vs the exact top-10
-    * terms: the Misra-Gries-family guarantee is DETERMINISTIC — any
-    * term with true count > N/maxItemsTracked is tracked, and every
-    * estimate is within that εN of truth — so with Zipfian text (top
-    * stopword counts ≫ εN at maxItemsTracked=8192) the containment and
-    * error booleans are stable under any partitioning/merge order.
+    * terms: the Misra-Gries-family guarantee is DETERMINISTIC — with
+    * map size M the published a-priori error bound is ≤ 3.5·N/M, and
+    * any term above that threshold is guaranteed tracked — so with
+    * Zipfian text (top stopword counts ≫ εN) the containment and error
+    * booleans are stable under any partitioning/merge order. The bound
+    * below uses ε = 7/maxItemsTracked: the 3.5 a-priori constant plus a
+    * 2× allowance for the sketch allocating its power-of-two map from
+    * maxItemsTracked (implementation slack, still deterministic).
     * Exact side is hash-checked; the sketch runs in the same single
     * pass it would replace at 100 TB (one agg, no vocab shuffle). */
   def qApproxTopK(s: SparkSession, d: String): DataFrame = {
@@ -247,7 +250,7 @@ object Advanced {
       .select(col("term"), col("exact_cnt"),
         col("approx_cnt").isNotNull.as("tracked_ok"),
         (coalesce(abs(col("approx_cnt") - col("exact_cnt")), lit(Long.MaxValue))
-          <= lit(n / 8192L + 1L)).as("count_ok"))
+          <= lit(7L * n / 8192L + 1L)).as("count_ok"))
       .orderBy(desc("exact_cnt"), col("term"))
   }
 

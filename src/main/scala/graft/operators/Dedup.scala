@@ -381,9 +381,14 @@ object Dedup {
     def pack(js: Range, top: Int) = js.map(j =>
       s"(CASE WHEN ${simhashBit("h", j)} THEN CAST(${1L << (top - j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    val vocab = words.select("w").distinct()
-      .withColumn("h", md5(col("w")))
-      .select(col("w"), expr(pack(1 to 32, 32)).as("p1"), expr(pack(33 to 64, 64)).as("p2"))
+    // persisted: count() decides the join shape and the encode join reads
+    // it again — without the cache the scan+distinct+md5 pipeline runs
+    // twice (the qVocabEncode lesson)
+    val vocab = graft.CacheTracker.track(
+      words.select("w").distinct()
+        .withColumn("h", md5(col("w")))
+        .select(col("w"), expr(pack(1 to 32, 32)).as("p1"), expr(pack(33 to 64, 64)).as("p2"))
+        .persist())
     // vocabulary joins like q_vocab_encode: broadcast while it fits
     val dim = if (vocab.count() <= TextAnalysis.VocabBroadcastMaxTypes) broadcast(vocab) else vocab
     val aggCols =

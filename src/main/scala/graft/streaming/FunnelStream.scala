@@ -86,13 +86,19 @@ object FunnelStream {
       val merged = FunnelState(tv, clicks.result(), purchases.result())
       val now = cascade(merged)
       val (_, tc, tp) = now
-      // Lossless prune: the current eligible min stays in the buffer and
-      // stays eligible as tv/tc decrease, so any candidate above it can
-      // never become the min. Without an eligible min yet, every
-      // candidate may still qualify once tv (resp. tc) drops — keep all.
+      // Lossless prune, two rules. Above: the current eligible min stays
+      // in the buffer and stays eligible as tv/tc decrease, so any
+      // candidate above it can never become the min. Below the
+      // WATERMARK: a candidate c < wm that is not eligible now (c < tv)
+      // can only become eligible through a view <= c — which the runtime
+      // would drop as late — so it is provably dead; without this rule a
+      // user with clicks but never a qualifying view accumulates state
+      // linear in history (the 100 TB failure mode). The eligible min
+      // itself is always retained (it IS the cascade answer).
+      val wm = timers.getCurrentWatermarkInMs()
       st.update(FunnelState(tv,
-        merged.clicks.filter(c => tc == Unreached || c <= tc).distinct,
-        merged.purchases.filter(p => tp == Unreached || p <= tp).distinct))
+        merged.clicks.filter(c => (tc == Unreached || c <= tc) && (c == tc || c >= math.min(tv, wm))).distinct,
+        merged.purchases.filter(p => (tp == Unreached || p <= tp) && (p == tp || p >= math.min(tc, wm))).distinct))
       if (now != before) Iterator.single(FunnelReach(uid, now._1, tc, tp))
       else Iterator.empty
     }
