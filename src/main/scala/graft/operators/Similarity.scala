@@ -44,6 +44,42 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
   }
 
+  /** Max-inner-product top-5 via the norm-augmentation reduction
+    * (Bachrach et al. 2014 / Neyshabur & Srebro 2015): append one
+    * component s(x) = √(M² − |x|²) to every candidate (M = the max
+    * candidate norm, one tiny agg) and a 0 to every query — every
+    * augmented candidate then has norm exactly M, so COSINE order on
+    * the augmented space IS inner-product order on the original space,
+    * and any cosine index (the hyperplane-LSH / IVF machinery in this
+    * module) serves MIPS unchanged. Recommendation-style retrieval
+    * (user·item) is MIPS, not cosine — this is the bridge. The engine
+    * literally runs the augmented-cosine path (codegen cosine_sim on
+    * the 65-dim arrays); the oracle replicates the identical folds and
+    * the output ALSO carries the raw inner product, exhibiting the
+    * identity. Ranking ties break on the 6-dp-rounded augmented cosine
+    * then c_id — deterministic in both engines. */
+  def qSimMips(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val dotSelf = "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val m2 = e.agg(max(expr(dotSelf)).as("m2"))
+    val cands = e.crossJoin(broadcast(m2))
+      .select(col("vec_id").as("c_id"), col("emb").as("cemb"),
+        expr(s"concat(emb, array(sqrt(m2 - $dotSelf)))").as("ce"))
+    val queries = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"),
+        expr("concat(emb, array(CAST(0 AS DOUBLE)))").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_aug"), col("c_id"))
+    cands.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("cos_aug", expr("round(cosine_sim(qe, ce), 6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .withColumn("ip", expr(
+        "round(aggregate(zip_with(qemb, cemb, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x), 6)"))
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("ip"))
+  }
+
   /** Deterministic hyperplane LSH codes: plane p's component i is the
     * integer-exact LCG `((1103515245·(p·131+i)+12345) mod 2^31)/2^31 −
     * 0.5`, evaluated by the fused codegen expression
@@ -590,6 +626,7 @@ object Similarity {
     "q_sim_ivf_pq" -> (qSimIvfPq _),
     "q_sim_ivf_pq_res" -> (qSimIvfPqRes _),
     "q_sim_topk" -> (qSimTopK _),
+    "q_sim_mips" -> (qSimMips _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
@@ -945,6 +982,31 @@ object Similarity {
          |  FROM cand JOIN (SELECT vec_id, ce AS qe FROM corpus) va ON a_id = va.vec_id
          |  JOIN (SELECT vec_id, ce FROM corpus) vb ON b_id = vb.vec_id)
          |SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.95""".stripMargin,
+    "q_sim_mips" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |m AS (SELECT MAX(list_sum(list_transform(range(1, 65), i -> emb[i] * emb[i]))) AS m2 FROM e),
+        |c AS (
+        |  SELECT vec_id AS c_id, emb AS cemb,
+        |    list_append(emb,
+        |      sqrt(m2 - list_sum(list_transform(range(1, 65), i -> emb[i] * emb[i])))) AS ce
+        |  FROM e, m),
+        |q AS (SELECT vec_id AS q_id, emb AS qemb,
+        |    list_append(emb, CAST(0 AS DOUBLE)) AS qe
+        |  FROM e WHERE vec_id % 20 = 0),
+        |scored AS (
+        |  SELECT q_id, c_id, qemb, cemb,
+        |    round(
+        |      list_sum(list_transform(range(1, 66), i -> qe[i] * ce[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 66), i -> qe[i] * qe[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 66), i -> ce[i] * ce[i])))), 6) AS cos_aug
+        |  FROM q JOIN c ON q_id <> c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, qemb, cemb,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_aug DESC, c_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, c_id AS neighbor_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> qemb[i] * cemb[i])), 6) AS ip
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),

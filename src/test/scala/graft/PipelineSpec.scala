@@ -685,6 +685,31 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("mips: augmented-cosine ranking equals brute-force inner-product top-5") {
+    // the norm-augmentation identity, checked extensionally: the engine
+    // ranks by cosine over 65-dim augmented vectors; brute force ranks
+    // by raw inner product — same neighbors, same order
+    val g = Similarity.qSimMips(spark, sf).cache()
+    try {
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(desc("ip2"), col("c_id"))
+      val brute = e.select(col("vec_id").as("c_id"), col("emb").as("ce2"))
+        .join(q, col("q_id") =!= col("c_id"))
+        .withColumn("ip2", expr(
+          "round(aggregate(zip_with(qe2, ce2, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x), 6)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("ip2").as("ip"))
+      assert(g.count() > 0 && g.count() % 5 == 0)
+      assert(g.exceptAll(brute).count() == 0)
+      assert(brute.exceptAll(g).count() == 0)
+    } finally g.unpersist()
+  }
+
   test("embedding column stats: 64 dims, exact counts, bounds ordered, std positive") {
     val g = Similarity.qEmbColstats(spark, sf).cache()
     try {
