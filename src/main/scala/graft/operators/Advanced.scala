@@ -282,7 +282,109 @@ object Advanced {
         (abs(col("est_inter") - col("exact_inter")) / col("exact_inter") <= 0.10).as("inter_ok"))
   }
 
+  /** SCD Type-2 dimension merge (Kimball's slowly-changing dimension,
+    * the warehouse MERGE INTO shape without a table format): apply a
+    * change batch to the customer dimension with effective dating —
+    * matched keys CLOSE the current row (valid_to = batch date,
+    * is_current = false) and OPEN a version-2 row; untouched dimension
+    * rows pass through; batch inserts open version-1 rows. The change
+    * batch derives deterministically from the dimension itself (segment
+    * rewrite for custkey%10=3, inserts at key+10M for %100=7) so all
+    * three merge paths carry live rows at every scale factor.
+    *
+    * Scale shape: one left-semi + one left-anti + one left join of the
+    * dimension against the batch keyset, then a partition-local union —
+    * no window, no global sort, shuffles only on the dimension key. In
+    * the common CDC case (batch ≪ dim) the keyset broadcasts and the
+    * dim-side joins are map-side; AQE's skew split covers hot keys. The
+    * closed/opened rows are O(batch), so incremental maintenance cost
+    * is proportional to the change set, not the dimension. */
+  def qScd2Merge(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment").as("segment"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)").as("acctbal"))
+    val changed = dim.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"), concat(col("segment"), lit("_V2")).as("segment"),
+        (col("acctbal") + 100.0).as("acctbal"))
+    val inserts = dim.filter(col("c_custkey") % 100 === 7)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        lit("ONBOARD").as("segment"), lit(0.0).as("acctbal"))
+    val batch = changed.unionByName(inserts)
+    val keys = batch.select("c_custkey")
+    val closed = dim.join(keys, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("segment"), col("acctbal"),
+        lit("1995-01-01").cast("date").as("valid_from"),
+        lit("1998-06-01").cast("date").as("valid_to"),
+        lit(false).as("is_current"), lit(1).as("version"))
+    val untouched = dim.join(keys, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("segment"), col("acctbal"),
+        lit("1995-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"), lit(1).as("version"))
+    val opened = batch
+      .join(dim.select(col("c_custkey"), lit(1).as("existed")), Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("segment"), col("acctbal"),
+        lit("1998-06-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"),
+        when(col("existed").isNotNull, 2).otherwise(1).as("version"))
+    closed.unionByName(untouched).unionByName(opened)
+  }
+
+  /** Exact-moment statistical profiling — stddev/skewness/kurtosis of
+    * quantity plus the quantity↔price correlation per return flag: the
+    * distribution-profiling pass a corpus gets before training, done
+    * HASH-STABLY across engines. The trick: quantity is integral and
+    * price has exactly 2 decimals, so the five raw power sums (Σq…Σq⁴,
+    * Σp, Σp², Σqp) accumulate as exact integers (DECIMAL(38,0) on the
+    * Spark side — Σp² overflows BIGINT at sf0.1 already) and are
+    * order-insensitive under ANY partial-aggregation schedule; the
+    * moment formulas then evaluate ONCE per group on the exact sums,
+    * with a byte-identical expression tree in both engines (same parse,
+    * same IEEE ops, same result — no float-summation-order flake).
+    *
+    * Scale: one scan, one map-side-combined shuffle of 8 decimal
+    * partials per group — the textbook two-pass mean-centered algorithm
+    * needs a scan per moment; raw power sums need one total and lose
+    * nothing here because the domain is integer-exact. */
+  def qStatsMoments(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_returnflag"),
+      expr("CAST(l_quantity AS BIGINT)").as("q"),
+      expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)").as("p"))
+    l.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(q AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("s2"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q * q")).as("s3"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q * q * q")).as("s4"),
+        sum(expr("CAST(p AS DECIMAL(38,0))")).as("t1"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * p")).as("t2"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * p")).as("sp"))
+      .select(col("l_returnflag"), col("n"),
+        expr(s"round($momM, 6)").as("mean_qty"),
+        expr(s"round(sqrt($momVar), 6)").as("std_qty"),
+        expr(s"round((CAST(s3 AS DOUBLE) / n - 3 * ($momM) * (CAST(s2 AS DOUBLE) / n) + 2 * ($momM) * ($momM) * ($momM)) / (sqrt($momVar) * sqrt($momVar) * sqrt($momVar)), 6)").as("skew_qty"),
+        expr(s"round((CAST(s4 AS DOUBLE) / n - 4 * ($momM) * (CAST(s3 AS DOUBLE) / n) + 6 * ($momM) * ($momM) * (CAST(s2 AS DOUBLE) / n) - 3 * ($momM) * ($momM) * ($momM) * ($momM)) / (($momVar) * ($momVar)) - 3, 6)").as("kurt_qty"),
+        expr(s"round((CAST(sp AS DOUBLE) / n - ($momM) * (CAST(t1 AS DOUBLE) / n)) / (sqrt($momVar) * sqrt(CAST(t2 AS DOUBLE) / n - (CAST(t1 AS DOUBLE) / n) * (CAST(t1 AS DOUBLE) / n))), 6)").as("corr_qty_price"))
+  }
+
+  /** The moment formulas, shared VERBATIM between the Spark select and
+    * the DuckDB oracle so both engines execute the identical IEEE
+    * expression tree over the identical exact integer sums. */
+  private val momM = "CAST(s1 AS DOUBLE) / n"
+  private val momVar = s"CAST(s2 AS DOUBLE) / n - ($momM) * ($momM)"
+
+  private val momentsSelect: String =
+    s"""SELECT l_returnflag, n,
+       |  round($momM, 6) AS mean_qty,
+       |  round(sqrt($momVar), 6) AS std_qty,
+       |  round((CAST(s3 AS DOUBLE) / n - 3 * ($momM) * (CAST(s2 AS DOUBLE) / n) + 2 * ($momM) * ($momM) * ($momM)) / (sqrt($momVar) * sqrt($momVar) * sqrt($momVar)), 6) AS skew_qty,
+       |  round((CAST(s4 AS DOUBLE) / n - 4 * ($momM) * (CAST(s3 AS DOUBLE) / n) + 6 * ($momM) * ($momM) * (CAST(s2 AS DOUBLE) / n) - 3 * ($momM) * ($momM) * ($momM) * ($momM)) / (($momVar) * ($momVar)) - 3, 6) AS kurt_qty,
+       |  round((CAST(sp AS DOUBLE) / n - ($momM) * (CAST(t1 AS DOUBLE) / n)) / (sqrt($momVar) * sqrt(CAST(t2 AS DOUBLE) / n - (CAST(t1 AS DOUBLE) / n) * (CAST(t1 AS DOUBLE) / n))), 6) AS corr_qty_price""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_merge" -> (qScd2Merge _),
+    "q_stats_moments" -> (qStatsMoments _),
     "q_kll_quantile_merge" -> (qKllQuantileMerge _),
     "q_approx_top_k" -> (qApproxTopK _),
     "q_theta_setops" -> (qThetaSetops _),
@@ -311,6 +413,39 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_merge" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment AS segment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal FROM customer),
+        |chg AS (SELECT c_custkey, segment || '_V2' AS segment, acctbal + 100.0 AS acctbal
+        |        FROM dim WHERE c_custkey % 10 = 3),
+        |ins AS (SELECT c_custkey + 10000000 AS c_custkey, 'ONBOARD' AS segment,
+        |        0.0 AS acctbal FROM dim WHERE c_custkey % 100 = 7),
+        |batch AS (SELECT * FROM chg UNION ALL SELECT * FROM ins)
+        |SELECT d.c_custkey, d.segment, d.acctbal,
+        |  DATE '1995-01-01' AS valid_from, DATE '1998-06-01' AS valid_to,
+        |  FALSE AS is_current, 1 AS version
+        |FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM batch)
+        |UNION ALL
+        |SELECT d.c_custkey, d.segment, d.acctbal,
+        |  DATE '1995-01-01', CAST(NULL AS DATE), TRUE, 1
+        |FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM batch)
+        |UNION ALL
+        |SELECT b.c_custkey, b.segment, b.acctbal,
+        |  DATE '1998-06-01', CAST(NULL AS DATE), TRUE,
+        |  CASE WHEN d.c_custkey IS NOT NULL THEN 2 ELSE 1 END
+        |FROM batch b LEFT JOIN dim d ON b.c_custkey = d.c_custkey""".stripMargin,
+    "q_stats_moments" ->
+      s"""WITH l AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS p
+         |  FROM lineitem),
+         |sums AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(q) AS s1, SUM(q * q) AS s2, SUM(q * q * q) AS s3,
+         |    SUM(q * q * q * q) AS s4,
+         |    SUM(p) AS t1, SUM(p * p) AS t2, SUM(q * p) AS sp
+         |  FROM l GROUP BY 1)
+         |$momentsSelect
+         |FROM sums""".stripMargin,
     "q_kll_quantile_merge" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

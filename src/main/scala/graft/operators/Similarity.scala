@@ -80,6 +80,51 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("ip"))
   }
 
+  /** SQ8 scalar quantization search (the faiss ScalarQuantizer family —
+    * the third compression point next to PQ (q_sim_pq) and raw floats
+    * (q_sim_topk)): every dimension is affinely mapped to a signed 8-bit
+    * code around the per-dim midpoint, c_i = floor((v_i − mid_i)·255 /
+    * (max_i − min_i) + 0.5) ∈ [−128, 128], and candidates are ranked by
+    * the INTEGER code dot product — 4 bytes/dim → 1 byte/dim at rest,
+    * and the scoring loop is integer multiply-adds (SIMD-friendly on
+    * real hardware, order-insensitive here, which is what makes the
+    * ranking hash-stable cross-engine).
+    *
+    * Train→broadcast-literal: the per-dim min/max "training" is ONE
+    * 64-row aggregate collected and re-embedded as array literals (the
+    * same pattern as the IVF centroids) — at 100 TB the stats come from
+    * a sample scan and the quantize + score passes are map-side against
+    * the broadcast arrays; the exact cosine is computed only for the
+    * k·|queries| reported rows. Mid-centering matters: codes of
+    * unsigned [0,255] would make every dot product dominated by the
+    * constant offset and destroy the ranking; the spec measures
+    * recall@5 vs the float baseline. */
+  def qSimSq8(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+    val stats = e.select(posexplode(col("ce")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("dim").collect()
+    val mns = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val mxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val coded = e.withColumn("mn", mns).withColumn("mx", mxs)
+      .withColumn("code", expr(
+        "transform(sequence(0, 63), i -> CAST(floor((ce[i] - (mn[i] + mx[i]) / 2) * 255 / (mx[i] - mn[i]) + 0.5) AS BIGINT))"))
+    val queries = coded.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"), col("ce").as("qe"))
+    val cands = coded.select(col("vec_id").as("c_id"), col("code").as("cc"), col("ce"))
+    val w = Window.partitionBy("q_id").orderBy(desc("ip8"), col("c_id"))
+    cands.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("ip8", expr(
+        "aggregate(zip_with(qc, cc, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .withColumn("cosine", expr(cosExpr))
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
+        col("ip8"), col("cosine"))
+  }
+
   /** Deterministic hyperplane LSH codes: plane p's component i is the
     * integer-exact LCG `((1103515245·(p·131+i)+12345) mod 2^31)/2^31 −
     * 0.5`, evaluated by the fused codegen expression
@@ -627,6 +672,7 @@ object Similarity {
     "q_sim_ivf_pq_res" -> (qSimIvfPqRes _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_mips" -> (qSimMips _),
+    "q_sim_sq8" -> (qSimSq8 _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
@@ -1007,6 +1053,27 @@ object Similarity {
         |SELECT q_id, rank, c_id AS neighbor_id,
         |  round(list_sum(list_transform(range(1, 65), i -> qemb[i] * cemb[i])), 6) AS ip
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_sim_sq8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |dm AS (SELECT i, MIN(ce[i]) AS mn, MAX(ce[i]) AS mx
+         |       FROM e, range(1, 65) t(i) GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm),
+         |coded AS (SELECT vec_id, ce,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(floor((ce[i] - (mns[i] + mxs[i]) / 2) * 255 / (mxs[i] - mns[i]) + 0.5) AS BIGINT)) AS code
+         |  FROM e CROSS JOIN mm),
+         |est AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> q.code[i] * c.code[i])) AS BIGINT) AS ip8,
+         |    q.ce AS qe2, c.ce AS ce2
+         |  FROM coded q JOIN coded c ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, ip8, qe2, ce2,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip8 DESC, c_id) AS INTEGER) AS rank
+         |  FROM est)
+         |SELECT q_id, rank, c_id AS neighbor_id, ip8,
+         |  ${dkCos2("qe2", "ce2")} AS cosine
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),

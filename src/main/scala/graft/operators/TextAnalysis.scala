@@ -327,6 +327,36 @@ object TextAnalysis {
         col("pass_word_len") && col("pass_repetition") && col("pass_size"))
   }
 
+  /** FastText-style quality classifier INFERENCE (Joulin et al. 2016 —
+    * the linear bag-of-n-grams model behind the CCNet / LLaMA "looks
+    * like a wiki reference" filter): features are unigrams + adjacent
+    * bigrams hashed into 1024 buckets (the hashing trick), bucket
+    * weights come from a deterministic integer formula standing in for
+    * trained parameters (a real model would broadcast the same
+    * 1024-long array — the plumbing is identical), scores mean-pool
+    * over features, and a sigmoid gates the document.
+    *
+    * Hash-stability: the per-document accumulator is an INTEGER weight
+    * sum (order-insensitive under any fold order), and the double
+    * math (mean, sigmoid) happens once per document on that exact sum
+    * with the same expression text in both engines.
+    *
+    * Scale shape: pure map-side — tokenize, hash, fold per document
+    * with HOFs; no explode, no join, no shuffle (the same shuffle-free
+    * contract PlanShapeSpec pins for the PII scrub). 100 TB cost = one
+    * scan; model-weight refresh = one broadcast. */
+  def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("fts", expr("concat(words, shingles_n(words, 2))"))
+      .select(col("doc_id"), size(col("fts")).as("n_feat"),
+        expr("aggregate(fts, CAST(0 AS BIGINT), (acc, f) -> acc + (((CAST(conv(substring(md5(f), 1, 7), 16, 10) AS BIGINT) % 1024) * 2654435761) % 1000003 - 500001))").as("w_sum"))
+      .withColumn("score", expr("round(CAST(w_sum AS DOUBLE) / (1000003.0 * n_feat), 6)"))
+      .withColumn("prob", expr("round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / (1000003.0 * n_feat)))), 6)"))
+      .withColumn("pass_quality", col("w_sum") > 0)
+  }
+
   /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05) — the
     * frequency-sketch family alongside the HLL distinct-count sketch
     * (q_approx_distinct): a d=4 × w=512 counter grid where every word
@@ -520,6 +550,7 @@ object TextAnalysis {
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_gopher_quality" -> (qGopherQuality _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_langid_ngram" -> (qLangidNgram _),
@@ -655,6 +686,20 @@ object TextAnalysis {
         |  CAST(FLOOR(ROUND(lsum / n_grams, 6)) AS BIGINT) AS ppl_bucket,
         |  ROUND(lsum / n_grams, 6) < 8.0 AS quality_pass
         |FROM x""".stripMargin,
+    "q_quality_classifier" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |f AS (SELECT doc_id, list_concat(words, CASE WHEN len(words) < 2 THEN []
+        |        ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS fts
+        |      FROM w),
+        |sc AS (SELECT doc_id, len(fts) AS n_feat,
+        |  CAST(list_sum(list_transform(fts, f ->
+        |    (((CAST('0x' || substring(md5(f), 1, 7) AS BIGINT) % 1024) * 2654435761) % 1000003 - 500001))) AS BIGINT) AS w_sum
+        |  FROM f)
+        |SELECT doc_id, CAST(n_feat AS INTEGER) AS n_feat, w_sum,
+        |  round(CAST(w_sum AS DOUBLE) / (1000003.0 * n_feat), 6) AS score,
+        |  round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / (1000003.0 * n_feat)))), 6) AS prob,
+        |  (w_sum > 0) AS pass_quality
+        |FROM sc""".stripMargin,
     "q_gopher_quality" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),

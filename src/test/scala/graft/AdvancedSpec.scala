@@ -179,4 +179,51 @@ class AdvancedSpec extends SparkSpec {
       assert(g.filter(col("exact_inter") > least(col("exact_a"), col("exact_b"))).count() == 0)
     } finally g.unpersist()
   }
+
+  test("SCD2 merge: one current row per key, all three merge paths live, dating consistent") {
+    val m = Advanced.qScd2Merge(spark, sf).cache()
+    try {
+      val dim = Tables.customer(spark, sf)
+      val dimN = dim.count()
+      val chgN = dim.filter(col("c_custkey") % 10 === 3).count()
+      val insN = dim.filter(col("c_custkey") % 100 === 7).count()
+      assert(chgN > 0 && insN > 0, "derived batch must exercise update AND insert paths")
+      // dimension rows + one new row per batch entry
+      assert(m.count() == dimN + chgN + insN)
+      // exactly one current row per key; closed rows only for changed keys
+      val cur = m.filter(col("is_current"))
+      assert(cur.groupBy("c_custkey").count().filter(col("count") =!= 1).count() == 0)
+      assert(cur.count() == dimN + insN)
+      assert(m.filter(!col("is_current")).count() == chgN)
+      assert(m.filter(col("version") === 2).count() == chgN)
+      // effective dating: closed rows carry valid_to, current rows never do
+      assert(m.filter(!col("is_current") && col("valid_to").isNull).count() == 0)
+      assert(m.filter(col("is_current") && col("valid_to").isNotNull).count() == 0)
+      // a changed key's v2 row opens exactly where its v1 row closes
+      val closedAt = m.filter(!col("is_current"))
+        .select(col("c_custkey"), col("valid_to").as("t"))
+      val openedAt = m.filter(col("version") === 2)
+        .select(col("c_custkey"), col("valid_from").as("f"))
+      assert(closedAt.join(openedAt, "c_custkey").filter(col("t") =!= col("f")).count() == 0)
+    } finally m.unpersist()
+  }
+
+  test("exact-moment profiling matches Spark's builtin population moments") {
+    val got = Advanced.qStatsMoments(spark, sf).cache()
+    try {
+      val ref = Tables.lineitem(spark, sf).groupBy("l_returnflag").agg(
+        stddev_pop(col("l_quantity")).as("r_std"),
+        skewness(col("l_quantity")).as("r_skew"),
+        kurtosis(col("l_quantity")).as("r_kurt"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("r_corr"))
+      val j = got.join(ref, "l_returnflag").collect()
+      assert(j.length == 3)
+      j.foreach { r =>
+        assert(math.abs(r.getAs[Double]("std_qty") - r.getAs[Double]("r_std")) < 1e-4, r.toString)
+        assert(math.abs(r.getAs[Double]("skew_qty") - r.getAs[Double]("r_skew")) < 1e-4, r.toString)
+        assert(math.abs(r.getAs[Double]("kurt_qty") - r.getAs[Double]("r_kurt")) < 1e-4, r.toString)
+        assert(math.abs(r.getAs[Double]("corr_qty_price") - r.getAs[Double]("r_corr")) < 1e-4, r.toString)
+      }
+    } finally got.unpersist()
+  }
 }

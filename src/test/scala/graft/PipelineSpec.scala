@@ -189,6 +189,54 @@ class PipelineSpec extends SparkSpec {
     } finally { got.unpersist(); CacheTracker.releaseAll() }
   }
 
+  test("quality classifier: shuffle-free plan, sigmoid-consistent, mean-pooled bound") {
+    val qc = TextAnalysis.qQualityClassifier(spark, sf).cache()
+    try {
+      assert(qc.count() == 500)
+      // pure map-side inference: any Exchange would mean a needless shuffle
+      assert(!qc.queryExecution.executedPlan.toString.contains("Exchange"),
+        "classifier inference must be shuffle-free")
+      // the sigmoid gate and the sign gate must agree (sigmoid(0) = 0.5)
+      assert(qc.filter((col("prob") > 0.5) =!= col("pass_quality")).count() == 0)
+      assert(qc.filter(col("prob") < 0 || col("prob") > 1).count() == 0)
+      // mean pooling: |score| <= max|weight| / SCALE = 500001/1000003 < 0.51
+      assert(qc.filter(abs(col("score")) > 0.51).count() == 0)
+      // features counted = unigrams + adjacent bigrams
+      val one = qc.join(
+        Tables.documents(spark, sf).select(col("doc_id"),
+          (size(split(col("text"), " ")) * 2 - 1).as("expect")), "doc_id")
+      assert(one.filter(col("n_feat") =!= col("expect")).count() == 0)
+    } finally qc.unpersist()
+  }
+
+  test("SQ8: signed 8-bit codes, 5 neighbors per query, recall vs float baseline") {
+    val sq = Similarity.qSimSq8(spark, sf).cache()
+    try {
+      val perQ = sq.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5).count() == 0)
+      // codes live in the signed-byte range (mid-centered affine map)
+      val e = Tables.embeddings(spark, sf)
+        .selectExpr("cast(embedding as array<double>) as ce")
+      val stats = e.select(posexplode(col("ce")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx")).orderBy("dim").collect()
+      val mns = array(stats.map(r => lit(r.getDouble(1))): _*)
+      val mxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+      val bad = e.withColumn("mn", mns).withColumn("mx", mxs)
+        .withColumn("code", expr(
+          "transform(sequence(0, 63), i -> CAST(floor((ce[i] - (mn[i] + mx[i]) / 2) * 255 / (mx[i] - mn[i]) + 0.5) AS BIGINT))"))
+        .filter(expr("exists(code, x -> x < -128 OR x > 128)"))
+      assert(bad.count() == 0, "SQ8 codes must stay within the signed-byte range")
+      // recall floor vs the float cosine top-5 (random 64-dim embeddings:
+      // norms concentrate, so the centered integer dot product tracks
+      // cosine order well — measured at sf0.001, floored conservatively)
+      val bf = Similarity.qSimTopK(spark, sf).select("q_id", "neighbor_id")
+      val hit = bf.join(sq.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"), "left_semi").count()
+      val nBf = bf.count()
+      assert(nBf > 0)
+      assert(hit.toDouble / nBf >= 0.3, s"SQ8 recall ${hit.toDouble / nBf} too low")
+    } finally sq.unpersist()
+  }
+
   test("IVF ANN reaches reasonable recall vs brute-force top-5") {
     val bf = Similarity.qSimTopK(spark, sf).select("q_id", "neighbor_id")
     val ivf = Similarity.qSimIvf(spark, sf).select("q_id", "neighbor_id")
