@@ -264,7 +264,51 @@ object Curation {
         max("h").as("max_hash"))
   }
 
+  /** Token-budget mixture planning (the Pile/Dolma-style mixing step
+    * BEFORE any resampling runs): given a total token budget B (here
+    * 2× the corpus so upsampling is live) and target weights (uniform
+    * across languages), compute each source's planned token allocation
+    * under a max-epochs cap — desired_i = B/n, capped at 4 epochs of
+    * the source's own tokens, with the over-cap surplus redistributed
+    * to uncapped sources in ONE pass proportional to their size (the
+    * single-pass approximation of iterative water-filling; a second
+    * pass would converge further but the plan's residual error is
+    * reported, not hidden). The output IS the plan: per-language
+    * epochs/repeat factors a sampler (q_weighted_sample's md5 coin)
+    * executes map-side.
+    *
+    * Every allocation step is INTEGER token arithmetic (floor division
+    * like the PageRank fixed-point) — exact, order-insensitive,
+    * hash-stable; doubles appear only in the final epochs column. Scale
+    * shape: one tiny per-language aggregate (map-side combined), then
+    * two broadcast-sized cross joins of the |langs|-row plan relation —
+    * the corpus is scanned once regardless of corpus size. */
+  def qMixBudget(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    val tots = tok.agg(count(lit(1)).as("n_langs"),
+      sum("n_tokens").cast("long").as("tot_tokens"))
+    val base = tok.crossJoin(broadcast(tots))
+      .withColumn("budget", expr("2 * tot_tokens"))
+      .withColumn("desired", expr("budget div n_langs"))
+      .withColumn("capped", expr("desired > 4 * n_tokens"))
+      .withColumn("assigned", expr("least(desired, 4 * n_tokens)"))
+    val spare = base.agg(
+      sum("assigned").cast("long").as("assigned_tot"),
+      sum(when(!col("capped"), col("n_tokens")).otherwise(0L)).cast("long").as("open_tokens"))
+    base.crossJoin(broadcast(spare))
+      .withColumn("extra", expr(
+        "CASE WHEN capped OR open_tokens = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (budget - assigned_tot) * n_tokens div open_tokens END"))
+      .withColumn("planned_tokens", expr("assigned + extra"))
+      .withColumn("epochs", expr("round(CAST(planned_tokens AS DOUBLE) / n_tokens, 6)"))
+      .select(col("lang"), col("n_tokens"), col("desired"), col("capped"),
+        col("planned_tokens"), col("epochs"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_budget" -> (qMixBudget _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_split_stratified" -> (qSplitStratified _),
@@ -275,6 +319,29 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_mix_budget" ->
+      """WITH tok AS (
+        |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tots AS (
+        |  SELECT COUNT(*) AS n_langs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+        |  FROM tok),
+        |base AS (
+        |  SELECT lang, n_tokens, 2 * tot_tokens AS budget,
+        |    (2 * tot_tokens) // n_langs AS desired,
+        |    ((2 * tot_tokens) // n_langs) > 4 * n_tokens AS capped,
+        |    least((2 * tot_tokens) // n_langs, 4 * n_tokens) AS assigned
+        |  FROM tok CROSS JOIN tots),
+        |spare AS (
+        |  SELECT CAST(SUM(assigned) AS BIGINT) AS assigned_tot,
+        |    CAST(SUM(CASE WHEN NOT capped THEN n_tokens ELSE 0 END) AS BIGINT) AS open_tokens
+        |  FROM base)
+        |SELECT lang, n_tokens, desired, capped,
+        |  assigned + (CASE WHEN capped OR open_tokens = 0 THEN 0
+        |    ELSE (budget - assigned_tot) * n_tokens // open_tokens END) AS planned_tokens,
+        |  round(CAST(assigned + (CASE WHEN capped OR open_tokens = 0 THEN 0
+        |    ELSE (budget - assigned_tot) * n_tokens // open_tokens END) AS DOUBLE) / n_tokens, 6) AS epochs
+        |FROM base CROSS JOIN spare""".stripMargin,
     "q_zorder_layout" ->
       """WITH k AS (
         |  SELECT doc_id, lang,

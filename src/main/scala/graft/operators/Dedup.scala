@@ -665,7 +665,58 @@ object Dedup {
       .select(col("id").as("doc_id"), col("deg"), col("pr").as("pr3_scaled"))
   }
 
+  /** Triangle counting + local clustering coefficient over the near-dup
+    * graph (the second graph-compute primitive next to [[qGraphPagerank]]
+    * — triangle density distinguishes a tight duplicate CLIQUE from a
+    * chain of pairwise matches, which is exactly the signal that decides
+    * whether a cluster is one document family or transitive noise).
+    *
+    * Algorithm: compact-forward with DEGREE ORIENTATION (Latapy 2008) —
+    * each undirected edge orients from its lower-(degree, id) endpoint
+    * to the higher, wedges enumerate only within OUT-neighborhoods, and
+    * a final join checks the closing edge. Every triangle is found
+    * exactly once (its vertices totally order under (deg, id)), and the
+    * wedge count is bounded by Σ outdeg(v)² where outdeg ≤ √(2m) — the
+    * O(m^1.5) bound that makes triangle counting feasible at web scale;
+    * without orientation a single hub vertex's deg² wedges dominate.
+    * Per-vertex counts come from unpivoting each triangle to its three
+    * corners — one more shuffle keyed by vertex.
+    *
+    * Integer counts and a once-per-vertex double division keep the
+    * output hash-stable. */
+  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = graft.CacheTracker.track(
+      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val edges = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("id").as("a_id"), col("deg").as("da"))
+    val db = deg.select(col("id").as("b_id"), col("deg").as("db"))
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a_id") < col("b_id"))
+    val o = graft.CacheTracker.track(pairs.join(da, "a_id").join(db, "b_id")
+      .select(when(fwd, col("a_id")).otherwise(col("b_id")).as("u"),
+        when(fwd, col("b_id")).otherwise(col("a_id")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+      .join(o.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val tc = tri.select(col("x").as("id"))
+      .unionByName(tri.select(col("y").as("id")))
+      .unionByName(tri.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tc, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering", expr(
+        "CASE WHEN deg < 2 THEN CAST(0 AS DOUBLE) ELSE round(CAST(2 * n_tri AS DOUBLE) / (deg * (deg - 1)), 6) END"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_dedup_span" -> (qDedupSpan _),
     "q_dedup_winnow" -> (qDedupWinnow _),
@@ -727,6 +778,32 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      s"""WITH $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a_id < p.b_id)
+         |              THEN p.a_id ELSE p.b_id END AS u,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a_id < p.b_id)
+         |              THEN p.b_id ELSE p.a_id END AS v
+         |  FROM pairs p JOIN deg da ON da.id = p.a_id JOIN deg db ON db.id = p.b_id),
+         |tri AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v
+         |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |tv AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         |       UNION ALL SELECT z FROM tri),
+         |tc AS (SELECT id, COUNT(*) AS n_tri FROM tv GROUP BY 1)
+         |SELECT deg.id AS doc_id, deg.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.deg < 2 THEN CAST(0 AS DOUBLE)
+         |       ELSE round(CAST(2 * COALESCE(tc.n_tri, 0) AS DOUBLE) / (deg.deg * (deg.deg - 1)), 6)
+         |  END AS clustering
+         |FROM deg LEFT JOIN tc ON tc.id = deg.id""".stripMargin,
     "q_graph_pagerank" ->
       s"""WITH $lshJChain,
          |pairs AS (

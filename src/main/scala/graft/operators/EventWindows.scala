@@ -69,7 +69,58 @@ object EventWindows {
     v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
   }
 
+  /** Multi-touch attribution (the marketing-analytics credit-assignment
+    * operator): every `purchase` is a conversion; the same user's `view`
+    * and `click` events in the 24 h before it are its touchpoints. Two
+    * standard models side by side — LINEAR (each of the k touches gets
+    * 1/k) and POSITION-BASED (U-shaped: 40 % first touch, 40 % last,
+    * the remaining 20 % split across the middle; degenerate k ≤ 2 gives
+    * 100 % / 50-50) — aggregated per touch event type.
+    *
+    * Credits are integer PPM (1 000 000 // k etc.), so every sum is
+    * order-insensitive and the fractional models stay hash-exact —
+    * the same fixed-point discipline as the PageRank query; doubles
+    * appear only in the final once-per-row division.
+    *
+    * Scale shape: the touch join keys on user_id (co-partitioned with
+    * the conversion side — one shuffle), the 24 h window bounds each
+    * user's touch fan-out, and the position windows partition by
+    * conversion id — no global window, no broadcast of event-sized
+    * relations. At 100 TB this is the standard sessionized-attribution
+    * plan: everything stays keyed by user then conversion. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, d)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("ts").as("conv_ts"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("ts").as("touch_ts"), col("event_type"))
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr("INTERVAL 24 HOURS"))
+    val wAll = Window.partitionBy("conv_id")
+    val wAsc = Window.partitionBy("conv_id").orderBy(col("touch_ts"), col("touch_id"))
+    val wDesc = Window.partitionBy("conv_id").orderBy(col("touch_ts").desc, col("touch_id").desc)
+    j.withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("rn_first", row_number().over(wAsc))
+      .withColumn("rn_last", row_number().over(wDesc))
+      .withColumn("linear_ppm", expr("1000000 div k"))
+      .withColumn("pos_ppm", expr(
+        """CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000
+          |     WHEN rn_first = 1 THEN 400000 WHEN rn_last = 1 THEN 400000
+          |     ELSE 200000 div (k - 2) END""".stripMargin))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("linear_ppm").as("linear_ppm"),
+        sum("pos_ppm").as("pos_ppm"))
+      .select(col("event_type"), col("n_touches"), col("linear_ppm"),
+        round(col("linear_ppm") / 1000000.0, 6).as("linear_credit"),
+        col("pos_ppm"), round(col("pos_ppm") / 1000000.0, 6).as("pos_credit"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
     "q_event_funnel" -> (qEventFunnel _),
     "q_window_tumbling" -> (qWindowTumbling _),
     "q_window_sliding" -> (qWindowSliding _),
@@ -80,6 +131,35 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT event_id AS touch_id, user_id, ts AS touch_ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT conv_id, touch_id, touch_ts, event_type
+        |  FROM conv JOIN touch USING (user_id)
+        |  WHERE touch_ts < conv_ts AND touch_ts >= conv_ts - INTERVAL 24 HOUR),
+        |r AS (
+        |  SELECT event_type,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY touch_ts, touch_id) AS rn_first,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) AS rn_last
+        |  FROM j),
+        |c AS (
+        |  SELECT event_type, 1000000 // k AS linear_ppm,
+        |    CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000
+        |         WHEN rn_first = 1 THEN 400000 WHEN rn_last = 1 THEN 400000
+        |         ELSE 200000 // (k - 2) END AS pos_ppm
+        |  FROM r)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |  CAST(SUM(linear_ppm) AS BIGINT) AS linear_ppm,
+        |  round(CAST(SUM(linear_ppm) AS BIGINT) / 1000000.0, 6) AS linear_credit,
+        |  CAST(SUM(pos_ppm) AS BIGINT) AS pos_ppm,
+        |  round(CAST(SUM(pos_ppm) AS BIGINT) / 1000000.0, 6) AS pos_credit
+        |FROM c GROUP BY 1""".stripMargin,
     "q_event_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS tv FROM events

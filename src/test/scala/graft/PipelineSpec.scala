@@ -886,6 +886,71 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("triangles: brute-force parity, handshake identity, clustering bounded") {
+    val tri = Dedup.qGraphTriangles(spark, sf).cache()
+    try {
+      assert(tri.filter(col("clustering") < 0 || col("clustering") > 1).count() == 0)
+      // brute force: pairs carry a < b, so the (a,b)(b,c)(a,c) triple join
+      // enumerates each triangle {a<b<c} exactly once
+      val pairs = Dedup.qDedupLshPairs(spark, sf).select(col("a_id"), col("b_id")).cache()
+      val p1 = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      val bf = p1.as("ab").join(p1.as("bc"), col("ab.y") === col("bc.x"))
+        .join(p1.as("ac"), col("ac.x") === col("ab.x") && col("ac.y") === col("bc.y"))
+      val nBf = bf.count()
+      assert(nBf > 0, "corpus must contain triangles (injected dup families)")
+      // handshake: per-vertex triangle counts sum to 3x the triangle count
+      val tot = tri.agg(sum("n_tri")).collect()(0).getLong(0)
+      assert(tot == 3 * nBf, s"per-vertex sum $tot != 3 * $nBf")
+      pairs.unpersist()
+    } finally { tri.unpersist(); CacheTracker.releaseAll() }
+  }
+
+  test("attribution: both touch types credited, per-model mass conserved to floor loss") {
+    val at = operators.EventWindows.qAttribution(spark, sf).cache()
+    try {
+      assert(at.count() == 2, "view and click must both attract credit")
+      // conservation: every converting purchase hands out <= 1,000,000 ppm
+      // per model, and at least 1,000,000 - k (integer floor loss)
+      val ev = Tables.events(spark, sf)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"), col("ts").as("conv_ts"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("touch_ts"))
+      val perConv = conv.join(touch, Seq("user_id"))
+        .filter(col("touch_ts") < col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") - expr("INTERVAL 24 HOURS"))
+        .groupBy("conv_id").agg(count(lit(1)).as("k"))
+      val nConv = perConv.count()
+      val maxK = perConv.agg(max("k")).collect()(0).getLong(0)
+      assert(nConv > 0)
+      for (c <- Seq("linear_ppm", "pos_ppm")) {
+        val got = at.agg(sum(c)).collect()(0).getLong(0)
+        assert(got <= nConv * 1000000L, s"$c over-credits: $got")
+        assert(got >= nConv * (1000000L - maxK), s"$c floor loss too large: $got")
+      }
+    } finally at.unpersist()
+  }
+
+  test("mix budget: plan within budget, caps bind at 4 epochs, surplus redistributed") {
+    val mb = operators.Curation.qMixBudget(spark, sf).cache()
+    try {
+      val rows = mb.collect()
+      assert(rows.length >= 2)
+      val budget = 2 * rows.map(_.getAs[Long]("n_tokens")).sum
+      val planned = rows.map(_.getAs[Long]("planned_tokens")).sum
+      assert(planned <= budget, s"planned $planned exceeds budget $budget")
+      val (capped, open) = rows.partition(_.getAs[Boolean]("capped"))
+      // capped sources sit exactly at the 4-epoch ceiling
+      capped.foreach(r => assert(r.getAs[Double]("epochs") == 4.0, r.toString))
+      // uncapped sources absorb the surplus: at least their uniform share,
+      // and the single redistribution pass leaves only floor residue
+      open.foreach(r =>
+        assert(r.getAs[Long]("planned_tokens") >= r.getAs[Long]("desired"), r.toString))
+      if (open.nonEmpty)
+        assert(budget - planned <= open.length, s"residue ${budget - planned} > ${open.length}")
+    } finally mb.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
