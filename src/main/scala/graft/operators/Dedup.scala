@@ -715,7 +715,42 @@ object Dedup {
         "CASE WHEN deg < 2 THEN CAST(0 AS DOUBLE) ELSE round(CAST(2 * n_tri AS DOUBLE) / (deg * (deg - 1)), 6) END"))
   }
 
+  /** Bounded BFS reachability via WITH RECURSIVE (Spark 4's recursive
+    * CTE surface — the SQL face of iterative graph expansion, next to
+    * the DataFrame-loop PageRank and label-propagation forms): from the
+    * seed vertices (doc_id % 20 = 0) walk the symmetric near-dup graph
+    * up to 3 hops, reporting each reached document's minimum depth and
+    * its bounded path count. This is the "expand the duplicate
+    * neighborhood of a flagged set" primitive — contamination and
+    * takedown workflows both start from seeds and widen.
+    *
+    * The recursion is depth-bounded (r.depth < 3), so cyclic edges
+    * cannot loop forever and the path-count explosion is capped at
+    * deg³; counts and depths are integers — hash-exact. Scale shape:
+    * each recursion step is one equi-join against the (persisted) edge
+    * relation keyed by src — the same per-iteration cost as a
+    * hand-rolled BFS loop, but planned by Catalyst's UnionLoop; the
+    * frontier relation stays (id, depth) sized. */
+  def qGraphReach(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = graft.CacheTracker.track(
+      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs.unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").createOrReplaceTempView("graft_dup_edges")
+    s.sql(
+      """WITH RECURSIVE reach(doc_id, depth) AS (
+        |  SELECT DISTINCT src, 0 FROM graft_dup_edges WHERE src % 20 = 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN graft_dup_edges e ON e.src = r.doc_id
+        |  WHERE r.depth < 3)
+        |SELECT doc_id, MIN(depth) AS depth, COUNT(*) AS n_paths
+        |FROM reach GROUP BY doc_id""".stripMargin)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_reach" -> (qGraphReach _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_dedup_span" -> (qDedupSpan _),
@@ -778,6 +813,21 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_reach" ->
+      s"""WITH RECURSIVE $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(doc_id, depth) AS (
+         |  SELECT DISTINCT src, 0 FROM edges WHERE src % 20 = 0
+         |  UNION ALL
+         |  SELECT e.dst, r.depth + 1
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id
+         |  WHERE r.depth < 3)
+         |SELECT doc_id, MIN(depth) AS depth, COUNT(*) AS n_paths
+         |FROM reach GROUP BY doc_id""".stripMargin,
     "q_graph_triangles" ->
       s"""WITH $lshJChain,
          |pairs AS (
