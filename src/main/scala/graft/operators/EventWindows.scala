@@ -119,7 +119,37 @@ object EventWindows {
         col("pos_ppm"), round(col("pos_ppm") / 1000000.0, 6).as("pos_credit"))
   }
 
+  /** Event transition matrix (first-order Markov path analysis — the
+    * "what do users do next" primitive behind funnel discovery and
+    * next-action models): consecutive event pairs per user in time
+    * order, counted into a from-type × to-type matrix with per-source
+    * transition probabilities. lag() over the (user, ts, event_id)
+    * order makes pairing deterministic under timestamp ties; counts
+    * are integers and each probability is one double division per
+    * output row — hash-exact.
+    *
+    * Scale shape: ONE shuffle (the per-user window partitioning), then
+    * a |types|²-row aggregate with map-side combine; the from-type
+    * marginal rides the same tiny relation. The per-user window never
+    * sees another user's data, so skew is bounded by the busiest user,
+    * not the event volume. */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairsDf = graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairsDf.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = counts.groupBy("from_type").agg(sum("n_trans").as("n_from"))
+    counts.join(fromTot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+        expr("round(CAST(n_trans AS DOUBLE) / n_from, 6)").as("p_trans"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (qEventTransitions _),
     "q_attribution" -> (qAttribution _),
     "q_event_funnel" -> (qEventFunnel _),
     "q_window_tumbling" -> (qWindowTumbling _),
@@ -131,6 +161,19 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_trans
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (
+        |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n_trans, n_from,
+        |  round(CAST(n_trans AS DOUBLE) / n_from, 6) AS p_trans
+        |FROM c JOIN ft USING (from_type)""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (
         |  SELECT event_id AS conv_id, user_id, ts AS conv_ts FROM events

@@ -327,6 +327,34 @@ object TextAnalysis {
         col("pass_word_len") && col("pass_repetition") && col("pass_size"))
   }
 
+  /** Chi-square contingency audit over the lang × source grid — the
+    * "is my metadata independent?" test a corpus gets before stratified
+    * decisions (a lang confined to one source is a sampling hazard the
+    * marginals alone cannot show). Per cell: observed count, expected
+    * count under independence E = R·C/N, and the χ² contribution
+    * (O−E)²/E. Determinism: the contribution is computed from the
+    * EXACT integer identity (O·N − R·C)²/(N·R·C) — counts are integers,
+    * the numerator is one exact BIGINT square, and each cell's double
+    * division happens once per output row (no cross-row float
+    * accumulation anywhere; a grand total, if wanted, sums the rounded
+    * DECIMAL contributions exactly — the spec does).
+    *
+    * Scale shape: one groupBy for cells, two tiny marginal aggregates
+    * broadcast back onto the cell relation — the corpus is scanned
+    * once; the output is |langs|·|sources| rows of audit metadata. */
+  def qChi2Contingency(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"), col("source"))
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_obs"))
+    val rowTot = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val colTot = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    cells.join(broadcast(rowTot), "lang").join(broadcast(colTot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_obs"), col("n_lang"), col("n_src"),
+        expr("round(CAST(n_lang * n_src AS DOUBLE) / n_total, 6)").as("expected"),
+        expr("round(CAST(n_obs * n_total - n_lang * n_src AS DOUBLE) * CAST(n_obs * n_total - n_lang * n_src AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_lang * n_src), 6)").as("contrib"))
+  }
+
   /** FastText-style quality classifier INFERENCE (Joulin et al. 2016 —
     * the linear bag-of-n-grams model behind the CCNet / LLaMA "looks
     * like a wiki reference" filter): features are unigrams + adjacent
@@ -551,6 +579,7 @@ object TextAnalysis {
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_chi2_contingency" -> (qChi2Contingency _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_langid_ngram" -> (qLangidNgram _),
@@ -686,6 +715,16 @@ object TextAnalysis {
         |  CAST(FLOOR(ROUND(lsum / n_grams, 6)) AS BIGINT) AS ppl_bucket,
         |  ROUND(lsum / n_grams, 6) < 8.0 AS quality_pass
         |FROM x""".stripMargin,
+    "q_chi2_contingency" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+        |ct AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+        |SELECT lang, source, n_obs, n_lang, n_src,
+        |  round(CAST(n_lang * n_src AS DOUBLE) / n_total, 6) AS expected,
+        |  round(CAST(n_obs * n_total - n_lang * n_src AS DOUBLE) * CAST(n_obs * n_total - n_lang * n_src AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_lang * n_src), 6) AS contrib
+        |FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot""".stripMargin,
     "q_quality_classifier" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |f AS (SELECT doc_id, list_concat(words, CASE WHEN len(words) < 2 THEN []

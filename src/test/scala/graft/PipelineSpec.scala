@@ -951,6 +951,43 @@ class PipelineSpec extends SparkSpec {
     } finally mb.unpersist()
   }
 
+  test("chi2 contingency: marginals consistent, contributions match a double-math reference") {
+    val g = TextAnalysis.qChi2Contingency(spark, sf).cache()
+    try {
+      // cell counts roll up to the lang marginal the row carries
+      val roll = g.groupBy("lang", "n_lang").agg(sum("n_obs").as("s"))
+      assert(roll.filter(col("s") =!= col("n_lang")).count() == 0)
+      // per-cell contribution equals the textbook (O-E)^2/E within rounding
+      val n = Tables.documents(spark, sf).count().toDouble
+      val rows = g.collect()
+      rows.foreach { r =>
+        val e = r.getAs[Long]("n_lang").toDouble * r.getAs[Long]("n_src") / n
+        val o = r.getAs[Long]("n_obs").toDouble
+        assert(math.abs(r.getAs[Double]("expected") - e) < 1e-4, r.toString)
+        assert(math.abs(r.getAs[Double]("contrib") - (o - e) * (o - e) / e) < 1e-4, r.toString)
+      }
+    } finally g.unpersist()
+  }
+
+  test("event transitions: per-source probabilities sum to one, pair count conserved") {
+    val g = operators.EventWindows.qEventTransitions(spark, sf).cache()
+    try {
+      // sum of p_trans per from_type ~ 1 (each term rounded at 6 dp)
+      val sums = g.groupBy("from_type").agg(sum("p_trans").as("p"), sum("n_trans").as("nt"),
+        max("n_from").as("nf")).collect()
+      assert(sums.nonEmpty)
+      sums.foreach { r =>
+        assert(math.abs(r.getAs[Double]("p") - 1.0) < 1e-4, r.toString)
+        assert(r.getAs[Long]("nt") == r.getAs[Long]("nf"), r.toString)
+      }
+      // every user with k events contributes exactly k-1 transitions
+      val ev = Tables.events(spark, sf)
+      val expect = ev.count() - ev.select("user_id").distinct().count()
+      val got = g.agg(sum("n_trans")).collect()(0).getLong(0)
+      assert(got == expect, s"transitions $got != events - users $expect")
+    } finally g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
