@@ -689,6 +689,9 @@ object Dedup {
     val pairs = graft.CacheTracker.track(
       qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs.count() // materialize BEFORE the fan-out: the three self-join
+    // occurrences below become eager broadcast jobs that would otherwise
+    // race the cache fill and re-run the whole LSH pipeline 3x
     val edges = pairs.unionByName(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
@@ -700,6 +703,7 @@ object Dedup {
       .select(when(fwd, col("a_id")).otherwise(col("b_id")).as("u"),
         when(fwd, col("b_id")).otherwise(col("a_id")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK))
+    o.count() // same reason: e1/e2/e3 broadcast sides must hit the cache
     val tri = o.as("e1")
       .join(o.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
       .join(o.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
@@ -736,6 +740,8 @@ object Dedup {
     val pairs = graft.CacheTracker.track(
       qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs.count() // materialize: the recursion references the edge view
+    // once per step, and each step must scan the cache, not the pipeline
     pairs.unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").createOrReplaceTempView("graft_dup_edges")
     s.sql(

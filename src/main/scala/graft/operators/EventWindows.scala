@@ -148,7 +148,45 @@ object EventWindows {
         expr("round(CAST(n_trans AS DOUBLE) / n_from, 6)").as("p_trans"))
   }
 
+  /** Cohort retention matrix (the product-analytics staple): users
+    * cohort by the epoch-aligned 7-day week of their FIRST signup
+    * event, and each later week-offset reports how many of that cohort
+    * were active (any event type). Buckets are epoch-aligned like every
+    * window query in this module (floor(epoch/604800)·604800 — no
+    * session-timezone or week-start dependence; DuckDB reproduces the
+    * boundary bit-for-bit), offsets are exact integer week differences,
+    * and the retention ratio divides two exact distinct-counts once per
+    * output row.
+    *
+    * Scale shape: first-signup is one user-keyed aggregate; the
+    * activity join is user-keyed against the (user → cohort) relation
+    * (co-partitioned, no broadcast of user-sized data needed though AQE
+    * may choose one); the matrix aggregate is |cohorts|·|offsets| rows.
+    * The whole plan reuses the user_id partitioning — the same
+    * one-partitioning discipline as the funnel. */
+  def qCohortRetention(s: SparkSession, d: String): DataFrame = {
+    val wk = (c: String) =>
+      expr(s"timestamp_seconds(CAST(floor(unix_timestamp($c) / 604800) AS BIGINT) * 604800)")
+    val ev = graft.Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      .withColumn("cohort_week", wk("signup_ts"))
+      .select("user_id", "cohort_week")
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(countDistinct("user_id").as("cohort_size"))
+    val active = ev.join(cohort, "user_id")
+      .withColumn("offset_weeks", expr(
+        "CAST((unix_timestamp(timestamp_seconds(CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT) * 604800)) - unix_timestamp(cohort_week)) DIV 604800 AS INT)"))
+      .filter(col("offset_weeks") >= 0)
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(countDistinct("user_id").as("n_active"))
+    active.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("offset_weeks"), col("n_active"), col("cohort_size"),
+        expr("round(CAST(n_active AS DOUBLE) / cohort_size, 6)").as("retention"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> (qCohortRetention _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_attribution" -> (qAttribution _),
     "q_event_funnel" -> (qEventFunnel _),
@@ -161,6 +199,25 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      s"""WITH cohort AS (
+         |  SELECT user_id,
+         |    TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(MIN(ts)) / 604800) * 604800 AS BIGINT)) AS cohort_week
+         |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         |sizes AS (
+         |  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+         |  FROM cohort GROUP BY 1),
+         |act AS (
+         |  SELECT e.user_id, c.cohort_week,
+         |    CAST((CAST(floor(epoch(e.ts) / 604800) * 604800 AS BIGINT)
+         |      - epoch(c.cohort_week)) // 604800 AS INTEGER) AS offset_weeks
+         |  FROM events e JOIN cohort c USING (user_id)),
+         |m AS (
+         |  SELECT cohort_week, offset_weeks, COUNT(DISTINCT user_id) AS n_active
+         |  FROM act WHERE offset_weeks >= 0 GROUP BY 1, 2)
+         |SELECT m.cohort_week, m.offset_weeks, m.n_active, s.cohort_size,
+         |  round(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+         |FROM m JOIN sizes s USING (cohort_week)""".stripMargin,
     "q_event_transitions" ->
       """WITH p AS (
         |  SELECT event_type,

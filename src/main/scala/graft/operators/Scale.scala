@@ -64,13 +64,62 @@ object Scale {
         sum(when(col("c") > 10, col("c") - 10).otherwise(0L)).cast("long").as("n_denied"),
         sum(when(col("c") > 10, 1).otherwise(0)).cast("long").as("n_hot_buckets"))
 
+  /** Key-skew audit — the diagnostic that DECIDES when the salting above
+    * (or AQE skew-join splitting) is needed: per-key row counts over the
+    * lineitem supplier key, summarized as hot-key share and the Gini
+    * coefficient of the key-size distribution (0 = perfectly uniform,
+    * →1 = one key owns everything). Running this against a join key
+    * before shipping the join is the 100 TB pre-flight check.
+    *
+    * The Gini needs a GLOBAL ascending rank over key sizes — computed
+    * scale-safely with the same range-partitioned sort + zipWithIndex
+    * pattern as q_vocab_encode (NO single-partition Window anywhere);
+    * rank·count products then sum as exact integers in any order, and
+    * the two ratios divide once in the final single-row projection.
+    * Rank ties across equal counts cannot change Σ rank·n (equal n),
+    * so the statistic is deterministic as well as hash-exact. */
+  def qSkewAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = graft.CacheTracker.track(
+      Tables.lineitem(s, d).groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("n")).persist())
+    val ranked = counts
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("n").asc, col("key").asc)
+      .sortWithinPartitions(col("n").asc, col("key").asc)
+      .select(col("n")).as[Long].rdd
+      .zipWithIndex()
+      .map { case (n, i) => (n, i + 1L) }
+      .toDF("n", "rank")
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum("n").as("total"),
+        max("n").as("max_n"),
+        sum(expr("2 * rank * n")).as("trn"))
+      .select(col("n_keys"), col("total"), col("max_n"),
+        expr("round(CAST(max_n AS DOUBLE) / total, 6)").as("top_share"),
+        expr("round((CAST(trn AS DOUBLE) - CAST(n_keys + 1 AS DOUBLE) * total) / (CAST(n_keys AS DOUBLE) * total), 6)").as("gini"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_audit" -> (qSkewAudit _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_rate_limit" -> (qSaltedRateLimit _))
 
   // The oracle is the UNSALTED aggregate — proving the two-phase plan
   // computes the same answer.
   val oracle: Map[String, String] = Map(
+    "q_skew_audit" ->
+      """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, key) AS rank FROM c),
+        |a AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total,
+        |        CAST(MAX(n) AS BIGINT) AS max_n,
+        |        CAST(SUM(2 * rank * n) AS BIGINT) AS trn
+        |      FROM r)
+        |SELECT n_keys, total, max_n,
+        |  round(CAST(max_n AS DOUBLE) / total, 6) AS top_share,
+        |  round((CAST(trn AS DOUBLE) - CAST(n_keys + 1 AS DOUBLE) * total) / (CAST(n_keys AS DOUBLE) * total), 6) AS gini
+        |FROM a""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

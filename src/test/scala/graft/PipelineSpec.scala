@@ -988,6 +988,26 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("cohort retention: week-0 is full, counts bounded by cohort size, users conserved") {
+    val g = operators.EventWindows.qCohortRetention(spark, sf).cache()
+    try {
+      assert(g.count() > 0)
+      // a cohort member's signup is itself week-0 activity -> retention 1.0
+      val w0 = g.filter(col("offset_weeks") === 0)
+      assert(w0.count() > 0)
+      assert(w0.filter(col("n_active") =!= col("cohort_size")).count() == 0,
+        "week-0 activity must include every cohort member")
+      assert(g.filter(col("n_active") > col("cohort_size")).count() == 0)
+      assert(g.filter(col("retention") < 0 || col("retention") > 1).count() == 0)
+      // cohort sizes partition the signup-user population
+      val signups = Tables.events(spark, sf)
+        .filter(col("event_type") === "signup").select("user_id").distinct().count()
+      val sumSizes = g.select("cohort_week", "cohort_size").distinct()
+        .agg(sum("cohort_size")).collect()(0).getLong(0)
+      assert(sumSizes == signups, s"cohort sizes $sumSizes != signup users $signups")
+    } finally g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)

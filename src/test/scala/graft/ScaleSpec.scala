@@ -179,4 +179,28 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("skew audit: totals conserved, gini matches an exact driver-side recompute") {
+    val g = Scale.qSkewAudit(spark, sf).cache()
+    try {
+      val row = g.collect()(0)
+      val li = Tables.lineitem(spark, sf)
+      assert(row.getAs[Long]("total") == li.count())
+      // independent per-key recompute on the driver (key space is small)
+      val counts = li.groupBy("l_suppkey").count()
+        .collect().map(_.getAs[Long]("count")).sorted
+      assert(row.getAs[Long]("n_keys") == counts.length)
+      assert(row.getAs[Long]("max_n") == counts.last)
+      val k = counts.length.toLong
+      val tot = counts.sum
+      val trn = counts.zipWithIndex.map { case (n, i) => 2L * (i + 1) * n }.sum
+      val gini = (trn.toDouble - (k + 1).toDouble * tot) / (k.toDouble * tot)
+      assert(math.abs(row.getAs[Double]("gini") - gini) < 1e-6,
+        s"gini ${row.getAs[Double]("gini")} != $gini")
+      assert(row.getAs[Double]("gini") >= 0 && row.getAs[Double]("gini") < 1)
+      // no single-partition Window anywhere (the scale-safe rank pattern)
+      assert(!g.queryExecution.executedPlan.toString.contains("Window"),
+        "skew audit must not use a Window for the global rank")
+    } finally { g.unpersist(); CacheTracker.releaseAll() }
+  }
 }
