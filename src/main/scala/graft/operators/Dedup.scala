@@ -755,7 +755,30 @@ object Dedup {
         |FROM reach GROUP BY doc_id""".stripMargin)
   }
 
+  /** Levenshtein fuzzy-match confirmation over the LSH candidate pairs —
+    * the entity-resolution two-phase shape: banding PROPOSES cheap
+    * candidates, edit distance CONFIRMS on a bounded 80-char prefix.
+    * The bound is the scale decision: Levenshtein is O(len²) per pair,
+    * so unbounded text would make the confirm stage the bottleneck;
+    * an 80-char prefix caps per-pair cost at a constant while still
+    * separating true near-dups (prefix distance ~0) from band
+    * collisions. Exact-copy pairs score distance 0 / ratio 1.0; the
+    * appended-tail near-dups share the whole prefix — both hit paths
+    * live at every sf (spec-asserted). The distance is an integer and
+    * the ratio divides once per row — hash-exact. */
+  def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val pairs = qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+    val t = corpus(s, d).select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+    pairs.join(t.select(col("doc_id").as("a_id"), col("prefix").as("pa")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("prefix").as("pb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).as("lev_dist"),
+        expr("round(1 - CAST(levenshtein(pa, pb) AS DOUBLE) / greatest(length(pa), length(pb)), 6)").as("sim_ratio"))
+      .withColumn("confirmed", col("sim_ratio") >= 0.4)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_graph_reach" -> (qGraphReach _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_pagerank" -> (qGraphPagerank _),
@@ -819,6 +842,16 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_match" ->
+      s"""WITH $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |t AS (SELECT doc_id, substring(text, 1, 80) AS prefix FROM corpus)
+         |SELECT p.a_id, p.b_id,
+         |  CAST(levenshtein(ta.prefix, tb.prefix) AS INTEGER) AS lev_dist,
+         |  round(1 - CAST(levenshtein(ta.prefix, tb.prefix) AS DOUBLE) / greatest(length(ta.prefix), length(tb.prefix)), 6) AS sim_ratio,
+         |  (round(1 - CAST(levenshtein(ta.prefix, tb.prefix) AS DOUBLE) / greatest(length(ta.prefix), length(tb.prefix)), 6) >= 0.4) AS confirmed
+         |FROM pairs p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id""".stripMargin,
     "q_graph_reach" ->
       s"""WITH RECURSIVE $lshJChain,
          |pairs AS (

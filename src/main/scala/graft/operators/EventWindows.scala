@@ -133,15 +133,28 @@ object EventWindows {
     * marginal rides the same tiny relation. The per-user window never
     * sees another user's data, so skew is bounded by the busiest user,
     * not the event volume. */
-  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+  def qEventTransitions(s: SparkSession, d: String): DataFrame =
+    transitionCounts(graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** Consecutive (from, to) pairs per user in (ts, event_id) order —
+    * the shared core of the batch matrix and the streaming twin's
+    * parity spec ([[graft.streaming.TransitionStream]]). `ev` needs
+    * (user_id, ts, event_id, event_type). */
+  def transitionPairs(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val pairsDf = graft.Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("next_type", lead("event_type", 1).over(w))
+    ev.withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_id", lead("event_id", 1).over(w))
       .filter(col("next_type").isNotNull)
-    val counts = pairsDf.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n_trans"))
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("next_type").as("to_type"), col("next_id").as("to_event_id"))
+  }
+
+  /** The transition matrix over [[transitionPairs]]. */
+  def transitionCounts(ev: DataFrame): DataFrame = {
+    val counts = transitionPairs(ev)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
     val fromTot = counts.groupBy("from_type").agg(sum("n_trans").as("n_from"))
     counts.join(fromTot, "from_type")
       .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),

@@ -1008,6 +1008,19 @@ class PipelineSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("fuzzy match: exact copies at distance 0, tail-append near-dups confirmed") {
+    val fm = Dedup.qFuzzyMatch(spark, sf).cache()
+    try {
+      val exact = fm.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
+      assert(exact.count() == 100)
+      assert(exact.filter(col("lev_dist") =!= 0 || col("sim_ratio") =!= 1.0).count() == 0)
+      val near = fm.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 2000000L)
+      assert(near.count() >= 60)
+      assert(near.filter(!col("confirmed")).count() == 0,
+        "appended-tail near-dups share the prefix and must confirm")
+    } finally { fm.unpersist(); CacheTracker.releaseAll() }
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
