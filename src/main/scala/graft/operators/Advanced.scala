@@ -331,6 +331,36 @@ object Advanced {
     closed.unionByName(untouched).unionByName(opened)
   }
 
+  /** Incremental view maintenance (the materialized-aggregate refresh
+    * pattern): the stored aggregate over history (orders before
+    * 1997-01-01) combines with the delta batch's aggregate (orders on
+    * or after) through a full-outer key join — counts and decimal sums
+    * are associative, so combine touches |keys| rows and the refresh
+    * cost is ∝ the increment, never the fact table. The oracle is the
+    * from-scratch single-pass aggregate: proving combine(old, delta) ≡
+    * recompute is exactly the IVM correctness contract. `n_new` rides
+    * along to show the delta's contribution.
+    *
+    * At 100 TB this is the difference between a nightly full scan and
+    * a per-batch touch of a key-sized relation; the same combine shape
+    * serves sketch-at-rest refresh (q_hll_sketch_union/q_kll_*) when
+    * the aggregate is not algebraic. */
+  def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority"),
+      col("o_orderdate"), expr("CAST(o_totalprice AS DECIMAL(18,2))").as("p"))
+    val cut = lit("1997-01-01").cast("date")
+    val hist = o.filter(col("o_orderdate") < cut).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_h"), sum("p").as("t_h"))
+    val delta = o.filter(col("o_orderdate") >= cut).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_d"), sum("p").as("t_d"))
+    hist.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n_h"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"),
+        (coalesce(col("t_h"), lit(0).cast(DecimalType(18, 2))) +
+          coalesce(col("t_d"), lit(0).cast(DecimalType(18, 2)))).cast("double").as("total"),
+        coalesce(col("n_d"), lit(0L)).as("n_new"))
+  }
+
   /** Exact-moment statistical profiling — stddev/skewness/kurtosis of
     * quantity plus the quantity↔price correlation per return flag: the
     * distribution-profiling pass a corpus gets before training, done
@@ -383,6 +413,7 @@ object Advanced {
        |  round((CAST(sp AS DOUBLE) / n - ($momM) * (CAST(t1 AS DOUBLE) / n)) / (sqrt($momVar) * sqrt(CAST(t2 AS DOUBLE) / n - (CAST(t1 AS DOUBLE) / n) * (CAST(t1 AS DOUBLE) / n))), 6) AS corr_qty_price""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg" -> (qIncrAgg _),
     "q_scd2_merge" -> (qScd2Merge _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_kll_quantile_merge" -> (qKllQuantileMerge _),
@@ -413,6 +444,11 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_incr_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderdate >= DATE '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_scd2_merge" ->
       """WITH dim AS (SELECT c_custkey, c_mktsegment AS segment,
         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal FROM customer),

@@ -208,6 +208,19 @@ class AdvancedSpec extends SparkSpec {
     } finally m.unpersist()
   }
 
+  test("incremental aggregate: combine(old, delta) equals recompute, both sides live") {
+    val g = Advanced.qIncrAgg(spark, sf).cache()
+    try {
+      assert(g.count() == 5)
+      assert(g.filter(col("n_new") > 0).count() > 0, "delta batch must be live")
+      assert(g.filter(col("n_orders") > col("n_new")).count() > 0, "history must be live")
+      val full = Tables.orders(spark, sf).groupBy("o_orderpriority").count()
+      assert(g.join(full, "o_orderpriority")
+        .filter(col("n_orders") =!= col("count")).count() == 0,
+        "combined counts must equal the from-scratch aggregate")
+    } finally g.unpersist()
+  }
+
   test("exact-moment profiling matches Spark's builtin population moments") {
     val got = Advanced.qStatsMoments(spark, sf).cache()
     try {
