@@ -219,4 +219,30 @@ class PlanShapeSpec extends SparkSpec {
         s"exact-count aggregate not gated by the sketch estimate:\n${qe.optimizedPlan.toString.take(900)}")
     }
   }
+
+  test("round-7 sixth wave shapes: sq8 broadcasts queries, classifier and chi2 stay small") {
+    // sq8: the query side must broadcast — the candidate scan stays
+    // map-side (the q_id != c_id residual makes it a nested-loop build,
+    // same as the float brute-force baseline)
+    assert(plan("q_sim_sq8").contains("BroadcastNestedLoopJoin BuildRight") ||
+      plan("q_sim_sq8").contains("BroadcastHashJoin"),
+      "sq8 query set must broadcast against the candidate scan")
+    // classifier: pure map-side inference (also asserted behaviorally in
+    // PipelineSpec — here pinned at the plan level alongside its peers)
+    assert(!plan("q_quality_classifier").contains("Exchange"),
+      "classifier inference must not shuffle")
+    // chi2: the two marginals and the total are broadcast back onto the
+    // cell relation — three broadcasts, no second corpus shuffle
+    val c2 = plan("q_chi2_contingency")
+    assert("BroadcastHashJoin".r.findAllIn(c2).size >= 2 ||
+      "BroadcastNestedLoopJoin".r.findAllIn(c2).nonEmpty,
+      s"chi2 marginals should broadcast:\n${c2.take(600)}")
+    // attribution: the conversion-touch join keys on user_id and the
+    // position windows partition by conversion — no global window
+    val at = plan("q_attribution")
+    assert(at.contains("hashpartitioning(conv_id") || at.contains("hashpartitioning(user_id"),
+      s"attribution must partition by user/conversion:\n${at.take(600)}")
+    assert(!at.contains("SinglePartition"),
+      "attribution must not collapse to a single partition")
+  }
 }
