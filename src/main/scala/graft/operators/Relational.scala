@@ -108,6 +108,25 @@ object Relational {
       .drop("l_shipdate")
   }
 
+  /** Trailing 7-day revenue per supplier via a RANGE (value-based)
+    * window frame — the interval-frame spec the rows-frame queries
+    * (qWindowRunning/qWindowExtra) cannot express: the frame holds
+    * every row whose ship date falls in the trailing week, however
+    * many rows share a day (same-day rows are PEERS and all enter the
+    * frame — no tie-break needed for frame aggregates). The ORDER BY
+    * key is an integer day ordinal so both engines bound the frame
+    * identically; money sums as DECIMAL inside the frame and converts
+    * to double once. One shuffle on the partition key; the frame scan
+    * is the standard sliding-aggregate sort within partitions. */
+  def qWindowInterval(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy(col("ord")).rangeBetween(-6, 0)
+    Tables.lineitem(s, d)
+      .withColumn("ord", datediff(col("l_shipdate"), lit("1992-01-01").cast("date")))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        sum(dec(col("l_extendedprice"))).over(w).cast("double").as("rev_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+  }
+
   /** ROLLUP over (nation, priority): hierarchical subtotals. */
   def qRollupRevenue(s: SparkSession, d: String): DataFrame = {
     val j = Tables.orders(s, d)
@@ -320,6 +339,7 @@ object Relational {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_interval" -> (qWindowInterval _),
     "q_range_join" -> (qRangeJoin _),
     "q_full_outer" -> (qFullOuter _),
     "q_setops_all" -> (qSetOpsAll _),
@@ -345,6 +365,15 @@ object Relational {
   private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracle: Map[String, String] = Map(
+    "q_window_interval" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY datediff('day', DATE '1992-01-01', l_shipdate)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+        |  COUNT(*) OVER (
+        |    PARTITION BY l_suppkey ORDER BY datediff('day', DATE '1992-01-01', l_shipdate)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+        |FROM lineitem""".stripMargin,
     "q_range_join" ->
       """WITH j AS (
         |  SELECT o1.o_orderkey, COUNT(o2.o_orderkey) AS nearby

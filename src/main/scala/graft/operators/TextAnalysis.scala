@@ -327,6 +327,43 @@ object TextAnalysis {
         col("pass_word_len") && col("pass_repetition") && col("pass_size"))
   }
 
+  /** Sparse bag-of-words cosine over an INVERTED INDEX — the sparse
+    * counterpart of the dense-embedding cosine (q_sim_topk): documents
+    * are integer term-frequency vectors, the posting-list join on the
+    * term key computes Σ tf_a·tf_b for co-occurring terms only, and the
+    * top-20 most similar pairs surface by normalized cosine. Terms in
+    * more than 50 documents are dropped first (the posting-list cap —
+    * the same common-term guard as winnowing; without it one stopword's
+    * postings join quadratically). Cosine is taken in the capped term
+    * space — the guard is part of the similarity definition here, as in
+    * any stop-worded retrieval system.
+    *
+    * Everything is INTEGER until the final row: tf products and squared
+    * norms sum exactly in any order; one sqrt-divide per output pair.
+    * Scale shape: tf is one (doc, term) aggregate; the pair join is
+    * bounded by df ≤ 50 postings per term; top-20 is TakeOrdered (no
+    * global sort materialization). */
+  def qSparseCosine(s: SparkSession, d: String): DataFrame = {
+    val tf = graft.CacheTracker.track(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .persist())
+    val rare = tf.groupBy("word").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+    val posts = tf.join(rare.select("word"), "word")
+    val norms = posts.groupBy("doc_id").agg(sum(expr("tf * tf")).as("nrm"))
+    val num = posts.as("a").join(posts.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(expr("a.tf * b.tf")).as("dot"))
+    num.join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("dot"),
+        expr("round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)").as("cos_bow"))
+      .orderBy(desc("cos_bow"), col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
   /** Chi-square contingency audit over the lang × source grid — the
     * "is my metadata independent?" test a corpus gets before stratified
     * decisions (a lang confined to one source is a sampling hazard the
@@ -580,6 +617,7 @@ object TextAnalysis {
     "q_gopher_quality" -> (qGopherQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_chi2_contingency" -> (qChi2Contingency _),
+    "q_sparse_cosine" -> (qSparseCosine _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_text_bm25" -> (qTextBm25 _),
     "q_langid_ngram" -> (qLangidNgram _),
@@ -715,6 +753,21 @@ object TextAnalysis {
         |  CAST(FLOOR(ROUND(lsum / n_grams, 6)) AS BIGINT) AS ppl_bucket,
         |  ROUND(lsum / n_grams, 6) < 8.0 AS quality_pass
         |FROM x""".stripMargin,
+    "q_sparse_cosine" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |rare AS (SELECT word FROM tf GROUP BY word HAVING COUNT(*) <= 50),
+        |posts AS (SELECT t.doc_id, t.word, t.tf FROM tf t JOIN rare USING (word)),
+        |norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm FROM posts GROUP BY 1),
+        |num AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM posts a JOIN posts b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, dot,
+        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cos_bow
+        |FROM num JOIN norms na ON na.doc_id = a_id JOIN norms nb ON nb.doc_id = b_id
+        |ORDER BY cos_bow DESC, a_id, b_id LIMIT 20""".stripMargin,
     "q_chi2_contingency" ->
       """WITH cells AS (
         |  SELECT lang, source, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2),

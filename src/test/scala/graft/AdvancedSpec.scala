@@ -221,6 +221,37 @@ class AdvancedSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("interval RANGE frame equals the self-join trailing-week definition") {
+    import org.apache.spark.sql.types.DecimalType
+    val g = SparkEntry.queries("q_window_interval")(spark, sf).cache()
+    try {
+      val li = Tables.lineitem(spark, sf)
+        .withColumn("ord", datediff(col("l_shipdate"), lit("1992-01-01").cast("date")))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("ord"), col("l_extendedprice"))
+      val ref = li.as("a").join(li.as("b"),
+          col("a.l_suppkey") === col("b.l_suppkey") &&
+          col("b.ord") >= col("a.ord") - 6 && col("b.ord") <= col("a.ord"))
+        .groupBy(col("a.l_suppkey").as("l_suppkey"), col("a.l_orderkey").as("l_orderkey"),
+          col("a.l_linenumber").as("l_linenumber"), col("a.l_shipdate").as("l_shipdate"))
+        .agg(sum(col("b.l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("rev_7d"),
+          count(lit(1)).as("n_7d"))
+      assert(g.exceptAll(ref).count() == 0 && ref.exceptAll(g).count() == 0,
+        "RANGE frame result differs from the self-join definition")
+    } finally g.unpersist()
+  }
+
+  test("sparse cosine: top pairs are the injected copies at cosine 1.0, ranking monotone") {
+    val rows = SparkEntry.queries("q_sparse_cosine")(spark, sf).collect()
+    assert(rows.length == 20)
+    val cs = rows.map(_.getAs[Double]("cos_bow"))
+    assert(cs.head == 1.0, "exact copies must rank first at cosine 1.0")
+    assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "ranking must be non-increasing")
+    assert(cs.forall(c => c > 0 && c <= 1.0))
+    assert(rows.forall(_.getAs[Long]("dot") > 0))
+    CacheTracker.releaseAll()
+  }
+
   test("exact-moment profiling matches Spark's builtin population moments") {
     val got = Advanced.qStatsMoments(spark, sf).cache()
     try {
