@@ -198,7 +198,39 @@ object EventWindows {
         expr("round(CAST(n_active AS DOUBLE) / cohort_size, 6)").as("retention"))
   }
 
+  /** Robust outlier detection per event type (Iglewicz–Hoaglin modified
+    * z-score): median and MAD replace mean/stddev so a burst of extreme
+    * values cannot mask itself by inflating its own threshold — the
+    * data-quality gate that survives the anomalies it hunts. A value is
+    * an outlier when |0.6745·(x − median)/MAD| > 3.5. Exact interpolated
+    * percentiles give engine-identical medians (the parity
+    * q_quantile_stats already pins); every z evaluates once per row
+    * from those shared doubles, and only integer counts and max/min
+    * selections aggregate across rows — no float-sum order anywhere.
+    *
+    * Scale shape: two type-keyed aggregates (median, then MAD over
+    * deviations) + one final summary — three passes over a stream that
+    * shuffles on the same low-cardinality key each time; the exact
+    * median is the documented error-contract cost (swap in the KLL
+    * sketch of q_kll_quantile_merge when exactness can relax). */
+  def qOutlierMad(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val med = ev.groupBy("event_type").agg(expr("percentile(v, 0.5D)").as("med"))
+    val dev = ev.join(med, "event_type")
+    val mad = dev.groupBy("event_type").agg(expr("percentile(abs(v - med), 0.5D)").as("mad"))
+    dev.join(mad, "event_type")
+      .withColumn("z", expr("0.6745 * (v - med) / mad"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("round(max(med), 6)").as("median_v"),
+        expr("round(max(mad), 6)").as("mad_v"),
+        sum(when(expr("abs(z) > 3.5"), 1).otherwise(0)).cast("long").as("n_outliers"),
+        expr("round(max(abs(z)), 6)").as("max_abs_z"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outlier_mad" -> (qOutlierMad _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_attribution" -> (qAttribution _),
@@ -212,6 +244,21 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_outlier_mad" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.v, m.med FROM ev e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad
+        |        FROM dev GROUP BY 1),
+        |z AS (SELECT d.event_type, d.v, d.med, a.mad,
+        |        0.6745 * (d.v - d.med) / a.mad AS z
+        |      FROM dev d JOIN mad a USING (event_type))
+        |SELECT event_type, COUNT(*) AS n,
+        |  round(MAX(med), 6) AS median_v,
+        |  round(MAX(mad), 6) AS mad_v,
+        |  CAST(SUM(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(MAX(abs(z)), 6) AS max_abs_z
+        |FROM z GROUP BY 1""".stripMargin,
     "q_cohort_retention" ->
       s"""WITH cohort AS (
          |  SELECT user_id,

@@ -67,6 +67,33 @@ class TransitionStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transition state survives a checkpointed restart (cursor and buffer recovered)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trans_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_trans_out").toString
+    val in = MemoryStream[Ev]
+    def start() = TransitionStream.transitions(in.toDS(), delay = "2 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // wm reaches 8000: view(1000) finalizes into the cursor (no pair yet),
+    // click(10000) stays buffered — both live only in state at shutdown
+    in.addData(Ev(1L, ts(1000), 1L, "view"), Ev(1L, ts(10000), 2L, "click"))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // after restart the recovered cursor (view) must pair the recovered
+      // buffered click, then the new purchase — proving full state recovery
+      in.addData(Ev(1L, ts(12000), 3L, "purchase"), Ev(9L, ts(500000), 99L, "view"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[Transition].collect()
+        .map(t => (t.user_id, t.from_type, t.to_type, t.to_event_id)).toSet
+      assert(got == Set((1L, "view", "click", 2L), (1L, "click", "purchase", 3L)))
+    } finally q2.stop()
+  }
+
   test("randomized out-of-order feed matches the batch pairing exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
