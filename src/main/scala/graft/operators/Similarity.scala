@@ -664,7 +664,44 @@ object Similarity {
         col("min_v"), col("max_v"))
   }
 
+  /** k-NN majority-vote label transfer — the classification pass a
+    * labeled seed set gives an unlabeled corpus (quality tiers, topic
+    * buckets, safety labels propagated from a small annotated sample).
+    * Test vectors (vec_id%20==0) are classified by the majority label
+    * of their 10 nearest train-set neighbors by cosine; ties break to
+    * the smaller label. `correct` rides along for the accuracy audit.
+    *
+    * Scale shape: the annotated/test side is the small one — broadcast
+    * it and score map-side against the corpus scan (one pass, no
+    * shuffle of the big side); the rank<=10 filter is pushed below the
+    * q_id exchange by WindowGroupLimit so only per-partition top-10
+    * survivors shuffle; the vote is a second aggregate over k·|test|
+    * rows. Determinism: cosine rounded to 6 dp with c_id tie-break
+    * (the q_sim_topk contract), vote ties break on the label value. */
+  def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"), col("label"))
+    val test = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("label").as("true_label"))
+    val train = e.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("c_id"), col("ce"), col("label").as("pred_label"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
+    val vw = Window.partitionBy("q_id").orderBy(desc("votes"), col("pred_label"))
+    train.crossJoin(broadcast(test))
+      .withColumn("cos_r", expr(cosExpr))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .groupBy("q_id", "true_label", "pred_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify" -> (qKnnClassify _),
     "q_emb_colstats" -> (qEmbColstats _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_sim_pq" -> (qSimPq _),
@@ -1090,5 +1127,25 @@ object Similarity {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT q_id, rank, c_id AS neighbor_id, cos_r AS cosine
-        |FROM ranked WHERE rank <= 5""".stripMargin)
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS c_id, emb AS ce, label AS pred_label FROM e WHERE vec_id % 20 <> 0),
+         |scored AS (
+         |  SELECT q_id, true_label, c_id, pred_label, $dkCos AS cos_r
+         |  FROM q CROSS JOIN c),
+         |ranked AS (
+         |  SELECT q_id, true_label, c_id, pred_label, cos_r,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT q_id, true_label, pred_label, COUNT(*) AS votes
+         |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT q_id, true_label, pred_label, votes,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, pred_label) AS vr
+         |  FROM votes)
+         |SELECT q_id, true_label, pred_label, votes, pred_label = true_label AS correct
+         |FROM best WHERE vr = 1""".stripMargin)
 }

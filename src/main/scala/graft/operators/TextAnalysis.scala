@@ -144,7 +144,15 @@ object TextAnalysis {
     * exact-decimal mean, and the float formula is written with the
     * identical operator order in both engines, with the score rounded
     * to 6 dp before ranking. */
-  def qTextBm25(s: SparkSession, d: String): DataFrame = {
+  def qTextBm25(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+      .select((Seq(col("doc_id")) ++ bm25Terms.map(t => col(s"tf_$t")) :+ col("score")): _*)
+
+  /** Every document with a positive BM25 score on the fixed query terms —
+    * the scored relation behind q_text_bm25 and q_rrf_fusion's sparse arm. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(s, d)
       .withColumn("words", split(col("text"), " "))
@@ -163,9 +171,79 @@ object TextAnalysis {
     withTf.crossJoin(broadcast(stats)).crossJoin(broadcast(dfAgg))
       .withColumn("score", expr(scoreExpr))
       .filter(col("score") > 0)
-      .orderBy(desc("score"), col("doc_id"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of a sparse and a
+    * dense retrieval arm — the standard hybrid-search combiner: the
+    * fixed-term BM25 ranking and the cosine ranking against a query
+    * embedding (vec_id 0) each contribute 1/(60+rank), so a document
+    * strong in either arm surfaces without any score normalization
+    * across incomparable scales. Documents missing from an arm's top-50
+    * contribute 0 from that arm (the full-outer join keeps them).
+    *
+    * Determinism: ranks are integers assigned over rounded scores with
+    * doc_id tie-break; each RRF term is one IEEE division of exact
+    * integers, identical text in both engines. Scale shape: each arm is
+    * TakeOrdered top-50 — the rank-assignment windows run on those
+    * 50-row results (bounded by construction, never a global sort of
+    * the corpus); the fusion join touches ≤100 rows. */
+  def qRrfFusion(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val wb = Window.orderBy(desc("score"), col("doc_id"))
+    val bmRank = bm25Scored(s, d)
+      .orderBy(desc("score"), col("doc_id")).limit(50)
+      .withColumn("r_sparse", row_number().over(wb))
+      .select(col("doc_id"), col("r_sparse"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+    val qv = e.filter(col("vec_id") === 0).select(col("ce").as("qe"))
+    val wd = Window.orderBy(desc("cos_r"), col("doc_id"))
+    val dnRank = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .withColumn("cos_r", expr("round(cosine_sim(qe, ce), 6)"))
+      .select(col("vec_id").as("doc_id"), col("cos_r"))
+      .orderBy(desc("cos_r"), col("doc_id")).limit(50)
+      .withColumn("r_dense", row_number().over(wd))
+      .select(col("doc_id"), col("r_dense"))
+    bmRank.join(dnRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        "round(coalesce(CAST(1 AS DOUBLE) / (60 + r_sparse), 0) + coalesce(CAST(1 AS DOUBLE) / (60 + r_dense), 0), 6)"))
+      .orderBy(desc("rrf"), col("doc_id"))
       .limit(20)
-      .select((Seq(col("doc_id")) ++ bm25Terms.map(t => col(s"tf_$t")) :+ col("score")): _*)
+      .select("doc_id", "r_sparse", "r_dense", "rrf")
+  }
+
+  /** PMI collocation mining — pointwise mutual information of adjacent
+    * word pairs, the classic corpus-linguistics pass for multi-word
+    * expressions ("New York", "machine learning") that tokenizers and
+    * vocab builders want as single units. pmi = ln(c_pair·N / (c_w1·
+    * c_w2)) over exact integer counts (N = total tokens), one ln per
+    * surviving pair, rounded to 6 dp; pairs seen < 3 times are dropped
+    * (PMI of rare pairs is noise — the standard frequency floor).
+    *
+    * Scale shape: two exploded aggregates over the corpus (bigram and
+    * unigram counts — each one map-side-combined shuffle on the gram
+    * key), then the pair relation joins the vocab relation on w1 and w2
+    * (key-partitioned joins, no broadcast of an unbounded vocab); the
+    * top-30 is TakeOrdered. Nothing holds the vocabulary on one node. */
+  def qTokenPmi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("words", split(col("text"), " "))
+    val uni = docs.select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_word"))
+    val nTok = docs.agg(sum(size(col("words")).cast("long")).as("n_tokens"))
+    val bi = docs.filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))")).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= 3)
+    bi.join(uni.select(col("word").as("w1"), col("c_word").as("c_w1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c_word").as("c_w2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("pmi", expr(
+        "round(ln(CAST(c_pair AS DOUBLE) * n_tokens / (CAST(c_w1 AS DOUBLE) * c_w2)), 6)"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(30)
+      .select("w1", "w2", "c_pair", "c_w1", "c_w2", "pmi")
   }
 
   /** TF-IDF top-3 terms per document: the vocabulary-wide shape BM25's
@@ -606,6 +684,8 @@ object TextAnalysis {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf_fusion" -> (qRrfFusion _),
+    "q_token_pmi" -> (qTokenPmi _),
     "q_vocab_encode" -> (qVocabEncode _),
     "q_text_entropy" -> (qTextEntropy _),
     "q_doc_chunks" -> (qDocChunks _),
@@ -649,6 +729,69 @@ object TextAnalysis {
       |FROM ov""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_rrf_fusion" -> {
+      val tfCols = bm25Terms.map(t =>
+        s"CAST(len(list_filter(words, x -> x = '$t')) AS INTEGER) AS tf_$t").mkString(",\n    ")
+      val dfCols = bm25Terms.map(t =>
+        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n    ")
+      val score = bm25Terms.map(t =>
+          s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * 2.2) / " +
+            s"(tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))")
+        .mkString("round(", " + ", ", 6)")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |d AS (SELECT doc_id, CAST(len(words) AS INTEGER) AS dl,
+         |    $tfCols
+         |  FROM w),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+         |fr AS (SELECT
+         |    $dfCols
+         |  FROM d),
+         |bm AS (
+         |  SELECT doc_id, $score AS score
+         |  FROM d, st, fr),
+         |bmtop AS (SELECT doc_id, score FROM bm WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |bmr AS (SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_sparse
+         |  FROM bmtop),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |qv AS (SELECT ce AS qe FROM e WHERE vec_id = 0),
+         |dn AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6) AS cos_r
+         |  FROM e, qv WHERE vec_id <> 0),
+         |dntop AS (SELECT doc_id, cos_r FROM dn ORDER BY cos_r DESC, doc_id LIMIT 50),
+         |dnr AS (SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, doc_id) AS INTEGER) AS r_dense
+         |  FROM dntop),
+         |f AS (
+         |  SELECT COALESCE(bmr.doc_id, dnr.doc_id) AS doc_id, r_sparse, r_dense
+         |  FROM bmr FULL OUTER JOIN dnr ON bmr.doc_id = dnr.doc_id)
+         |SELECT doc_id, r_sparse, r_dense,
+         |  round(coalesce(CAST(1 AS DOUBLE) / (60 + r_sparse), 0) + coalesce(CAST(1 AS DOUBLE) / (60 + r_dense), 0), 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q_token_pmi" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS words FROM documents),
+        |n AS (SELECT CAST(SUM(len(words)) AS BIGINT) AS n_tokens FROM d),
+        |u AS (SELECT unnest(words) AS word FROM d),
+        |uc AS (SELECT word, COUNT(*) AS c_word FROM u GROUP BY 1),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])) AS g
+        |  FROM d WHERE len(words) >= 2),
+        |bc AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, COUNT(*) AS c_pair
+        |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |j AS (
+        |  SELECT w1, w2, c_pair, u1.c_word AS c_w1, u2.c_word AS c_w2
+        |  FROM bc JOIN uc u1 ON bc.w1 = u1.word JOIN uc u2 ON bc.w2 = u2.word)
+        |SELECT w1, w2, c_pair, c_w1, c_w2,
+        |  round(ln(CAST(c_pair AS DOUBLE) * n_tokens / (CAST(c_w1 AS DOUBLE) * c_w2)), 6) AS pmi
+        |FROM j, n
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
     "q_vocab_encode" ->
       """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |w AS (

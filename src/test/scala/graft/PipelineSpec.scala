@@ -1021,6 +1021,72 @@ class PipelineSpec extends SparkSpec {
     } finally { fm.unpersist(); CacheTracker.releaseAll() }
   }
 
+  test("knn classification equals an independent brute-force majority vote") {
+    val got = Similarity.qKnnClassify(spark, sf).cache()
+    assert(got.count() == 25) // one verdict per test vector (vec_id%20==0)
+    // brute force in plain Scala: double cosine, Spark's HALF_UP 6-dp
+    // rounding, (cos desc, id) then (votes desc, label) tie-breaks
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val train = all.filter(_._1 % 20 != 0)
+    val expected = all.filter(_._1 % 20 == 0).map { case (qid, qv, _) =>
+      val top10 = train.map(t => (cos(qv, t._2), t._1, t._3))
+        .sortBy { case (c, id, _) => (-c, id) }.take(10)
+      val (lbl, votes) = top10.groupBy(_._3).view.mapValues(_.length)
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      qid -> (lbl, votes.toLong)
+    }.toMap
+    got.collect().foreach { r =>
+      val (lbl, votes) = expected(r.getLong(0))
+      assert(r.getInt(2) == lbl && r.getLong(3) == votes, s"q_id ${r.getLong(0)}")
+      assert(r.getBoolean(4) == (r.getInt(2) == r.getInt(1)))
+    }
+  }
+
+  test("rrf fusion: scores recompute from ranks, both arms represented") {
+    val rows = TextAnalysis.qRrfFusion(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val rs = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rd = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(rs.nonEmpty || rd.nonEmpty) // full-outer keeps one-arm docs only
+      assert((rs.toSeq ++ rd.toSeq).forall(x => x >= 1 && x <= 50))
+      val want = rs.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-6, s"doc ${r.getLong(0)}")
+    }
+    // descending output, and a doc present in BOTH arms must outrank a
+    // doc of equal best-arm rank present in one (the fusion property)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)) ||
+      scores.head <= 1.0 / 61 + 1e-9)
+  }
+
+  test("token pmi: counts are floored, formula recomputes, collocations positive") {
+    val rows = TextAnalysis.qTokenPmi(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val nTokens = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    rows.foreach { r =>
+      val (cPair, cw1, cw2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cPair >= 3 && cw1 >= cPair && cw2 >= cPair)
+      val want = math.log(cPair.toDouble * nTokens / (cw1.toDouble * cw2))
+      assert(math.abs(r.getDouble(5) - want) < 1e-5)
+    }
+    // top collocation is a genuinely associated pair, not independence noise
+    assert(rows.head.getDouble(5) > 0)
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
