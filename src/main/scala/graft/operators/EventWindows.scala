@@ -229,7 +229,52 @@ object EventWindows {
         expr("round(max(abs(z)), 6)").as("max_abs_z"))
   }
 
+  /** Welch's two-sample t-test per event type — the A/B experiment
+    * readout: arms assigned by `user_id % 2` (the deterministic hash
+    * split a real assignment service would persist), metric = event
+    * value. t = (m̄_a − m̄_b)/√(v_a/n_a + v_b/n_b) with the
+    * Welch–Satterthwaite degrees of freedom, so unequal variances and
+    * arm sizes are handled without pooling.
+    *
+    * Float determinism: the only cross-row aggregation is over exact
+    * types — counts, and Σv / Σv² as DECIMAL (values quantized to
+    * cents first, the repo's money convention, so the squares are
+    * exact too). Means, variances, t and df then derive per-group
+    * from those exact sums via the IDENTICAL arithmetic expression on
+    * both engines (same IEEE op order), rounded to 6 dp only at the
+    * edge. One conditional-aggregate pass: map-side partials, a single
+    * 5-row shuffle — the same plan at any event count. */
+  def qAbTtest(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_type"), (col("user_id") % 2).cast("int").as("arm"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("v2", (col("v") * col("v")).cast("decimal(38,4)"))
+    ev.groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("v")).otherwise(lit(null))).as("s_a"),
+        sum(when(col("arm") === 1, col("v")).otherwise(lit(null))).as("s_b"),
+        sum(when(col("arm") === 0, col("v2")).otherwise(lit(null))).as("q_a"),
+        sum(when(col("arm") === 1, col("v2")).otherwise(lit(null))).as("q_b"))
+      .withColumn("var_a", expr(
+        "(cast(q_a as double) - cast(s_a as double) * cast(s_a as double) / n_a) / (n_a - 1)"))
+      .withColumn("var_b", expr(
+        "(cast(q_b as double) - cast(s_b as double) * cast(s_b as double) / n_b) / (n_b - 1)"))
+      .withColumn("se2", expr("var_a / n_a + var_b / n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("round(cast(s_a as double) / n_a, 6)").as("mean_a"),
+        expr("round(cast(s_b as double) / n_b, 6)").as("mean_b"),
+        expr("round(var_a, 6)").as("var_a"),
+        expr("round(var_b, 6)").as("var_b"),
+        expr("round((cast(s_a as double) / n_a - cast(s_b as double) / n_b) / sqrt(se2), 6)")
+          .as("t_stat"),
+        expr("round(se2 * se2 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1) + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)")
+          .as("welch_df"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_ttest" -> (qAbTtest _),
     "q_outlier_mad" -> (qOutlierMad _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_event_transitions" -> (qEventTransitions _),
@@ -244,6 +289,35 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_ab_ttest" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS v2
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN arm = 0 THEN v END) AS s_a,
+        |    SUM(CASE WHEN arm = 1 THEN v END) AS s_b,
+        |    SUM(CASE WHEN arm = 0 THEN v2 END) AS q_a,
+        |    SUM(CASE WHEN arm = 1 THEN v2 END) AS q_b
+        |  FROM ev GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, n_a, n_b, s_a, s_b,
+        |    (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1) AS var_a,
+        |    (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1) AS var_b
+        |  FROM g),
+        |w AS (SELECT *, var_a / n_a + var_b / n_b AS se2 FROM v)
+        |SELECT event_type, n_a, n_b,
+        |  round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a,
+        |  round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b,
+        |  round(var_a, 6) AS var_a,
+        |  round(var_b, 6) AS var_b,
+        |  round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / sqrt(se2), 6) AS t_stat,
+        |  round(se2 * se2 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1) + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df
+        |FROM w""".stripMargin,
     "q_outlier_mad" ->
       """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
         |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1),

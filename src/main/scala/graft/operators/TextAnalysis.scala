@@ -633,6 +633,46 @@ object TextAnalysis {
         when(col("n_distinct") > 1, round(col("entropy") / log(col("n_distinct")), 6))
           .otherwise(0.0).as("norm_entropy"))
 
+  /** Positional phrase search — the inverted-index phrase query: find
+    * every document containing an exact multi-word phrase by
+    * intersecting positional posting lists (word → token positions
+    * within doc) with the phrase-offset shift, the way a search engine
+    * answers `"table scan"` without re-scanning raw text.
+    *
+    * Scale shape: the posting explode is filtered MAP-SIDE to the
+    * phrase vocabulary (a handful of words), so the only shuffle — one
+    * doc-keyed groupBy — carries just the occurrences of those words,
+    * ∝ phrase-term frequency, not corpus size. The per-phrase
+    * adjacency intersection is then a pure HOF over the per-word
+    * position arrays (`filter(p_w0, x -> array_contains(p_w1, x+1) …)`),
+    * no self-join of the postings relation (the naive `pos = pos + 1`
+    * bigram self-join shuffles the postings twice and re-joins per
+    * phrase term). Generalizes to k-word phrases by adding one
+    * containment term per offset; both phrases here share the single
+    * group pass. Positions are 1-based (DuckDB `generate_subscripts`
+    * convention). */
+  def qPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val phrases = Seq("table scan", "hash join").map(p => (p, p.split(" ").toSeq))
+    val phraseWords = phrases.flatMap(_._2).distinct
+    val posts = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word").isin(phraseWords: _*))
+    val aggs = phraseWords.map(w =>
+      sort_array(collect_list(when(col("word") === w, col("pos") + 1))).as(s"p_$w"))
+    val grouped = posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    phrases.map { case (name, ws) =>
+      val cond = ws.zipWithIndex.tail
+        .map { case (w, i) => s"array_contains(p_$w, x + $i)" }.mkString(" AND ")
+      grouped
+        .select(lit(name).as("phrase"), col("doc_id"),
+          expr(s"filter(p_${ws.head}, x -> $cond)").as("m"))
+        .filter(size(col("m")) > 0)
+        .select(col("phrase"), col("doc_id"),
+          size(col("m")).cast("long").as("n_occ"),
+          expr("m[0]").cast("long").as("first_pos"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Vocab sizes up to this many word types are broadcast for the encode
     * join (a few tens of MB of strings+ints); beyond it the id join falls
     * back to a shuffled hash join on `word`, which scales without bound. */
@@ -684,6 +724,7 @@ object TextAnalysis {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_token_pmi" -> (qTokenPmi _),
     "q_vocab_encode" -> (qVocabEncode _),
@@ -729,6 +770,23 @@ object TextAnalysis {
       |FROM ov""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |SELECT 'table scan' AS phrase, a.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_occ, CAST(min(a.pos) AS BIGINT) AS first_pos
+        |FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.word = 'table' AND b.word = 'scan'
+        |GROUP BY a.doc_id
+        |UNION ALL
+        |SELECT 'hash join' AS phrase, a.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_occ, CAST(min(a.pos) AS BIGINT) AS first_pos
+        |FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.word = 'hash' AND b.word = 'join'
+        |GROUP BY a.doc_id""".stripMargin,
     "q_rrf_fusion" -> {
       val tfCols = bm25Terms.map(t =>
         s"CAST(len(list_filter(words, x -> x = '$t')) AS INTEGER) AS tf_$t").mkString(",\n    ")

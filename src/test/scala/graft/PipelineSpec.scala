@@ -1087,6 +1087,62 @@ class PipelineSpec extends SparkSpec {
     assert(rows.head.getDouble(5) > 0)
   }
 
+  test("phrase search: matches a direct sliding-window scan of every document") {
+    val g = TextAnalysis.qPhraseSearch(spark, sf).cache()
+    try {
+      assert(g.count() > 0)
+      // independent recomputation: slide a window over the raw words array
+      val docs = Tables.documents(spark, sf).withColumn("words", split(col("text"), " "))
+      Seq(("table scan", "table", "scan"), ("hash join", "hash", "join")).foreach {
+        case (ph, w0, w1) =>
+          val want = docs.select(col("doc_id"), expr(
+            s"filter(sequence(0, size(words) - 2), i -> words[i] = '$w0' AND words[i + 1] = '$w1')")
+            .as("hits"))
+            .filter(size(col("hits")) > 0)
+            .select(col("doc_id"), size(col("hits")).cast("long").as("n_occ"),
+              expr("hits[0] + 1").cast("long").as("first_pos"))
+          val got = g.filter(col("phrase") === ph).drop("phrase")
+          assert(got.count() == want.count(), s"$ph doc count")
+          assert(got.except(want).count() == 0 && want.except(got).count() == 0, ph)
+      }
+      // no phrase hit can start after the last possible window
+      assert(g.filter(col("first_pos") < 1).count() == 0)
+    } finally g.unpersist()
+  }
+
+  test("ab t-test: arms partition events, Welch stat recomputes from raw data") {
+    val g = operators.EventWindows.qAbTtest(spark, sf).collect()
+    assert(g.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), (col("user_id") % 2).cast("int").as("arm"),
+        col("value").cast("decimal(18,2)").cast("double").as("v"))
+      .cache()
+    try {
+      g.foreach { r =>
+        val et = r.getAs[String]("event_type")
+        val Array(na, nb) = Array(0, 1).map(a =>
+          ev.filter(col("event_type") === et && col("arm") === a).count())
+        assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb, r.toString)
+        // recompute mean/var per arm with plain double aggregates
+        val stats = Array(0, 1).map { a =>
+          val rows = ev.filter(col("event_type") === et && col("arm") === a)
+            .agg(avg("v"), variance("v")).collect()(0)
+          (rows.getDouble(0), rows.getDouble(1))
+        }
+        assert(math.abs(r.getAs[Double]("mean_a") - stats(0)._1) < 1e-4, r.toString)
+        assert(math.abs(r.getAs[Double]("mean_b") - stats(1)._1) < 1e-4, r.toString)
+        assert(math.abs(r.getAs[Double]("var_a") - stats(0)._2) < 1e-3, r.toString)
+        assert(math.abs(r.getAs[Double]("var_b") - stats(1)._2) < 1e-3, r.toString)
+        val se2 = stats(0)._2 / na + stats(1)._2 / nb
+        val t = (stats(0)._1 - stats(1)._1) / math.sqrt(se2)
+        assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-3, r.toString)
+        // Welch df bounded by min(n)-1 below and n_a+n_b-2 above
+        val df = r.getAs[Double]("welch_df")
+        assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6, r.toString)
+      }
+    } finally ev.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
