@@ -412,7 +412,46 @@ object Advanced {
        |  round((CAST(s4 AS DOUBLE) / n - 4 * ($momM) * (CAST(s3 AS DOUBLE) / n) + 6 * ($momM) * ($momM) * (CAST(s2 AS DOUBLE) / n) - 3 * ($momM) * ($momM) * ($momM) * ($momM)) / (($momVar) * ($momVar)) - 3, 6) AS kurt_qty,
        |  round((CAST(sp AS DOUBLE) / n - ($momM) * (CAST(t1 AS DOUBLE) / n)) / (sqrt($momVar) * sqrt(CAST(t2 AS DOUBLE) / n - (CAST(t1 AS DOUBLE) / n) * (CAST(t1 AS DOUBLE) / n))), 6) AS corr_qty_price""".stripMargin
 
+  /** Skyline (Pareto frontier) of orders — the multi-criteria "best
+    * offers" operator: keep every order not dominated by another
+    * (dominator has total price ≥ AND order date ≤, strict in at least
+    * one). Classic 2-D skyline = sort by price desc, keep rows whose
+    * date beats the running minimum.
+    *
+    * Distributed shape: a naive NOT EXISTS self-join is O(n²) and a
+    * global sort-scan is one task. Instead (1) `groupBy(price)` with
+    * map-side combine collapses the fact to (price, earliest date) —
+    * the only full shuffle, sized |distinct prices|; (2) the
+    * strictly-higher-price running min is a TWO-LEVEL cumulative min:
+    * a per-bucket window (buckets = price ranges, parallel) plus a
+    * bucket-level offset relation that is tiny (one row per bucket —
+    * its global window is single-partition by construction but over
+    * ~dozens of rows); (3) surviving (price, date) pairs — the skyline
+    * is small by nature — broadcast back to filter the fact. No step
+    * moves more than the distinct-price projection through one task. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").as("p"), col("o_orderdate").as("dte"))
+    val g = o.groupBy("p").agg(min("dte").as("dmin"))
+      .withColumn("bucket", floor(col("p") / 50000).cast("int"))
+    val wLocal = Window.partitionBy("bucket").orderBy(col("p").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBuckets = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = g.groupBy("bucket").agg(min("dmin").as("bmin"))
+      .withColumn("omin", min("bmin").over(wBuckets))
+      .select("bucket", "omin")
+    val front = g.withColumn("lmin", min("dmin").over(wLocal))
+      .join(broadcast(offs), Seq("bucket"))
+      .withColumn("min_higher", least(col("lmin"), col("omin")))
+      .filter(col("min_higher").isNull || col("dmin") < col("min_higher"))
+      .select(col("p").as("fp"), col("dmin"))
+    o.join(broadcast(front), o("p") === col("fp") && o("dte") === col("dmin"))
+      .select(col("o_orderkey"), col("p").as("o_totalprice"), col("dte").as("o_orderdate"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_scd2_merge" -> (qScd2Merge _),
     "q_stats_moments" -> (qStatsMoments _),
@@ -444,6 +483,13 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """SELECT b.o_orderkey, b.o_totalprice, b.o_orderdate
+        |FROM orders b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders a
+        |  WHERE a.o_totalprice >= b.o_totalprice AND a.o_orderdate <= b.o_orderdate
+        |    AND (a.o_totalprice > b.o_totalprice OR a.o_orderdate < b.o_orderdate))""".stripMargin,
     "q_incr_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -273,7 +273,55 @@ object EventWindows {
           .as("welch_df"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per event type — the
+    * distribution-level A/B readout companion to [[qAbTtest]] (same
+    * `user_id % 2` arms): D = sup_x |F_a(x) − F_b(x)| over the two
+    * arms' empirical CDFs of the event value.
+    *
+    * Distributed shape: `groupBy(event_type, value)` collapses the
+    * facts to per-distinct-value arm counts (the only data-sized
+    * shuffle, map-side combined). The ECDF cumulative sums then use
+    * the repo's TWO-LEVEL pattern (same as the vocab rank and the
+    * skyline): a per-(type, value-bucket) window for the local running
+    * sum — parallel across buckets — plus a tiny bucket-total relation
+    * whose offsets broadcast back. No single-partition window touches
+    * anything data-sized. Float determinism: cumulative counts and
+    * totals are exact integers; each |ca/ta − cb/tb| is the identical
+    * double expression on both engines, and max() is order-insensitive;
+    * rounded to 6 dp at the edge. */
+  def qKsTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.Tables.events(s, d)
+      .select(col("event_type"), (col("user_id") % 2).cast("int").as("arm"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("event_type", "v")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"))
+      .withColumn("bucket", floor(col("v") / 50).cast("int"))
+    val wLocal = Window.partitionBy("event_type", "bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPrev = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wType = Window.partitionBy("event_type")
+    val offs = g.groupBy("event_type", "bucket")
+      .agg(sum("na").as("ba"), sum("nb").as("bb"))
+      .withColumn("oa", coalesce(sum("ba").over(wPrev), lit(0L)))
+      .withColumn("ob", coalesce(sum("bb").over(wPrev), lit(0L)))
+      .withColumn("ta", sum("ba").over(wType))
+      .withColumn("tb", sum("bb").over(wType))
+      .select("event_type", "bucket", "oa", "ob", "ta", "tb")
+    g.withColumn("la", sum("na").over(wLocal))
+      .withColumn("lb", sum("nb").over(wLocal))
+      .join(broadcast(offs), Seq("event_type", "bucket"))
+      .withColumn("diff", expr(
+        "abs(cast(oa + la as double) / ta - cast(ob + lb as double) / tb)"))
+      .groupBy("event_type")
+      .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+        round(max("diff"), 6).as("ks_d"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (qKsTest _),
     "q_ab_ttest" -> (qAbTtest _),
     "q_outlier_mad" -> (qOutlierMad _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -289,6 +337,26 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, v,
+        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb
+        |  FROM ev GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v,
+        |    SUM(na) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+        |    SUM(nb) OVER (PARTITION BY event_type ORDER BY v) AS cb,
+        |    SUM(na) OVER (PARTITION BY event_type) AS ta,
+        |    SUM(nb) OVER (PARTITION BY event_type) AS tb
+        |  FROM g)
+        |SELECT event_type, CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+        |  round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6) AS ks_d
+        |FROM c GROUP BY 1""".stripMargin,
     "q_ab_ttest" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,

@@ -1087,6 +1087,45 @@ class PipelineSpec extends SparkSpec {
     assert(rows.head.getDouble(5) > 0)
   }
 
+  test("skyline: output is exactly the non-dominated set of orders") {
+    val sky = operators.Advanced.qSkyline(spark, sf).collect()
+      .map(r => r.getAs[Number]("o_orderkey").longValue).toSet
+    val all = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate").cast("string").as("d"))
+      .collect()
+      .map(r => (r.getAs[Number]("o_orderkey").longValue,
+        r.getAs[Double]("o_totalprice"), r.getAs[String]("d")))
+    // ISO timestamp strings order identically to the timestamps themselves
+    def dominates(a: (Double, String), b: (Double, String)): Boolean =
+      a._1 >= b._1 && a._2 <= b._2 && (a._1 > b._1 || a._2 < b._2)
+    // brute-force reference: quadratic dominance scan on the driver
+    val expected = all.filter { case (_, p, d) =>
+      !all.exists { case (_, p2, d2) => dominates((p2, d2), (p, d)) }
+    }.map(_._1).toSet
+    assert(sky == expected, s"skyline ${sky.size} rows vs expected ${expected.size}")
+    assert(sky.nonEmpty && sky.size < all.length / 10, "skyline must prune aggressively")
+  }
+
+  test("ks test: statistic matches a driver-side ECDF scan, bounded in [0,1]") {
+    val got = operators.EventWindows.qKsTest(spark, sf).collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), (col("user_id") % 2).cast("int").as("arm"),
+        col("value").cast("decimal(18,2)").cast("double").as("v")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val a = ev.collect { case (`et`, 0, v) => v }.sorted
+      val b = ev.collect { case (`et`, 1, v) => v }.sorted
+      assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length, et)
+      val xs = (a ++ b).distinct
+      val d = xs.map(x => math.abs(
+        a.count(_ <= x).toDouble / a.length - b.count(_ <= x).toDouble / b.length)).max
+      assert(math.abs(r.getAs[Double]("ks_d") - d) < 1e-5, s"$et ks_d")
+      assert(r.getAs[Double]("ks_d") >= 0 && r.getAs[Double]("ks_d") <= 1, et)
+    }
+  }
+
   test("phrase search: matches a direct sliding-window scan of every document") {
     val g = TextAnalysis.qPhraseSearch(spark, sf).cache()
     try {
