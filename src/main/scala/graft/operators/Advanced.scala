@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -450,7 +450,71 @@ object Advanced {
       .select(col("o_orderkey"), col("p").as("o_totalprice"), col("dte").as("o_orderdate"))
   }
 
+  /** Data-quality constraint suite (the Deequ/great-expectations audit
+    * every ingest gate runs before promoting a batch): completeness,
+    * uniqueness, referential integrity, domain and range checks over
+    * the warehouse tables, one row per constraint with the observed
+    * numerator/denominator and a pass verdict.
+    *
+    * Scale shape: each table contributes ONE conditional-aggregation
+    * pass (count + sum(when…) fold to a single row with map-side
+    * combine — no per-constraint rescans); the referential check is a
+    * broadcast anti-join count against the 1.5k-row customer dim. The
+    * constraint rows union to a dozen — driver-sized audit output from
+    * full-scan-sized input, the right 100 TB shape. */
+  def qDqAudit(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val c = Tables.customer(s, d)
+    val docs = Tables.documents(s, d)
+    def row(name: String, num: Column, den: Column, pass: Column) =
+      struct(lit(name).as("constraint"), num.cast("long").as("num"),
+        den.cast("long").as("den"), pass.as("pass"))
+    val ordersAudit = o.agg(array(
+        row("orders.o_custkey_complete",
+          count(col("o_custkey")), count(lit(1)),
+          count(col("o_custkey")) === count(lit(1))),
+        row("orders.o_orderkey_unique",
+          countDistinct(col("o_orderkey")), count(lit(1)),
+          countDistinct(col("o_orderkey")) === count(lit(1))),
+        row("orders.o_orderstatus_domain",
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)),
+          count(lit(1)),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)) === 0),
+        row("orders.o_totalprice_positive",
+          sum(when(col("o_totalprice") <= 0, 1).otherwise(0)), count(lit(1)),
+          sum(when(col("o_totalprice") <= 0, 1).otherwise(0)) === 0)).as("rows"))
+    val liAudit = li.agg(array(
+        row("lineitem.l_quantity_range",
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0)),
+          count(lit(1)),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0)) === 0),
+        row("lineitem.l_discount_range",
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1).otherwise(0)),
+          count(lit(1)),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1).otherwise(0)) === 0)).as("rows"))
+    val custAudit = c.agg(array(
+        row("customer.c_custkey_unique",
+          countDistinct(col("c_custkey")), count(lit(1)),
+          countDistinct(col("c_custkey")) === count(lit(1)))).as("rows"))
+    val docAudit = docs.agg(array(
+        row("documents.text_nonempty",
+          sum(when(length(col("text")) === 0, 1).otherwise(0)), count(lit(1)),
+          sum(when(length(col("text")) === 0, 1).otherwise(0)) === 0)).as("rows"))
+    val orphans = o.join(broadcast(c),
+        o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orph"))
+      .crossJoin(o.agg(count(lit(1)).as("n_all")))
+      .select(array(row("orders.o_custkey_referential",
+        col("n_orph"), col("n_all"), col("n_orph") === 0)).as("rows"))
+    Seq(ordersAudit, liAudit, custAudit, docAudit, orphans)
+      .reduce(_ unionAll _)
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.constraint"), col("r.num"), col("r.den"), col("r.pass"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_audit" -> (qDqAudit _),
     "q_skyline" -> (qSkyline _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_scd2_merge" -> (qScd2Merge _),
@@ -483,6 +547,50 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dq_audit" ->
+      """SELECT 'orders.o_custkey_complete' AS constraint,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS num, CAST(COUNT(*) AS BIGINT) AS den,
+        |  COUNT(o_custkey) = COUNT(*) AS pass FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_orderkey_unique',
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  COUNT(DISTINCT o_orderkey) = COUNT(*) FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_orderstatus_domain',
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT),
+        |  SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'orders.o_totalprice_positive',
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT),
+        |  SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL
+        |SELECT 'lineitem.l_quantity_range',
+        |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT),
+        |  SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.l_discount_range',
+        |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT),
+        |  SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'customer.c_custkey_unique',
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  COUNT(DISTINCT c_custkey) = COUNT(*) FROM customer
+        |UNION ALL
+        |SELECT 'documents.text_nonempty',
+        |  CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT),
+        |  SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) = 0 FROM documents
+        |UNION ALL
+        |SELECT 'orders.o_custkey_referential',
+        |  CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0""".stripMargin,
     "q_skyline" ->
       """SELECT b.o_orderkey, b.o_totalprice, b.o_orderdate
         |FROM orders b

@@ -307,7 +307,46 @@ object Curation {
         col("planned_tokens"), col("epochs"))
   }
 
+  /** Cross-source contamination matrix — the provenance audit run before
+    * mixing corpora: for every source pair, how many distinct 10-token
+    * spans they share, plus per-source span vocabularies and the span
+    * Jaccard. Exact-text overlap is usually zero across crawls; span
+    * granularity (same unit as [[Dedup]]'s C4 span dedup) surfaces the
+    * real contamination (boilerplate, syndication, cross-posting).
+    *
+    * Scale shape: spans extract map-side; `distinct` on (span-hash,
+    * source) is the one corpus-sized shuffle; the pair join is keyed on
+    * span hash and its fan-out per hash is bounded by #sources (not
+    * corpus size); per-source totals are a tiny aggregate broadcast
+    * back onto the ≤ sources² pair rows. Never all-pairs on documents. */
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("source"), posexplode(expr(
+        "transform(sequence(0, (size(words) + 9) div 10 - 1), " +
+        "i -> array_join(slice(words, i * 10 + 1, 10), ' '))"))
+        .as(Seq("span_idx", "span")))
+      .select(col("source"), md5(col("span")).as("h"))
+      .distinct()
+    val totals = sp.groupBy("source").agg(count(lit(1)).as("n_spans"))
+    val pairs = sp.as("x")
+      .join(sp.withColumnRenamed("source", "source_b").as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("source_b"))
+      .groupBy(col("x.source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_spans", "n_a")), Seq("source_a"))
+      .join(broadcast(totals.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_spans", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_mix_budget" -> (qMixBudget _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_reservoir_sample" -> (qReservoirSample _),
@@ -319,6 +358,20 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+        |sp AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(words[i*10+1 : i*10+10], ' ')) AS h
+        |  FROM w, unnest(range(0, (len(words) + 9) // 10)) AS t(i)),
+        |tot AS (SELECT source, COUNT(*) AS n_spans FROM sp GROUP BY 1),
+        |p AS (
+        |  SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS n_shared
+        |  FROM sp x JOIN sp y ON x.h = y.h AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared, a.n_spans AS n_a, b.n_spans AS n_b,
+        |  round(CAST(n_shared AS DOUBLE) / (a.n_spans + b.n_spans - n_shared), 6) AS jaccard
+        |FROM p JOIN tot a ON p.source_a = a.source JOIN tot b ON p.source_b = b.source""".stripMargin,
     "q_mix_budget" ->
       """WITH tok AS (
         |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

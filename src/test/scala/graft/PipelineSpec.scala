@@ -1182,6 +1182,52 @@ class PipelineSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
+  test("dq audit: all constraints pass on the clean corpus, and a corrupted corpus fails exactly the injected ones") {
+    val clean = operators.Advanced.qDqAudit(spark, sf).collect()
+    assert(clean.length == 9)
+    assert(clean.forall(_.getAs[Boolean]("pass")), clean.mkString(";"))
+    assert(clean.forall(r => r.getAs[Long]("num") >= 0 &&
+      r.getAs[Long]("den") > 0), "num/den sanity")
+    // negative control: corrupt copies in a temp dir — null custkeys, a
+    // duplicated orderkey, an out-of-range quantity, an orphan order
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    val o = Tables.orders(spark, sf)
+    o.withColumn("o_custkey",
+        when(col("o_orderkey") % 100 === 0, lit(null)).otherwise(col("o_custkey") + 100000))
+      .unionAll(o.limit(1))
+      .write.parquet(s"$dir/orders.parquet")
+    Tables.lineitem(spark, sf)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 97 === 0, lit(99.0)).otherwise(col("l_quantity")))
+      .write.parquet(s"$dir/lineitem.parquet")
+    Tables.customer(spark, sf).write.parquet(s"$dir/customer.parquet")
+    Tables.documents(spark, sf)
+      .withColumn("text", when(col("doc_id") === 0, lit("")).otherwise(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val bad = operators.Advanced.qDqAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("constraint") -> r.getAs[Boolean]("pass")).toMap
+    val expectFail = Set("orders.o_custkey_complete", "orders.o_orderkey_unique",
+      "orders.o_custkey_referential", "lineitem.l_quantity_range",
+      "documents.text_nonempty")
+    expectFail.foreach(c => assert(!bad(c), s"$c should fail on corrupted data"))
+    (bad.keySet -- expectFail).foreach(c => assert(bad(c), s"$c should still pass"))
+  }
+
+  test("source overlap: shared-span counts bounded by both vocabularies and jaccard exact") {
+    val rows = operators.Curation.qSourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sh, na, nb) = (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"), r.toString)
+      assert(sh >= 1 && sh <= math.min(na, nb), r.toString)
+      val j = sh.toDouble / (na + nb - sh)
+      assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-6, r.toString)
+    }
+    // the pair relation is strictly upper-triangular: no (b, a) twin ever
+    val keys = rows.map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
