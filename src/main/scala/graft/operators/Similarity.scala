@@ -700,7 +700,139 @@ object Similarity {
         (col("pred_label") === col("true_label")).as("correct"))
   }
 
+  /** Covariance/correlation matrix of the first 8 embedding dimensions —
+    * the feature-drift / redundancy audit (and the input PCA consumes).
+    *
+    * Scale shape: each row emits its 36 upper-triangle products map-side
+    * (flatten-of-transform, codegen'd); ONE groupBy over 36 (i, j) keys
+    * with map-side partial aggregation — the shuffle carries O(partitions
+    * · 36) partials regardless of corpus size; per-dim moment sums are 8
+    * more rows broadcast back onto the pair grid. Float determinism: all
+    * sums are exact DECIMAL(38,0) over round(v·10⁶) integers (the
+    * [[qEmbColstats]] contract); cov/corr derive from the exact integer
+    * sums with identical expressions in both engines, rounded to 6 dp. */
+  def qEmbCovariance(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d).withColumn("e8",
+      expr("transform(slice(embedding, 1, 8), v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"))
+    val pairs = x.select(explode(expr(
+        "flatten(transform(sequence(0, 7), i -> transform(sequence(i, 7), " +
+        "j -> struct(i AS i, j AS j, element_at(e8, i + 1) * element_at(e8, j + 1) AS p))))")).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(t.p AS DECIMAL(38,0))")).as("sxy"))
+    val moms = x.select(posexplode(col("e8")).as(Seq("i", "sv")))
+      .groupBy("i")
+      .agg(sum(expr("CAST(sv AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("sxx"))
+    val num = col("n") * col("sxy") - col("sx_i") * col("sx_j")
+    pairs
+      .join(broadcast(moms.select(col("i"), col("sx").as("sx_i"), col("sxx").as("sxx_i"))), Seq("i"))
+      .join(broadcast(moms.select(col("i").as("j"), col("sx").as("sx_j"), col("sxx").as("sxx_j"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        round(num.cast("double") / col("n") / col("n") / lit(1e12), 6).as("cov"),
+        round(num.cast("double") /
+          sqrt((col("n") * col("sxx_i") - col("sx_i") * col("sx_i")).cast("double")) /
+          sqrt((col("n") * col("sxx_j") - col("sx_j") * col("sx_j")).cast("double")), 6).as("corr"))
+  }
+
+  /** Top principal component by POWER ITERATION over the integer co-moment
+    * matrix — distributed PCA the way it actually runs at scale: one
+    * corpus-sized Gram aggregation (the [[qEmbCovariance]] shuffle shape),
+    * then iteration on the tiny d×d matrix, here kept declarative as
+    * 64-row DataFrame matvecs (join on j + groupBy i), entirely lazy — no
+    * collect anywhere on the path.
+    *
+    * Integer-exact cross-engine: matrix entries are sdiv(n·Σxy − Σx·Σy, n)
+    * (sign-safe truncating division — Spark `div` truncates toward zero
+    * while DuckDB `//` semantics differ on negatives, so both engines
+    * divide magnitudes and reapply the sign); each iterate renormalizes to
+    * max|v| = 10⁶ the same way; λ is the Rayleigh quotient under the same
+    * sdiv. Three iterations unrolled in the oracle CTE chain; the spec
+    * replays the identical integer algorithm in driver-side BigInt and
+    * matches the distributed result EXACTLY, and asserts the Rayleigh
+    * quotient is non-decreasing across iterates and bounded by the true
+    * λmax (the power-iteration invariant — 3 iterations are the operator
+    * contract, not a convergence claim; more rounds converge further). */
+  def qPcaPower(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d).withColumn("e8",
+      expr("transform(slice(embedding, 1, 8), v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"))
+    val pairs = x.select(explode(expr(
+        "flatten(transform(sequence(0, 7), i -> transform(sequence(i, 7), " +
+        "j -> struct(i AS i, j AS j, element_at(e8, i + 1) * element_at(e8, j + 1) AS p))))")).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(t.p AS DECIMAL(38,0))")).as("sxy"))
+    val moms = x.select(posexplode(col("e8")).as(Seq("i", "sv")))
+      .groupBy("i").agg(sum(expr("CAST(sv AS DECIMAL(38,0))")).as("sx"))
+    val tri = pairs
+      .join(broadcast(moms.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
+      .join(broadcast(moms.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .withColumn("raw", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
+      .select(col("i"), col("j"),
+        expr("CASE WHEN raw < 0 THEN -CAST(abs(raw) div n AS BIGINT) " +
+             "ELSE CAST(raw div n AS BIGINT) END").as("m"))
+    // symmetric matrix, persisted: 64 rows reused by four matvecs — without
+    // the cache each reuse replays the corpus-sized Gram aggregation
+    val mm = graft.CacheTracker.track(
+      tri.unionAll(tri.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("m")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val v0 = s.range(0, 8).select(col("id").cast("int").as("vi"),
+      lit(1000000L).cast("decimal(38,0)").as("x"))
+    def matvec(v: DataFrame): DataFrame =
+      mm.join(v, mm("j") === v("vi"))
+        .groupBy(mm("i").as("wi"))
+        .agg(sum(expr("CAST(m AS DECIMAL(38,0)) * x")).as("w"))
+    def normalize(mv: DataFrame): DataFrame = {
+      val mx = mv.agg(max(abs(col("w"))).as("mx"))
+      mv.crossJoin(broadcast(mx))
+        .select(col("wi").as("vi"),
+          expr("CAST(CASE WHEN w < 0 THEN -CAST(abs(w) * 1000000 div mx AS BIGINT) " +
+               "ELSE CAST(w * 1000000 div mx AS BIGINT) END AS DECIMAL(38,0))").as("x"))
+    }
+    val v3 = normalize(matvec(normalize(matvec(normalize(matvec(v0))))))
+    val mv3 = matvec(v3).withColumnRenamed("wi", "vi")
+    val ray = v3.join(mv3, Seq("vi"))
+      .agg(sum(col("x") * col("w")).as("num"), sum(col("x") * col("x")).as("den"))
+    v3.crossJoin(broadcast(ray))
+      .select(col("vi").as("i"), col("x").cast("long").as("v"),
+        expr("CAST(CASE WHEN num < 0 THEN -CAST(abs(num) div den AS BIGINT) " +
+             "ELSE CAST(num div den AS BIGINT) END AS BIGINT)").as("lambda"))
+  }
+
+  /** Johnson–Lindenstrauss random projection 64 → 8 dims with a fixed ±1
+    * sign matrix — the cheap dimensionality-reduction front end for ANN
+    * prefilters and sketch storage (distances preserved in expectation up
+    * to the √(d/k) scale, spec-measured). The sign matrix derives from a
+    * deterministic LCG-style parity — sign(k,i) = ±1 by
+    * ((1000003k + 7919i + 12345) mod 97) mod 2 — identical arithmetic in
+    * both engines, no float randomness anywhere.
+    *
+    * Scale shape: entirely map-side — the 8×64 sign matrix inlines as
+    * codegen'd literal arrays (zip_with · aggregate per output dim), the
+    * scan is one pass, no shuffle at all; output is (vec_id, k, proj)
+    * integers at 10⁶ scale. */
+  def qEmbedProject(s: SparkSession, d: String): DataFrame = {
+    val signRows = jlSigns.map(row => row.mkString("array(", ", ", ")"))
+    val projs = signRows.zipWithIndex.map { case (arr, k) =>
+      s"struct($k AS k, aggregate(zip_with(e, $arr, (x, s) -> x * s), CAST(0 AS BIGINT), (a, b) -> a + b) AS proj)"
+    }.mkString("array(", ", ", ")")
+    Tables.embeddings(s, d)
+      .withColumn("e",
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"))
+      .select(col("vec_id"), explode(expr(projs)).as("t"))
+      .select(col("vec_id"), col("t.k"), col("t.proj"))
+  }
+
+  /** The JL sign matrix (8×64, ±1) — shared by the query, its oracle, and
+    * the spec's driver-side recompute. */
+  private[graft] val jlSigns: Array[Array[Int]] =
+    Array.tabulate(8, 64) { (k, i) =>
+      if (((1000003 * k + 7919 * i + 12345) % 97) % 2 == 0) 1 else -1
+    }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_covariance" -> (qEmbCovariance _),
+    "q_pca_power" -> (qPcaPower _),
+    "q_embed_project" -> (qEmbedProject _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_emb_colstats" -> (qEmbColstats _),
     "q_semantic_dedup" -> (qSemanticDedup _),
@@ -821,7 +953,67 @@ object Similarity {
        |  SELECT s.vec_id AS q_id, s.grp, c.cid, ${dkD6("s.sub", "c.cent")} AS d6
        |  FROM subs s JOIN cents c USING (grp) WHERE s.vec_id % 20 = 0)""".stripMargin
 
+  /** Shared CTE fragments for the covariance-family oracles: scaled first-8
+    * dims, upper-triangle product sums, per-dim moment sums. */
+  private val covSrcSql =
+    """src AS (
+      |  SELECT list_transform(embedding[1:8],
+      |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS e8
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT i, j, COUNT(*) AS n, SUM(e8[i+1] * e8[j+1]) AS sxy
+      |  FROM src, unnest(range(0, 8)) t(i), unnest(range(0, 8)) u(j)
+      |  WHERE j >= i GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT i, SUM(e8[i+1]) AS sx, SUM(e8[i+1] * e8[i+1]) AS sxx
+      |  FROM src, unnest(range(0, 8)) t(i) GROUP BY 1)""".stripMargin
+
+  private def pcaStepSql(k: Int): String =
+    s"""w$k AS (SELECT mm.i, SUM(m * x) AS w FROM mm JOIN v${k - 1} ON mm.j = v${k - 1}.i GROUP BY 1),
+       |v$k AS (SELECT i,
+       |  CASE WHEN w < 0 THEN -((abs(w) * 1000000) // (SELECT MAX(abs(w)) FROM w$k))
+       |       ELSE (w * 1000000) // (SELECT MAX(abs(w)) FROM w$k) END AS x
+       |  FROM w$k)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_emb_covariance" ->
+      s"""WITH $covSrcSql
+         |SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n * sxy - a.sx * b.sx AS DOUBLE) / n / n / 1e12, 6) AS cov,
+         |  round(CAST(n * sxy - a.sx * b.sx AS DOUBLE) /
+         |    sqrt(CAST(n * a.sxx - a.sx * a.sx AS DOUBLE)) /
+         |    sqrt(CAST(n * b.sxx - b.sx * b.sx AS DOUBLE)), 6) AS corr
+         |FROM p JOIN mo a ON p.i = a.i JOIN mo b ON p.j = b.i""".stripMargin,
+    "q_pca_power" ->
+      s"""WITH $covSrcSql,
+         |tri AS (
+         |  SELECT p.i, p.j, n * sxy - a.sx * b.sx AS raw, n
+         |  FROM p JOIN mo a ON p.i = a.i JOIN mo b ON p.j = b.i),
+         |mm AS (
+         |  SELECT i, j, CASE WHEN raw < 0 THEN -(abs(raw) // n) ELSE raw // n END AS m FROM tri
+         |  UNION ALL
+         |  SELECT j, i, CASE WHEN raw < 0 THEN -(abs(raw) // n) ELSE raw // n END
+         |  FROM tri WHERE i <> j),
+         |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS x FROM range(0, 8) t(i)),
+         |${pcaStepSql(1)},
+         |${pcaStepSql(2)},
+         |${pcaStepSql(3)},
+         |mv AS (SELECT mm.i, SUM(m * x) AS w FROM mm JOIN v3 ON mm.j = v3.i GROUP BY 1),
+         |ray AS (SELECT SUM(v3.x * mv.w) AS num, SUM(v3.x * v3.x) AS den
+         |        FROM v3 JOIN mv ON v3.i = mv.i)
+         |SELECT CAST(v3.i AS INTEGER) AS i, CAST(v3.x AS BIGINT) AS v,
+         |  CAST(CASE WHEN num < 0 THEN -(abs(num) // den) ELSE num // den END AS BIGINT) AS lambda
+         |FROM v3, ray""".stripMargin,
+    "q_embed_project" ->
+      """WITH src AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS e
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(k AS INTEGER) AS k,
+        |  CAST(SUM(CASE WHEN ((1000003 * k + 7919 * i + 12345) % 97) % 2 = 0
+        |           THEN e[i+1] ELSE -e[i+1] END) AS BIGINT) AS proj
+        |FROM src, unnest(range(0, 8)) t(k), unnest(range(0, 64)) u(i)
+        |GROUP BY 1, 2""".stripMargin,
     "q_emb_colstats" ->
       """WITH x AS (
         |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,

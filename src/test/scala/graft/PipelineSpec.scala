@@ -1228,6 +1228,97 @@ class PipelineSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("embedding covariance: integer-exact cov/corr track Spark's builtin covar_pop/corr") {
+    val rows = Similarity.qEmbCovariance(spark, sf).collect()
+    assert(rows.length == 36)
+    val base = Tables.embeddings(spark, sf).selectExpr(
+      (0 until 8).map(i => s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE) AS d$i"): _*)
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val ref = base.agg(covar_pop(col(s"d$i"), col(s"d$j")), corr(col(s"d$i"), col(s"d$j")))
+        .collect()(0)
+      assert(math.abs(r.getAs[Double]("cov") - ref.getDouble(0)) < 1e-4, s"cov($i,$j)")
+      assert(math.abs(r.getAs[Double]("corr") - ref.getDouble(1)) < 1e-3, s"corr($i,$j)")
+    }
+    // diagonal corr is exactly 1
+    rows.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+      .foreach(r => assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-9))
+  }
+
+  test("pca power iteration: distributed integer result equals an exact BigInt replay; Rayleigh monotone and bounded") {
+    val out = Similarity.qPcaPower(spark, sf).collect()
+      .map(r => r.getAs[Int]("i") -> (r.getAs[Long]("v"), r.getAs[Long]("lambda"))).toMap
+    assert(out.size == 8)
+    // exact BigInt replay of the whole pipeline from the raw parquet
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).take(8).map(v => BigInt(math.round(v.toDouble * 1e6))).toArray)
+    val n = BigInt(vecs.length)
+    def sdiv(a: BigInt, b: BigInt): BigInt = if (a < 0) -(a.abs / b) else a / b
+    val sx = Array.tabulate(8)(i => vecs.map(_(i)).sum)
+    val m = Array.tabulate(8, 8) { (i, j) =>
+      sdiv(n * vecs.map(v => v(i) * v(j)).sum - sx(i) * sx(j), n)
+    }
+    var v = Array.fill(8)(BigInt(1000000))
+    def matvec(x: Array[BigInt]) = Array.tabulate(8)(i => (0 until 8).map(j => m(i)(j) * x(j)).sum)
+    var rays = Vector.empty[Double]
+    (1 to 3).foreach { _ =>
+      val w = matvec(v)
+      val mx = w.map(_.abs).max
+      v = w.map(x => sdiv(x * 1000000, mx))
+      val mv = matvec(v)
+      rays :+= (0 until 8).map(i => (v(i) * mv(i)).toDouble).sum /
+        (0 until 8).map(i => (v(i) * v(i)).toDouble).sum
+    }
+    val mv = matvec(v)
+    val lam = sdiv((0 until 8).map(i => v(i) * mv(i)).sum, (0 until 8).map(i => v(i) * v(i)).sum)
+    (0 until 8).foreach(i => assert(out(i)._1 == v(i).toLong, s"component $i"))
+    assert(out(0)._2 == lam.toLong)
+    // power-iteration invariant: Rayleigh non-decreasing (tiny integer-
+    // truncation slack), and never exceeds the true dominant eigenvalue
+    // (Rayleigh bound), approximated here by 60 double iterations
+    assert(rays.sliding(2).forall { case Seq(a, b) => b >= a * (1 - 1e-9) }, rays.toString)
+    var u = Array.fill(8)(1.0)
+    (1 to 60).foreach { _ =>
+      val w = Array.tabulate(8)(i => (0 until 8).map(j => m(i)(j).toDouble * u(j)).sum)
+      val mx = w.map(math.abs).max
+      u = w.map(_ / mx)
+    }
+    val lamMax = (0 until 8).map(i =>
+      u(i) * (0 until 8).map(j => m(i)(j).toDouble * u(j)).sum).sum /
+      u.map(x => x * x).sum
+    assert(rays.last <= lamMax * (1 + 1e-6), s"${rays.last} vs $lamMax")
+  }
+
+  test("JL projection: exact sign-matrix recompute and median distance preservation") {
+    val out = Similarity.qEmbedProject(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("k")) -> r.getAs[Long]("proj")).toMap
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1e6)).toArray).toMap
+    assert(out.size == vecs.size * 8)
+    // exact: every projection equals the driver-side sign-matrix product
+    vecs.foreach { case (id, e) =>
+      (0 until 8).foreach { k =>
+        val expect = (0 until 64).map(i => Similarity.jlSigns(k)(i) * e(i)).sum
+        assert(out((id, k)) == expect, s"vec $id dim $k")
+      }
+    }
+    // JL contract: squared distances preserved in the median (k=8 is noisy
+    // per-pair; the median over sampled pairs must sit near 1)
+    val ids = vecs.keys.toArray.sorted
+    val rnd = new scala.util.Random(7)
+    val ratios = (1 to 80).flatMap { _ =>
+      val (a, b) = (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+      if (a == b) None else {
+        val d2 = (0 until 64).map(i => math.pow((vecs(a)(i) - vecs(b)(i)).toDouble, 2)).sum
+        val p2 = (0 until 8).map(k => math.pow((out((a, k)) - out((b, k))).toDouble, 2)).sum / 8
+        Some(p2 / d2)
+      }
+    }.sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.4 && median < 2.5, s"median distortion $median")
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
