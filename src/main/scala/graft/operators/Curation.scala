@@ -345,7 +345,49 @@ object Curation {
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Quantile normalization of document-length distributions across
+    * sources — the distribution-alignment step run before mixing corpora
+    * whose length profiles differ (each source's vigintile is mapped onto
+    * the GLOBAL distribution's same vigintile; `shift` is the correction
+    * the mapping applies at that bucket's floor).
+    *
+    * Deterministic by construction: buckets come from exact integer rank
+    * arithmetic ((rk−1)·20 div n) over the strict (n_chars, doc_id)
+    * order, and bucket floors are integer mins — no float percentiles.
+    *
+    * Scale shape: the GLOBAL rank uses the range-partition + zipWithIndex
+    * pattern (q_vocab_encode / q_skew_audit — no single-partition
+    * Window); the per-source ranks are ordinary partitioned windows,
+    * parallel across sources (caveat: a source owning most of the corpus
+    * concentrates its window — salt or pre-aggregate per length if a
+    * single source dominates at scale); the 20-row global reference
+    * broadcasts onto the ≤ sources×20 bucket rows. */
+  def qQuantileNorm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val nAll = docs.count() // partition-size pass; zipWithIndex needs it anyway
+    val g = docs
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("n_chars").asc, col("doc_id").asc)
+      .sortWithinPartitions(col("n_chars").asc, col("doc_id").asc)
+      .select(col("n_chars")).as[Long].rdd
+      .zipWithIndex()
+      .toDF("n_chars", "g0")
+      .withColumn("gb", expr(s"CAST(g0 * 20 div CAST($nAll AS BIGINT) AS INT)"))
+    val ref = g.groupBy("gb").agg(min("n_chars").cast("long").as("ref_lo"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val sb = docs.withColumn("rk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("bucket", expr("CAST((rk - 1) * 20 div n_src AS INT)"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n_chars").cast("long").as("src_lo"))
+    sb.join(broadcast(ref), sb("bucket") === ref("gb"))
+      .select(col("source"), col("bucket"), col("n_docs"), col("src_lo"), col("ref_lo"),
+        (col("ref_lo") - col("src_lo")).as("shift"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm" -> (qQuantileNorm _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_mix_budget" -> (qMixBudget _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -358,6 +400,26 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_quantile_norm" ->
+      """WITH d AS (SELECT source, n_chars, doc_id FROM documents),
+        |t AS (SELECT COUNT(*) AS n_all FROM d),
+        |g AS (
+        |  SELECT n_chars,
+        |    (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 20
+        |      // (SELECT n_all FROM t) AS gb
+        |  FROM d),
+        |ref AS (SELECT gb, CAST(MIN(n_chars) AS BIGINT) AS ref_lo FROM g GROUP BY 1),
+        |r AS (
+        |  SELECT source, n_chars,
+        |    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1) * 20
+        |      // (COUNT(*) OVER (PARTITION BY source)) AS b
+        |  FROM d),
+        |sb AS (
+        |  SELECT source, b, COUNT(*) AS n_docs, CAST(MIN(n_chars) AS BIGINT) AS src_lo
+        |  FROM r GROUP BY 1, 2)
+        |SELECT source, CAST(b AS INTEGER) AS bucket, n_docs, src_lo, ref_lo,
+        |  ref_lo - src_lo AS shift
+        |FROM sb JOIN ref ON sb.b = ref.gb""".stripMargin,
     "q_source_overlap" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
         |sp AS (

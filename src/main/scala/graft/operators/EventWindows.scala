@@ -320,7 +320,49 @@ object EventWindows {
         round(max("diff"), 6).as("ks_d"))
   }
 
+  /** EWMA control chart over daily event volumes — the monitoring
+    * operator that pages when a pipeline's input rate spikes or drops
+    * (α = 0.2, integer fixed-point at 10⁶ so both engines fold the
+    * recurrence bit-identically: s₀ = 10⁶·c₀, sₜ = (2·10⁶·cₜ + 8·sₜ₋₁)
+    * div 10; positive operands only, so truncating and floor division
+    * agree). A day is a spike when cₜ > 1.5× the PRIOR smoothed level,
+    * a drop when cₜ < 0.5× it — both tested as integer cross-products.
+    *
+    * Scale shape: the corpus-sized work is the (type, day) count with
+    * map-side combine; the sequential fold then runs per type over
+    * O(calendar days) rows — bounded by the date range, not the corpus
+    * — as a codegen'd HOF over the sorted per-type array, parallel
+    * across types. The oracle replays the recurrence as a recursive
+    * CTE. */
+  def qEwmaAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n_events"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day_idx"), col("n_events")))).as("days"))
+      .withColumn("tl", expr(
+        """aggregate(days,
+          |  struct(CAST(-1 AS BIGINT) AS prev,
+          |    CAST(array() AS ARRAY<STRUCT<day_idx: BIGINT, n_events: BIGINT, prev_ewma: BIGINT, ewma: BIGINT>>) AS out),
+          |  (acc, x) -> struct(
+          |    CASE WHEN acc.prev < 0 THEN x.n_events * 1000000
+          |         ELSE (2 * x.n_events * 1000000 + 8 * acc.prev) div 10 END AS prev,
+          |    acc.out || array(struct(
+          |      x.day_idx AS day_idx, x.n_events AS n_events,
+          |      CASE WHEN acc.prev < 0 THEN CAST(NULL AS BIGINT) ELSE acc.prev END AS prev_ewma,
+          |      CASE WHEN acc.prev < 0 THEN x.n_events * 1000000
+          |           ELSE (2 * x.n_events * 1000000 + 8 * acc.prev) div 10 END AS ewma)) AS out),
+          |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"), explode(col("tl")).as("t"))
+      .select(col("event_type"), col("t.day_idx"), col("t.n_events"),
+        col("t.prev_ewma"), col("t.ewma"),
+        coalesce(col("t.n_events") * 2000000L > col("t.prev_ewma") * 3, lit(false)).as("is_spike"),
+        coalesce(col("t.n_events") * 2000000L < col("t.prev_ewma"), lit(false)).as("is_drop"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_anomaly" -> (qEwmaAnomaly _),
     "q_ks_test" -> (qKsTest _),
     "q_ab_ttest" -> (qAbTtest _),
     "q_outlier_mad" -> (qOutlierMad _),
@@ -337,6 +379,27 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_ewma_anomaly" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day_idx, n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+        |  FROM daily),
+        |e AS (
+        |  SELECT event_type, day_idx, n_events, rn,
+        |    CAST(NULL AS BIGINT) AS prev_ewma, n_events * 1000000 AS ewma
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.day_idx, r.n_events, r.rn,
+        |    e.ewma, (2 * r.n_events * 1000000 + 8 * e.ewma) // 10
+        |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+        |SELECT event_type, day_idx, n_events, prev_ewma, CAST(ewma AS BIGINT) AS ewma,
+        |  coalesce(n_events * 2000000 > prev_ewma * 3, FALSE) AS is_spike,
+        |  coalesce(n_events * 2000000 < prev_ewma, FALSE) AS is_drop
+        |FROM e""".stripMargin,
     "q_ks_test" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,

@@ -1319,6 +1319,69 @@ class PipelineSpec extends SparkSpec {
     assert(median > 0.4 && median < 2.5, s"median distortion $median")
   }
 
+  test("ewma anomaly: recurrence matches a driver-side integer fold, flags consistent") {
+    val got = operators.EventWindows.qEwmaAnomaly(spark, sf).collect()
+    assert(got.nonEmpty)
+    // independent recomputation: daily counts then the fixed-point fold
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((et, d), xs) => (et, d, xs.length.toLong) }
+      .toSeq.groupBy(_._1)
+    val want = daily.flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var prev = -1L
+      sorted.map { case (_, d, c) =>
+        val pe = if (prev < 0) None else Some(prev)
+        val e = if (prev < 0) c * 1000000L else (2 * c * 1000000L + 8 * prev) / 10
+        prev = e
+        (et, d) -> (c, pe, e)
+      }
+    }
+    got.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("day_idx"))
+      val (c, pe, e) = want(key)
+      assert(r.getAs[Long]("n_events") == c, s"$key n_events")
+      assert(Option(r.getAs[java.lang.Long]("prev_ewma")).map(_.toLong) == pe, s"$key prev_ewma")
+      assert(r.getAs[Long]("ewma") == e, s"$key ewma")
+      // flag semantics: spike iff c > 1.5×prev level, drop iff c < 0.5×it
+      assert(r.getAs[Boolean]("is_spike") == pe.exists(p => c * 2000000L > p * 3), s"$key spike")
+      assert(r.getAs[Boolean]("is_drop") == pe.exists(p => c * 2000000L < p), s"$key drop")
+    }
+    assert(got.length == want.size)
+  }
+
+  test("quantile norm: buckets and shifts match a driver-side rank scan") {
+    val got = operators.Curation.qQuantileNorm(spark, sf).collect()
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue, r.getString(1),
+        r.getAs[Number]("n_chars").longValue))
+    val nAll = docs.length.toLong
+    // global vigintile floors over the strict (n_chars, doc_id) order
+    val refLo = docs.map(d => (d._3, d._1)).sorted.zipWithIndex
+      .groupBy { case (_, i) => i * 20 / nAll }
+      .map { case (gb, xs) => gb.toInt -> xs.map(_._1._1).min }
+    // per-source buckets from the per-source rank
+    val want = docs.groupBy(_._2).flatMap { case (src, rows) =>
+      rows.map(d => (d._3, d._1)).sorted.zipWithIndex
+        .groupBy { case (_, rk) => (rk.toLong * 20 / rows.length).toInt }
+        .map { case (b, xs) =>
+          (src, b) -> (xs.length.toLong, xs.map(_._1._1).min) }
+    }
+    got.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[Int]("bucket"))
+      val (nDocs, srcLo) = want(key)
+      assert(r.getAs[Long]("n_docs") == nDocs, s"$key n_docs")
+      assert(r.getAs[Long]("src_lo") == srcLo, s"$key src_lo")
+      assert(r.getAs[Long]("ref_lo") == refLo(key._2), s"$key ref_lo")
+      assert(r.getAs[Long]("shift") == refLo(key._2) - srcLo, s"$key shift")
+    }
+    assert(got.length == want.size)
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
