@@ -45,16 +45,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is stored as Parquet TIMESTAMP(NANOS), which Spark reads
-    * only as a raw nanos Long (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set in [[configure]]). Convert to a proper TimestampType (µs — the
-    * corpus only carries µs precision, so the ns→µs division is lossless;
-    * DuckDB reads the same file as TIMESTAMP_NS). */
+  /** `events.ts` arrives in whatever physical form the corpus generator
+    * chose for the round — TIMESTAMP(NANOS) (Spark reads it only as a raw
+    * nanos Long under `spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * [[configure]]) or naive TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ).
+    * Normalize both to session-TZ TimestampType so every downstream
+    * operator sees one type: the session TZ is pinned to UTC in
+    * [[sessionConfs]], so the NTZ→LTZ cast is value-preserving and epoch
+    * math (`unix_micros` etc.) agrees with DuckDB's naive-timestamp epoch
+    * on the same file; the ns→µs division is lossless (corpus carries µs
+    * precision). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
