@@ -513,7 +513,137 @@ object Advanced {
       .select(col("r.constraint"), col("r.num"), col("r.den"), col("r.pass"))
   }
 
+  /** Market-basket association rules (the co-occurrence mining step
+    * behind "users who bought X also bought Y" and feature
+    * co-occurrence audits): support / confidence / lift for brand
+    * pairs that ship in the same order, top-20 by pair count.
+    *
+    * Scale shape: baskets are (order, brand) DISTINCT rows — one
+    * shuffle; the pair generation is a self-join ON the basket key, so
+    * fan-out is bounded by basket size squared (≤ ~7 brands/order),
+    * never catalog²; singleton counts (≤ brand cardinality) broadcast
+    * onto the pair aggregate, and the result is TakeOrdered — no
+    * global sort. The part dim is broadcast into the fact scan. */
+  def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val b = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+    val tot = b.agg(countDistinct(col("basket")).as("n_baskets"))
+    val items = b.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = b.toDF("basket", "brand_a")
+      .join(b.toDF("basket", "brand_b"), Seq("basket"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(items.toDF("brand_a", "n_a")), Seq("brand_a"))
+      .join(broadcast(items.toDF("brand_b", "n_b")), Seq("brand_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  /** Snapshot reconciliation diff (the CDC / data-versioning audit run
+    * between two loads of a dimension): classify every key as
+    * added / removed / changed / unchanged and report counts per
+    * (status, segment). The "next" snapshot is derived
+    * deterministically from the current one — updates on key%10=3,
+    * deletes on key%13=5, inserts on key%100=7 — so the oracle can
+    * rebuild both sides.
+    *
+    * Scale shape: ONE full-outer shuffle on the key; the
+    * classification is map-side column compares (exact DECIMAL
+    * equality, no row hashing needed); output is a dozen audit rows.
+    * At 100 TB both snapshots would be bucketed on the key and the
+    * join becomes zero-exchange. */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.customer(s, d).select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"),
+      col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+    val upd = col("k") % 10 === 3
+    val v2 = v1.filter(!(col("k") % 13 === 5))
+      .select(col("k"),
+        when(upd, concat(col("seg"), lit("_V2"))).otherwise(col("seg")).as("seg"),
+        when(upd, col("bal") + lit(BigDecimal(100)).cast(DecimalType(18, 2)))
+          .otherwise(col("bal")).as("bal"))
+      .unionAll(v1.filter(col("k") % 100 === 7)
+        .select((col("k") + lit(10000000L)).as("k"),
+          lit("ONBOARD").as("seg"),
+          lit(BigDecimal(0)).cast(DecimalType(18, 2)).as("bal")))
+    v1.select(col("k"), col("seg").as("seg1"), col("bal").as("bal1"))
+      .join(v2.select(col("k"), col("seg").as("seg2"), col("bal").as("bal2")),
+        Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("seg1").isNull, "added")
+          .when(col("seg2").isNull, "removed")
+          .when(col("seg1") =!= col("seg2") || col("bal1") =!= col("bal2"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("segment", coalesce(col("seg2"), col("seg1")))
+      .groupBy("status", "segment")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Leave-one-out target encoding (the category→numeric feature-prep
+    * step for tabular ML; LOO so a row never sees its own target —
+    * the standard leakage guard): each sampled order's priority is
+    * encoded as the mean total price of all OTHER orders in that
+    * priority, computed in exact integer cents.
+    *
+    * Scale shape: one map-side-combined groupBy over 5 keys, the tiny
+    * per-category table broadcast back onto the fact, and the sample
+    * filter pushes below the join on the probe side — encoding cost
+    * is one scan + one broadcast regardless of corpus size. */
+  def qTargetEncode(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val g = o.groupBy("o_orderpriority")
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_g"))
+    o.join(broadcast(g), Seq("o_orderpriority"))
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("n_g"),
+        round((col("sum_cents") - col("cents")).cast("double") /
+          (col("n_g") - 1) / 100.0, 4).as("loo_enc"))
+  }
+
+  /** Equi-depth histogram (the optimizer statistic / data-profiling
+    * primitive: 16 buckets of equal row count over order totals, with
+    * exact integer-cent boundaries).
+    *
+    * Scale shape: the global rank that equi-depth needs uses the
+    * range-partition + zipWithIndex pattern (q_quantile_norm /
+    * q_vocab_encode) — range-partition on (cents, key), sort within
+    * partitions, per-partition offsets from partition sizes — so there
+    * is NO single-partition Window anywhere; the bucket aggregate is
+    * an ordinary map-side-combined groupBy over 16 keys. */
+  def qEquidepthHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+      col("o_orderkey"))
+    val n = o.count() // partition-size pass; zipWithIndex needs it anyway
+    o.repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("cents").asc, col("o_orderkey").asc)
+      .sortWithinPartitions(col("cents").asc, col("o_orderkey").asc)
+      .select(col("cents")).as[Long].rdd
+      .zipWithIndex()
+      .toDF("cents", "g0")
+      .withColumn("bucket", expr(s"CAST(g0 * 16 div CAST($n AS BIGINT) AS INT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (qAssocRules _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_target_encode" -> (qTargetEncode _),
+    "q_equidepth_hist" -> (qEquidepthHist _),
     "q_dq_audit" -> (qDqAudit _),
     "q_skyline" -> (qSkyline _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -547,6 +677,70 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM b),
+        |items AS (SELECT item, COUNT(*) AS n_item FROM b GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS brand_a, c.item AS brand_b, COUNT(*) AS n_ab
+        |  FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n_baskets /
+        |    (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+        |FROM pairs JOIN items ia ON brand_a = ia.item
+        |JOIN items ib ON brand_b = ib.item
+        |CROSS JOIN tot
+        |ORDER BY n_ab DESC, brand_a, brand_b LIMIT 20""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |v2 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 3 THEN seg || '_V2' ELSE seg END AS seg,
+        |    CASE WHEN k % 10 = 3 THEN bal + 100 ELSE bal END AS bal
+        |  FROM v1 WHERE NOT (k % 13 = 5)
+        |  UNION ALL
+        |  SELECT k + 10000000, 'ONBOARD', CAST(0 AS DECIMAL(18,2))
+        |  FROM v1 WHERE k % 100 = 7),
+        |j AS (
+        |  SELECT coalesce(a.k, b.k) AS k, a.seg AS seg1, a.bal AS bal1,
+        |    b.seg AS seg2, b.bal AS bal2
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
+        |SELECT CASE WHEN seg1 IS NULL THEN 'added'
+        |    WHEN seg2 IS NULL THEN 'removed'
+        |    WHEN seg1 <> seg2 OR bal1 <> bal2 THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |  coalesce(seg2, seg1) AS segment,
+        |  COUNT(*) AS n_rows
+        |FROM j GROUP BY 1, 2""".stripMargin,
+    "q_target_encode" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |    COUNT(*) AS n_g
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderkey, o.o_orderpriority, n_g,
+        |  round(CAST(sum_cents - cents AS DOUBLE) / (n_g - 1) / 100.0, 4) AS loo_enc
+        |FROM o JOIN g ON o.o_orderpriority = g.o_orderpriority
+        |WHERE o_orderkey % 997 = 0""".stripMargin,
+    "q_equidepth_hist" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderkey
+        |  FROM orders),
+        |t AS (SELECT COUNT(*) AS n FROM o),
+        |r AS (SELECT cents,
+        |    (ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1) * 16
+        |      // (SELECT n FROM t) AS bucket
+        |  FROM o)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_rows,
+        |  CAST(MIN(cents) AS BIGINT) AS lo_cents, CAST(MAX(cents) AS BIGINT) AS hi_cents
+        |FROM r GROUP BY 1""".stripMargin,
     "q_dq_audit" ->
       """SELECT 'orders.o_custkey_complete' AS constraint,
         |  CAST(COUNT(o_custkey) AS BIGINT) AS num, CAST(COUNT(*) AS BIGINT) AS den,

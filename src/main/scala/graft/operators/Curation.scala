@@ -386,7 +386,67 @@ object Curation {
         (col("ref_lo") - col("src_lo")).as("shift"))
   }
 
+  /** Length-bucketed batching plan (the dynamic-batching step a
+    * training dataloader runs: pad each document up to the next
+    * 64-token boundary, then report per-bucket document count, token
+    * mass, padding waste, and how many 8192-token batches the bucket
+    * fills). Padding waste is THE number this operator exists for —
+    * it is what length-bucketing minimizes vs. naive global padding.
+    *
+    * Scale shape: token count and bucket assignment are map-side
+    * (one codegen'd split+size per doc); the aggregate is a
+    * map-side-combined groupBy over O(max_len/64) keys. No joins, no
+    * windows — a single pass at any corpus size. */
+  def qLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+      .withColumn("bucket_len", expr("((tok + 63) div 64) * 64"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
+      .withColumn("padding", col("bucket_len") * col("n_docs") - col("sum_tokens"))
+      .withColumn("waste_pct", round(col("padding").cast("double") /
+        (col("bucket_len") * col("n_docs")), 6))
+      .withColumn("n_batches", expr("(bucket_len * n_docs + 8191) div 8192"))
+      .select("bucket_len", "n_docs", "sum_tokens", "padding", "waste_pct", "n_batches")
+  }
+
+  /** Neyman-optimal stratified sample allocation (survey-sampling
+    * theory applied to corpus sampling: allocate a 10,000-row budget
+    * across strata ∝ N_h·S_h, so high-variance strata get more
+    * samples — minimum-variance for a fixed budget). The float
+    * std-devs are quantized to integer weights (⌊N_h·S_h·1000⌋) so
+    * all CROSS-strata arithmetic (shares, largest-remainder rounding)
+    * is exact integer math — no order-dependent float sums; the
+    * budget is hit exactly via largest-remainder.
+    *
+    * Scale shape: one conditional-aggregation pass with map-side
+    * combine folds each stratum to (n, Σx, Σx²) — DECIMAL(38,0) for
+    * the squares so the fold is overflow-proof; everything after runs
+    * on 5 rows (the tiny global window is post-aggregate). */
+  def qNeymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+    val g = o.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_h"),
+      sum("c").as("s1"),
+      sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("s2"))
+      .withColumn("s_h", expr(
+        """sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_h)
+          | / (n_h - 1)) / 100.0""".stripMargin.replace("\n", "")))
+      .withColumn("w", expr("CAST(floor(n_h * s_h * 1000.0) AS BIGINT)"))
+    val wTot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(expr("(w * 10000) % sum_w").desc, col("o_orderpriority"))
+    g.withColumn("sum_w", sum("w").over(wTot))
+      .withColumn("base", expr("(w * 10000) div sum_w"))
+      .withColumn("deficit", lit(10000L) - sum("base").over(wTot))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("o_orderpriority"), col("n_h"), round(col("s_h"), 6).as("s_h"),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_buckets" -> (qLengthBuckets _),
+    "q_neyman_alloc" -> (qNeymanAlloc _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_mix_budget" -> (qMixBudget _),
@@ -400,6 +460,39 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |b AS (SELECT ((tok + 63) // 64) * 64 AS bucket_len, tok FROM t),
+        |g AS (SELECT bucket_len, COUNT(*) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs, sum_tokens,
+        |  CAST(bucket_len * n_docs - sum_tokens AS BIGINT) AS padding,
+        |  round(CAST(bucket_len * n_docs - sum_tokens AS DOUBLE)
+        |    / (bucket_len * n_docs), 6) AS waste_pct,
+        |  CAST((bucket_len * n_docs + 8191) // 8192 AS BIGINT) AS n_batches
+        |FROM g""".stripMargin,
+    "q_neyman_alloc" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, COUNT(*) AS n_h,
+        |    CAST(SUM(c) AS BIGINT) AS s1, SUM(c * c) AS s2
+        |  FROM o GROUP BY 1),
+        |h AS (SELECT o_orderpriority, n_h,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_h)
+        |      / (n_h - 1)) / 100.0 AS s_h
+        |  FROM g),
+        |w AS (SELECT *, CAST(floor(n_h * s_h * 1000.0) AS BIGINT) AS wt FROM h),
+        |t AS (SELECT *, CAST(SUM(wt) OVER () AS BIGINT) AS sum_w FROM w),
+        |b AS (SELECT *, CAST((wt * 10000) // sum_w AS BIGINT) AS base,
+        |    (wt * 10000) % sum_w AS rem FROM t),
+        |r AS (SELECT *, CAST(10000 - SUM(base) OVER () AS BIGINT) AS deficit,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority) AS rk FROM b)
+        |SELECT o_orderpriority, n_h, round(s_h, 6) AS s_h,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
     "q_quantile_norm" ->
       """WITH d AS (SELECT source, n_chars, doc_id FROM documents),
         |t AS (SELECT COUNT(*) AS n_all FROM d),

@@ -361,7 +361,61 @@ object EventWindows {
         coalesce(col("t.n_events") * 2000000L < col("t.prev_ewma"), lit(false)).as("is_drop"))
   }
 
+  /** Exact floor division as SQL text, identical in Spark and DuckDB.
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+    * they disagree on negative operands; subtracting the POSITIVE
+    * remainder (((x % d) + d) % d — `%` is truncated-mod with the
+    * dividend's sign in BOTH engines) first makes the numerator exactly
+    * divisible, where truncation and floor agree. */
+  private def fdiv(x: String, dd: Int): String =
+    s"(($x) - (((($x) % $dd) + $dd) % $dd)) div $dd"
+
+  /** Holt's linear-trend double-exponential smoothing over daily event
+    * volumes — the two-state time-series fold (level + trend) behind
+    * short-horizon forecasting and trend-aware alerting; one state
+    * (q_ewma_anomaly) can't see a steady ramp, the trend term can.
+    * α = 0.2, β = 0.1 in integer fixed-point at 10⁶:
+    * lₜ = ⌊(2·10⁶·cₜ + 8·(lₜ₋₁+bₜ₋₁)) / 10⌋, bₜ = ⌊((lₜ−lₜ₋₁) + 9·bₜ₋₁) / 10⌋.
+    * The trend can go NEGATIVE, so the fold uses [[fdiv]] (exact floor
+    * division) rather than the positive-only `div` the EWMA query gets
+    * away with; the init flag is an explicit boolean, not a sentinel a
+    * negative state could collide with.
+    *
+    * Scale shape: corpus-sized work is the map-side-combined
+    * (type, day) count; the sequential fold runs per type over
+    * O(calendar days) rows as a codegen HOF, parallel across types.
+    * The oracle replays the recurrence as a recursive CTE. */
+  def qHoltTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n_events"))
+    val lnew = "CASE WHEN NOT acc.init THEN x.n_events * 1000000 ELSE " +
+      fdiv("2 * x.n_events * 1000000 + 8 * (acc.pl + acc.pb)", 10) + " END"
+    val bnew = "CASE WHEN NOT acc.init THEN CAST(0 AS BIGINT) ELSE " +
+      fdiv(s"(($lnew) - acc.pl) + 9 * acc.pb", 10) + " END"
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day_idx"), col("n_events")))).as("days"))
+      .withColumn("tl", expr(
+        s"""aggregate(days,
+           |  struct(CAST(0 AS BIGINT) AS pl, CAST(0 AS BIGINT) AS pb,
+           |    false AS init,
+           |    CAST(array() AS ARRAY<STRUCT<day_idx: BIGINT, n_events: BIGINT, level: BIGINT, trend: BIGINT>>) AS out),
+           |  (acc, x) -> struct(
+           |    ($lnew) AS pl,
+           |    ($bnew) AS pb,
+           |    true AS init,
+           |    acc.out || array(struct(x.day_idx AS day_idx, x.n_events AS n_events,
+           |      ($lnew) AS level, ($bnew) AS trend)) AS out),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"), explode(col("tl")).as("t"))
+      .select(col("event_type"), col("t.day_idx"), col("t.n_events"),
+        col("t.level"), col("t.trend"),
+        (col("t.level") + col("t.trend")).as("forecast_next"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt_trend" -> (qHoltTrend _),
     "q_ewma_anomaly" -> (qEwmaAnomaly _),
     "q_ks_test" -> (qKsTest _),
     "q_ab_ttest" -> (qAbTtest _),
@@ -379,6 +433,33 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day_idx, n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+        |  FROM daily),
+        |e AS (
+        |  SELECT event_type, day_idx, n_events, rn,
+        |    n_events * 1000000 AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day_idx, s.n_events, s.rn, s.lnew,
+        |    ((s.lnew - s.pl) + 9 * s.pb
+        |      - (((((s.lnew - s.pl) + 9 * s.pb) % 10) + 10) % 10)) // 10
+        |  FROM (
+        |    SELECT r.event_type, r.day_idx, r.n_events, r.rn,
+        |      e.level AS pl, e.trend AS pb,
+        |      (2 * r.n_events * 1000000 + 8 * (e.level + e.trend)
+        |        - ((((2 * r.n_events * 1000000 + 8 * (e.level + e.trend)) % 10) + 10) % 10)) // 10 AS lnew
+        |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)
+        |SELECT event_type, day_idx, n_events, CAST(level AS BIGINT) AS level,
+        |  CAST(trend AS BIGINT) AS trend,
+        |  CAST(level + trend AS BIGINT) AS forecast_next
+        |FROM e""".stripMargin,
     "q_ewma_anomaly" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,

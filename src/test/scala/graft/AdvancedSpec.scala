@@ -11,6 +11,78 @@ import org.apache.spark.sql.functions._
   * gateway.ts:189/317), and source/sink format round-trips. */
 class AdvancedSpec extends SparkSpec {
 
+  test("association rules: metrics recompute from pair/singleton counts, ordering canonical") {
+    val r = Advanced.qAssocRules(spark, sf).collect()
+    assert(r.nonEmpty)
+    // independent basket universe count for the support denominator
+    val p = Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))
+    val n = Tables.lineitem(spark, sf).join(p, col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey").distinct().count()
+    r.foreach { row =>
+      val (a, b) = (row.getAs[String]("brand_a"), row.getAs[String]("brand_b"))
+      assert(a < b, s"pair not canonical: $a, $b")
+      val (nab, na, nb) = (row.getAs[Long]("n_ab"), row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+      assert(nab <= math.min(na, nb), "pair count exceeds a singleton count")
+      assert(row.getAs[Double]("support") ==
+        BigDecimal(nab.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(row.getAs[Double]("confidence") ==
+        BigDecimal(nab.toDouble / na).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(row.getAs[Double]("lift") ==
+        BigDecimal(nab.toDouble * n / (na.toDouble * nb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("snapshot diff: per-status totals equal the injected mutation predicate counts") {
+    val r = Advanced.qSnapshotDiff(spark, sf).collect()
+    val byStatus = r.groupBy(_.getAs[String]("status"))
+      .map { case (s0, rows) => s0 -> rows.map(_.getAs[Long]("n_rows")).sum }
+    val keys = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getAs[Number](0).longValue)
+    val removed = keys.count(_ % 13 == 5).toLong
+    val added = keys.count(_ % 100 == 7).toLong
+    val changed = keys.count(k => k % 10 == 3 && k % 13 != 5).toLong
+    assert(byStatus("removed") == removed)
+    assert(byStatus("added") == added)
+    assert(byStatus("changed") == changed)
+    assert(byStatus("unchanged") == keys.length - removed - changed)
+  }
+
+  test("target encoding: LOO mean recomputes from raw orders and excludes the row's own target") {
+    val r = Advanced.qTargetEncode(spark, sf).collect()
+    assert(r.nonEmpty)
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(x => (x.getAs[Number](0).longValue, x.getString(1), x.getLong(2)))
+    val byPrio = raw.groupBy(_._2).map { case (p0, xs) =>
+      p0 -> (xs.map(_._3).sum, xs.length.toLong) }
+    r.foreach { row =>
+      val k = row.getAs[Number]("o_orderkey").longValue
+      val (sum, n) = byPrio(row.getAs[String]("o_orderpriority"))
+      val own = raw.find(_._1 == k).get._3
+      val want = BigDecimal((sum - own).toDouble / (n - 1) / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getAs[Long]("n_g") == n)
+      assert(row.getAs[Double]("loo_enc") == want, s"key $k")
+    }
+  }
+
+  test("equi-depth histogram: 16 buckets within one row of equal depth, ordered disjoint ranges") {
+    val r = Advanced.qEquidepthHist(spark, sf).collect().sortBy(_.getAs[Int]("bucket"))
+    assert(r.length == 16)
+    assert(r.map(_.getAs[Int]("bucket")).toSeq == (0 until 16))
+    val sizes = r.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1, s"equi-depth violated: ${sizes.toSeq}")
+    assert(sizes.sum == Tables.orders(spark, sf).count())
+    r.foreach(row => assert(row.getAs[Long]("lo_cents") <= row.getAs[Long]("hi_cents")))
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"),
+        "bucket ranges overlap")
+      case _ =>
+    }
+  }
+
   test("approx_count_distinct stays within the configured error of exact") {
     val r = Advanced.qApproxDistinct(spark, sf).collect()
     assert(r.nonEmpty)

@@ -1382,6 +1382,78 @@ class PipelineSpec extends SparkSpec {
     assert(got.length == want.size)
   }
 
+  test("length buckets: 64-aligned, padding bounded per doc, batch count exact ceil") {
+    val r = operators.Curation.qLengthBuckets(spark, sf).collect()
+    assert(r.nonEmpty)
+    var docs = 0L
+    r.foreach { row =>
+      val (bl, n, st, pad, nb) = (row.getAs[Long]("bucket_len"), row.getAs[Long]("n_docs"),
+        row.getAs[Long]("sum_tokens"), row.getAs[Long]("padding"), row.getAs[Long]("n_batches"))
+      assert(bl % 64 == 0 && bl > 0)
+      assert(pad == bl * n - st)
+      assert(pad >= 0 && pad < 64 * n, "per-doc padding must be < 64 by construction")
+      assert(nb == (bl * n + 8191) / 8192)
+      docs += n
+    }
+    assert(docs == Tables.documents(spark, sf).count())
+  }
+
+  test("neyman allocation: budget hit exactly, std-devs match driver recompute") {
+    val r = operators.Curation.qNeymanAlloc(spark, sf).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getAs[Long]("alloc")).sum == 10000L)
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val want = raw.groupBy(_._1).map { case (p, xs) =>
+      val n = xs.length
+      val s1 = xs.map(x => BigInt(x._2)).sum
+      val s2 = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      val sd = math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1)) / 100.0
+      p -> (n.toLong, sd)
+    }
+    r.foreach { row =>
+      val (n, sd) = want(row.getAs[String]("o_orderpriority"))
+      assert(row.getAs[Long]("n_h") == n)
+      assert(row.getAs[Double]("s_h") ==
+        BigDecimal(sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(row.getAs[Long]("alloc") > 0)
+    }
+  }
+
+  test("holt trend: two-state recurrence equals an exact BigInt floor-division replay") {
+    val got = operators.EventWindows.qHoltTrend(spark, sf).collect()
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((et, d), xs) => (et, d, xs.length.toLong) }
+      .toSeq.groupBy(_._1)
+    val want = daily.flatMap { case (et, rows) =>
+      var l, b = 0L; var init = false
+      rows.sortBy(_._2).map { case (_, d, c) =>
+        if (!init) { l = c * 1000000L; b = 0L; init = true }
+        else {
+          val ln = Math.floorDiv(2 * c * 1000000L + 8 * (l + b), 10L)
+          b = Math.floorDiv((ln - l) + 9 * b, 10L)
+          l = ln
+        }
+        (et, d) -> (c, l, b)
+      }
+    }
+    got.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("day_idx"))
+      val (c, l, b) = want(key)
+      assert(r.getAs[Long]("n_events") == c, s"$key n_events")
+      assert(r.getAs[Long]("level") == l, s"$key level")
+      assert(r.getAs[Long]("trend") == b, s"$key trend")
+      assert(r.getAs[Long]("forecast_next") == l + b, s"$key forecast")
+    }
+    assert(got.length == want.size)
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)

@@ -245,4 +245,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!at.contains("SinglePartition"),
       "attribution must not collapse to a single partition")
   }
+
+  test("round-7 eighth wave shapes: assoc rules broadcast dims, equi-depth has no global window, target encode pushes the sample filter") {
+    // assoc rules: part dim and both singleton-count sides broadcast;
+    // pair fan-out keys on the basket
+    val ar = plan("q_assoc_rules")
+    assert("BroadcastHashJoin".r.findAllIn(ar).size >= 3,
+      s"assoc rules must broadcast part + singleton counts:\n${ar.take(600)}")
+    assert(ar.contains("TakeOrderedAndProject"),
+      "top-20 rules must not global-sort")
+    // equi-depth: the global rank is zipWithIndex over a range
+    // partitioning — a Window operator here means the scale-safe rank
+    // regressed to the single-partition form
+    val eq = operators.Advanced.qEquidepthHist(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!eq.contains("Window"),
+      s"equi-depth rank regressed to a window:\n${eq.take(600)}")
+    // target encode: the per-category table broadcasts, and the sample
+    // filter reaches the probe-side scan (not evaluated post-join)
+    val te = plan("q_target_encode")
+    assert(te.contains("BroadcastHashJoin"),
+      s"target encode must broadcast the category means:\n${te.take(600)}")
+    assert(te.contains("(o_orderkey#") || te.contains("% 997"),
+      s"sample filter should appear below the join:\n${te.take(600)}")
+    // snapshot diff: one SortMergeJoin on the key is the intended shape
+    // (both sides corpus-sized at 100 TB); no broadcast of a full snapshot
+    val sd = plan("q_snapshot_diff")
+    assert(sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin"),
+      s"snapshot diff full-outer should be a shuffled join:\n${sd.take(600)}")
+  }
 }
