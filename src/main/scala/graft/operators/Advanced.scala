@@ -639,7 +639,78 @@ object Advanced {
         min("cents").as("lo_cents"), max("cents").as("hi_cents"))
   }
 
+  /** Delete-one-group jackknife standard error of the mean order price
+    * (the resampling-free uncertainty estimate a metrics pipeline can
+    * afford at warehouse scale: g=32 deterministic hash groups instead
+    * of B bootstrap resamples). Per-group (n, Σ) folds are exact
+    * integers; the only floats are the 32 leave-one-out means, and
+    * every cross-group float SUM is a left fold over the bucket-sorted
+    * list (`aggregate` in Spark ≡ `list_reduce` over a prepended zero
+    * in DuckDB) — addition order is pinned, so the doubles are
+    * bit-identical in both engines.
+    *
+    * Scale shape: one map-side-combined groupBy over 32 keys; all
+    * jackknife arithmetic runs on 32 rows. */
+  def qJackknife(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      expr("o_orderkey % 32").as("bucket"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+    val g = o.groupBy("bucket").agg(count(lit(1)).as("n_b"), sum("c").as("s_b"))
+    val tot = g.agg(sum("n_b").as("n"), sum("s_b").as("s"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("loo_mean", expr("CAST(s - s_b AS DOUBLE) / (n - n_b) / 100.0"))
+      .agg(count(lit(1)).as("n_groups"), max("n").as("n"),
+        max(expr("CAST(s AS DOUBLE) / n / 100.0")).as("mean_price"),
+        sort_array(collect_list(struct(col("bucket"), col("loo_mean")))).as("xs"))
+      .withColumn("mean_dot", expr(
+        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.loo_mean) / n_groups"))
+      .withColumn("jk_var", expr(
+        """aggregate(xs, CAST(0.0 AS DOUBLE),
+          | (a, e) -> a + (e.loo_mean - mean_dot) * (e.loo_mean - mean_dot))
+          | * (n_groups - 1) / n_groups""".stripMargin.replace("\n", "")))
+      .select(col("n"), col("n_groups"), round(col("mean_price"), 4).as("mean_price"),
+        round(col("mean_dot"), 4).as("jk_mean"),
+        round(expr("sqrt(jk_var)"), 6).as("jk_se"))
+  }
+
+  /** Population stability index (the drift metric ML monitoring runs
+    * between a reference and a current window): order-price
+    * distributions before vs. from 1997, 5M-cent buckets capped at 10,
+    * Laplace +1 smoothing over the OBSERVED bucket set, one PSI per
+    * priority. Per-bucket terms are identical float expressions in
+    * both engines; the cross-bucket sum is the same pinned-order left
+    * fold as q_jackknife, so no float-accumulation divergence.
+    *
+    * Scale shape: one conditional-aggregation shuffle to
+    * (priority, bucket) cells with map-side combine; the fold runs
+    * over ≤10 cells per priority. */
+  def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority"),
+      expr("CAST(year(o_orderdate) >= 1997 AS INT)").as("cur"),
+      expr("least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000, 9)").as("bucket"))
+    val cells = o.groupBy("o_orderpriority", "bucket")
+      .agg(sum(expr("1 - cur")).as("n_ref"), sum("cur").as("n_cur"))
+    val wP = Window.partitionBy("o_orderpriority")
+    cells
+      .withColumn("t_ref", sum("n_ref").over(wP))
+      .withColumn("t_cur", sum("n_cur").over(wP))
+      .withColumn("k", count(lit(1)).over(wP))
+      .withColumn("term", expr(
+        """(CAST(n_ref + 1 AS DOUBLE) / (t_ref + k) - CAST(n_cur + 1 AS DOUBLE) / (t_cur + k))
+          | * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k)) / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k)))"""
+          .stripMargin.replace("\n", "")))
+      .groupBy("o_orderpriority")
+      .agg(max("t_ref").as("n_ref_total"), max("t_cur").as("n_cur_total"),
+        sort_array(collect_list(struct(col("bucket"), col("term")))).as("xs"))
+      .withColumn("psi", expr(
+        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.term)"))
+      .select(col("o_orderpriority"), col("n_ref_total"), col("n_cur_total"),
+        round(col("psi"), 6).as("psi"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jackknife" -> (qJackknife _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_target_encode" -> (qTargetEncode _),
@@ -677,6 +748,43 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_jackknife" ->
+      """WITH o AS (SELECT o_orderkey % 32 AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |gg AS (SELECT bucket, COUNT(*) AS n_b, CAST(SUM(c) AS BIGINT) AS s_b
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n, CAST(SUM(s_b) AS BIGINT) AS s FROM gg),
+        |l AS (SELECT bucket, CAST(s - s_b AS DOUBLE) / (n - n_b) / 100.0 AS loo_mean,
+        |    n, s FROM gg CROSS JOIN t),
+        |a AS (SELECT COUNT(*) AS n_groups, MAX(n) AS n,
+        |    MAX(CAST(s AS DOUBLE) / n / 100.0) AS mean_price,
+        |    list(loo_mean ORDER BY bucket) AS xs FROM l),
+        |m AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+        |    (a2, e) -> a2 + e) / n_groups AS mean_dot FROM a),
+        |v AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(xs, e -> (e - mean_dot) * (e - mean_dot))),
+        |      (a2, e) -> a2 + e) * (n_groups - 1) / n_groups AS jk_var FROM m)
+        |SELECT n, n_groups, round(mean_price, 4) AS mean_price,
+        |  round(mean_dot, 4) AS jk_mean, round(sqrt(jk_var), 6) AS jk_se FROM v""".stripMargin,
+    "q_psi_drift" ->
+      """WITH o AS (SELECT o_orderpriority, CAST(year(o_orderdate) >= 1997 AS INT) AS cur,
+        |    least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000, 9) AS bucket
+        |  FROM orders),
+        |cells AS (SELECT o_orderpriority, bucket, CAST(SUM(1 - cur) AS BIGINT) AS n_ref,
+        |    CAST(SUM(cur) AS BIGINT) AS n_cur FROM o GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(n_ref) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS t_ref,
+        |    CAST(SUM(n_cur) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS t_cur,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS k FROM cells),
+        |tm AS (SELECT *,
+        |    (CAST(n_ref + 1 AS DOUBLE) / (t_ref + k) - CAST(n_cur + 1 AS DOUBLE) / (t_cur + k))
+        |     * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k)) / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k))) AS term
+        |  FROM w),
+        |agg AS (SELECT o_orderpriority, MAX(t_ref) AS n_ref_total, MAX(t_cur) AS n_cur_total,
+        |    list(term ORDER BY bucket) AS xs FROM tm GROUP BY 1)
+        |SELECT o_orderpriority, n_ref_total, n_cur_total,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a2, e) -> a2 + e), 6) AS psi
+        |FROM agg""".stripMargin,
     "q_assoc_rules" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item

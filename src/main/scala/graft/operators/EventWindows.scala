@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time window queries over `events` — the batch face of
@@ -414,7 +415,43 @@ object EventWindows {
         (col("t.level") + col("t.trend")).as("forecast_next"))
   }
 
+  /** Classical seasonal decomposition of daily event volume per type:
+    * trend = centered 7-day moving average (a value-based RANGE frame,
+    * null unless all 7 days are present), seasonal index = per
+    * day-of-week mean of the detrended ratio, residual = ratio −
+    * seasonal. All integer fixed-point at 10⁶ (positive operands, so
+    * `div` is exact floor in both engines) — no float recurrences.
+    *
+    * Scale shape: corpus-sized work is the map-side-combined
+    * (type, day) count; every window after that runs over O(calendar
+    * days) rows partitioned by type, and the seasonal join is a
+    * broadcast of type×7 rows. */
+  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n_events"))
+    val w7 = Window.partitionBy("event_type").orderBy("day_idx")
+      .rangeBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum("n_events").over(w7))
+      .withColumn("trend_scaled", when(col("n7") === 7, expr("s7 * 1000000 div 7")))
+      .drop("n7", "s7")
+      .withColumn("dow", expr("day_idx % 7"))
+      .withColumn("ratio_scaled",
+        expr("CASE WHEN trend_scaled IS NOT NULL THEN n_events * 1000000000000 div trend_scaled END"))
+    val seas = t.filter(col("ratio_scaled").isNotNull)
+      .groupBy("event_type", "dow")
+      .agg(expr("sum(ratio_scaled) div count(1)").as("seas_scaled"))
+    t.join(broadcast(seas), Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day_idx"), col("n_events"), col("dow"),
+        col("trend_scaled"), col("ratio_scaled"), col("seas_scaled"),
+        (col("ratio_scaled") - col("seas_scaled")).as("resid_scaled"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_holt_trend" -> (qHoltTrend _),
     "q_ewma_anomaly" -> (qEwmaAnomaly _),
     "q_ks_test" -> (qKsTest _),
@@ -433,6 +470,35 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day_idx, n_events,
+        |    COUNT(*) OVER w AS n7, SUM(n_events) OVER w AS s7,
+        |    day_idx % 7 AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, day_idx, n_events, dow,
+        |    CASE WHEN n7 = 7 THEN CAST(s7 * 1000000 // 7 AS BIGINT) END AS trend_scaled
+        |  FROM t),
+        |t3 AS (
+        |  SELECT *, CASE WHEN trend_scaled IS NOT NULL
+        |    THEN CAST(n_events * 1000000000000 // trend_scaled AS BIGINT) END AS ratio_scaled
+        |  FROM t2),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    CAST(SUM(ratio_scaled) // COUNT(*) AS BIGINT) AS seas_scaled
+        |  FROM t3 WHERE ratio_scaled IS NOT NULL GROUP BY 1, 2)
+        |SELECT t3.event_type, day_idx, n_events, t3.dow,
+        |  trend_scaled, ratio_scaled, seas_scaled,
+        |  ratio_scaled - seas_scaled AS resid_scaled
+        |FROM t3 LEFT JOIN seas
+        |  ON t3.event_type = seas.event_type AND t3.dow = seas.dow""".stripMargin,
     "q_holt_trend" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,

@@ -723,7 +723,96 @@ object TextAnalysis {
           .as("token_ids"))
   }
 
+  /** BPE merge-rule training (the tokenizer-vocabulary step of an LLM
+    * data pipeline): five greedy merge iterations over whitespace
+    * tokens — each round counts adjacent pairs, picks the most frequent
+    * (ties lexicographic), and rewrites the corpus with a left-to-right
+    * non-overlapping fold before the next count, exactly the BPE
+    * training loop. Trained on a deterministic 1-in-20 document sample:
+    * sampling the corpus for vocab training is what production
+    * tokenizers do, and it bounds the sequential fold's input; the
+    * learned rule table is driver-sized BY DEFINITION (it IS the
+    * model), so the collect-per-round is the established
+    * train→broadcast pattern (IVF/PQ Lloyd training), not a
+    * distributed-operator smell.
+    *
+    * The merged symbol is `left⊕U+0001⊕right`, which no whitespace
+    * token can equal, so a just-merged symbol can never re-match its
+    * left part — the fold is well-defined and the DuckDB oracle replays
+    * it as a per-position recursive CTE.
+    *
+    * Scale shape: per round, one explode+count shuffle over the SAMPLE
+    * and a map-side HOF rewrite; the full corpus is never folded —
+    * applying learned rules corpus-wide is a map-side transform
+    * (spec-exercised), not part of training. */
+  def qBpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sample = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      .select(split(col("text"), " ").as("toks"))
+      .persist()
+    var cur = sample.toDF()
+    val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    for (step <- 1 to 5) {
+      val top = cur.select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .groupBy("p.l", "p.r").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()(0)
+      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      // Column-based HOF so rule tokens (which may themselves contain the
+      // U+0001 merge separator from earlier rounds) need no SQL escaping.
+      cur = cur.select(aggregate(col("toks"), typedLit(Seq.empty[String]),
+        (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(lit(l), lit("\u0001"), lit(r)))))
+          .otherwise(concat(acc, array(x)))).as("toks"))
+      val tokAfter = cur.agg(sum(size(col("toks"))).cast("long")).collect()(0).getLong(0)
+      rules += ((step, l, r, n, tokAfter))
+    }
+    sample.unpersist()
+    rules.toSeq.toDF("step", "left_tok", "right_tok", "n_pair", "sample_tokens_after")
+  }
+
+  /** DuckDB replay of [[qBpeMerges]]: per round, pair counts via an
+    * unnest over positions, the argmax rule, and the greedy fold as a
+    * per-position recursive CTE (acc list per doc, one level per
+    * token). Generated by loop so the five rounds can't drift. */
+  private def bpeOracle: String = {
+    val sb = new StringBuilder(
+      "WITH RECURSIVE seqs_1 AS MATERIALIZED (SELECT doc_id AS doc, string_split(text, ' ') AS toks " +
+        "FROM documents WHERE doc_id % 20 = 0)")
+    for (k <- 1 to 5) {
+      sb.append(s""",
+        |pairs_$k AS MATERIALIZED (
+        |  SELECT l, r, COUNT(*) AS n FROM (
+        |    SELECT t.toks[u.i] AS l, t.toks[u.i + 1] AS r
+        |    FROM seqs_$k t, unnest(range(1, len(t.toks))) AS u(i))
+        |  GROUP BY 1, 2),
+        |rule_$k AS MATERIALIZED (SELECT l, r, CAST(n AS BIGINT) AS n FROM pairs_$k
+        |  ORDER BY n DESC, l, r LIMIT 1),
+        |m_$k AS (
+        |  SELECT doc, 1 AS pos, [toks[1]] AS acc, toks FROM seqs_$k
+        |  UNION ALL
+        |  SELECT doc, pos + 1,
+        |    CASE WHEN acc[-1] = (SELECT l FROM rule_$k)
+        |        AND toks[pos + 1] = (SELECT r FROM rule_$k)
+        |      THEN list_append(acc[1:len(acc) - 1],
+        |        (SELECT l FROM rule_$k) || chr(1) || (SELECT r FROM rule_$k))
+        |      ELSE list_append(acc, toks[pos + 1]) END,
+        |    toks
+        |  FROM m_$k WHERE pos < len(toks)),
+        |seqs_${k + 1} AS MATERIALIZED (SELECT doc, acc AS toks FROM m_$k WHERE pos = len(toks))""".stripMargin)
+    }
+    sb.append("\n" + (1 to 5).map { k =>
+      s"""SELECT $k AS step, l AS left_tok, r AS right_tok, n AS n_pair,
+         |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM seqs_${k + 1}) AS sample_tokens_after
+         |FROM rule_$k""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_token_pmi" -> (qTokenPmi _),
@@ -770,6 +859,7 @@ object TextAnalysis {
       |FROM ov""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle,
     "q_phrase_search" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -11,6 +11,50 @@ import org.apache.spark.sql.functions._
   * gateway.ts:189/317), and source/sink format round-trips. */
 class AdvancedSpec extends SparkSpec {
 
+  test("jackknife: SE matches a driver-side pinned-order fold, estimates near the plain mean") {
+    val r = Advanced.qJackknife(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .collect().map(x => (x.getAs[Number](0).longValue % 32, x.getLong(1)))
+    val g = cents.groupBy(_._1).map { case (b, xs) => b -> (xs.length.toLong, xs.map(_._2).sum) }
+    val (n, s) = (g.values.map(_._1).sum, g.values.map(_._2).sum)
+    val loo = g.toSeq.sortBy(_._1).map { case (_, (nb, sb)) => (s - sb).toDouble / (n - nb) / 100.0 }
+    val meanDot = loo.foldLeft(0.0)(_ + _) / loo.length
+    val jkVar = loo.map(x => (x - meanDot) * (x - meanDot)).foldLeft(0.0)(_ + _) *
+      (loo.length - 1) / loo.length
+    assert(row.getAs[Long]("n") == n && row.getAs[Long]("n_groups") == 32)
+    assert(row.getAs[Double]("jk_mean") ==
+      BigDecimal(meanDot).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getAs[Double]("jk_se") ==
+      BigDecimal(math.sqrt(jkVar)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // jackknife mean of the mean statistic should sit near the plain mean
+    assert(math.abs(row.getAs[Double]("jk_mean") - row.getAs[Double]("mean_price"))
+      < row.getAs[Double]("jk_se"))
+  }
+
+  test("psi drift: non-negative, both arms populated, zero for identical distributions") {
+    val r = Advanced.qPsiDrift(spark, sf).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_ref_total") > 0 && row.getAs[Long]("n_cur_total") > 0)
+      // every PSI term (p-q)·ln(p/q) is >= 0, so the sum must be
+      assert(row.getAs[Double]("psi") >= 0.0, s"PSI negative: $row")
+    }
+    // degenerate check: comparing a distribution against itself gives PSI 0
+    import spark.implicits._
+    val same = Seq((1, 10L, 10L), (2, 20L, 20L)).toDF("bucket", "n_ref", "n_cur")
+    val z = same.agg(expr(
+      """aggregate(sort_array(collect_list(struct(bucket,
+        | (CAST(n_ref + 1 AS DOUBLE) / 32.0 - CAST(n_cur + 1 AS DOUBLE) / 32.0)
+        |  * ln((CAST(n_ref + 1 AS DOUBLE) / 32.0) / (CAST(n_cur + 1 AS DOUBLE) / 32.0)) AS term))),
+        | CAST(0.0 AS DOUBLE), (a, e) -> a + e.term)""".stripMargin.replace("\n", "")).as("psi"))
+      .collect()(0).getAs[Double]("psi")
+    assert(z == 0.0)
+  }
+
   test("association rules: metrics recompute from pair/singleton counts, ordering canonical") {
     val r = Advanced.qAssocRules(spark, sf).collect()
     assert(r.nonEmpty)

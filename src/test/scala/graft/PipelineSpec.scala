@@ -1454,6 +1454,61 @@ class PipelineSpec extends SparkSpec {
     assert(got.length == want.size)
   }
 
+  test("bpe merges: driver replay of the greedy training loop reproduces rules and token counts") {
+    val got = TextAnalysis.qBpeMerges(spark, sf).collect().sortBy(_.getAs[Int]("step"))
+    assert(got.length == 5)
+    // replay: tokenize the sample, then 5 rounds of count→argmax→fold
+    var docs = Tables.documents(spark, sf).filter(col("doc_id") % 20 === 0)
+      .select("text").collect().map(_.getString(0).split(" ", -1).toVector)
+    for (row <- got) {
+      val pairCounts = docs.flatMap(t => t.zip(t.drop(1)))
+        .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      val ((l, r), n) = pairCounts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+      assert(row.getAs[String]("left_tok") == l, s"step ${row.getAs[Int]("step")} left")
+      assert(row.getAs[String]("right_tok") == r, s"step ${row.getAs[Int]("step")} right")
+      assert(row.getAs[Long]("n_pair") == n, s"step ${row.getAs[Int]("step")} count")
+      docs = docs.map(_.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc.init :+ (l + "\u0001" + r)
+        else acc :+ x
+      })
+      assert(row.getAs[Long]("sample_tokens_after") == docs.map(_.size.toLong).sum,
+        s"step ${row.getAs[Int]("step")} tokens")
+    }
+    // each merge strictly shrinks the sample token count
+    got.map(_.getAs[Long]("sample_tokens_after")).sliding(2).foreach {
+      case Array(a, b) => assert(b < a, "merges must shrink the corpus")
+      case _ =>
+    }
+  }
+
+  test("seasonal decompose: trend only on full 7-day windows, residual = ratio - seasonal") {
+    val got = operators.EventWindows.qSeasonalDecompose(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byType = got.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rows) =>
+      val days = rows.map(_.getAs[Long]("day_idx")).toSet
+      rows.foreach { r =>
+        val d = r.getAs[Long]("day_idx")
+        val full = (-3L to 3L).forall(off => days.contains(d + off))
+        assert((r.getAs[Any]("trend_scaled") != null) == full,
+          s"trend presence wrong at day $d (full window: $full)")
+        if (r.getAs[Any]("trend_scaled") != null) {
+          val c = r.getAs[Long]("n_events")
+          val t = r.getAs[Long]("trend_scaled")
+          assert(r.getAs[Long]("ratio_scaled") == c * 1000000000000L / t)
+          assert(r.getAs[Long]("resid_scaled") ==
+            r.getAs[Long]("ratio_scaled") - r.getAs[Long]("seas_scaled"))
+        }
+        assert(r.getAs[Long]("dow") == java.lang.Math.floorMod(d, 7L))
+      }
+      // seasonal indices hover around the 10^6 fixed-point unit
+      val seas = rows.map(_.getAs[Long]("seas_scaled")).distinct
+      assert(seas.forall(v => v > 200000L && v < 5000000L),
+        s"seasonal indices implausible: ${seas.toSeq}")
+    }
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
