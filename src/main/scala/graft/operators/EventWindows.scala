@@ -450,7 +450,39 @@ object EventWindows {
         (col("ratio_scaled") - col("seas_scaled")).as("resid_scaled"))
   }
 
+  /** Exact sliding-window COUNT DISTINCT — rolling 7-day active users
+    * (WAU) next to daily actives (DAU), the product-analytics number a
+    * naive window can't produce because DISTINCT doesn't decompose
+    * over overlapping frames. The scale-safe construction: each
+    * (user, day) FIRST-appearance-in-window contributes to exactly the
+    * windows ending in [max(day, prev_day+7), day+6], so exploding
+    * that ≤7-day range and counting per end-day is the exact WAU — a
+    * per-user lag, a bounded explode, one count. No window ever sees
+    * more than its own contributions; nothing is quadratic.
+    *
+    * Scale shape: (user, day) distinct is one shuffle; the lag window
+    * partitions by user; the explode fans out ≤7×; the final count is
+    * map-side-combined over O(calendar days) keys; the observed-day
+    * filter broadcasts a calendar-sized list. */
+  def qSlidingDistinct(s: SparkSession, d: String): DataFrame = {
+    val du = graft.Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .distinct()
+    val wU = Window.partitionBy("user_id").orderBy("day_idx")
+    val contrib = du
+      .withColumn("prev_day", lag("day_idx", 1).over(wU))
+      .withColumn("lo", greatest(col("day_idx"),
+        coalesce(col("prev_day") + 7, col("day_idx"))))
+      .select(col("user_id"), explode(expr("sequence(lo, day_idx + 6)")).as("d"))
+    val wau = contrib.groupBy("d").agg(count(lit(1)).as("n_active_7d"))
+    val dau = du.groupBy("day_idx").agg(count(lit(1)).as("n_active_1d"))
+    wau.join(broadcast(dau), wau("d") === dau("day_idx"))
+      .select(col("day_idx"), col("n_active_7d"), col("n_active_1d"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_distinct" -> (qSlidingDistinct _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_holt_trend" -> (qHoltTrend _),
     "q_ewma_anomaly" -> (qEwmaAnomaly _),
@@ -470,6 +502,19 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_sliding_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+        |  FROM events),
+        |days AS (SELECT DISTINCT day_idx FROM du),
+        |wau AS (
+        |  SELECT d.day_idx, COUNT(DISTINCT u.user_id) AS n_active_7d
+        |  FROM days d JOIN du u ON u.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+        |  GROUP BY 1),
+        |dau AS (SELECT day_idx, COUNT(*) AS n_active_1d FROM du GROUP BY 1)
+        |SELECT wau.day_idx, n_active_7d, n_active_1d
+        |FROM wau JOIN dau ON wau.day_idx = dau.day_idx""".stripMargin,
     "q_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,

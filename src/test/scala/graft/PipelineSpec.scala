@@ -1509,6 +1509,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sliding distinct: rolling 7-day actives match a brute-force window scan") {
+    val got = operators.EventWindows.qSlidingDistinct(spark, sf).collect()
+    assert(got.nonEmpty)
+    val du = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .distinct().collect()
+      .map(r => (r.getAs[Number]("user_id").longValue, r.getAs[Long]("day_idx")))
+    val days = du.map(_._2).distinct
+    assert(got.length == days.length, "one row per observed day")
+    got.foreach { r =>
+      val d = r.getAs[Long]("day_idx")
+      val wau = du.filter(x => x._2 >= d - 6 && x._2 <= d).map(_._1).distinct.length.toLong
+      val dau = du.filter(_._2 == d).map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("n_active_7d") == wau, s"day $d wau")
+      assert(r.getAs[Long]("n_active_1d") == dau, s"day $d dau")
+      assert(wau >= dau, "a 7-day window can't have fewer actives than its last day")
+    }
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)

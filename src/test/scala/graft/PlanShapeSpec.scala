@@ -274,4 +274,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin"),
       s"snapshot diff full-outer should be a shuffled join:\n${sd.take(600)}")
   }
+
+  test("round-7 ninth wave shapes: seasonal windows partition by type and broadcast the index") {
+    // the moving-average window must partition by event_type (calendar-
+    // bounded per-type work), and the type×7 seasonal index broadcasts
+    val se = plan("q_seasonal_decompose")
+    assert(se.contains("hashpartitioning(event_type"),
+      s"seasonal windows must partition by type:\n${se.take(600)}")
+    assert(se.contains("BroadcastHashJoin"),
+      s"seasonal index join must broadcast:\n${se.take(600)}")
+    // jackknife: the corpus-sized stage is one 32-key hash aggregate
+    // with a partial (map-side combine) pass — no window over raw rows
+    val jk = plan("q_jackknife")
+    assert(jk.contains("HashAggregate"), "jackknife must hash-aggregate")
+    assert(!jk.contains("Window"), "jackknife must not window over raw rows")
+  }
 }
