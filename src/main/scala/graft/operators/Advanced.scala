@@ -526,10 +526,14 @@ object Advanced {
     * global sort. The part dim is broadcast into the fact scan. */
   def qAssocRules(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
-    val b = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      .distinct()
+    val b = graft.CacheTracker.track(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    b.count() // materialize before the 4-way fan-out (tot/items/pairs×2)
+    // so the broadcast-side jobs hit the cache, not the basket pipeline
     val tot = b.agg(countDistinct(col("basket")).as("n_baskets"))
     val items = b.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairs = b.toDF("basket", "brand_a")

@@ -247,11 +247,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("round-7 eighth wave shapes: assoc rules broadcast dims, equi-depth has no global window, target encode pushes the sample filter") {
-    // assoc rules: part dim and both singleton-count sides broadcast;
-    // pair fan-out keys on the basket
-    val ar = plan("q_assoc_rules")
-    assert("BroadcastHashJoin".r.findAllIn(ar).size >= 3,
-      s"assoc rules must broadcast part + singleton counts:\n${ar.take(600)}")
+    // assoc rules: the singleton-count sides broadcast onto the pair
+    // aggregate (the part-dim broadcast sits inside the persisted basket
+    // relation), and the top-20 never global-sorts
+    val ar = try plan("q_assoc_rules") finally graft.CacheTracker.releaseAll()
+    assert("BroadcastHashJoin".r.findAllIn(ar).size >= 2,
+      s"assoc rules must broadcast the singleton counts:\n${ar.take(600)}")
     assert(ar.contains("TakeOrderedAndProject"),
       "top-20 rules must not global-sort")
     // equi-depth: the global rank is zipWithIndex over a range
