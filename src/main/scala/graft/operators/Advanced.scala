@@ -712,7 +712,65 @@ object Advanced {
         round(col("psi"), 6).as("psi"))
   }
 
+  /** RFM customer segmentation (the recency/frequency/monetary scoring
+    * every retention team runs): each customer gets 1–5 quintile scores
+    * per dimension, then a named segment from the score triple, output
+    * as (scores, segment) cells with counts and average spend. Quintile
+    * boundaries come from exact global ranks via the range-partition +
+    * zipWithIndex pattern (no single-partition Window over the dim);
+    * the four boundary VALUES per dimension are driver-sized by
+    * definition (they ARE the model — same train→broadcast pattern as
+    * the ANN codebooks) and scores are value comparisons against them,
+    * so ties score identically everywhere.
+    *
+    * Scale shape: one groupBy(custkey) over the fact table; three
+    * range-partitioned sorts over the CUSTOMER-sized aggregate;
+    * boundary broadcast; map-side scoring; final aggregate over ≤125
+    * cells. */
+  def qRfmSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val cust = graft.CacheTracker.track(
+      o.groupBy("o_custkey").agg(max("o_orderdate").as("last_d"),
+          count(lit(1)).as("f"), sum("cents").as("m"))
+        .crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("max_d"))))
+        .select(col("o_custkey"),
+          expr("CAST(-datediff(max_d, last_d) AS BIGINT)").as("r"),
+          col("f"), col("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = cust.count() // materializes the persist; count feeds the ranks
+    def bounds(metric: String): Seq[Long] = {
+      val targets = (1 to 4).map(k => k * n / 5 - 1).toSet
+      cust.repartitionByRange(s.sessionState.conf.numShufflePartitions,
+          col(metric).asc, col("o_custkey").asc)
+        .sortWithinPartitions(col(metric).asc, col("o_custkey").asc)
+        .select(col(metric)).as[Long].rdd
+        .zipWithIndex()
+        .filter { case (_, i) => targets.contains(i) }
+        .map(_._1).collect().sorted.toSeq
+    }
+    def score(metric: String, bs: Seq[Long]) =
+      bs.foldLeft(lit(1)) { (acc, b) =>
+        acc + when(col(metric) > lit(b), 1).otherwise(0) }
+    val scored = cust
+      .withColumn("r_score", score("r", bounds("r")))
+      .withColumn("f_score", score("f", bounds("f")))
+      .withColumn("m_score", score("m", bounds("m")))
+      .withColumn("segment", expr(
+        """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+          |  WHEN m_score = 5 THEN 'big_spender'
+          |  WHEN f_score >= 4 THEN 'loyal'
+          |  WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+          |  WHEN r_score <= 2 THEN 'hibernating'
+          |  ELSE 'regular' END""".stripMargin))
+    scored.groupBy("r_score", "f_score", "m_score", "segment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("m").cast("double") / count(lit(1)) / 100.0, 4).as("avg_monetary"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (qRfmSegments _),
     "q_jackknife" -> (qJackknife _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -752,6 +810,40 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |cust AS (SELECT o_custkey,
+        |    CAST(-datediff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM o)) AS BIGINT) AS r,
+        |    COUNT(*) AS f, CAST(SUM(cents) AS BIGINT) AS m
+        |  FROM o GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n FROM cust),
+        |rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS rn FROM cust),
+        |rb AS (SELECT r AS b FROM rr
+        |  WHERE rn IN (SELECT (k * n) // 5 FROM t, unnest([1, 2, 3, 4]) AS u(k))),
+        |fr AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f, o_custkey) AS rn FROM cust),
+        |fb AS (SELECT f AS b FROM fr
+        |  WHERE rn IN (SELECT (k * n) // 5 FROM t, unnest([1, 2, 3, 4]) AS u(k))),
+        |mr AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS rn FROM cust),
+        |mb AS (SELECT m AS b FROM mr
+        |  WHERE rn IN (SELECT (k * n) // 5 FROM t, unnest([1, 2, 3, 4]) AS u(k))),
+        |sc AS (SELECT c.*,
+        |    CAST(1 + (SELECT COUNT(*) FROM rb WHERE c.r > rb.b) AS INTEGER) AS r_score,
+        |    CAST(1 + (SELECT COUNT(*) FROM fb WHERE c.f > fb.b) AS INTEGER) AS f_score,
+        |    CAST(1 + (SELECT COUNT(*) FROM mb WHERE c.m > mb.b) AS INTEGER) AS m_score
+        |  FROM cust c),
+        |seg AS (SELECT *,
+        |    CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |      WHEN m_score = 5 THEN 'big_spender'
+        |      WHEN f_score >= 4 THEN 'loyal'
+        |      WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |      WHEN r_score <= 2 THEN 'hibernating'
+        |      ELSE 'regular' END AS segment
+        |  FROM sc)
+        |SELECT r_score, f_score, m_score, segment, COUNT(*) AS n_customers,
+        |  round(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 100.0, 4) AS avg_monetary
+        |FROM seg GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_jackknife" ->
       """WITH o AS (SELECT o_orderkey % 32 AS bucket,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c

@@ -777,7 +777,44 @@ object Dedup {
       .withColumn("confirmed", col("sim_ratio") >= 0.4)
   }
 
+  /** Neighbor-set Jaccard over the near-dup graph (the link-prediction /
+    * role-similarity primitive: two documents whose DUPLICATE
+    * NEIGHBORHOODS overlap are versions of the same underlying source
+    * even when they never banded together directly). For node pairs
+    * sharing ≥1 neighbor: J = |N(a)∩N(b)| / (deg a + deg b − |∩|),
+    * top-50 by similarity.
+    *
+    * Scale shape: the wedge join (edges ⋈ edges on the shared
+    * endpoint) costs Σ_x deg(x)² — bounded by the LSH band width here;
+    * at web scale a hub cap (drop nodes above a degree threshold, the
+    * standard link-prediction mitigation) bounds it explicitly. Degree
+    * tables broadcast; top-50 is TakeOrdered. */
+  def qGraphJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = graft.CacheTracker.track(
+      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs.count() // materialize before the wedge self-join fan-out
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val shared = edges.toDF("a", "x")
+      .join(edges.toDF("b", "x2"), col("x") === col("x2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(deg.toDF("a", "deg_a")), Seq("a"))
+      .join(broadcast(deg.toDF("b", "deg_b")), Seq("b"))
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        col("n_shared"), col("deg_a"), col("deg_b"),
+        round(col("n_shared").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_shared")), 6).as("nbr_jaccard"))
+      .orderBy(col("nbr_jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_jaccard" -> (qGraphJaccard _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_graph_reach" -> (qGraphReach _),
     "q_graph_triangles" -> (qGraphTriangles _),
@@ -867,6 +904,22 @@ object Dedup {
          |  WHERE r.depth < 3)
          |SELECT doc_id, MIN(depth) AS depth, COUNT(*) AS n_paths
          |FROM reach GROUP BY doc_id""".stripMargin,
+    "q_graph_jaccard" ->
+      s"""WITH $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |wedges AS (
+         |  SELECT e1.src AS a, e2.src AS b, COUNT(*) AS n_shared
+         |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         |  GROUP BY 1, 2)
+         |SELECT a AS a_id, b AS b_id, n_shared, da.deg AS deg_a, db.deg AS deg_b,
+         |  round(CAST(n_shared AS DOUBLE) / (da.deg + db.deg - n_shared), 6) AS nbr_jaccard
+         |FROM wedges JOIN deg da ON da.src = a JOIN deg db ON db.src = b
+         |ORDER BY nbr_jaccard DESC, a_id, b_id LIMIT 50""".stripMargin,
     "q_graph_triangles" ->
       s"""WITH $lshJChain,
          |pairs AS (

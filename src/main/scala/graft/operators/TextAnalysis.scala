@@ -811,7 +811,30 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** Flesch–Kincaid-style readability grade per document (the text
+    * quality signal complexity filters use next to Gopher rules):
+    * syllables ≈ vowel-group runs per word (min 1), sentences =
+    * terminal-punctuation count (min 1), grade = 0.39·(words/sentence)
+    * + 11.8·(syllables/word) − 15.59. Counts are exact integers; the
+    * grade is one identical float expression in both engines.
+    *
+    * Scale shape: pure map-side — a regexp count per word folded as an
+    * integer HOF; no shuffle at any corpus size. */
+  def qTextReadability(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        greatest(expr("CAST(regexp_count(text, '[.!?]') AS BIGINT)"), lit(1L)).as("n_sentences"),
+        expr("""aggregate(words, CAST(0 AS BIGINT),
+          | (a, w) -> a + greatest(CAST(regexp_count(w, '[aeiouy]+') AS BIGINT), CAST(1 AS BIGINT)))"""
+          .stripMargin.replace("\n", "")).as("n_syllables"))
+      .withColumn("fk_grade", round(expr(
+        "0.39 * (CAST(n_words AS DOUBLE) / n_sentences) + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59"), 4))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_readability" -> (qTextReadability _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_rrf_fusion" -> (qRrfFusion _),
@@ -859,6 +882,19 @@ object TextAnalysis {
       |FROM ov""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_readability" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS words
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(words,
+        |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4) AS fk_grade
+        |FROM b""".stripMargin,
     "q_bpe_merges" -> bpeOracle,
     "q_phrase_search" ->
       """WITH toks AS (

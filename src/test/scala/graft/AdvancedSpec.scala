@@ -11,6 +11,56 @@ import org.apache.spark.sql.functions._
   * gateway.ts:189/317), and source/sink format round-trips. */
 class AdvancedSpec extends SparkSpec {
 
+  test("rfm segmentation: cells recompute from a driver-side quintile replay, segments consistent") {
+    val got = Advanced.qRfmSegments(spark, sf).collect()
+    CacheTracker.releaseAll()
+    assert(got.nonEmpty)
+    // driver replay: per-customer metrics, quintile bounds, scores, cells
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.get(1) match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate.toEpochDay
+          case t: java.time.LocalDateTime => t.toLocalDate.toEpochDay
+        }, r.getLong(2)))
+    val maxD = rows.map(_._2).max
+    val cust = rows.groupBy(_._1).map { case (k, xs) =>
+      (k, -(maxD - xs.map(_._2).max), xs.length.toLong, xs.map(_._3).sum)
+    }.toSeq
+    val n = cust.size.toLong
+    def bounds(metric: ((Long, Long, Long, Long)) => Long): Seq[Long] = {
+      val sorted = cust.sortBy(c => (metric(c), c._1)).map(metric)
+      (1 to 4).map(k => sorted((k * n / 5 - 1).toInt))
+    }
+    val (rb, fb, mb) = (bounds(_._2), bounds(_._3), bounds(_._4))
+    def score(v: Long, bs: Seq[Long]) = 1 + bs.count(v > _)
+    val want = cust.map { c =>
+      val (rs, fs, ms) = (score(c._2, rb), score(c._3, fb), score(c._4, mb))
+      val seg =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (ms == 5) "big_spender"
+        else if (fs >= 4) "loyal"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else if (rs <= 2) "hibernating"
+        else "regular"
+      ((rs, fs, ms, seg), c._4)
+    }.groupBy(_._1).map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._2).sum) }
+    assert(got.map(_.getAs[Long]("n_customers")).sum == n, "cells partition the customers")
+    got.foreach { r =>
+      val key = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+        r.getAs[Int]("m_score"), r.getAs[String]("segment"))
+      val (nc, sm) = want(key)
+      assert(r.getAs[Long]("n_customers") == nc, s"$key count")
+      assert(r.getAs[Double]("avg_monetary") ==
+        BigDecimal(sm.toDouble / nc / 100.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$key avg")
+    }
+    assert(got.length == want.size)
+  }
+
   test("jackknife: SE matches a driver-side pinned-order fold, estimates near the plain mean") {
     val r = Advanced.qJackknife(spark, sf).collect()
     assert(r.length == 1)

@@ -1529,6 +1529,50 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("graph jaccard: neighbor overlap recomputes from the LSH edge set, bounds hold") {
+    val got = Dedup.qGraphJaccard(spark, sf).collect()
+    CacheTracker.releaseAll()
+    assert(got.nonEmpty)
+    val pairs = Dedup.qDedupLshPairs(spark, sf).select("a_id", "b_id").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    CacheTracker.releaseAll()
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Number]("a_id").longValue, r.getAs[Number]("b_id").longValue)
+      assert(a < b, "pairs must be canonical")
+      val (na, nb) = (nbrs(a), nbrs(b))
+      val inter = (na & nb).size.toLong
+      assert(r.getAs[Long]("n_shared") == inter, s"($a,$b) shared")
+      assert(r.getAs[Long]("deg_a") == na.size.toLong && r.getAs[Long]("deg_b") == nb.size.toLong)
+      val j = BigDecimal(inter.toDouble / (na.size + nb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("nbr_jaccard") == j, s"($a,$b) jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("readability: counts and grade recompute driver-side; min-1 floors hold") {
+    val got = TextAnalysis.qTextReadability(spark, sf).collect()
+    assert(got.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val vowels = "[aeiouy]+".r
+    got.foreach { r =>
+      val text = texts(r.getAs[Number]("doc_id").longValue)
+      val words = text.split(" ", -1)
+      val nw = words.length.toLong
+      val ns = math.max(text.count(c => c == '.' || c == '!' || c == '?').toLong, 1L)
+      val syl = words.map(w => math.max(vowels.findAllIn(w).size.toLong, 1L)).sum
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("n_sentences") == ns)
+      assert(r.getAs[Long]("n_syllables") == syl)
+      val fk = 0.39 * (nw.toDouble / ns) + 11.8 * (syl.toDouble / nw) - 15.59
+      assert(r.getAs[Double]("fk_grade") ==
+        BigDecimal(fk).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
