@@ -769,7 +769,42 @@ object Advanced {
         round(sum("m").cast("double") / count(lit(1)) / 100.0, 4).as("avg_monetary"))
   }
 
+  /** Winsorized mean (robust statistics: clamp to [p10, p90] before
+    * averaging, so a fat tail can't drag the estimate) of lineitem
+    * quantity per return flag, next to the raw mean. Quantity is a
+    * bounded integer domain, so the percentiles are EXACT from the
+    * per-value counts: p_k = smallest v with cumcount ≥ ⌈k·n/100⌉ —
+    * integer rank arithmetic, no interpolation, no float percentile.
+    *
+    * Scale shape: one map-side-combined groupBy to (flag, value) cells
+    * — ≤ 50 values per flag regardless of corpus size; the cumulative
+    * window, bound extraction, and clamped re-aggregation all run on
+    * those cells. */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .groupBy("flag", "q").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("flag").orderBy("q")
+    val wf = Window.partitionBy("flag")
+    val b = c
+      .withColumn("cq", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wf))
+      .groupBy("flag")
+      .agg(max("n").as("n"),
+        min(when(col("cq") >= expr("(10 * n + 99) div 100"), col("q"))).as("p10"),
+        min(when(col("cq") >= expr("(90 * n + 99) div 100"), col("q"))).as("p90"))
+    c.join(broadcast(b), Seq("flag"))
+      .groupBy(col("flag").as("l_returnflag"))
+      .agg(max("n").as("n"), max("p10").as("p10"), max("p90").as("p90"),
+        sum(expr("(CASE WHEN q < p10 THEN p10 WHEN q > p90 THEN p90 ELSE q END) * cnt")).as("ws"),
+        sum(expr("q * cnt")).as("rs"))
+      .select(col("l_returnflag"), col("p10"), col("p90"), col("n"),
+        round(col("ws").cast("double") / col("n"), 4).as("wins_mean"),
+        round(col("rs").cast("double") / col("n"), 4).as("raw_mean"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (qWinsorize _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_jackknife" -> (qJackknife _),
     "q_psi_drift" -> (qPsiDrift _),
@@ -810,6 +845,28 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH l AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |c AS (SELECT flag, q, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    SUM(cnt) OVER (PARTITION BY flag ORDER BY q) AS cq,
+        |    SUM(cnt) OVER (PARTITION BY flag) AS n
+        |  FROM c),
+        |b AS (SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MIN(CASE WHEN cq >= (10 * n + 99) // 100 THEN q END) AS BIGINT) AS p10,
+        |    CAST(MIN(CASE WHEN cq >= (90 * n + 99) // 100 THEN q END) AS BIGINT) AS p90
+        |  FROM cum GROUP BY 1),
+        |w AS (SELECT c.flag,
+        |    CAST(MAX(b.n) AS BIGINT) AS n, CAST(MAX(p10) AS BIGINT) AS p10,
+        |    CAST(MAX(p90) AS BIGINT) AS p90,
+        |    CAST(SUM((CASE WHEN q < p10 THEN p10 WHEN q > p90 THEN p90 ELSE q END) * cnt) AS BIGINT) AS ws,
+        |    CAST(SUM(q * cnt) AS BIGINT) AS rs
+        |  FROM c JOIN b ON c.flag = b.flag GROUP BY 1)
+        |SELECT flag AS l_returnflag, p10, p90, n,
+        |  round(CAST(ws AS DOUBLE) / n, 4) AS wins_mean,
+        |  round(CAST(rs AS DOUBLE) / n, 4) AS raw_mean
+        |FROM w""".stripMargin,
     "q_rfm_segments" ->
       """WITH o AS (SELECT o_custkey, o_orderdate,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -813,7 +813,28 @@ object Dedup {
       .limit(50)
   }
 
+  /** Canonical-representative selection — the step AFTER clustering
+    * that decides WHICH copy of each duplicate cluster survives: keep
+    * the longest version (the most complete copy, the standard
+    * heuristic), doc_id as the deterministic tie-break. One row per
+    * clustered doc with its keep/drop verdict.
+    *
+    * Scale shape: reuses the connected-components labels, joins doc
+    * lengths on the cluster relation (doc-keyed), and ranks within
+    * clusters — windows bounded by cluster size. */
+  def qDedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val clusters = qDedupClusters(s, d)
+    val t = corpus(s, d).select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val wc = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters.join(t, Seq("doc_id"))
+      .withColumn("keep", row_number().over(wc) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_chars"), col("keep"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_canonical" -> (qDedupCanonical _),
     "q_graph_jaccard" -> (qGraphJaccard _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_graph_reach" -> (qGraphReach _),
@@ -1133,6 +1154,27 @@ object Dedup {
     // same pair pipeline, then connected components: the oracle takes
     // the closure fixpoint (recursive reach + MIN) that matches the
     // engine's label-propagation fixpoint extensionally
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1),
+         |lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM corpus),
+         |ranked AS (
+         |  SELECT l.id AS doc_id, l.cluster_id, s.cluster_size, n.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY n.n_chars DESC, l.id) AS rk
+         |  FROM labels l JOIN sizes s USING (cluster_id)
+         |  JOIN lens n ON n.doc_id = l.id)
+         |SELECT doc_id, cluster_id, cluster_size, n_chars, rk = 1 AS keep
+         |FROM ranked""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $lshJChain,
          |pairs AS (

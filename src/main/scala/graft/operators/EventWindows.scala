@@ -481,7 +481,33 @@ object EventWindows {
       .select(col("day_idx"), col("n_active_7d"), col("n_active_1d"))
   }
 
+  /** Gaps-and-islands activity streaks (the engagement metric behind
+    * "7-day streak" badges and habit cohorts): each user's longest run
+    * of CONSECUTIVE active days via the classic day_idx − row_number
+    * island key, reduced to a distribution of best-streak lengths.
+    *
+    * Scale shape: one (user, day) distinct shuffle, then per-user
+    * windows (bounded by a user's active days); the output aggregate
+    * is O(max streak) rows. All integers — hash-exact. */
+  def qStreaks(s: SparkSession, d: String): DataFrame = {
+    val du = graft.Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day_idx")
+    val streaks = du
+      .withColumn("rn", row_number().over(w))
+      .withColumn("island", col("day_idx") - col("rn"))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min("day_idx").as("start_day"))
+    val wBest = Window.partitionBy("user_id").orderBy(col("len").desc, col("start_day"))
+    streaks.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .groupBy(col("len").as("best_streak"))
+      .agg(count(lit(1)).as("n_users"), min("user_id").as("example_user"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaks" -> (qStreaks _),
     "q_sliding_distinct" -> (qSlidingDistinct _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_holt_trend" -> (qHoltTrend _),
@@ -502,6 +528,26 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_streaks" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, day_idx,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_idx) AS rn
+        |  FROM du),
+        |st AS (
+        |  SELECT user_id, day_idx - rn AS island, COUNT(*) AS len,
+        |    MIN(day_idx) AS start_day
+        |  FROM r GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, len,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rk
+        |  FROM st)
+        |SELECT CAST(len AS BIGINT) AS best_streak, COUNT(*) AS n_users,
+        |  CAST(MIN(user_id) AS BIGINT) AS example_user
+        |FROM best WHERE rk = 1 GROUP BY 1""".stripMargin,
     "q_sliding_distinct" ->
       """WITH du AS (
         |  SELECT DISTINCT user_id,

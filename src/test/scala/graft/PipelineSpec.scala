@@ -1573,6 +1573,75 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaks: longest consecutive-day runs match a driver-side scan") {
+    val got = operators.EventWindows.qStreaks(spark, sf).collect()
+    assert(got.nonEmpty)
+    val du = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .distinct().collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Long](1)))
+    val best = du.groupBy(_._1).map { case (u, xs) =>
+      val days = xs.map(_._2).sorted
+      var (bestLen, cur) = (1L, 1L)
+      for (i <- 1 until days.length) {
+        cur = if (days(i) == days(i - 1) + 1) cur + 1 else 1L
+        bestLen = math.max(bestLen, cur)
+      }
+      u -> bestLen
+    }
+    val want = best.groupBy(_._2).map { case (len, xs) =>
+      len -> (xs.size.toLong, xs.keys.min) }
+    got.foreach { r =>
+      val (nu, ex) = want(r.getAs[Long]("best_streak"))
+      assert(r.getAs[Long]("n_users") == nu, s"streak ${r.getAs[Long]("best_streak")}")
+      assert(r.getAs[Long]("example_user") == ex)
+    }
+    assert(got.length == want.size)
+    assert(got.map(_.getAs[Long]("n_users")).sum == best.size)
+  }
+
+  test("winsorize: exact bounded-domain percentiles, clamped mean between raw extremes") {
+    val got = operators.Advanced.qWinsorize(spark, sf).collect()
+    assert(got.nonEmpty)
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val qs = raw.filter(_._1 == flag).map(_._2).sorted
+      val n = qs.length.toLong
+      def pct(k: Long) = qs(((k * n + 99) / 100 - 1).toInt)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("p10") == pct(10), s"$flag p10")
+      assert(r.getAs[Long]("p90") == pct(90), s"$flag p90")
+      val (p10, p90) = (pct(10), pct(90))
+      val ws = qs.map(v => math.min(math.max(v, p10), p90)).sum
+      assert(r.getAs[Double]("wins_mean") ==
+        BigDecimal(ws.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Double]("raw_mean") ==
+        BigDecimal(qs.sum.toDouble / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("dedup canonical: exactly one longest-survivor per cluster, verdicts consistent") {
+    val got = Dedup.qDedupCanonical(spark, sf).collect()
+    CacheTracker.releaseAll()
+    assert(got.nonEmpty)
+    val byCluster = got.groupBy(_.getAs[Number]("cluster_id").longValue)
+    byCluster.foreach { case (cid, rows) =>
+      val keeps = rows.filter(_.getAs[Boolean]("keep"))
+      assert(keeps.length == 1, s"cluster $cid must keep exactly one doc")
+      assert(rows.length.toLong == rows.head.getAs[Long]("cluster_size"))
+      // the keeper is the longest copy, doc_id tie-break
+      val bestKey = rows.map(r =>
+        (-r.getAs[Long]("n_chars"), r.getAs[Number]("doc_id").longValue)).min
+      val keeper = keeps.head
+      assert((-keeper.getAs[Long]("n_chars"),
+        keeper.getAs[Number]("doc_id").longValue) == bestKey, s"cluster $cid keeper")
+    }
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
