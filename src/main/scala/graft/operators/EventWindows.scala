@@ -506,7 +506,189 @@ object EventWindows {
       .agg(count(lit(1)).as("n_users"), min("user_id").as("example_user"))
   }
 
+  /** Sample autocorrelation function of daily event volume at lags
+    * 1..7 per event type — the diagnostic behind seasonality detection
+    * (a weekly cycle shows as a lag-7 peak) and forecast-model order
+    * selection. Pearson r over the lag-L pair set, computed from exact
+    * BIGINT sums (n·Σxy − Σx·Σy over n·Σxx − (Σx)² style), with the
+    * single double division + sqrt happening once per (type, lag) on
+    * those exact integers — hash-stable against the oracle.
+    *
+    * Scale shape: the only corpus-sized work is the map-side-combined
+    * (type, day) count; the lag join is an equi-join on
+    * (type, day+lag) over O(types × calendar days × 7) rows. The
+    * variance guard nulls r for constant series. */
+  def qAcf(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val a = daily
+      .withColumn("lag_d", explode(expr("sequence(CAST(1 AS BIGINT), CAST(7 AS BIGINT))")))
+    val b = daily.select(col("event_type").as("et2"), col("day_idx").as("day2"),
+      col("n").as("y"))
+    a.join(b, col("et2") === col("event_type") &&
+        col("day2") === col("day_idx") + col("lag_d"))
+      .groupBy("event_type", "lag_d")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("n").as("sx"), sum("y").as("sy"),
+        sum(col("n") * col("y")).as("sxy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag_d"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("acf_num"),
+        expr("""CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+                |THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                |  / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                |       * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) END""".stripMargin)
+          .as("acf"))
+  }
+
+  /** Two-sided CUSUM changepoint detection (Page 1954) over daily event
+    * volume — the classic drift detector for pipeline-health monitoring:
+    * S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ), S⁻ₜ = max(0, S⁻ₜ₋₁ + μ − xₜ) against
+    * the per-type mean μ, alarming when either sum exceeds 3 μ
+    * (three mean-days of cumulative drift). Integer fixed-point at 10⁶
+    * (counts are positive; `div` for μ is exact floor in both engines),
+    * recurrence as a codegen'd HOF fold like [[qEwmaAnomaly]]; the
+    * oracle replays it as a recursive CTE.
+    *
+    * Scale shape: corpus-sized work is the map-side-combined
+    * (type, day) count; the fold runs per type over O(calendar days)
+    * rows, parallel across types. */
+  def qCusum(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val spNew = "greatest(CAST(0 AS BIGINT), acc.sp + x.n * 1000000 - mu_ppm)"
+    val snNew = "greatest(CAST(0 AS BIGINT), acc.sn + mu_ppm - x.n * 1000000)"
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day_idx"), col("n")))).as("days"),
+        sum("n").as("tot"), count(lit(1)).as("nd"))
+      .withColumn("mu_ppm", expr("tot * 1000000 div nd"))
+      .withColumn("tl", expr(
+        s"""aggregate(days,
+           |  struct(CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+           |    CAST(array() AS ARRAY<STRUCT<day_idx: BIGINT, n: BIGINT, sp: BIGINT, sn: BIGINT>>) AS out),
+           |  (acc, x) -> struct(
+           |    ($spNew) AS sp,
+           |    ($snNew) AS sn,
+           |    acc.out || array(struct(x.day_idx AS day_idx, x.n AS n,
+           |      ($spNew) AS sp, ($snNew) AS sn)) AS out),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"), col("mu_ppm"), explode(col("tl")).as("t"))
+      .select(col("event_type"), col("t.day_idx"), col("t.n").as("n_events"),
+        col("t.sp").as("cusum_pos"), col("t.sn").as("cusum_neg"),
+        (col("t.sp") > col("mu_ppm") * 3 || col("t.sn") > col("mu_ppm") * 3)
+          .as("is_alarm"))
+  }
+
+  /** Mann-Whitney U rank-sum test (the nonparametric A/B companion to
+    * [[qAbTtest]] — robust to the heavy-tailed metric distributions
+    * where the t-test's mean is the wrong summary) between the same
+    * user_id-parity arms, per event type. Tie-correct average ranks
+    * stay integer by carrying 2·avg_rank = 2·rank() + ties − 1; U, the
+    * rank-biserial-equivalent AUC (P(a > b) + ½P(tie), the probability
+    * a random arm-A metric exceeds arm-B's), and the normal-approx z
+    * are derived from those exact sums with one double expression each.
+    *
+    * Scale shape: one rank window per type (sort-based, spillable) over
+    * the corpus, then a per-type aggregate — same shape as the KS test.
+    * At 100 TB the per-type sort is the shuffle; no all-pairs anything
+    * (U via rank sums, never via the n²  pair comparison). */
+  def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(user_id % 2 AS INTEGER)").as("arm"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val wr = Window.partitionBy("event_type").orderBy("v")
+    val wt = Window.partitionBy("event_type", "v")
+    ev.withColumn("rmin", rank().over(wr).cast("long"))
+      .withColumn("ties", count(lit(1)).over(wt))
+      .groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("rmin") * 2 + col("ties") - 1)
+          .otherwise(0L)).as("r_a_x2"))
+      // wins convention: U_a = R_a − n_a(n_a+1)/2 counts a-over-b wins
+      // (+½ per tie), so AUC below is literally P(a > b) + ½P(a = b)
+      .withColumn("u_a_x2", col("r_a_x2") - col("n_a") * (col("n_a") + 1))
+      .withColumn("u_b_x2", lit(2) * col("n_a") * col("n_b") - col("u_a_x2"))
+      .withColumn("auc_ab", expr(
+        "round(CAST(u_a_x2 AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"))
+      .withColumn("z_stat", expr(
+        """round((CAST(u_a_x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2
+          |  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (n_a + n_b + 1) / 12.0), 6)""".stripMargin))
+  }
+
+  /** Sequential pattern mining over per-user event streams: every
+    * CONSECUTIVE event-type trigram (the length-3 sequences a
+    * PrefixSpan run would surface first), with support against all
+    * trigram occurrences and confidence against the bigram prefix —
+    * the "what happens after view→click" table behind next-action
+    * prediction and funnel design. Both ratios are exact integer ppm
+    * (the trigram/bigram counts are BIGINTs; bigram count = window sum
+    * of trigram counts over the shared prefix, so numerator and
+    * denominator come from the same relation).
+    *
+    * Scale shape: one per-user sort window (two LEADs share it), one
+    * map-side-combined count over ≤ |types|³ keys; the ppm windows run
+    * on that types³-sized aggregate, not the corpus. */
+  def qSeqTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead("t1", 1).over(w))
+      .withColumn("t3", lead("t1", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n_tri"))
+    val wBig = Window.partitionBy("t1", "t2")
+    val wAll = Window.partitionBy()
+    tri.withColumn("n_big", sum("n_tri").over(wBig))
+      .withColumn("n_total", sum("n_tri").over(wAll))
+      .select(col("t1"), col("t2"), col("t3"), col("n_tri"), col("n_big"),
+        expr("n_tri * 1000000 div n_big").as("conf_ppm"),
+        expr("n_tri * 1000000 div n_total").as("support_ppm"))
+  }
+
+  /** HITS hub/authority scoring (Kleinberg 1999), two message-passing
+    * rounds over the user↔event-type bipartite engagement graph:
+    * a₁(e) = deg(e) (hubs init 1), h₁(u) = Σ_{e∋u} a₁(e),
+    * a₂(e) = Σ_{u∋e} h₁(u). An event type is "authoritative" when the
+    * users it reaches are themselves broadly-engaged hubs — the same
+    * two-hop credit idea PageRank applies to the near-dup graph
+    * (q_graph_pagerank), here on the bipartite form. Unnormalized
+    * integer scores (exact), plus each authority's ppm share.
+    *
+    * Scale shape: each round is one equi-join + one map-side-combined
+    * aggregate keyed on user or type; the type-side relations are
+    * tiny and broadcast. No normalization sqrt — shares are integer
+    * ppm of the total. */
+  def qHits(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    val a1 = edges.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val h1 = edges.join(broadcast(a1), "event_type")
+      .groupBy("user_id").agg(sum("n_users").as("h1"))
+    // user-keyed join stays a shuffle join: the hub side scales with the
+    // user population (broadcasting it would not survive 100 TB); both
+    // inputs are already partitioned on user_id from the groupBy above.
+    val a2 = edges.join(h1, "user_id")
+      .groupBy("event_type")
+      .agg(sum("h1").as("auth2"), max("h1").as("max_hub"))
+    a1.join(a2, "event_type")
+      .withColumn("auth2_ppm",
+        expr("auth2 * 1000000 div sum(auth2) OVER ()"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_acf" -> (qAcf _),
+    "q_cusum" -> (qCusum _),
+    "q_mannwhitney" -> (qMannWhitney _),
+    "q_seq_trigrams" -> (qSeqTrigrams _),
+    "q_hits" -> (qHits _),
     "q_streaks" -> (qStreaks _),
     "q_sliding_distinct" -> (qSlidingDistinct _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
@@ -528,6 +710,116 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, l.lag_d, a.n AS x, b.n AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag_d) l
+        |  JOIN daily b ON b.event_type = a.event_type
+        |    AND b.day_idx = a.day_idx + l.lag_d),
+        |g AS (
+        |  SELECT event_type, lag_d, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag_d, n_pairs,
+        |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS acf_num,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+        |  THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) END AS acf
+        |FROM g""".stripMargin,
+    "q_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(SUM(n) * 1000000 // COUNT(*) AS BIGINT) AS mu_ppm
+        |  FROM daily GROUP BY 1),
+        |r AS (
+        |  SELECT d.event_type, day_idx, n, mu_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY day_idx) AS rn
+        |  FROM daily d JOIN m USING (event_type)),
+        |e AS (
+        |  SELECT event_type, day_idx, n, mu_ppm, rn,
+        |    GREATEST(0, n * 1000000 - mu_ppm) AS sp,
+        |    GREATEST(0, mu_ppm - n * 1000000) AS sn
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.day_idx, r.n, r.mu_ppm, r.rn,
+        |    GREATEST(0, e.sp + r.n * 1000000 - r.mu_ppm),
+        |    GREATEST(0, e.sn + r.mu_ppm - r.n * 1000000)
+        |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+        |SELECT event_type, day_idx, n AS n_events,
+        |  CAST(sp AS BIGINT) AS cusum_pos, CAST(sn AS BIGINT) AS cusum_neg,
+        |  (sp > 3 * mu_ppm OR sn > 3 * mu_ppm) AS is_alarm
+        |FROM e""".stripMargin,
+    "q_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, arm,
+        |    CAST(RANK() OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS rmin,
+        |    COUNT(*) OVER (PARTITION BY event_type, v) AS ties
+        |  FROM ev),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN rmin * 2 + ties - 1 ELSE 0 END) AS BIGINT) AS r_a_x2
+        |  FROM rk GROUP BY 1),
+        |u AS (
+        |  SELECT *, CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2
+        |  FROM g)
+        |SELECT event_type, n_a, n_b, r_a_x2, u_a_x2,
+        |  CAST(2 * n_a * n_b - u_a_x2 AS BIGINT) AS u_b_x2,
+        |  round(CAST(u_a_x2 AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS auc_ab,
+        |  round((CAST(u_a_x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (n_a + n_b + 1) / 12.0), 6) AS z_stat
+        |FROM u""".stripMargin,
+    "q_seq_trigrams" ->
+      """WITH seq AS (
+        |  SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (
+        |  SELECT t1, t2, t3, COUNT(*) AS n_tri
+        |  FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+        |x AS (
+        |  SELECT t1, t2, t3, n_tri,
+        |    CAST(SUM(n_tri) OVER (PARTITION BY t1, t2) AS BIGINT) AS n_big,
+        |    CAST(SUM(n_tri) OVER () AS BIGINT) AS n_total
+        |  FROM tri)
+        |SELECT t1, t2, t3, n_tri, n_big,
+        |  CAST(n_tri * 1000000 // n_big AS BIGINT) AS conf_ppm,
+        |  CAST(n_tri * 1000000 // n_total AS BIGINT) AS support_ppm
+        |FROM x""".stripMargin,
+    "q_hits" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |a1 AS (
+        |  SELECT event_type, COUNT(*) AS n_users FROM edges GROUP BY 1),
+        |h1 AS (
+        |  SELECT e.user_id, CAST(SUM(a1.n_users) AS BIGINT) AS h1
+        |  FROM edges e JOIN a1 USING (event_type) GROUP BY 1),
+        |a2 AS (
+        |  SELECT e.event_type, CAST(SUM(h1.h1) AS BIGINT) AS auth2,
+        |    CAST(MAX(h1.h1) AS BIGINT) AS max_hub
+        |  FROM edges e JOIN h1 USING (user_id) GROUP BY 1)
+        |SELECT a1.event_type, a1.n_users, a2.auth2, a2.max_hub,
+        |  CAST(auth2 * 1000000 // (SUM(auth2) OVER ()) AS BIGINT) AS auth2_ppm
+        |FROM a1 JOIN a2 USING (event_type)""".stripMargin,
     "q_streaks" ->
       """WITH du AS (
         |  SELECT DISTINCT user_id,

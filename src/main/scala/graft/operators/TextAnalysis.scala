@@ -500,6 +500,44 @@ object TextAnalysis {
       .withColumn("pass_quality", col("w_sum") > 0)
   }
 
+  /** Calibration-bin (reliability diagram) audit of the
+    * [[qQualityClassifier]] score against a reference label — the
+    * standard check before a classifier score gates a corpus: bucket
+    * documents by score, compare each bucket's observed positive rate
+    * to its mean score. A well-calibrated filter has pos_rate tracking
+    * mean_score_ppm across bins; divergence means the threshold is
+    * lying about precision. Label here is the length proxy
+    * n_chars ≥ 300 (the corpus median — balanced by construction).
+    *
+    * All binning is exact integer FLOOR division (scores can be
+    * negative, so Spark's truncating `div` is corrected with the
+    * positive-remainder subtraction — see [[EventWindows]]'s fdiv
+    * note); the only double is the final per-bin rate.
+    *
+    * Scale shape: identical to the classifier itself — one map-side
+    * scan computes w_sum/bin per document, then a map-side-combined
+    * aggregate over ≤ 21 bin keys. */
+  def qCalibration(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
+    def fdiv(x: String, dd: String) =
+      s"(($x) - (((($x) % ($dd)) + ($dd)) % ($dd))) div ($dd)"
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("fts", expr("concat(words, shingles_n(words, 2))"))
+      .select(col("doc_id"), col("n_chars"), size(col("fts")).as("n_feat"),
+        expr("aggregate(fts, CAST(0 AS BIGINT), (acc, f) -> acc + (((CAST(conv(substring(md5(f), 1, 7), 16, 10) AS BIGINT) % 1024) * 2654435761) % 1000003 - 500001))").as("w_sum"))
+      .withColumn("score_ppm",
+        expr(fdiv("w_sum * 1000000", "1000003 * CAST(n_feat AS BIGINT)")))
+      .withColumn("bin_id",
+        expr(fdiv("w_sum * 20", "1000003 * CAST(n_feat AS BIGINT)")))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("n_pos"),
+        sum("score_ppm").as("sum_score_ppm"))
+      .withColumn("mean_score_ppm", expr(fdiv("sum_score_ppm", "n_docs")))
+      .withColumn("pos_rate", expr("round(CAST(n_pos AS DOUBLE) / n_docs, 6)"))
+  }
+
   /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05) — the
     * frequency-sketch family alongside the HLL distinct-count sketch
     * (q_approx_distinct): a d=4 × w=512 counter grid where every word
@@ -849,6 +887,7 @@ object TextAnalysis {
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_calibration" -> (qCalibration _),
     "q_chi2_contingency" -> (qChi2Contingency _),
     "q_sparse_cosine" -> (qSparseCosine _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
@@ -1119,6 +1158,27 @@ object TextAnalysis {
         |  round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / (1000003.0 * n_feat)))), 6) AS prob,
         |  (w_sum > 0) AS pass_quality
         |FROM sc""".stripMargin,
+    "q_calibration" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents),
+        |f AS (SELECT doc_id, n_chars, list_concat(words, CASE WHEN len(words) < 2 THEN []
+        |        ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS fts
+        |      FROM w),
+        |sc AS (SELECT doc_id, n_chars, len(fts) AS n_feat,
+        |  CAST(list_sum(list_transform(fts, f ->
+        |    (((CAST('0x' || substring(md5(f), 1, 7) AS BIGINT) % 1024) * 2654435761) % 1000003 - 500001))) AS BIGINT) AS w_sum
+        |  FROM f),
+        |b AS (SELECT doc_id, n_chars,
+        |    CAST((w_sum * 1000000 - ((((w_sum * 1000000) % (1000003 * n_feat)) + (1000003 * n_feat)) % (1000003 * n_feat))) // (1000003 * n_feat) AS BIGINT) AS score_ppm,
+        |    CAST((w_sum * 20 - ((((w_sum * 20) % (1000003 * n_feat)) + (1000003 * n_feat)) % (1000003 * n_feat))) // (1000003 * n_feat) AS BIGINT) AS bin_id
+        |  FROM sc),
+        |g AS (SELECT bin_id, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm
+        |  FROM b GROUP BY 1)
+        |SELECT bin_id, n_docs, n_pos, sum_score_ppm,
+        |  CAST((sum_score_ppm - (((sum_score_ppm % n_docs) + n_docs) % n_docs)) // n_docs AS BIGINT) AS mean_score_ppm,
+        |  round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate
+        |FROM g""".stripMargin,
     "q_gopher_quality" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -305,6 +305,107 @@ class AdvancedSpec extends SparkSpec {
     assert(ns(1) <= unordered)
   }
 
+  test("acf: pair counts are dense-calendar exact and r stays in [-1, 1]") {
+    val acf = operators.EventWindows.qAcf(spark, sf).collect()
+    assert(acf.nonEmpty)
+    // dense synthetic calendar: every (type, lag) has n_days - lag pairs
+    val nDays = Tables.events(spark, sf)
+      .select(expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")).distinct().count()
+    acf.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == nDays - r.getAs[Long]("lag_d"), r.toString)
+      val v = r.getAs[Double]("acf")
+      if (!r.isNullAt(r.fieldIndex("acf"))) assert(math.abs(v) <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("cusum: replaying the recurrence on collected dailies matches exactly") {
+    val got = operators.EventWindows.qCusum(spark, sf)
+      .filter(col("event_type") === "click").orderBy("day_idx").collect()
+    val daily = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select(expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("d"))
+      .groupBy("d").count().orderBy("d").collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("count")))
+    val mu = daily.map(_._2).sum * 1000000L / daily.length
+    var sp = 0L; var sn = 0L
+    daily.zip(got).foreach { case ((d, n), r) =>
+      sp = math.max(0L, sp + n * 1000000L - mu)
+      sn = math.max(0L, sn + mu - n * 1000000L)
+      assert(r.getAs[Long]("day_idx") == d && r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("cusum_pos") == sp && r.getAs[Long]("cusum_neg") == sn, r.toString)
+      assert(r.getAs[Boolean]("is_alarm") == (sp > 3 * mu || sn > 3 * mu))
+    }
+  }
+
+  test("mann-whitney: U from rank sums equals brute-force pair wins with half-ties") {
+    val got = operators.EventWindows.qMannWhitney(spark, sf).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("u_a_x2") + r.getAs[Long]("u_b_x2")
+        == 2 * r.getAs[Long]("n_a") * r.getAs[Long]("n_b"), r.toString)
+      val auc = r.getAs[Double]("auc_ab")
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+    // brute-force one type: U_a = #(a > b) + #(a == b)/2 over all cross pairs
+    val vs = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(expr("CAST(user_id % 2 AS INT)").as("arm"),
+        col("value").cast("decimal(18,2)").as("v")).collect()
+      .map(r => (r.getInt(0), r.getDecimal(1)))
+    val a = vs.filter(_._1 == 0).map(_._2); val b = vs.filter(_._1 == 1).map(_._2)
+    val uX2 = a.iterator.map(x =>
+      2L * b.count(y => x.compareTo(y) > 0) + b.count(y => x.compareTo(y) == 0)).sum
+    val r = got.find(_.getAs[String]("event_type") == "purchase").get
+    assert(r.getAs[Long]("u_a_x2") == uX2,
+      s"rank-sum U ${r.getAs[Long]("u_a_x2")} != brute $uX2")
+  }
+
+  test("seq trigrams: totals reconcile and confidences partition each prefix") {
+    val tri = operators.EventWindows.qSeqTrigrams(spark, sf).collect()
+    // total trigram occurrences = sum over users of max(0, n_events - 2)
+    val expected = Tables.events(spark, sf).groupBy("user_id").count()
+      .select(sum(greatest(col("count") - 2, lit(0L)))).collect()(0).getLong(0)
+    assert(tri.map(_.getAs[Long]("n_tri")).sum == expected)
+    assert(tri.forall(r =>
+      r.getAs[Long]("support_ppm") == r.getAs[Long]("n_tri") * 1000000L / expected))
+    // per prefix: n_tri sums to n_big, floor-div confidences nearly partition 1e6
+    tri.groupBy(r => (r.getAs[String]("t1"), r.getAs[String]("t2"))).foreach {
+      case (_, rows) =>
+        assert(rows.map(_.getAs[Long]("n_tri")).sum == rows.head.getAs[Long]("n_big"))
+        val confSum = rows.map(_.getAs[Long]("conf_ppm")).sum
+        assert(confSum <= 1000000L && confSum > 1000000L - rows.size, rows.head.toString)
+    }
+  }
+
+  test("hits: two-round bipartite message passing matches independent recompute") {
+    val got = operators.EventWindows.qHits(spark, sf).collect()
+    val edges = Tables.events(spark, sf).select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val a1 = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val h1 = edges.groupBy(_._1).view.mapValues(_.map(e => a1(e._2)).sum).toMap
+    val a2 = edges.groupBy(_._2).view.mapValues(_.map(e => h1(e._1)).sum).toMap
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_users") == a1(et))
+      assert(r.getAs[Long]("auth2") == a2(et), s"$et: $r")
+      assert(r.getAs[Long]("max_hub") == edges.filter(_._2 == et).map(e => h1(e._1)).max)
+    }
+    val totPpm = got.map(_.getAs[Long]("auth2_ppm")).sum
+    assert(totPpm <= 1000000L && totPpm > 1000000L - got.length)
+  }
+
+  test("calibration bins: partition the corpus and bound their members' scores") {
+    val bins = operators.TextAnalysis.qCalibration(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    bins.foreach { r =>
+      val bin = r.getAs[Long]("bin_id"); val mean = r.getAs[Long]("mean_score_ppm")
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+      // floor(score·20/1e6) = bin ⇒ every member score (and thus the
+      // bin mean) lies in [bin·50000, (bin+1)·50000)
+      assert(mean >= bin * 50000 && mean < (bin + 1) * 50000, r.toString)
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("uuid() serial numbers are unique across partitions (G10 semantics)") {
     // the reference's sn is 64 random bytes (gateway.ts:313); the engine
     // uses uuid() — monotonically_increasing_id would collide across runs
