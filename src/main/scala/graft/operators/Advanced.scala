@@ -518,28 +518,35 @@ object Advanced {
     * co-occurrence audits): support / confidence / lift for brand
     * pairs that ship in the same order, top-20 by pair count.
     *
-    * Scale shape: baskets are (order, brand) DISTINCT rows — one
-    * shuffle; the pair generation is a self-join ON the basket key, so
-    * fan-out is bounded by basket size squared (≤ ~7 brands/order),
-    * never catalog²; singleton counts (≤ brand cardinality) broadcast
-    * onto the pair aggregate, and the result is TakeOrdered — no
-    * global sort. The part dim is broadcast into the fact scan. */
+    * Scale shape: ONE corpus shuffle total — groupBy(order) builds each
+    * basket's sorted distinct brand array, and everything else (pair
+    * generation, singleton counts, basket total) derives from that
+    * cached basket-array relation. Pairs come from an in-basket array
+    * expression (codegen'd, fan-out bounded by basket size squared,
+    * ≤ ~7 brands/order — never catalog², and no self-join re-shuffle);
+    * singleton counts (≤ brand cardinality) broadcast onto the pair
+    * aggregate, and the result is TakeOrdered — no global sort. The
+    * part dim is broadcast into the fact scan. */
   def qAssocRules(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
-    val b = graft.CacheTracker.track(
+    val baskets = graft.CacheTracker.track(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-        .distinct()
+        .groupBy(col("l_orderkey").as("basket"))
+        .agg(sort_array(array_distinct(collect_list(col("p_brand")))).as("its"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    b.count() // materialize before the 4-way fan-out (tot/items/pairs×2)
+    baskets.count() // materialize before the 3-way fan-out (tot/items/pairs)
     // so the broadcast-side jobs hit the cache, not the basket pipeline
-    val tot = b.agg(countDistinct(col("basket")).as("n_baskets"))
-    val items = b.groupBy("item").agg(count(lit(1)).as("n_item"))
-    val pairs = b.toDF("basket", "brand_a")
-      .join(b.toDF("basket", "brand_b"), Seq("basket"))
-      .filter(col("brand_a") < col("brand_b"))
-      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+    val tot = baskets.agg(count(lit(1)).as("n_baskets"))
+    val items = baskets.select(explode(col("its")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.select(explode(expr(
+        """CASE WHEN size(its) < 2 THEN CAST(array() AS ARRAY<STRUCT<brand_a: STRING, brand_b: STRING>>)
+          |ELSE flatten(transform(sequence(1, size(its) - 1), i ->
+          |  transform(sequence(i + 1, size(its)), j ->
+          |    struct(element_at(its, i) AS brand_a, element_at(its, j) AS brand_b)))) END""".stripMargin)).as("t"))
+      .groupBy(col("t.brand_a").as("brand_a"), col("t.brand_b").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(items.toDF("brand_a", "n_a")), Seq("brand_a"))
       .join(broadcast(items.toDF("brand_b", "n_b")), Seq("brand_b"))

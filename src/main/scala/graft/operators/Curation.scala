@@ -241,6 +241,46 @@ object Curation {
       .withColumn("zcell", (col("z") / 256).cast("long"))
       .select("doc_id", "lang", "xb", "yb", "z", "zcell")
 
+  /** Zone-map pruning audit — the scan-economics number behind layout
+    * decisions ([[qZorderLayout]] exists to improve it): simulate two
+    * file layouts of lineitem (natural = orderkey-hashed files, i.e.
+    * arrival order; time_part = month-partitioned files) and measure,
+    * for a one-month predicate, how many files the min/max footer
+    * stats let a reader SKIP and the resulting read amplification
+    * (rows scanned per matching row). Arrival-ordered files have
+    * near-full date ranges so nothing prunes; the time-partitioned
+    * layout scans ~1 file. This is the audit you run before paying for
+    * a 100 TB rewrite — it predicts the benefit from metadata alone.
+    *
+    * Scale shape: two map-side-combined aggregates over the fact scan
+    * (≤ 84 file keys each); everything after is per-file arithmetic.
+    * All counts exact BIGINTs; ratios integer ppm. */
+  def qZonemapPrune(s: SparkSession, d: String): DataFrame = {
+    val lo = "TIMESTAMP '1995-03-01 00:00:00'"
+    val hi = "TIMESTAMP '1995-04-01 00:00:00'"
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    def audit(layout: String, fileId: org.apache.spark.sql.Column): DataFrame =
+      li.groupBy(fileId.as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_shipdate").as("d_min"), max("l_shipdate").as("d_max"),
+          sum(expr(s"CASE WHEN l_shipdate >= $lo AND l_shipdate < $hi THEN 1 ELSE 0 END"))
+            .as("n_match"))
+        .withColumn("hit", expr(s"d_min < $hi AND d_max >= $lo"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_files_hit"),
+          sum("n_rows").as("rows_total"),
+          sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum("n_match").as("rows_match"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_files_hit"),
+          col("rows_total"), col("rows_scanned"), col("rows_match"),
+          expr("(n_files - n_files_hit) * 1000000 div n_files").as("skip_ppm"),
+          expr("rows_scanned * 1000000 div greatest(rows_match, 1)").as("amp_ppm"))
+    audit("natural", pmod(col("l_orderkey"), lit(64)))
+      .unionByName(audit("time_part",
+        (year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1))
+  }
+
   /** Exact-k per-stratum deterministic sample — the reservoir-sampling
     * counterpart to [[qWeightedSample]]'s Bernoulli coin: rank docs
     * within each lang by an md5 hash of doc_id (a fixed random-but-
@@ -451,6 +491,7 @@ object Curation {
     "q_source_overlap" -> (qSourceOverlap _),
     "q_mix_budget" -> (qMixBudget _),
     "q_zorder_layout" -> (qZorderLayout _),
+    "q_zonemap_prune" -> (qZonemapPrune _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_shard_layout" -> (qShardLayout _),
@@ -460,6 +501,49 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_zonemap_prune" ->
+      """WITH f1 AS (
+        |  SELECT l_orderkey % 64 AS file_id, COUNT(*) AS n_rows,
+        |    MIN(l_shipdate) AS d_min, MAX(l_shipdate) AS d_max,
+        |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |             AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        |             THEN 1 ELSE 0 END) AS n_match
+        |  FROM lineitem GROUP BY 1),
+        |f2 AS (
+        |  SELECT (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS file_id,
+        |    COUNT(*) AS n_rows,
+        |    MIN(l_shipdate) AS d_min, MAX(l_shipdate) AS d_max,
+        |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |             AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        |             THEN 1 ELSE 0 END) AS n_match
+        |  FROM lineitem GROUP BY 1),
+        |a1 AS (
+        |  SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |    CAST(SUM(CASE WHEN d_min < TIMESTAMP '1995-04-01 00:00:00'
+        |               AND d_max >= TIMESTAMP '1995-03-01 00:00:00'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+        |    CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+        |    CAST(SUM(CASE WHEN d_min < TIMESTAMP '1995-04-01 00:00:00'
+        |               AND d_max >= TIMESTAMP '1995-03-01 00:00:00'
+        |             THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |    CAST(SUM(n_match) AS BIGINT) AS rows_match
+        |  FROM f1),
+        |a2 AS (
+        |  SELECT 'time_part' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |    CAST(SUM(CASE WHEN d_min < TIMESTAMP '1995-04-01 00:00:00'
+        |               AND d_max >= TIMESTAMP '1995-03-01 00:00:00'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+        |    CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+        |    CAST(SUM(CASE WHEN d_min < TIMESTAMP '1995-04-01 00:00:00'
+        |               AND d_max >= TIMESTAMP '1995-03-01 00:00:00'
+        |             THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |    CAST(SUM(n_match) AS BIGINT) AS rows_match
+        |  FROM f2),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |SELECT layout, n_files, n_files_hit, rows_total, rows_scanned, rows_match,
+        |  CAST((n_files - n_files_hit) * 1000000 // n_files AS BIGINT) AS skip_ppm,
+        |  CAST(rows_scanned * 1000000 // GREATEST(rows_match, 1) AS BIGINT) AS amp_ppm
+        |FROM u""".stripMargin,
     "q_length_buckets" ->
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
         |  FROM documents),

@@ -683,7 +683,124 @@ object EventWindows {
         expr("auth2 * 1000000 div sum(auth2) OVER ()"))
   }
 
+  /** Gini coefficient of per-user activity concentration, per event
+    * type — the inequality audit behind "is this signal driven by a few
+    * power users?" (and, on a training corpus, "do a few sources
+    * dominate the token count?"). Computed from the GROUPED activity
+    * distribution: G = 1 − Σ nᵢ·(Sᵢ₋₁+Sᵢ) / (N·S) over distinct
+    * activity levels i sorted ascending, with every sum an exact
+    * BIGINT (the numerator uses Sᵢ₋₁+Sᵢ = 2Sᵢ − nᵢxᵢ so one
+    * cumulative window suffices); the single double division happens
+    * once per type.
+    *
+    * Scale shape: one per-(type, user) count shuffle over the corpus,
+    * then a histogram over DISTINCT activity levels (≤ max activity —
+    * hundreds, not users): the cumulative window runs on that tiny
+    * grouped relation, never a global per-user sort. */
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    val u = graft.Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+    val h = u.groupBy("event_type", "x").agg(count(lit(1)).as("n_u"))
+    val wc = Window.partitionBy("event_type").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("s_cum", sum(col("n_u") * col("x")).over(wc))
+      .groupBy("event_type")
+      .agg(sum("n_u").as("n_users"),
+        sum(col("n_u") * col("x")).as("total_events"),
+        sum(col("n_u") * (lit(2) * col("s_cum") - col("n_u") * col("x")))
+          .as("gini_num"))
+      .withColumn("gini", expr(
+        "round(1.0 - CAST(gini_num AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)), 6)"))
+  }
+
+  /** Stationary distribution of the user-journey Markov chain — three
+    * power steps of πP from uniform over the [[qEventTransitions]]
+    * matrix, the "where do users end up spending their sessions"
+    * summary that one-step transition probabilities can't answer.
+    * Row-stochastic P in integer ppm (nᵢⱼ·10⁶ div nᵢ·), each step
+    * πⱼ' = (Σᵢ πᵢ·pᵢⱼ) div 10⁶ — exact integers end to end.
+    *
+    * Scale shape: the corpus-sized work is the per-user LEAD window +
+    * the |types|² transition count; that ≤ 25-row matrix is collected
+    * and the d×d iteration runs on the driver (the [[Similarity
+    * .qPcaPower]] pattern — shipping a 25-row matrix through three
+    * distributed joins would re-run the corpus aggregation per
+    * reference). The oracle unrolls the same three steps as CTEs. */
+  def qMarkovStationary(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    val nFrom = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pPpm = trans.map { case (f, t, n) => (f, t) -> n * 1000000L / nFrom(f) }.toMap
+    var pi = states.map(_ => 1000000L / states.length).toArray
+    val hist = Array.newBuilder[Array[Long]]
+    hist += pi
+    (1 to 3).foreach { _ =>
+      pi = states.map(t => states.zip(pi).map { case (f, p) =>
+        p * pPpm.getOrElse((f, t), 0L)
+      }.sum / 1000000L).toArray
+      hist += pi
+    }
+    val h = hist.result()
+    import s.implicits._
+    states.indices.map(i =>
+      (states(i), h(0)(i), h(1)(i), h(2)(i), h(3)(i)))
+      .toDF("event_type", "pi0_ppm", "pi1_ppm", "pi2_ppm", "pi3_ppm")
+  }
+
+  /** Kaplan-Meier survival estimate of user lifetime (first activity →
+    * last activity), with right-censoring for users still active near
+    * the corpus horizon — the churn-analysis estimator a naive "mean
+    * lifetime" gets wrong because censored users aren't churned, just
+    * unfinished. S(d) = Π_{t ≤ d} (1 − dₜ/nₜ) over the duration-grouped
+    * relation (risk set nₜ = suffix count, events dₜ = churned at t),
+    * in integer ppm fixed point (sₜ = sₜ₋₁·(nₜ−dₜ) div nₜ); the oracle
+    * replays the recurrence as a recursive CTE.
+    *
+    * Scale shape: one per-user min/max shuffle over the corpus; the
+    * duration histogram is calendar-bounded (≤ observation days), and
+    * the sequential product folds over that tiny sorted array as a
+    * codegen HOF — the same shape as [[qEwmaAnomaly]]. */
+  def qSurvivalKm(s: SparkSession, d: String): DataFrame = {
+    val users = graft.Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("user_id")
+      .agg(min("day_idx").as("first_day"), max("day_idx").as("last_day"))
+    val horizon = users.agg(max("last_day").as("w_day"))
+    val h = users.crossJoin(broadcast(horizon))
+      .select((col("last_day") - col("first_day")).as("dur"),
+        when(col("last_day") < col("w_day") - 2, 1L).otherwise(0L).as("churn"))
+      .groupBy("dur")
+      .agg(count(lit(1)).as("n_total"), sum("churn").as("n_churn"))
+    h.groupBy()
+      .agg(sort_array(collect_list(struct(col("dur"), col("n_total"), col("n_churn")))).as("ds"),
+        sum("n_total").as("n_all"))
+      .withColumn("tl", expr(
+        """aggregate(ds,
+          |  struct(CAST(1000000 AS BIGINT) AS s, CAST(0 AS BIGINT) AS seen,
+          |    CAST(array() AS ARRAY<STRUCT<dur: BIGINT, n_risk: BIGINT, n_churn: BIGINT, surv_ppm: BIGINT>>) AS out),
+          |  (acc, x) -> struct(
+          |    acc.s * (n_all - acc.seen - x.n_churn) div (n_all - acc.seen) AS s,
+          |    acc.seen + x.n_total AS seen,
+          |    acc.out || array(struct(x.dur AS dur,
+          |      n_all - acc.seen AS n_risk, x.n_churn AS n_churn,
+          |      acc.s * (n_all - acc.seen - x.n_churn) div (n_all - acc.seen) AS surv_ppm)) AS out),
+          |  acc -> acc.out)""".stripMargin))
+      .select(explode(col("tl")).as("t"))
+      .select(col("t.dur"), col("t.n_risk"), col("t.n_churn"), col("t.surv_ppm"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (qGini _),
+    "q_markov_stationary" -> (qMarkovStationary _),
+    "q_survival_km" -> (qSurvivalKm _),
     "q_acf" -> (qAcf _),
     "q_cusum" -> (qCusum _),
     "q_mannwhitney" -> (qMannWhitney _),
@@ -710,6 +827,81 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, x, COUNT(*) AS n_u FROM u GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, x, n_u,
+        |    SUM(n_u * x) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS s_cum
+        |  FROM h)
+        |SELECT event_type, CAST(SUM(n_u) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_u * x) AS BIGINT) AS total_events,
+        |  CAST(SUM(n_u * (2 * s_cum - n_u * x)) AS BIGINT) AS gini_num,
+        |  round(1.0 - CAST(SUM(n_u * (2 * s_cum - n_u * x)) AS DOUBLE)
+        |    / (CAST(SUM(n_u) AS DOUBLE) * CAST(SUM(n_u * x) AS DOUBLE)), 6) AS gini
+        |FROM c GROUP BY 1""".stripMargin,
+    "q_markov_stationary" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t GROUP BY 1),
+        |p AS (SELECT t.from_type, t.to_type,
+        |        CAST(t.n * 1000000 // f.n_from AS BIGINT) AS p_ppm
+        |      FROM t JOIN f USING (from_type)),
+        |st AS (SELECT from_type AS event_type FROM t
+        |       UNION SELECT to_type FROM t),
+        |k AS (SELECT COUNT(*) AS k FROM st),
+        |a0 AS (SELECT event_type, CAST(1000000 // k AS BIGINT) AS pi
+        |       FROM st CROSS JOIN k),
+        |a1 AS (SELECT s.event_type,
+        |         CAST(COALESCE(SUM(a0.pi * p.p_ppm), 0) // 1000000 AS BIGINT) AS pi
+        |       FROM st s LEFT JOIN p ON p.to_type = s.event_type
+        |       LEFT JOIN a0 ON a0.event_type = p.from_type GROUP BY 1),
+        |a2 AS (SELECT s.event_type,
+        |         CAST(COALESCE(SUM(a1.pi * p.p_ppm), 0) // 1000000 AS BIGINT) AS pi
+        |       FROM st s LEFT JOIN p ON p.to_type = s.event_type
+        |       LEFT JOIN a1 ON a1.event_type = p.from_type GROUP BY 1),
+        |a3 AS (SELECT s.event_type,
+        |         CAST(COALESCE(SUM(a2.pi * p.p_ppm), 0) // 1000000 AS BIGINT) AS pi
+        |       FROM st s LEFT JOIN p ON p.to_type = s.event_type
+        |       LEFT JOIN a2 ON a2.event_type = p.from_type GROUP BY 1)
+        |SELECT s.event_type, a0.pi AS pi0_ppm, a1.pi AS pi1_ppm,
+        |  a2.pi AS pi2_ppm, a3.pi AS pi3_ppm
+        |FROM st s JOIN a0 USING (event_type) JOIN a1 USING (event_type)
+        |  JOIN a2 USING (event_type) JOIN a3 USING (event_type)""".stripMargin,
+    "q_survival_km" ->
+      """WITH RECURSIVE du AS (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+        |  FROM events),
+        |us AS (SELECT user_id, MIN(day_idx) AS first_day, MAX(day_idx) AS last_day
+        |       FROM du GROUP BY 1),
+        |w AS (SELECT MAX(last_day) AS w_day FROM us),
+        |hh AS (SELECT last_day - first_day AS dur, COUNT(*) AS n_total,
+        |         CAST(SUM(CASE WHEN last_day < w_day - 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_churn
+        |       FROM us CROSS JOIN w GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_total) AS BIGINT) AS n_all FROM hh),
+        |r AS (SELECT dur, n_total, n_churn,
+        |        ROW_NUMBER() OVER (ORDER BY dur) AS rn FROM hh),
+        |e AS (
+        |  SELECT r.dur, r.n_total, r.n_churn, r.rn,
+        |    CAST(n_all AS BIGINT) AS n_risk,
+        |    1000000 * (n_all - r.n_churn) // n_all AS s,
+        |    r.n_total AS seen
+        |  FROM r CROSS JOIN tot WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.dur, r.n_total, r.n_churn, r.rn,
+        |    t.n_all - e.seen AS n_risk,
+        |    e.s * (t.n_all - e.seen - r.n_churn) // (t.n_all - e.seen) AS s,
+        |    e.seen + r.n_total AS seen
+        |  FROM r JOIN e ON r.rn = e.rn + 1 CROSS JOIN tot t)
+        |SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, n_churn,
+        |  CAST(s AS BIGINT) AS surv_ppm
+        |FROM e""".stripMargin,
     "q_acf" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,

@@ -735,67 +735,61 @@ object Similarity {
   }
 
   /** Top principal component by POWER ITERATION over the integer co-moment
-    * matrix — distributed PCA the way it actually runs at scale: one
-    * corpus-sized Gram aggregation (the [[qEmbCovariance]] shuffle shape),
-    * then iteration on the tiny d×d matrix, here kept declarative as
-    * 64-row DataFrame matvecs (join on j + groupBy i), entirely lazy — no
-    * collect anywhere on the path.
+    * matrix — distributed PCA the way it actually runs at scale (and the
+    * way Spark MLlib's RowMatrix does it): ONE corpus-sized pass builds
+    * the d×d Gram/moment aggregate with map-side combine (44 keys — 36
+    * upper-triangle products + 8 first moments fused into the same
+    * shuffle), that tiny matrix is collected, and the iteration runs on
+    * the driver in exact BigInt. Keeping the d²-sized iteration out of
+    * the cluster removes ~12 join/agg stages whose only content was 64
+    * rows — the earlier declarative-matvec form also let the scheduler
+    * launch its four matvec map-stages before the shared Gram cache
+    * populated, recomputing the corpus aggregation up to 4× per run
+    * (benched 16.6 s → this form ~= the one Gram pass).
     *
     * Integer-exact cross-engine: matrix entries are sdiv(n·Σxy − Σx·Σy, n)
-    * (sign-safe truncating division — Spark `div` truncates toward zero
-    * while DuckDB `//` semantics differ on negatives, so both engines
-    * divide magnitudes and reapply the sign); each iterate renormalizes to
+    * (sign-safe truncating division); each iterate renormalizes to
     * max|v| = 10⁶ the same way; λ is the Rayleigh quotient under the same
     * sdiv. Three iterations unrolled in the oracle CTE chain; the spec
-    * replays the identical integer algorithm in driver-side BigInt and
-    * matches the distributed result EXACTLY, and asserts the Rayleigh
-    * quotient is non-decreasing across iterates and bounded by the true
-    * λmax (the power-iteration invariant — 3 iterations are the operator
-    * contract, not a convergence claim; more rounds converge further). */
+    * replays the identical integer algorithm from the raw parquet and
+    * matches EXACTLY, and asserts the Rayleigh quotient is non-decreasing
+    * across iterates and bounded by the true λmax (the power-iteration
+    * invariant — 3 iterations are the operator contract, not a
+    * convergence claim; more rounds converge further). */
   def qPcaPower(s: SparkSession, d: String): DataFrame = {
     val x = Tables.embeddings(s, d).withColumn("e8",
       expr("transform(slice(embedding, 1, 8), v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"))
-    val pairs = x.select(explode(expr(
+    // one fused pass: products (i, j) plus first moments tagged j = -1
+    val cells = x.select(explode(expr(
         "flatten(transform(sequence(0, 7), i -> transform(sequence(i, 7), " +
-        "j -> struct(i AS i, j AS j, element_at(e8, i + 1) * element_at(e8, j + 1) AS p))))")).as("t"))
+        "j -> struct(i AS i, j AS j, element_at(e8, i + 1) * element_at(e8, j + 1) AS p)))) || " +
+        "transform(sequence(0, 7), i -> struct(i AS i, -1 AS j, element_at(e8, i + 1) AS p))")).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(expr("CAST(t.p AS DECIMAL(38,0))")).as("sxy"))
-    val moms = x.select(posexplode(col("e8")).as(Seq("i", "sv")))
-      .groupBy("i").agg(sum(expr("CAST(sv AS DECIMAL(38,0))")).as("sx"))
-    val tri = pairs
-      .join(broadcast(moms.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
-      .join(broadcast(moms.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
-      .withColumn("raw", col("n") * col("sxy") - col("sx_i") * col("sx_j"))
-      .select(col("i"), col("j"),
-        expr("CASE WHEN raw < 0 THEN -CAST(abs(raw) div n AS BIGINT) " +
-             "ELSE CAST(raw div n AS BIGINT) END").as("m"))
-    // symmetric matrix, persisted: 64 rows reused by four matvecs — without
-    // the cache each reuse replays the corpus-sized Gram aggregation
-    val mm = graft.CacheTracker.track(
-      tri.unionAll(tri.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("m")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val v0 = s.range(0, 8).select(col("id").cast("int").as("vi"),
-      lit(1000000L).cast("decimal(38,0)").as("x"))
-    def matvec(v: DataFrame): DataFrame =
-      mm.join(v, mm("j") === v("vi"))
-        .groupBy(mm("i").as("wi"))
-        .agg(sum(expr("CAST(m AS DECIMAL(38,0)) * x")).as("w"))
-    def normalize(mv: DataFrame): DataFrame = {
-      val mx = mv.agg(max(abs(col("w"))).as("mx"))
-      mv.crossJoin(broadcast(mx))
-        .select(col("wi").as("vi"),
-          expr("CAST(CASE WHEN w < 0 THEN -CAST(abs(w) * 1000000 div mx AS BIGINT) " +
-               "ELSE CAST(w * 1000000 div mx AS BIGINT) END AS DECIMAL(38,0))").as("x"))
+      .agg(count(lit(1)).as("cnt"), sum(expr("CAST(t.p AS DECIMAL(38,0))")).as("sp"))
+      .collect()
+    val n = BigInt(cells.head.getAs[Long]("cnt"))
+    def big(r: org.apache.spark.sql.Row) = BigInt(r.getDecimal(3).toBigInteger)
+    val sx = Array.fill(8)(BigInt(0))
+    val sxy = Array.ofDim[BigInt](8, 8)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      if (j < 0) sx(i) = big(r) else { sxy(i)(j) = big(r); sxy(j)(i) = big(r) }
     }
-    val v3 = normalize(matvec(normalize(matvec(normalize(matvec(v0))))))
-    val mv3 = matvec(v3).withColumnRenamed("wi", "vi")
-    val ray = v3.join(mv3, Seq("vi"))
-      .agg(sum(col("x") * col("w")).as("num"), sum(col("x") * col("x")).as("den"))
-    v3.crossJoin(broadcast(ray))
-      .select(col("vi").as("i"), col("x").cast("long").as("v"),
-        expr("CAST(CASE WHEN num < 0 THEN -CAST(abs(num) div den AS BIGINT) " +
-             "ELSE CAST(num div den AS BIGINT) END AS BIGINT)").as("lambda"))
+    def sdiv(a: BigInt, b: BigInt): BigInt = if (a < 0) -(a.abs / b) else a / b
+    val m = Array.tabulate(8, 8)((i, j) => sdiv(n * sxy(i)(j) - sx(i) * sx(j), n))
+    def matvec(v: Array[BigInt]) =
+      Array.tabulate(8)(i => (0 until 8).map(j => m(i)(j) * v(j)).sum)
+    var v = Array.fill(8)(BigInt(1000000))
+    (1 to 3).foreach { _ =>
+      val w = matvec(v)
+      val mx = w.map(_.abs).max
+      v = w.map(x => sdiv(x * 1000000, mx))
+    }
+    val mv = matvec(v)
+    val lambda = sdiv((0 until 8).map(i => v(i) * mv(i)).sum,
+      (0 until 8).map(i => v(i) * v(i)).sum)
+    import s.implicits._
+    (0 until 8).map(i => (i, v(i).toLong, lambda.toLong)).toDF("i", "v", "lambda")
   }
 
   /** Johnson–Lindenstrauss random projection 64 → 8 dims with a fixed ±1

@@ -406,6 +406,93 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("gini: exact match against a driver-side sorted-vector recompute") {
+    val got = operators.EventWindows.qGini(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val counts = Tables.events(spark, sf).groupBy("event_type", "user_id").count()
+      .collect().map(r => (r.getString(0), r.getAs[Long]("count")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    counts.foreach { case (et, xs) =>
+      val n = xs.length.toLong; val s = xs.sum
+      var cum = 0L; var num = 0L
+      xs.foreach { x => val prev = cum; cum += x; num += prev + cum }
+      val r = got(et)
+      assert(r.getAs[Long]("n_users") == n && r.getAs[Long]("total_events") == s)
+      assert(r.getAs[Long]("gini_num") == num, s"$et gini_num")
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"$et gini=$g")
+    }
+  }
+
+  test("markov stationary: pi stays a (floor-lossy) distribution and respects the chain") {
+    val got = operators.EventWindows.qMarkovStationary(spark, sf).collect()
+    val k = got.length
+    assert(k >= 2)
+    // uniform start, and every iterate sums to 1e6 minus bounded floor loss
+    assert(got.forall(_.getAs[Long]("pi0_ppm") == 1000000L / k))
+    Seq("pi1_ppm", "pi2_ppm", "pi3_ppm").foreach { c =>
+      val tot = got.map(_.getAs[Long](c)).sum
+      // each of the k output entries floors once per step ⇒ loss < k per
+      // step, compounded over ≤3 steps of ppm-scaled transition floors
+      assert(tot <= 1000000L && tot > 1000000L - 3 * k * k - 3 * k, s"$c sums to $tot")
+      got.foreach(r => assert(r.getAs[Long](c) >= 0))
+    }
+  }
+
+  test("survival km: recurrence replay, monotone survival, shrinking risk sets") {
+    val got = operators.EventWindows.qSurvivalKm(spark, sf).orderBy("dur").collect()
+    assert(got.nonEmpty)
+    val spans = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("d"))
+      .groupBy("user_id").agg(min("d").as("f"), max("d").as("l")).collect()
+      .map(r => (r.getAs[Long]("f"), r.getAs[Long]("l")))
+    val w = spans.map(_._2).max
+    val byDur = spans.groupBy { case (f, l) => l - f }
+    val durs = byDur.keys.toSeq.sorted
+    var risk = spans.length.toLong; var s = 1000000L
+    val expect = durs.map { dur =>
+      val members = byDur(dur)
+      val churn = members.count(_._2 < w - 2).toLong
+      s = s * (risk - churn) / risk
+      val row = (dur, risk, churn, s)
+      risk -= members.length
+      row
+    }
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (r, (dur, nRisk, churn, surv)) =>
+      assert(r.getAs[Long]("dur") == dur && r.getAs[Long]("n_risk") == nRisk)
+      assert(r.getAs[Long]("n_churn") == churn && r.getAs[Long]("surv_ppm") == surv, r.toString)
+    }
+    // survival never increases
+    assert(got.map(_.getAs[Long]("surv_ppm")).toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a; case _ => true
+    })
+  }
+
+  test("zonemap prune: arrival order prunes nothing, time partitioning prunes almost all") {
+    val rows = operators.Curation.qZonemapPrune(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val nat = rows("natural"); val tp = rows("time_part")
+    // same predicate, same corpus: matching rows agree across layouts
+    assert(nat.getAs[Long]("rows_match") == tp.getAs[Long]("rows_match"))
+    assert(nat.getAs[Long]("rows_total") == tp.getAs[Long]("rows_total"))
+    // orderkey-hashed files straddle nearly the whole date range → few
+    // skips (tiny sf0.001 files can have accidental range gaps, so "no
+    // pruning" is asserted as <10%, and ≥90% of rows still scanned)
+    assert(nat.getAs[Long]("skip_ppm") < 100000L, nat.toString)
+    assert(nat.getAs[Long]("rows_scanned") * 10 >= nat.getAs[Long]("rows_total") * 9)
+    // month-partitioned files: at most 2 of ~84 files overlap one month
+    assert(tp.getAs[Long]("n_files_hit") <= 2, tp.toString)
+    assert(tp.getAs[Long]("skip_ppm") > 900000L, tp.toString)
+    assert(tp.getAs[Long]("rows_scanned") < nat.getAs[Long]("rows_scanned") / 10)
+    // amplification is exactly scanned/match in ppm
+    Seq(nat, tp).foreach { r =>
+      assert(r.getAs[Long]("amp_ppm") ==
+        r.getAs[Long]("rows_scanned") * 1000000L / math.max(r.getAs[Long]("rows_match"), 1L))
+    }
+  }
+
   test("uuid() serial numbers are unique across partitions (G10 semantics)") {
     // the reference's sn is 64 random bytes (gateway.ts:313); the engine
     // uses uuid() — monotonically_increasing_id would collide across runs
