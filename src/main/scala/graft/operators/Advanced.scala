@@ -810,7 +810,35 @@ object Advanced {
         round(col("rs").cast("double") / col("n"), 4).as("raw_mean"))
   }
 
+  /** Benford's-law first-digit audit of order totals — the
+    * fabricated-data / broken-generator screen from forensic
+    * accounting, applied as a data-quality check: naturally-occurring
+    * multiplicative amounts have first-digit frequencies ≈ log10(1+1/d),
+    * while synthetic or truncated columns deviate sharply. (TPC-H
+    * totals are sums of uniform prices, so this corpus legitimately
+    * deviates — the audit REPORTS the deviation; the spec asserts the
+    * digit histogram and flags, not conformance.) Observed shares come
+    * from exact BIGINT counts; the expected share ln(1+1/d)/ln(10) and
+    * the comparison are per-digit doubles computed identically in both
+    * engines.
+    *
+    * Scale shape: pure map-side digit extraction + a 9-key
+    * map-side-combined aggregate — one scan, no join, no corpus-sized
+    * shuffle at any scale. */
+  def qBenford(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      .withColumn("n_total", sum("n_orders").over(Window.partitionBy()))
+      .select(col("digit"), col("n_orders"),
+        expr("round(CAST(n_orders AS DOUBLE) / n_total, 6)").as("obs_frac"),
+        expr("round(ln(1.0 + 1.0 / digit) / ln(10.0), 6)").as("exp_benford"),
+        expr("abs(round(CAST(n_orders AS DOUBLE) / n_total, 6) - round(ln(1.0 + 1.0 / digit) / ln(10.0), 6)) < 0.02")
+          .as("within_2pct"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (qBenford _),
     "q_winsorize" -> (qWinsorize _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_jackknife" -> (qJackknife _),
@@ -852,6 +880,17 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n_orders FROM dg GROUP BY 1),
+        |t AS (SELECT digit, n_orders, CAST(SUM(n_orders) OVER () AS BIGINT) AS n_total FROM g)
+        |SELECT digit, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / n_total, 6) AS obs_frac,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS exp_benford,
+        |  abs(round(CAST(n_orders AS DOUBLE) / n_total, 6) - round(ln(1.0 + 1.0 / digit) / ln(10.0), 6)) < 0.02 AS within_2pct
+        |FROM t""".stripMargin,
     "q_winsorize" ->
       """WITH l AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q
         |  FROM lineitem),

@@ -797,7 +797,42 @@ object EventWindows {
       .select(col("t.dur"), col("t.n_risk"), col("t.n_churn"), col("t.surv_ppm"))
   }
 
+  /** Theil-Sen robust trend estimation of daily event volume — the
+    * median of all pairwise slopes, the robust-regression counterpart
+    * to [[qHoltTrend]]'s smoother: a single anomalous day (outage,
+    * backfill spike) drags a least-squares slope but moves the slope
+    * MEDIAN almost nothing. Slopes are exact integer ppm/day via the
+    * positive-remainder floor division (slopes can be negative; day
+    * gaps are positive), and the reported slope is the exact LOWER
+    * median — no interpolation, no floats.
+    *
+    * Scale shape: corpus-sized work is the map-side-combined
+    * (type, day) count; the pair join and median rank run over
+    * O(calendar days²) rows per type — bounded by the date range, not
+    * the corpus. */
+  def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val b = daily.select(col("event_type").as("et2"), col("day_idx").as("d2"),
+      col("n").as("n2"))
+    val slopes = daily.join(b, col("et2") === col("event_type") && col("d2") > col("day_idx"))
+      .withColumn("slope_ppm", expr(
+        """((n2 - n) * 1000000 - ((((n2 - n) * 1000000) % (d2 - day_idx) + (d2 - day_idx)) % (d2 - day_idx)))
+          |  div (d2 - day_idx)""".stripMargin))
+    val wr = Window.partitionBy("event_type").orderBy(col("slope_ppm"), col("day_idx"), col("d2"))
+    slopes
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("slope_ppm").as("slope_min"), max("slope_ppm").as("slope_max"),
+        max(when(expr("rn = (cnt + 1) div 2"), col("slope_ppm"))).as("slope_med_ppm"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theilsen" -> (qTheilSen _),
     "q_gini" -> (qGini _),
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_survival_km" -> (qSurvivalKm _),
@@ -827,6 +862,28 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, a.day_idx, b.day_idx AS d2,
+        |    CAST(((b.n - a.n) * 1000000
+        |      - ((((b.n - a.n) * 1000000) % (b.day_idx - a.day_idx) + (b.day_idx - a.day_idx)) % (b.day_idx - a.day_idx)))
+        |      // (b.day_idx - a.day_idx) AS BIGINT) AS slope_ppm
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.day_idx > a.day_idx),
+        |r AS (
+        |  SELECT event_type, slope_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_ppm, day_idx, d2) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM p)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(slope_ppm) AS BIGINT) AS slope_min,
+        |  CAST(MAX(slope_ppm) AS BIGINT) AS slope_max,
+        |  CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN slope_ppm END) AS BIGINT) AS slope_med_ppm
+        |FROM r GROUP BY 1""".stripMargin,
     "q_gini" ->
       """WITH u AS (
         |  SELECT event_type, user_id, COUNT(*) AS x FROM events GROUP BY 1, 2),

@@ -90,9 +90,52 @@ object Multimodal {
         (col("chunk_idx") * 500).cast("int").as("chunk_start_ms"),
         expr("md5(substring(text, chunk_idx * 50 + 1, 50))").as("chunk_hash"))
 
+  /** ViT-style preprocessing plan for "image" payloads (doc_id % 3 == 0,
+    * the stub decoder's png branch): aspect-preserving resize into a
+    * 224×224 canvas (integer ppm scale factor, centered letterbox
+    * padding — the plan a real `torchvision.Resize+CenterCrop` executes)
+    * followed by the 16×16 patch-grid explode, one row per patch with a
+    * content-derived hash standing in for patch pixels. This is the
+    * fan-out stage that feeds a vision-encoder batch; swapping the stub
+    * hash for a real pixel slice keeps the schema, partitioning, and
+    * ~196× generator fan-out identical.
+    *
+    * Scale shape: map-side only — metadata arithmetic plus one
+    * generator explode per image; no shuffle at any scale (the
+    * downstream encoder repartitions by its own batch size). */
+  def qMultimodalPatches(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("byte_len", octet_length(col("text")))
+      .withColumn("width", (lit(16) + (col("byte_len") * 7) % 624).cast("int"))
+      .withColumn("height", (lit(16) + (col("byte_len") * 13) % 464).cast("int"))
+      .withColumn("scale_ppm", least(
+        expr("CAST(224 * 1000000 div width AS BIGINT)"),
+        expr("CAST(224 * 1000000 div height AS BIGINT)")))
+      .withColumn("rs_w", expr("CAST(width * scale_ppm div 1000000 AS INT)"))
+      .withColumn("rs_h", expr("CAST(height * scale_ppm div 1000000 AS INT)"))
+      .withColumn("pad_x", expr("CAST((224 - rs_w) div 2 AS INT)"))
+      .withColumn("pad_y", expr("CAST((224 - rs_h) div 2 AS INT)"))
+      // at least one patch per axis: extreme aspect ratios can letterbox
+      // a side below 16px, and a real preprocessor still emits the
+      // padded patch (also keeps the generator's sequence() ascending)
+      .withColumn("gx", expr("greatest(CAST(rs_w div 16 AS INT), 1)"))
+      .withColumn("gy", expr("greatest(CAST(rs_h div 16 AS INT), 1)"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale_ppm"),
+        col("rs_w"), col("rs_h"), col("pad_x"), col("pad_y"), col("text"),
+        explode(expr(
+          """flatten(transform(sequence(0, gy - 1), py ->
+            |  transform(sequence(0, gx - 1), px ->
+            |    struct(px AS px, py AS py, py * gx + px AS pidx))))""".stripMargin)).as("t"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale_ppm"),
+        col("rs_w"), col("rs_h"), col("pad_x"), col("pad_y"),
+        col("t.px"), col("t.py"),
+        expr("md5(substring(text, t.pidx * 29 + 1, 29))").as("patch_hash"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_patches" -> (qMultimodalPatches _),
     "q_multimodal_audio" -> (qMultimodalAudio _))
 
   val oracle: Map[String, String] = Map(
@@ -105,6 +148,31 @@ object Multimodal {
         |  CAST(16 + (octet_length(encode(text)) * 13) % 464 AS INTEGER) AS height,
         |  CAST(1 + least(octet_length(encode(text)) // 100, 4) AS INTEGER) AS n_frames
         |FROM documents""".stripMargin,
+    "q_multimodal_patches" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS byte_len
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    CAST(16 + (byte_len * 7) % 624 AS INTEGER) AS width,
+        |    CAST(16 + (byte_len * 13) % 464 AS INTEGER) AS height
+        |  FROM m),
+        |sc AS (
+        |  SELECT *, CAST(LEAST(224 * 1000000 // width, 224 * 1000000 // height) AS BIGINT) AS scale_ppm
+        |  FROM g),
+        |rs AS (
+        |  SELECT *, CAST(width * scale_ppm // 1000000 AS INTEGER) AS rs_w,
+        |    CAST(height * scale_ppm // 1000000 AS INTEGER) AS rs_h
+        |  FROM sc),
+        |grid AS (
+        |  SELECT *, CAST((224 - rs_w) // 2 AS INTEGER) AS pad_x,
+        |    CAST((224 - rs_h) // 2 AS INTEGER) AS pad_y,
+        |    GREATEST(rs_w // 16, 1) AS gx, GREATEST(rs_h // 16, 1) AS gy
+        |  FROM rs)
+        |SELECT doc_id, width, height, scale_ppm, rs_w, rs_h, pad_x, pad_y,
+        |  CAST(px AS INTEGER) AS px, CAST(py AS INTEGER) AS py,
+        |  md5(substring(text, CAST((py * gx + px) * 29 + 1 AS INTEGER), 29)) AS patch_hash
+        |FROM grid, unnest(range(0, gy)) AS ty(py), unnest(range(0, gx)) AS tx(px)""".stripMargin,
     "q_multimodal_audio" ->
       """WITH a AS (
         |  SELECT doc_id, text,

@@ -125,6 +125,58 @@ object Similarity {
         col("ip8"), col("cosine"))
   }
 
+  /** NDCG@10 retrieval-quality evaluation of the SQ8 quantized ranking
+    * ([[qSimSq8]]) against the exact-cosine ranking — the graded metric
+    * that recall@k can't provide: it scores WHERE the true neighbors
+    * land in the approximate list, not just whether they appear.
+    * Relevance is graded from the exact ranking (rel = 11 − true_rank
+    * for the true top-10, else 0); DCG folds rel/log₂(pos+1) over the
+    * predicted top-10 in position order (a sorted-array fold — the same
+    * left-to-right double discipline as the LM cross-entropy, so the
+    * sum is bit-identical cross-engine); IDCG is the perfect-list fold
+    * of the same terms.
+    *
+    * Scale shape: identical to the SQ8 search itself (train→broadcast-
+    * literal stats, map-side quantize, per-query rank windows); the
+    * NDCG reduction adds one ≤10-row fold per query. At 100 TB this is
+    * the eval you run on a query SAMPLE before trusting the compressed
+    * index — the plan shape is sample-size, not corpus-size. */
+  def qNdcgEval(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+    val stats = e.select(posexplode(col("ce")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("dim").collect()
+    val mns = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val mxs = array(stats.map(r => lit(r.getDouble(2))): _*)
+    val coded = e.withColumn("mn", mns).withColumn("mx", mxs)
+      .withColumn("code", expr(
+        "transform(sequence(0, 63), i -> CAST(floor((ce[i] - (mn[i] + mx[i]) / 2) * 255 / (mx[i] - mn[i]) + 0.5) AS BIGINT))"))
+    val queries = coded.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"), col("ce").as("qe"))
+    val cands = coded.select(col("vec_id").as("c_id"), col("code").as("cc"), col("ce"))
+    val wPred = Window.partitionBy("q_id").orderBy(desc("ip8"), col("c_id"))
+    val wTrue = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
+    cands.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("ip8", expr(
+        "aggregate(zip_with(qc, cc, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("cos_r", expr(cosExpr))
+      .withColumn("pred_pos", row_number().over(wPred))
+      .withColumn("true_rank", row_number().over(wTrue))
+      .filter(col("pred_pos") <= 10)
+      .withColumn("rel", greatest(lit(0L), lit(11L) - col("true_rank")))
+      .groupBy("q_id")
+      .agg(sum(when(col("true_rank") <= 10, 1L).otherwise(0L)).as("n_hits"),
+        sort_array(collect_list(struct(col("pred_pos").as("pos"), col("rel").as("rel")))).as("pr"))
+      .withColumn("dcg", expr(
+        "aggregate(pr, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x.rel AS DOUBLE) / log2(CAST(x.pos + 1 AS DOUBLE)))"))
+      .withColumn("idcg", expr(
+        "aggregate(sequence(1, 10), CAST(0 AS DOUBLE), (acc, g) -> acc + CAST(11 - g AS DOUBLE) / log2(CAST(g + 1 AS DOUBLE)))"))
+      .select(col("q_id"), col("n_hits"),
+        expr("round(dcg / idcg, 6)").as("ndcg"))
+  }
+
   /** Deterministic hyperplane LSH codes: plane p's component i is the
     * integer-exact LCG `((1103515245·(p·131+i)+12345) mod 2^31)/2^31 −
     * 0.5`, evaluated by the fused codegen expression
@@ -836,6 +888,7 @@ object Similarity {
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_mips" -> (qSimMips _),
     "q_sim_sq8" -> (qSimSq8 _),
+    "q_ndcg_eval" -> (qNdcgEval _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
@@ -1276,6 +1329,42 @@ object Similarity {
         |SELECT q_id, rank, c_id AS neighbor_id,
         |  round(list_sum(list_transform(range(1, 65), i -> qemb[i] * cemb[i])), 6) AS ip
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_ndcg_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        |dm AS (SELECT i, MIN(ce[i]) AS mn, MAX(ce[i]) AS mx
+        |       FROM e, range(1, 65) t(i) GROUP BY i),
+        |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm),
+        |coded AS (SELECT vec_id, ce,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(floor((ce[i] - (mns[i] + mxs[i]) / 2) * 255 / (mxs[i] - mns[i]) + 0.5) AS BIGINT)) AS code
+        |  FROM e CROSS JOIN mm),
+        |j AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.code[i] * c.code[i])) AS BIGINT) AS ip8,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> q.ce[i] * c.ce[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> q.ce[i] * q.ce[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])))), 6) AS cos_r
+        |  FROM coded q JOIN coded c ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT q_id, c_id, ip8, cos_r,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip8 DESC, c_id) AS pred_pos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS true_rank
+        |  FROM j),
+        |t AS (
+        |  SELECT q_id,
+        |    CAST(SUM(CASE WHEN true_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |    list(struct_pack(pos := pred_pos, rel := GREATEST(0, 11 - true_rank))
+        |      ORDER BY pred_pos) AS pr
+        |  FROM r WHERE pred_pos <= 10 GROUP BY 1)
+        |SELECT q_id, n_hits,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(pr, x -> CAST(x.rel AS DOUBLE) / log2(CAST(x.pos + 1 AS DOUBLE)))),
+        |      (a, b) -> a + b)
+        |    / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, 11), g -> CAST(11 - g AS DOUBLE) / log2(CAST(g + 1 AS DOUBLE)))),
+        |      (a, b) -> a + b), 6) AS ndcg
+        |FROM t""".stripMargin,
     "q_sim_sq8" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |dm AS (SELECT i, MIN(ce[i]) AS mn, MAX(ce[i]) AS mx

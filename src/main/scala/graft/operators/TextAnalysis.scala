@@ -538,6 +538,56 @@ object TextAnalysis {
       .withColumn("pos_rate", expr("round(CAST(n_pos AS DOUBLE) / n_docs, 6)"))
   }
 
+  /** Mutual information between the lang and source columns — the
+    * information-theoretic association audit next to the chi² test
+    * ([[qChi2Contingency]]): MI in nats says how many bits-worth of a
+    * document's source its language reveals, and NMI = MI/√(H_l·H_s)
+    * normalizes it to [0,1] for cross-dataset comparison. A high value
+    * means the corpus mix is confounded (e.g. one crawl is all-German)
+    * — exactly what a training-mix planner needs to know before
+    * stratifying on either column alone.
+    *
+    * Float discipline: every probability comes from exact BIGINT
+    * counts; the entropy/MI sums fold over SORTED cell lists (by lang,
+    * source) so the double additions happen in the same order in both
+    * engines, then round to 6 dp.
+    *
+    * Scale shape: three map-side-combined aggregates over one scan
+    * (cells ≤ |langs|·|sources|, marginals smaller); the folds run on
+    * those tiny collected lists, the joins broadcast. */
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_ls"))
+    val rl = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val rs = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val mi = cells.join(broadcast(rl), "lang").join(broadcast(rs), "source")
+      .groupBy()
+      .agg(sum("n_ls").as("n_docs"),
+        sort_array(collect_list(struct(col("lang"), col("source"),
+          col("n_ls"), col("n_l"), col("n_s")))).as("cs"))
+    val hl = rl.groupBy()
+      .agg(sort_array(collect_list(struct(col("lang"), col("n_l")))).as("ls"))
+    val hs = rs.groupBy()
+      .agg(sort_array(collect_list(struct(col("source"), col("n_s")))).as("ss"))
+    mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .withColumn("mi_raw", expr(
+        """aggregate(cs, CAST(0 AS DOUBLE), (acc, x) ->
+          |  acc + (CAST(x.n_ls AS DOUBLE) / n_docs)
+          |      * ln(CAST(x.n_ls AS DOUBLE) * n_docs / (CAST(x.n_l AS DOUBLE) * x.n_s)))""".stripMargin))
+      .withColumn("hl_raw", expr(
+        """aggregate(ls, CAST(0 AS DOUBLE), (acc, x) ->
+          |  acc - (CAST(x.n_l AS DOUBLE) / n_docs) * ln(CAST(x.n_l AS DOUBLE) / n_docs))""".stripMargin))
+      .withColumn("hs_raw", expr(
+        """aggregate(ss, CAST(0 AS DOUBLE), (acc, x) ->
+          |  acc - (CAST(x.n_s AS DOUBLE) / n_docs) * ln(CAST(x.n_s AS DOUBLE) / n_docs))""".stripMargin))
+      .select(col("n_docs"),
+        expr("round(mi_raw, 6)").as("mi_nats"),
+        expr("round(hl_raw, 6)").as("h_lang"),
+        expr("round(hs_raw, 6)").as("h_source"),
+        expr("CASE WHEN hl_raw > 0 AND hs_raw > 0 THEN round(mi_raw / sqrt(hl_raw * hs_raw), 6) END")
+          .as("nmi"))
+  }
+
   /** Count-Min sketch heavy hitters (Cormode & Muthukrishnan '05) — the
     * frequency-sketch family alongside the HLL distinct-count sketch
     * (q_approx_distinct): a d=4 × w=512 counter grid where every word
@@ -888,6 +938,7 @@ object TextAnalysis {
     "q_gopher_quality" -> (qGopherQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_calibration" -> (qCalibration _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_chi2_contingency" -> (qChi2Contingency _),
     "q_sparse_cosine" -> (qSparseCosine _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
@@ -1179,6 +1230,37 @@ object TextAnalysis {
         |  CAST((sum_score_ppm - (((sum_score_ppm % n_docs) + n_docs) % n_docs)) // n_docs AS BIGINT) AS mean_score_ppm,
         |  round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate
         |FROM g""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n_ls FROM documents GROUP BY 1, 2),
+        |rl AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+        |rs AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |cl AS (
+        |  SELECT list(struct_pack(lang := c.lang, source := c.source,
+        |      n_ls := c.n_ls, n_l := rl.n_l, n_s := rs.n_s)
+        |      ORDER BY c.lang, c.source) AS cs
+        |  FROM cells c JOIN rl USING (lang) JOIN rs USING (source)),
+        |ll AS (SELECT list(struct_pack(lang := lang, n_l := n_l) ORDER BY lang) AS ls FROM rl),
+        |sl AS (SELECT list(struct_pack(source := source, n_s := n_s) ORDER BY source) AS ss FROM rs),
+        |f AS (
+        |  SELECT n_docs,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(cs, x ->
+        |      (CAST(x.n_ls AS DOUBLE) / n_docs)
+        |        * ln(CAST(x.n_ls AS DOUBLE) * n_docs / (CAST(x.n_l AS DOUBLE) * x.n_s)))),
+        |      (a, b) -> a + b) AS mi_raw,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ls, x ->
+        |      -(CAST(x.n_l AS DOUBLE) / n_docs) * ln(CAST(x.n_l AS DOUBLE) / n_docs))),
+        |      (a, b) -> a + b) AS hl_raw,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ss, x ->
+        |      -(CAST(x.n_s AS DOUBLE) / n_docs) * ln(CAST(x.n_s AS DOUBLE) / n_docs))),
+        |      (a, b) -> a + b) AS hs_raw
+        |  FROM cl CROSS JOIN ll CROSS JOIN sl CROSS JOIN tot)
+        |SELECT n_docs, round(mi_raw, 6) AS mi_nats,
+        |  round(hl_raw, 6) AS h_lang, round(hs_raw, 6) AS h_source,
+        |  CASE WHEN hl_raw > 0 AND hs_raw > 0
+        |    THEN round(mi_raw / sqrt(hl_raw * hs_raw), 6) END AS nmi
+        |FROM f""".stripMargin,
     "q_gopher_quality" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),

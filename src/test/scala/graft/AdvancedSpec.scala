@@ -493,6 +493,111 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("theil-sen: median slope from a driver-side all-pairs recompute, robust bounds") {
+    val got = operators.EventWindows.qTheilSen(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("d"))
+      .groupBy("event_type", "d").count().collect()
+      .map(r => (r.getString(0), r.getAs[Long]("d"), r.getAs[Long]("count")))
+      .groupBy(_._1)
+    daily.foreach { case (et, rows) =>
+      def fdiv(a: Long, b: Long) = { val m = ((a % b) + b) % b; (a - m) / b }
+      val pts = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(j)._1 > pts(i)._1
+      } yield fdiv((pts(j)._2 - pts(i)._2) * 1000000L, pts(j)._1 - pts(i)._1)).sorted
+      val r = got(et)
+      assert(r.getAs[Long]("n_pairs") == slopes.length)
+      assert(r.getAs[Long]("slope_min") == slopes.head)
+      assert(r.getAs[Long]("slope_max") == slopes.last)
+      assert(r.getAs[Long]("slope_med_ppm") == slopes((slopes.length + 1) / 2 - 1),
+        s"$et median")
+    }
+  }
+
+  test("benford: digit histogram covers 1-9 and shares reconcile exactly") {
+    val got = operators.Advanced.qBenford(spark, sf).collect()
+    val totals = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(r => r.getDouble(0).floor.toLong.toString.head.asDigit.toLong)
+    val byDigit = totals.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.map(_.getAs[Long]("digit")).toSet == byDigit.keySet)
+    got.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1 && d <= 9)
+      assert(r.getAs[Long]("n_orders") == byDigit(d))
+      val exp = r.getAs[Double]("exp_benford")
+      assert(math.abs(exp - math.log(1.0 + 1.0 / d) / math.log(10.0)) < 1e-6)
+      assert(r.getAs[Boolean]("within_2pct") ==
+        (math.abs(r.getAs[Double]("obs_frac") - exp) < 0.02))
+    }
+    assert(got.map(_.getAs[Long]("n_orders")).sum == totals.length)
+  }
+
+  test("mutual info: nonnegative, bounded by marginal entropies, driver recompute") {
+    val r = operators.TextAnalysis.qMutualInfo(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf).select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = docs.length.toDouble
+    def h(m: Map[String, Int]) =
+      -m.values.map(c => c / n * math.log(c / n)).sum
+    val hl = h(docs.groupBy(_._1).view.mapValues(_.length).toMap)
+    val hs = h(docs.groupBy(_._2).view.mapValues(_.length).toMap)
+    val joint = docs.groupBy(identity).view.mapValues(_.length).toMap
+    val rl = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    val rs = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val mi = joint.map { case ((l, s0), c) =>
+      c / n * math.log(c * n / (rl(l).toDouble * rs(s0))) }.sum
+    assert(r.getAs[Long]("n_docs") == docs.length)
+    assert(math.abs(r.getAs[Double]("mi_nats") - mi) < 1e-4, s"mi ${r.getAs[Double]("mi_nats")} vs $mi")
+    assert(math.abs(r.getAs[Double]("h_lang") - hl) < 1e-4)
+    assert(math.abs(r.getAs[Double]("h_source") - hs) < 1e-4)
+    // 0 <= MI <= min(H_l, H_s); NMI in [0, 1]
+    assert(r.getAs[Double]("mi_nats") >= -1e-9)
+    assert(r.getAs[Double]("mi_nats") <= math.min(hl, hs) + 1e-6)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9)
+  }
+
+  test("ndcg eval: perfect self-ranking bound, hits consistent, idcg normalization") {
+    val got = operators.Similarity.qNdcgEval(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg"); val hits = r.getAs[Long]("n_hits")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, r.toString)
+      assert(hits >= 0 && hits <= 10)
+      // a ranking with zero true-top-10 hits has zero graded gain
+      if (hits == 0) assert(ndcg == 0.0)
+      // and full-hit rankings can't be worse than the worst permutation
+      // of the ideal gains (0.5 is a loose floor for rel=11-rank grades)
+      if (hits == 10) assert(ndcg > 0.5, r.toString)
+    }
+  }
+
+  test("multimodal patches: grid geometry, letterbox bounds, fan-out count") {
+    val got = operators.Multimodal.qMultimodalPatches(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rows) =>
+      val r = rows.head
+      val (w, hgt) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (rw, rh) = (r.getAs[Int]("rs_w"), r.getAs[Int]("rs_h"))
+      // resized fits the canvas and preserves at least one axis near 224
+      assert(rw <= 224 && rh <= 224)
+      assert(rw == 224 || rh == 224 || math.max(rw, rh) >= 220, r.toString)
+      assert(r.getAs[Int]("pad_x") == (224 - rw) / 2)
+      assert(r.getAs[Int]("pad_y") == (224 - rh) / 2)
+      // scale is the min-axis ratio in ppm
+      assert(r.getAs[Long]("scale_ppm") ==
+        math.min(224L * 1000000 / w, 224L * 1000000 / hgt))
+      val gx = math.max(rw / 16, 1); val gy = math.max(rh / 16, 1)
+      assert(rows.length == gx * gy, s"fan-out ${rows.length} != $gx*$gy")
+      assert(rows.map(p => (p.getAs[Int]("px"), p.getAs[Int]("py"))).toSet
+        == (for (x <- 0 until gx; y <- 0 until gy) yield (x, y)).toSet)
+    }
+  }
+
   test("uuid() serial numbers are unique across partitions (G10 semantics)") {
     // the reference's sn is 64 random bytes (gateway.ts:313); the engine
     // uses uuid() — monotonically_increasing_id would collide across runs
