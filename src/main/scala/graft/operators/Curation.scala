@@ -241,6 +241,35 @@ object Curation {
       .withColumn("zcell", (col("z") / 256).cast("long"))
       .select("doc_id", "lang", "xb", "yb", "z", "zcell")
 
+  /** k-anonymity audit over quasi-identifiers (lang, source, coarse
+    * length bucket) — the release-safety check that complements the
+    * direct-identifier PII scrub (q_pii_scrub): a document whose
+    * quasi-identifier cell has k < 5 peers is re-identifiable by
+    * intersection even with PII removed. Reports each cell's k, its
+    * risk flag, and the k after one generalization step (length bucket
+    * coarsened 4×) — the ladder a disclosure-control pipeline climbs
+    * until every cell clears the threshold.
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus to
+    * cell granularity; the generalized k is a window SUM over the
+    * tiny cell relation (cells ≤ langs·sources·buckets), no second
+    * corpus pass. All integers — hash-exact. */
+  def qKAnon(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 200").as("len_bucket"))
+      .agg(count(lit(1)).as("k"))
+    val wGen = Window.partitionBy(col("lang"), col("source"),
+      expr("len_bucket div 4"))
+    cells
+      .withColumn("gen_bucket", expr("len_bucket div 4"))
+      .withColumn("k_gen", sum("k").over(wGen))
+      .select(col("lang"), col("source"), col("len_bucket"), col("k"),
+        (col("k") < 5).as("at_risk"),
+        col("gen_bucket"), col("k_gen"),
+        (col("k_gen") < 5).as("at_risk_after"))
+  }
+
   /** Zone-map pruning audit — the scan-economics number behind layout
     * decisions ([[qZorderLayout]] exists to improve it): simulate two
     * file layouts of lineitem (natural = orderkey-hashed files, i.e.
@@ -492,6 +521,7 @@ object Curation {
     "q_mix_budget" -> (qMixBudget _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_zonemap_prune" -> (qZonemapPrune _),
+    "q_k_anon" -> (qKAnon _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_shard_layout" -> (qShardLayout _),
@@ -501,6 +531,20 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_k_anon" ->
+      """WITH cells AS (
+        |  SELECT lang, source, n_chars // 200 AS len_bucket, COUNT(*) AS k
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT lang, source, len_bucket, k,
+        |    len_bucket // 4 AS gen_bucket,
+        |    CAST(SUM(k) OVER (PARTITION BY lang, source, len_bucket // 4) AS BIGINT) AS k_gen
+        |  FROM cells)
+        |SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+        |  k, (k < 5) AS at_risk,
+        |  CAST(gen_bucket AS BIGINT) AS gen_bucket, k_gen,
+        |  (k_gen < 5) AS at_risk_after
+        |FROM g""".stripMargin,
     "q_zonemap_prune" ->
       """WITH f1 AS (
         |  SELECT l_orderkey % 64 AS file_id, COUNT(*) AS n_rows,

@@ -833,7 +833,40 @@ object Dedup {
         col("n_chars"), col("keep"))
   }
 
+  /** Precision/recall/F1 of SimHash banded near-dup detection against
+    * the exact n-gram-Jaccard truth set — the eval a pipeline owner
+    * runs before swapping the expensive exact join for the cheap
+    * sketch: [[qDedupSimhashPairs]] (hamming ≤ 3) is the prediction,
+    * [[qDedupNgramJaccard]] (Jaccard ≥ 0.5, PPJoin-exact) the truth.
+    * TP/FP/FN come from one pair-key join; precision, recall, and
+    * F1 = 2TP/(|pred|+|truth|) derive from those three exact BIGINTs.
+    *
+    * Scale shape: both sub-pipelines keep their own shapes (banded
+    * buckets, prefix-filtered candidates); each pair set is persisted
+    * before the 2-way fan-out (count + join) so neither pipeline
+    * replays. At 100 TB this eval runs on a document SAMPLE — the
+    * metric, like any eval, doesn't need the full corpus. */
+  def qDedupEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pred = graft.CacheTracker.track(
+      qDedupSimhashPairs(s, d).select(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val truth = graft.CacheTracker.track(
+      qDedupNgramJaccard(s, d).select(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    pred.count(); truth.count() // fill both caches before the fan-out
+    val tp = pred.join(truth, Seq("a_id", "b_id"))
+    pred.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .select(col("n_pred"), col("n_truth"), col("n_tp"),
+        expr("round(CAST(n_tp AS DOUBLE) / greatest(n_pred, 1), 6)").as("prec"),
+        expr("round(CAST(n_tp AS DOUBLE) / greatest(n_truth, 1), 6)").as("rec"),
+        expr("round(CAST(2 * n_tp AS DOUBLE) / greatest(n_pred + n_truth, 1), 6)").as("f1"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_eval" -> (qDedupEval _),
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_graph_jaccard" -> (qGraphJaccard _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -900,6 +933,55 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_eval" -> {
+      val sums = (1 to 64).map(j =>
+        s"SUM(CASE WHEN ${simhashBit("h", j)} THEN 1 ELSE 0 END) AS c$j").mkString(",\n         |    ")
+      val bits = (1 to 64).map(j => s"(CASE WHEN 2 * c$j > n THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
+         |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+         |         WHERE len(shingles) > 0),
+         |g AS (SELECT doc_id, unnest(sset) AS gram FROM sets),
+         |candt AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+         |jt AS (
+         |  SELECT a_id, b_id,
+         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+         |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
+         |  FROM candt JOIN sets sa ON candt.a_id = sa.doc_id JOIN sets sb ON candt.b_id = sb.doc_id),
+         |truth AS (SELECT a_id, b_id FROM jt WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |wu AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM corpus),
+         |hh AS (SELECT doc_id, md5(wd) AS h FROM wu),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n,
+         |    $sums
+         |  FROM hh GROUP BY 1),
+         |sg2 AS (SELECT doc_id, $bits AS sig FROM cnt),
+         |banded AS (
+         |  SELECT doc_id, b AS band, substring(sig, b * 16 + 1, 16) AS bits
+         |  FROM sg2, unnest([0, 1, 2, 3]) AS t(b)),
+         |candp AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_filter(range(1, 65),
+         |      j -> substring(sa.sig, j, 1) <> substring(sb.sig, j, 1))) AS INTEGER) AS hamming
+         |  FROM candp JOIN sg2 sa ON candp.a_id = sa.doc_id JOIN sg2 sb ON candp.b_id = sb.doc_id),
+         |pred AS (SELECT a_id, b_id FROM v WHERE hamming <= 3),
+         |m AS (SELECT
+         |    (SELECT COUNT(*) FROM pred) AS n_pred,
+         |    (SELECT COUNT(*) FROM truth) AS n_truth,
+         |    (SELECT COUNT(*) FROM pred JOIN truth USING (a_id, b_id)) AS n_tp)
+         |SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_tp AS BIGINT) AS n_tp,
+         |  round(CAST(n_tp AS DOUBLE) / GREATEST(n_pred, 1), 6) AS prec,
+         |  round(CAST(n_tp AS DOUBLE) / GREATEST(n_truth, 1), 6) AS rec,
+         |  round(CAST(2 * n_tp AS DOUBLE) / GREATEST(n_pred + n_truth, 1), 6) AS f1
+         |FROM m""".stripMargin
+    },
     "q_fuzzy_match" ->
       s"""WITH $lshJChain,
          |pairs AS (

@@ -598,6 +598,45 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("dedup eval: counts reconcile with the source pipelines, F1 identity holds") {
+    val r = operators.Dedup.qDedupEval(spark, sf).collect().head
+    val (np, nt, tp) = (r.getAs[Long]("n_pred"), r.getAs[Long]("n_truth"), r.getAs[Long]("n_tp"))
+    try {
+      assert(tp <= math.min(np, nt))
+      // the injected exact-copy pairs are unmissable by BOTH detectors:
+      // identical text → identical simhash (hamming 0, same bands) and
+      // jaccard 1.0 — at sf0.001 there are 100 of them
+      assert(tp >= 100, s"tp=$tp")
+      assert(np == operators.Dedup.qDedupSimhashPairs(spark, sf).count())
+      assert(nt == operators.Dedup.qDedupNgramJaccard(spark, sf).count())
+      assert(r.getAs[Double]("f1") ==
+        BigDecimal(2.0 * tp / math.max(np + nt, 1L))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } finally graft.CacheTracker.releaseAll()
+  }
+
+  test("k-anonymity: cells partition the corpus and generalization only lowers risk") {
+    val rows = operators.Curation.qKAnon(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("k")).sum == nDocs)
+    // k_gen aggregates the member cells of each generalized bucket
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("gen_bucket"))).foreach { case (_, cell) =>
+      val kg = cell.head.getAs[Long]("k_gen")
+      assert(cell.forall(_.getAs[Long]("k_gen") == kg))
+      assert(cell.map(_.getAs[Long]("k")).sum == kg)
+    }
+    // flags match thresholds, and generalizing never increases exposed docs
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("at_risk") == (r.getAs[Long]("k") < 5))
+      assert(r.getAs[Boolean]("at_risk_after") == (r.getAs[Long]("k_gen") < 5))
+    }
+    val exposed = rows.filter(_.getAs[Boolean]("at_risk")).map(_.getAs[Long]("k")).sum
+    val exposedAfter = rows.filter(_.getAs[Boolean]("at_risk_after")).map(_.getAs[Long]("k")).sum
+    assert(exposedAfter <= exposed, s"$exposedAfter > $exposed")
+    assert(exposed > 0, "sf0.001 corpus should have at least one small cell")
+  }
+
   test("uuid() serial numbers are unique across partitions (G10 semantics)") {
     // the reference's sn is 64 random bytes (gateway.ts:313); the engine
     // uses uuid() — monotonically_increasing_id would collide across runs
