@@ -831,7 +831,49 @@ object EventWindows {
         max(when(expr("rn = (cnt + 1) div 2"), col("slope_ppm"))).as("slope_med_ppm"))
   }
 
+  /** Spearman rank correlation between an event's metric value and its
+    * user's overall activity level, per event type — the monotone-
+    * association companion to the Pearson-based [[qAcf]]: "do heavy
+    * users report higher values?" answered without assuming linearity
+    * or caring about outlier magnitudes. Tie-correct: both variables
+    * carry integer 2·avg-rank (2·rank() + ties − 1), ρ is Pearson on
+    * those exact rank sums — BIGINT Σu, Σv, Σuv, Σu², Σv² (Σuv ≤ 4n³,
+    * safe through sf100 in int64); the n·Σ cross-products are formed
+    * in DOUBLE with identical expression text in both engines.
+    *
+    * Scale shape: one per-user activity count (corpus shuffle on
+    * user) equi-joined back onto events on the same user key; two
+    * rank windows per type (sort-based, spillable); a per-type
+    * aggregate. Never an all-pairs form. */
+  def qSpearman(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val act = ev.groupBy("user_id").agg(count(lit(1)).as("activity"))
+    val wv = Window.partitionBy("event_type").orderBy("v")
+    val wvt = Window.partitionBy("event_type", "v")
+    val wa = Window.partitionBy("event_type").orderBy("activity")
+    val wat = Window.partitionBy("event_type", "activity")
+    ev.join(act, "user_id")
+      .withColumn("u", rank().over(wv).cast("long") * 2 + count(lit(1)).over(wvt) - 1)
+      .withColumn("w", rank().over(wa).cast("long") * 2 + count(lit(1)).over(wat) - 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("u").as("su"), sum("w").as("sw"),
+        sum(col("u") * col("w")).as("suw"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("w") * col("w")).as("sww"))
+      .select(col("event_type"), col("n"),
+        expr("""CASE WHEN CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su > 0
+                |  AND CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw > 0
+                |THEN round((CAST(n AS DOUBLE) * suw - CAST(su AS DOUBLE) * sw)
+                |  / sqrt((CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)
+                |       * (CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw)), 6) END""".stripMargin)
+          .as("rho"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spearman" -> (qSpearman _),
     "q_theilsen" -> (qTheilSen _),
     "q_gini" -> (qGini _),
     "q_markov_stationary" -> (qMarkovStationary _),
@@ -862,6 +904,32 @@ object EventWindows {
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
   val oracle: Map[String, String] = Map(
+    "q_spearman" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |act AS (SELECT user_id, COUNT(*) AS activity FROM ev GROUP BY 1),
+        |rk AS (
+        |  SELECT e.event_type,
+        |    CAST(RANK() OVER (PARTITION BY e.event_type ORDER BY e.v) AS BIGINT) * 2
+        |      + COUNT(*) OVER (PARTITION BY e.event_type, e.v) - 1 AS u,
+        |    CAST(RANK() OVER (PARTITION BY e.event_type ORDER BY a.activity) AS BIGINT) * 2
+        |      + COUNT(*) OVER (PARTITION BY e.event_type, a.activity) - 1 AS w
+        |  FROM ev e JOIN act a USING (user_id)),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(u * w) AS BIGINT) AS suw,
+        |    CAST(SUM(u * u) AS BIGINT) AS suu,
+        |    CAST(SUM(w * w) AS BIGINT) AS sww
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su > 0
+        |    AND CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw > 0
+        |  THEN round((CAST(n AS DOUBLE) * suw - CAST(su AS DOUBLE) * sw)
+        |    / sqrt((CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)
+        |         * (CAST(n AS DOUBLE) * sww - CAST(sw AS DOUBLE) * sw)), 6) END AS rho
+        |FROM g""".stripMargin,
     "q_theilsen" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,

@@ -637,6 +637,34 @@ class AdvancedSpec extends SparkSpec {
     assert(exposed > 0, "sf0.001 corpus should have at least one small cell")
   }
 
+  test("spearman: tie-corrected rho matches a driver-side average-rank recompute") {
+    val got = operators.EventWindows.qSpearman(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val act = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      def avgRanks2x[T](xs: Seq[T])(implicit ord: Ordering[T]): Seq[Long] = {
+        val sorted = xs.sorted
+        val firstIdx = sorted.zipWithIndex.groupBy(_._1).view
+          .mapValues(g => (g.map(_._2).min + 1, g.length)).toMap
+        xs.map { x => val (rmin, t) = firstIdx(x); 2L * rmin + t - 1 }
+      }
+      val u = avgRanks2x(rows.map(_._3).toSeq)(Ordering.by((b: java.math.BigDecimal) => b))
+      val w = avgRanks2x(rows.map(r => act(r._2)).toSeq)
+      val n = rows.length.toDouble
+      val (su, sw) = (u.sum.toDouble, w.sum.toDouble)
+      val suw = u.zip(w).map { case (a, b) => a * b }.sum.toDouble
+      val (suu, sww) = (u.map(x => x * x).sum.toDouble, w.map(x => x * x).sum.toDouble)
+      val rho = (n * suw - su * sw) / math.sqrt((n * suu - su * su) * (n * sww - sw * sw))
+      val g = got(et)
+      assert(g.getAs[Long]("n") == rows.length)
+      assert(math.abs(g.getAs[Double]("rho") - rho) < 1e-6, s"$et: ${g.getAs[Double]("rho")} vs $rho")
+      assert(math.abs(g.getAs[Double]("rho")) <= 1.0 + 1e-9)
+    }
+  }
+
   test("uuid() serial numbers are unique across partitions (G10 semantics)") {
     // the reference's sn is 64 random bytes (gateway.ts:313); the engine
     // uses uuid() — monotonically_increasing_id would collide across runs
