@@ -872,7 +872,60 @@ object EventWindows {
           .as("rho"))
   }
 
+  /** Funnel conversion-latency distribution — the time dimension the
+    * stage counts ([[qEventFunnel]]) flatten away: for every user who
+    * completed view → click → purchase IN ORDER, the seconds spent in
+    * each leg and end-to-end, summarized as exact counts plus
+    * interpolated percentiles (the same percentile/quantile_cont
+    * contract as q_quantile_stats). The p90 end-to-end latency is the
+    * "how long does a conversion actually take" number funnel
+    * optimization starts from.
+    *
+    * Scale shape: the conditional-min cascade is three user-keyed
+    * aggregates sharing one partitioning (the funnel shape); the
+    * percentile aggregate runs over converting users only. */
+  def qFunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val (v, c, p) = funnelStageMins(ev)
+    v.join(c, "user_id").join(p, "user_id")
+      .select(
+        (unix_timestamp(col("tc")) - unix_timestamp(col("tv"))).as("s_vc"),
+        (unix_timestamp(col("tp")) - unix_timestamp(col("tc"))).as("s_cp"),
+        (unix_timestamp(col("tp")) - unix_timestamp(col("tv"))).as("s_vp"))
+      .agg(count(lit(1)).as("n_converters"),
+        expr("percentile(s_vc, 0.5D)").as("p50_view_click_s"),
+        expr("percentile(s_cp, 0.5D)").as("p50_click_buy_s"),
+        expr("percentile(s_vp, 0.5D)").as("p50_total_s"),
+        expr("percentile(s_vp, 0.9D)").as("p90_total_s"),
+        max("s_vp").as("max_total_s"))
+  }
+
+  /** One-step-ahead backtest of the Holt forecaster ([[qHoltTrend]]) —
+    * the eval that decides whether the trend model earns its keep:
+    * each day's forecast (level + trend) is scored against the NEXT
+    * observed day's actual volume, per type, as integer-ppm absolute
+    * percentage errors (MAPE and worst case). Models that only
+    * interpolate look great in-sample; this scores them strictly
+    * out-of-sample, which is the honest number.
+    *
+    * Scale shape: adds one per-type LEAD window and a tiny aggregate
+    * on top of the Holt fold's calendar-bounded output — corpus cost
+    * identical to the forecaster itself. */
+  def qForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+    qHoltTrend(s, d)
+      .withColumn("nxt", lead("n_events", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("ape_ppm", expr("abs(forecast_next - nxt * 1000000) div nxt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_evals"),
+        expr("sum(ape_ppm) div count(1)").as("mape_ppm"),
+        max("ape_ppm").as("max_ape_ppm"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_latency" -> (qFunnelLatency _),
+    "q_forecast_backtest" -> (qForecastBacktest _),
     "q_spearman" -> (qSpearman _),
     "q_theilsen" -> (qTheilSen _),
     "q_gini" -> (qGini _),
@@ -903,7 +956,55 @@ object EventWindows {
   private def bucketSql(sizeSec: Long) =
     s"TIMESTAMP '1970-01-01 00:00:00' + to_seconds(CAST(floor(epoch(ts) / $sizeSec) * $sizeSec AS BIGINT))"
 
+  // The Holt double-exponential recurrence as a recursive-CTE chain —
+  // shared by the forecaster oracle and its backtest oracle.
+  private val holtCteSql: String =
+    """daily AS (
+      |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, day_idx, n_events,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+      |  FROM daily),
+      |e AS (
+      |  SELECT event_type, day_idx, n_events, rn,
+      |    n_events * 1000000 AS level, CAST(0 AS BIGINT) AS trend
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.event_type, s.day_idx, s.n_events, s.rn, s.lnew,
+      |    ((s.lnew - s.pl) + 9 * s.pb
+      |      - (((((s.lnew - s.pl) + 9 * s.pb) % 10) + 10) % 10)) // 10
+      |  FROM (
+      |    SELECT r.event_type, r.day_idx, r.n_events, r.rn,
+      |      e.level AS pl, e.trend AS pb,
+      |      (2 * r.n_events * 1000000 + 8 * (e.level + e.trend)
+      |        - ((((2 * r.n_events * 1000000 + 8 * (e.level + e.trend)) % 10) + 10) % 10)) // 10 AS lnew
+      |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1),
+        |lat AS (
+        |  SELECT CAST(floor(epoch(tc)) - floor(epoch(tv)) AS BIGINT) AS s_vc,
+        |    CAST(floor(epoch(tp)) - floor(epoch(tc)) AS BIGINT) AS s_cp,
+        |    CAST(floor(epoch(tp)) - floor(epoch(tv)) AS BIGINT) AS s_vp
+        |  FROM v JOIN c USING (user_id) JOIN p USING (user_id))
+        |SELECT COUNT(*) AS n_converters,
+        |  quantile_cont(s_vc, 0.5) AS p50_view_click_s,
+        |  quantile_cont(s_cp, 0.5) AS p50_click_buy_s,
+        |  quantile_cont(s_vp, 0.5) AS p50_total_s,
+        |  quantile_cont(s_vp, 0.9) AS p90_total_s,
+        |  CAST(MAX(s_vp) AS BIGINT) AS max_total_s
+        |FROM lat""".stripMargin,
     "q_spearman" ->
       """WITH ev AS (
         |  SELECT event_type, user_id, CAST(value AS DECIMAL(18,2)) AS v
@@ -1200,32 +1301,25 @@ object EventWindows {
         |FROM t3 LEFT JOIN seas
         |  ON t3.event_type = seas.event_type AND t3.dow = seas.dow""".stripMargin,
     "q_holt_trend" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
-        |    COUNT(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT event_type, day_idx, n_events,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
-        |  FROM daily),
-        |e AS (
-        |  SELECT event_type, day_idx, n_events, rn,
-        |    n_events * 1000000 AS level, CAST(0 AS BIGINT) AS trend
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.event_type, s.day_idx, s.n_events, s.rn, s.lnew,
-        |    ((s.lnew - s.pl) + 9 * s.pb
-        |      - (((((s.lnew - s.pl) + 9 * s.pb) % 10) + 10) % 10)) // 10
-        |  FROM (
-        |    SELECT r.event_type, r.day_idx, r.n_events, r.rn,
-        |      e.level AS pl, e.trend AS pb,
-        |      (2 * r.n_events * 1000000 + 8 * (e.level + e.trend)
-        |        - ((((2 * r.n_events * 1000000 + 8 * (e.level + e.trend)) % 10) + 10) % 10)) // 10 AS lnew
-        |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)
-        |SELECT event_type, day_idx, n_events, CAST(level AS BIGINT) AS level,
-        |  CAST(trend AS BIGINT) AS trend,
-        |  CAST(level + trend AS BIGINT) AS forecast_next
-        |FROM e""".stripMargin,
+      s"""WITH RECURSIVE $holtCteSql
+         |SELECT event_type, day_idx, n_events, CAST(level AS BIGINT) AS level,
+         |  CAST(trend AS BIGINT) AS trend,
+         |  CAST(level + trend AS BIGINT) AS forecast_next
+         |FROM e""".stripMargin,
+    "q_forecast_backtest" ->
+      s"""WITH RECURSIVE $holtCteSql,
+         |f AS (
+         |  SELECT event_type, day_idx, level + trend AS forecast_next,
+         |    LEAD(n_events) OVER (PARTITION BY event_type ORDER BY day_idx) AS nxt
+         |  FROM e),
+         |x AS (
+         |  SELECT event_type,
+         |    abs(forecast_next - nxt * 1000000) // nxt AS ape_ppm
+         |  FROM f WHERE nxt IS NOT NULL)
+         |SELECT event_type, COUNT(*) AS n_evals,
+         |  CAST(SUM(ape_ppm) // COUNT(*) AS BIGINT) AS mape_ppm,
+         |  CAST(MAX(ape_ppm) AS BIGINT) AS max_ape_ppm
+         |FROM x GROUP BY 1""".stripMargin,
     "q_ewma_anomaly" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,

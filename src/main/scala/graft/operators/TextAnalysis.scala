@@ -357,10 +357,15 @@ object TextAnalysis {
     * identical left-fold op sequence in both engines, bit-exact before
     * the 6 dp round. */
   def qLmPerplexity(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
+    // the gram relation feeds BOTH the model-count aggregate (via the
+    // broadcast-build job) and the scoring probe — persisted so the
+    // explode-of-300-substrings scan runs once, not once per consumer
+    // (the broadcast job fills the cache before the probe reads it)
+    val grams = graft.CacheTracker.track(Tables.documents(s, d)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").cast("long").as("n_total"))
     grams.join(broadcast(counts), "g")

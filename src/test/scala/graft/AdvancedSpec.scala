@@ -668,6 +668,36 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("funnel latency: converter count matches stage 3 and quantiles are ordered") {
+    val r = operators.EventWindows.qFunnelLatency(spark, sf).collect().head
+    val stage3 = operators.EventWindows.qEventFunnel(spark, sf)
+      .filter(col("stage") === "3_purchase").collect().head.getAs[Long]("n_users")
+    assert(r.getAs[Long]("n_converters") == stage3)
+    val (p50, p90, mx) = (r.getAs[Double]("p50_total_s"),
+      r.getAs[Double]("p90_total_s"), r.getAs[Long]("max_total_s"))
+    assert(p50 >= 0 && p50 <= p90 && p90 <= mx.toDouble, r.toString)
+    assert(r.getAs[Double]("p50_view_click_s") >= 0)
+    assert(r.getAs[Double]("p50_click_buy_s") >= 0)
+  }
+
+  test("forecast backtest: APE terms replay from the Holt output, strictly out-of-sample") {
+    val holt = operators.EventWindows.qHoltTrend(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("forecast_next")))
+    val got = operators.EventWindows.qForecastBacktest(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    holt.groupBy(_._1).foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val apes = sorted.zip(sorted.tail).map { case ((_, _, _, f), (_, _, nxt, _)) =>
+        math.abs(f - nxt * 1000000L) / nxt
+      }
+      val r = got(et)
+      assert(r.getAs[Long]("n_evals") == apes.length)
+      assert(r.getAs[Long]("mape_ppm") == apes.sum / apes.length, s"$et mape")
+      assert(r.getAs[Long]("max_ape_ppm") == apes.max)
+    }
+  }
+
   test("uuid() serial numbers are unique across partitions (G10 semantics)") {
     // the reference's sn is 64 random bytes (gateway.ts:313); the engine
     // uses uuid() — monotonically_increasing_id would collide across runs
