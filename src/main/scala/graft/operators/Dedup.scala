@@ -766,6 +766,72 @@ object Dedup {
         |FROM reach GROUP BY doc_id""".stripMargin)
   }
 
+  /** k-core decomposition (k=2, three peeling rounds) over the near-dup
+    * graph — the degeneracy-ordering primitive (Matula–Beck 1983) that
+    * separates DENSE duplicate families (which survive peeling) from
+    * chains and stars of incidental pairwise matches (which unravel).
+    * Curation uses the core as the "this cluster is a real template
+    * family" signal the same way triangle density is used, but the core
+    * is cheaper: each round is one semi-join + one degree count, no
+    * wedge enumeration.
+    *
+    * Output per vertex: initial degree, the round it was peeled
+    * (1-3, 0 = survived into the 2-core), and its degree within the
+    * surviving induced subgraph. All integers — hash-exact.
+    *
+    * Scale shape: per round, the edge relation is semi-joined against
+    * the shrinking alive set on BOTH endpoints (broadcast when small,
+    * shuffle-keyed otherwise — Catalyst's call), then one map-side-
+    * combined degree count. Because each round references the alive set
+    * TWICE, naive lazy composition grows the logical plan 3× per round
+    * — analysis/canonicalization, not execution, becomes the cost (the
+    * classic iterative-algorithm trap GraphFrames solves with periodic
+    * checkpointing). Each round's alive set is therefore cut to a flat
+    * `localCheckpoint` (an (id)-only relation, executor-resident); on a
+    * real cluster a reliable `checkpoint()` to the DFS is the
+    * fault-tolerant variant of the same lineage cut. */
+  def qGraphKcore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = graft.CacheTracker.track(
+      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs.count() // materialize BEFORE the fan-out: edges feeds every
+    // round twice (both semi-join sides) plus deg0 — un-materialized,
+    // each consumer would replay the whole LSH pipeline
+    val edges = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+    val deg0 = graft.CacheTracker.track(
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg0"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // peel: alive(r) = vertices whose degree within alive(r-1) is >= 2;
+    // localCheckpoint is EAGER — it materializes and flattens lineage in
+    // one step, so every downstream plan sees a leaf, not the peel chain
+    var alive = deg0.filter(col("deg0") >= 2).select("id").localCheckpoint()
+    var lastDeg = deg0.select(col("id"), col("deg0").as("deg"))
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (_ <- 1 to 3) {
+      rounds += alive
+      val sub = edges
+        .join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+      lastDeg = sub.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      alive = lastDeg.filter(col("deg") >= 2).select("id")
+    }
+    val Seq(a1, a2, a3) = rounds.toSeq
+    deg0
+      .join(a1.withColumn("in1", lit(1)), Seq("id"), "left")
+      .join(a2.withColumn("in2", lit(1)), Seq("id"), "left")
+      .join(a3.withColumn("in3", lit(1)), Seq("id"), "left")
+      .join(lastDeg.withColumnRenamed("deg", "deg3"), Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg0"),
+        when(col("in1").isNull, 1).when(col("in2").isNull, 2)
+          .when(col("in3").isNull, 3).otherwise(0).cast("int").as("peeled_round"),
+        when(col("in3").isNull, 0L)
+          .otherwise(coalesce(col("deg3"), lit(0L))).as("core_deg"))
+  }
+
   /** Levenshtein fuzzy-match confirmation over the LSH candidate pairs —
     * the entity-resolution two-phase shape: banding PROPOSES cheap
     * candidates, edit distance CONFIRMS on a bounded 80-char prefix.
@@ -887,6 +953,7 @@ object Dedup {
     "q_graph_jaccard" -> (qGraphJaccard _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_graph_reach" -> (qGraphReach _),
+    "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_dedup_span" -> (qDedupSpan _),
@@ -1024,6 +1091,32 @@ object Dedup {
          |  WHERE r.depth < 3)
          |SELECT doc_id, MIN(depth) AS depth, COUNT(*) AS n_paths
          |FROM reach GROUP BY doc_id""".stripMargin,
+    "q_graph_kcore" ->
+      s"""WITH $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg0 AS (SELECT src AS id, COUNT(*) AS deg0 FROM edges GROUP BY 1),
+         |a1 AS (SELECT id FROM deg0 WHERE deg0 >= 2),
+         |d1 AS (SELECT src AS id, COUNT(*) AS deg FROM edges
+         |  WHERE src IN (SELECT id FROM a1) AND dst IN (SELECT id FROM a1) GROUP BY 1),
+         |a2 AS (SELECT id FROM d1 WHERE deg >= 2),
+         |d2 AS (SELECT src AS id, COUNT(*) AS deg FROM edges
+         |  WHERE src IN (SELECT id FROM a2) AND dst IN (SELECT id FROM a2) GROUP BY 1),
+         |a3 AS (SELECT id FROM d2 WHERE deg >= 2),
+         |d3 AS (SELECT src AS id, COUNT(*) AS deg FROM edges
+         |  WHERE src IN (SELECT id FROM a3) AND dst IN (SELECT id FROM a3) GROUP BY 1)
+         |SELECT deg0.id AS doc_id, CAST(deg0.deg0 AS BIGINT) AS deg0,
+         |  CAST(CASE WHEN a1.id IS NULL THEN 1 WHEN a2.id IS NULL THEN 2
+         |            WHEN a3.id IS NULL THEN 3 ELSE 0 END AS INTEGER) AS peeled_round,
+         |  CAST(CASE WHEN a3.id IS NULL THEN 0 ELSE COALESCE(d3.deg, 0) END AS BIGINT) AS core_deg
+         |FROM deg0
+         |LEFT JOIN a1 ON a1.id = deg0.id
+         |LEFT JOIN a2 ON a2.id = deg0.id
+         |LEFT JOIN a3 ON a3.id = deg0.id
+         |LEFT JOIN d3 ON d3.id = deg0.id""".stripMargin,
     "q_graph_jaccard" ->
       s"""WITH $lshJChain,
          |pairs AS (

@@ -923,7 +923,89 @@ object EventWindows {
         max("ape_ppm").as("max_ape_ppm"))
   }
 
+  /** Per-type OLS trend line over the daily event-count series — the
+    * closed-form least-squares fit (slope, intercept, R²) every
+    * monitoring stack runs next to the robust Theil–Sen line
+    * ([[qTheilSen]]): OLS is the cheap, variance-weighted answer;
+    * comparing the two slopes flags outlier-driven trends.
+    *
+    * Determinism: x is the day offset from the per-type minimum day (so
+    * sums stay far from BIGINT range), all five moment sums (Σx, Σy,
+    * Σxy, Σxx, Σyy) are exact integer aggregates, and slope/intercept/R²
+    * each divide once at the end from integer-closed-form numerators —
+    * order-insensitive, so the result hash-matches DuckDB exactly.
+    *
+    * Scale shape: one map-side-combined (type, day) count, one tiny
+    * per-type moment aggregate. Nothing leaves the keyed partitioning;
+    * series length only enters through O(days) rows per type. */
+  def qLinregTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("min_day", min("day_idx").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .select(col("event_type"), (col("day_idx") - col("min_day")).as("x"), col("n").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("k").as("n_days"),
+        expr("""CASE WHEN k * sxx - sx * sx > 0
+               |THEN round(CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx), 6) END""".stripMargin)
+          .as("slope"),
+        expr("""CASE WHEN k * sxx - sx * sx > 0
+               |THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE) / (k * sxx - sx * sx), 6) END""".stripMargin)
+          .as("intercept"),
+        expr("""CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+               |THEN round(CAST(k * sxy - sx * sy AS DOUBLE) * (k * sxy - sx * sy)
+               |  / (CAST(k * sxx - sx * sx AS DOUBLE) * (k * syy - sy * sy)), 6) END""".stripMargin)
+          .as("r2"))
+  }
+
+  /** Lead–lag cross-correlation between every pair of event-type daily
+    * series at lags 0-5 — the "does signups lead purchases by N days"
+    * primitive behind marketing attribution and capacity forecasting.
+    * Pearson r between type A's count on day t and type B's count on
+    * day t+lag, over days where both series have observations (the same
+    * matched-pairs convention [[qAcf]] uses within one series).
+    *
+    * Exact integer moment sums, one rounded division per output row —
+    * hash-stable. Scale shape: the (type, day) count relation is tiny
+    * (types × calendar days) regardless of event volume, so the lag
+    * fan-out join is a broadcast-sized self-join; corpus-sized work is
+    * only the first map-side-combined count. */
+  def qCrossCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type").as("type_a"), col("day_idx"), col("n").as("xa"))
+      .withColumn("lag_d", explode(expr("sequence(CAST(0 AS BIGINT), CAST(5 AS BIGINT))")))
+    val b = daily.select(col("event_type").as("type_b"), col("day_idx").as("day_b"),
+      col("n").as("yb"))
+    a.join(b, col("type_a") < col("type_b") &&
+        col("day_b") === col("day_idx") + col("lag_d"))
+      .groupBy("type_a", "type_b", "lag_d")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("xa").as("sx"), sum("yb").as("sy"),
+        sum(col("xa") * col("yb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("yb") * col("yb")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("lag_d"), col("n_pairs"),
+        expr("""CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+               |THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+               |  / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+               |       * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) END""".stripMargin)
+          .as("xcorr"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_linreg_trend" -> (qLinregTrend _),
+    "q_cross_corr" -> (qCrossCorr _),
     "q_funnel_latency" -> (qFunnelLatency _),
     "q_forecast_backtest" -> (qForecastBacktest _),
     "q_spearman" -> (qSpearman _),
@@ -1128,6 +1210,56 @@ object EventWindows {
         |SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, n_churn,
         |  CAST(s AS BIGINT) AS surv_ppm
         |FROM e""".stripMargin,
+    "q_linreg_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day_idx - MIN(day_idx) OVER (PARTITION BY event_type) AS x,
+        |    n AS y
+        |  FROM daily),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS k,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(k AS BIGINT) AS n_days,
+        |  CASE WHEN k * sxx - sx * sx > 0
+        |  THEN round(CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN k * sxx - sx * sx > 0
+        |  THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE) / (k * sxx - sx * sx), 6) END AS intercept,
+        |  CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+        |  THEN round(CAST(k * sxy - sx * sy AS DOUBLE) * (k * sxy - sx * sy)
+        |    / (CAST(k * sxx - sx * sx AS DOUBLE) * (k * syy - sy * sy)), 6) END AS r2
+        |FROM g""".stripMargin,
+    "q_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag_d,
+        |    a.n AS x, b.n AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS lag_d) l
+        |  JOIN daily b ON a.event_type < b.event_type
+        |    AND b.day_idx = a.day_idx + l.lag_d),
+        |g AS (
+        |  SELECT type_a, type_b, lag_d, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT type_a, type_b, lag_d, n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+        |  THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) END AS xcorr
+        |FROM g""".stripMargin,
     "q_acf" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,

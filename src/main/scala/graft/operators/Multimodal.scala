@@ -132,13 +132,93 @@ object Multimodal {
         col("t.px"), col("t.py"),
         expr("md5(substring(text, t.pidx * 29 + 1, 29))").as("patch_hash"))
 
+  /** Aspect-ratio bucketing for image-batch packing (the SDXL/NovelAI
+    * bucketing scheme from the public diffusion-training literature):
+    * each image is assigned to the bucket whose aspect ratio is nearest
+    * its own, then resized (aspect-preserving, integer ppm scale) to fit
+    * the bucket canvas; batches are formed within a bucket so padding is
+    * minimal. Reports per-bucket volume and padding waste — the numbers
+    * a batching planner reads to choose bucket boundaries.
+    *
+    * All-integer arithmetic: ratios in parts-per-million, nearest bucket
+    * by |ratio_ppm − bucket_ppm| with the lower bucket index winning
+    * ties — no float anywhere until the final rounded waste fraction.
+    *
+    * Scale shape: the bucket table is a 7-row literal joined as a
+    * broadcast cross-join; assignment is map-side arithmetic + a window
+    * argmin per image over 7 candidates; the only shuffle is the final
+    * per-bucket aggregate (7 groups, map-side combined). */
+  def qAspectBuckets(s: SparkSession, d: String): DataFrame = {
+    // (bucket_id, bw, bh) — canvas sizes with ~equal pixel budget
+    val buckets = Seq((0, 128, 512), (1, 160, 384), (2, 192, 320), (3, 256, 256),
+      (4, 320, 192), (5, 384, 160), (6, 512, 128))
+    val bdf = s.createDataFrame(buckets).toDF("bucket_id", "bw", "bh")
+    val imgs = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("byte_len", octet_length(col("text")))
+      .withColumn("width", (lit(16) + (col("byte_len") * 7) % 624).cast("int"))
+      .withColumn("height", (lit(16) + (col("byte_len") * 13) % 464).cast("int"))
+      .withColumn("ratio_ppm", expr("CAST(width AS BIGINT) * 1000000 div height"))
+      .select("doc_id", "width", "height", "ratio_ppm")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(abs(col("ratio_ppm") - col("bucket_ppm")), col("bucket_id"))
+    imgs.crossJoin(broadcast(bdf
+        .withColumn("bucket_ppm", expr("CAST(bw AS BIGINT) * 1000000 div bh"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("scale_ppm", least(
+        expr("CAST(bw AS BIGINT) * 1000000 div width"),
+        expr("CAST(bh AS BIGINT) * 1000000 div height")))
+      .withColumn("rs_w", expr("CAST(width * scale_ppm div 1000000 AS INT)"))
+      .withColumn("rs_h", expr("CAST(height * scale_ppm div 1000000 AS INT)"))
+      .groupBy("bucket_id", "bw", "bh")
+      .agg(count(lit(1)).as("n_images"),
+        sum(expr("CAST(bw AS BIGINT) * bh - CAST(rs_w AS BIGINT) * rs_h")).cast("long")
+          .as("pad_px"),
+        sum(expr("CAST(bw AS BIGINT) * bh")).cast("long").as("canvas_px"))
+      .select(col("bucket_id"), col("bw"), col("bh"), col("n_images"), col("pad_px"),
+        round(col("pad_px").cast("double") / col("canvas_px"), 6).as("pad_frac"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_aspect_buckets" -> (qAspectBuckets _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_patches" -> (qMultimodalPatches _),
     "q_multimodal_audio" -> (qMultimodalAudio _))
 
   val oracle: Map[String, String] = Map(
+    "q_aspect_buckets" ->
+      """WITH img AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |wh AS (
+        |  SELECT doc_id,
+        |    CAST(16 + (byte_len * 7) % 624 AS INTEGER) AS width,
+        |    CAST(16 + (byte_len * 13) % 464 AS INTEGER) AS height
+        |  FROM img),
+        |r AS (SELECT *, CAST(width AS BIGINT) * 1000000 // height AS ratio_ppm FROM wh),
+        |bk AS (SELECT * FROM (VALUES (0, 128, 512), (1, 160, 384), (2, 192, 320),
+        |    (3, 256, 256), (4, 320, 192), (5, 384, 160), (6, 512, 128))
+        |  AS t(bucket_id, bw, bh)),
+        |cand AS (
+        |  SELECT r.*, bk.bucket_id, bk.bw, bk.bh,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY abs(ratio_ppm - CAST(bw AS BIGINT) * 1000000 // bh), bucket_id) AS rn
+        |  FROM r CROSS JOIN bk),
+        |asn AS (
+        |  SELECT *, LEAST(CAST(bw AS BIGINT) * 1000000 // width,
+        |                  CAST(bh AS BIGINT) * 1000000 // height) AS scale_ppm
+        |  FROM cand WHERE rn = 1),
+        |rs AS (
+        |  SELECT *, CAST(width * scale_ppm // 1000000 AS INTEGER) AS rs_w,
+        |    CAST(height * scale_ppm // 1000000 AS INTEGER) AS rs_h
+        |  FROM asn)
+        |SELECT bucket_id, bw, bh, COUNT(*) AS n_images,
+        |  CAST(SUM(CAST(bw AS BIGINT) * bh - CAST(rs_w AS BIGINT) * rs_h) AS BIGINT) AS pad_px,
+        |  round(CAST(SUM(CAST(bw AS BIGINT) * bh - CAST(rs_w AS BIGINT) * rs_h) AS DOUBLE)
+        |    / SUM(CAST(bw AS BIGINT) * bh), 6) AS pad_frac
+        |FROM rs GROUP BY 1, 2, 3""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
