@@ -1003,7 +1003,66 @@ object EventWindows {
           .as("xcorr"))
   }
 
+  /** Partial autocorrelation (lags 1-3) of each event type's daily
+    * series via the Durbin–Levinson recursion over the lag-1..3
+    * autocorrelations — the AR-order diagnostic read next to the raw ACF
+    * ([[qAcf]]): a PACF that cuts off after lag p is the textbook
+    * signature of an AR(p) process. The lag correlations use the same
+    * matched-pairs Pearson convention as [[qAcf]] (each lag over the
+    * day pairs both series observe), then
+    * φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+    * φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2) with
+    * φ21 = r1·(1−φ22).
+    *
+    * Determinism: the r's come out of exact integer moment sums through
+    * one division + sqrt each — bit-identical in both engines — and the
+    * recursion is a fixed dag of double ops on those values, rounded
+    * once at output. Denominator guards compare the same doubles in
+    * both engines, so the NULL-vs-value branch can't diverge.
+    *
+    * Scale shape: identical to [[qAcf]] — one map-side-combined
+    * (type, day) count, a broadcast-sized lag self-join, one tiny
+    * per-type aggregate, then per-row arithmetic. */
+  def qPacf(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val a = daily
+      .withColumn("lag_d", explode(expr("sequence(CAST(1 AS BIGINT), CAST(3 AS BIGINT))")))
+    val b = daily.select(col("event_type").as("et2"), col("day_idx").as("day2"),
+      col("n").as("y"))
+    val rs = a.join(b, col("et2") === col("event_type") &&
+        col("day2") === col("day_idx") + col("lag_d"))
+      .groupBy("event_type", "lag_d")
+      .agg(count(lit(1)).as("np"),
+        sum("n").as("sx"), sum("y").as("sy"),
+        sum(col("n") * col("y")).as("sxy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("r", expr(
+        """CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+          |THEN CAST(np * sxy - sx * sy AS DOUBLE)
+          |  / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+          |       * CAST(np * syy - sy * sy AS DOUBLE)) END""".stripMargin))
+    rs.groupBy("event_type")
+      .agg(max(when(col("lag_d") === 1, col("r"))).as("r1"),
+        max(when(col("lag_d") === 2, col("r"))).as("r2"),
+        max(when(col("lag_d") === 3, col("r"))).as("r3"))
+      .withColumn("p22", expr(
+        "CASE WHEN abs(1.0 - r1 * r1) > 1e-12 THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END"))
+      .withColumn("p21", expr("r1 * (1.0 - p22)"))
+      .select(col("event_type"),
+        round(col("r1"), 6).as("pacf1"),
+        round(col("p22"), 6).as("pacf2"),
+        round(expr(
+          """CASE WHEN abs(1.0 - p21 * r1 - p22 * r2) > 1e-12
+            |THEN (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) END""".stripMargin),
+          6).as("pacf3"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pacf" -> (qPacf _),
     "q_linreg_trend" -> (qLinregTrend _),
     "q_cross_corr" -> (qCrossCorr _),
     "q_funnel_latency" -> (qFunnelLatency _),
@@ -1210,6 +1269,46 @@ object EventWindows {
         |SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, n_churn,
         |  CAST(s AS BIGINT) AS surv_ppm
         |FROM e""".stripMargin,
+    "q_pacf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, l.lag_d, a.n AS x, b.n AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 4)) AS lag_d) l
+        |  JOIN daily b ON b.event_type = a.event_type
+        |    AND b.day_idx = a.day_idx + l.lag_d),
+        |g AS (
+        |  SELECT event_type, lag_d, COUNT(*) AS np,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |rr AS (
+        |  SELECT event_type, lag_d,
+        |    CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+        |    THEN CAST(np * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+        |           * CAST(np * syy - sy * sy AS DOUBLE)) END AS r
+        |  FROM g),
+        |pv AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN lag_d = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN lag_d = 2 THEN r END) AS r2,
+        |    MAX(CASE WHEN lag_d = 3 THEN r END) AS r3
+        |  FROM rr GROUP BY 1),
+        |l2 AS (
+        |  SELECT *, CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+        |    THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22
+        |  FROM pv),
+        |l3 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM l2)
+        |SELECT event_type, round(r1, 6) AS pacf1, round(p22, 6) AS pacf2,
+        |  round(CASE WHEN abs(1.0 - p21 * r1 - p22 * r2) > 1e-12
+        |    THEN (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) END, 6) AS pacf3
+        |FROM l3""".stripMargin,
     "q_linreg_trend" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,

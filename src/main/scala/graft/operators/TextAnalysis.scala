@@ -23,6 +23,65 @@ object TextAnalysis {
 
   private[operators] def inList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Multinomial Naive Bayes language classifier with add-1 smoothing —
+    * the train/apply supervised-classifier shape (count-based model fit
+    * on one half of the corpus, scored on the other) behind fastText-
+    * style language ID and quality classifiers. Train on even doc_ids
+    * (lang is the label, words the features), predict the language of
+    * each odd doc_id: argmax_c [ ln P(c) + Σ_w m_w · ln P(w|c) ] with
+    * P(w|c) = (cnt(w,c)+1)/(tot_c+V). Out-of-vocabulary words are
+    * skipped (the standard multinomial convention); words unseen in a
+    * class fall into its smoothed cnt=0 bucket.
+    *
+    * Determinism: per (doc, class), word terms are grouped by their
+    * class-count cnt (distinct within the group by construction), the
+    * (cnt, m) pairs are sorted, and the log-likelihood folds in that
+    * fixed order from the log-prior — the same sorted-fold contract
+    * [[qLmPerplexity]] uses, so the double sum is order-identical to
+    * the oracle's. Argmax ties break on the rounded score, then class
+    * name.
+    *
+    * Scale shape: model fit is one map-side-combined (class, word)
+    * count; scoring joins the test words against the model keyed by
+    * word (the model relation is vocabulary-sized — broadcast when it
+    * fits, shuffle-keyed beyond), fans out by the constant class count,
+    * and reduces per (doc, class). No all-pairs, no driver loop. */
+  def qNaiveBayes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val test = docs.filter(col("doc_id") % 2 === 1)
+    val cnts = graft.CacheTracker.track(
+      train.select(col("lang").as("c"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("c", "word").agg(count(lit(1)).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val classTot = cnts.groupBy("c").agg(sum("cnt").cast("long").as("tot"))
+    val vsize = cnts.select("word").distinct().agg(count(lit(1)).as("v"))
+    val priors = train.groupBy(col("lang").as("c")).agg(count(lit(1)).as("ndc"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("nd"))))
+    val vocab = cnts.select("word").distinct()
+    val testw = test
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("m"))
+      .join(vocab, "word")
+    val probe = testw.crossJoin(broadcast(classTot))
+      .join(cnts, Seq("c", "word"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    probe.groupBy("doc_id", "lang", "c", "tot", "cnt").agg(sum("m").as("mt"))
+      .groupBy("doc_id", "lang", "c", "tot")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("mt")))).as("terms"))
+      .crossJoin(broadcast(vsize))
+      .join(broadcast(priors), "c")
+      .withColumn("score_r", round(expr(
+        """aggregate(terms, ln(CAST(ndc AS DOUBLE) / nd),
+          |  (acc, x) -> acc + x.mt * ln((x.cnt + 1.0) / (tot + v)))""".stripMargin), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score_r"), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
+        col("score_r").as("logscore"), (col("c") === col("lang")).as("correct"))
+  }
+
   /** Document statistics + composite quality score. */
   def qTextStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -940,6 +999,7 @@ object TextAnalysis {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_lm_perplexity" -> (qLmPerplexity _),
+    "q_naive_bayes" -> (qNaiveBayes _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_calibration" -> (qCalibration _),
@@ -977,6 +1037,36 @@ object TextAnalysis {
       |FROM ov""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_naive_bayes" ->
+      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+        |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+        |tw AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS word FROM train),
+        |cnts AS (SELECT c, word, COUNT(*) AS cnt FROM tw GROUP BY 1, 2),
+        |tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1),
+        |vs AS (SELECT COUNT(DISTINCT word) AS v FROM cnts),
+        |pri AS (SELECT lang AS c, COUNT(*) AS ndc FROM train GROUP BY 1),
+        |ntr AS (SELECT COUNT(*) AS nd FROM train),
+        |vocab AS (SELECT DISTINCT word FROM cnts),
+        |sw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM test),
+        |tm AS (SELECT doc_id, lang, word, COUNT(*) AS m FROM sw GROUP BY 1, 2, 3),
+        |tv AS (SELECT tm.* FROM tm JOIN vocab USING (word)),
+        |pr AS (
+        |  SELECT tv.doc_id, tv.lang, t.c, t.tot, COALESCE(cn.cnt, 0) AS cnt, tv.m
+        |  FROM tv CROSS JOIN tot t
+        |  LEFT JOIN cnts cn ON cn.c = t.c AND cn.word = tv.word),
+        |g AS (SELECT doc_id, lang, c, tot, cnt, CAST(SUM(m) AS BIGINT) AS mt
+        |  FROM pr GROUP BY 1, 2, 3, 4, 5),
+        |sc AS (
+        |  SELECT doc_id, lang, g.c,
+        |    round(list_reduce(list_prepend(ln(CAST(ndc AS DOUBLE) / nd),
+        |      list(mt * ln((cnt + 1.0) / (tot + v)) ORDER BY cnt)),
+        |      (a, b) -> a + b), 6) AS score_r
+        |  FROM g CROSS JOIN vs CROSS JOIN ntr JOIN pri ON pri.c = g.c
+        |  GROUP BY doc_id, lang, g.c, tot, ndc, nd, v),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_r DESC, c) AS rn FROM sc)
+        |SELECT doc_id, lang, c AS pred_lang, score_r AS logscore, c = lang AS correct
+        |FROM rk WHERE rn = 1""".stripMargin,
     "q_text_readability" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS words
         |  FROM documents),

