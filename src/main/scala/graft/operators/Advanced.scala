@@ -776,6 +776,53 @@ object Advanced {
         round(sum("m").cast("double") / count(lit(1)) / 100.0, 4).as("avg_monetary"))
   }
 
+  /** Decile lift table (the model-evaluation gain chart): customers
+    * ranked by lifetime spend, split into spend deciles, and each
+    * decile's urgent-order response rate compared against the
+    * population rate — "does the top spend decile respond k× the
+    * base rate", the standard targeting-model readout.
+    *
+    * Decile assignment reuses the [[qRfmSegments]] scale idiom: 9
+    * boundary values extracted by range-partitioned zipWithIndex (no
+    * global sort window over the customer relation), then a map-side
+    * `> boundary` fold. The cumulative-lift window runs over the
+    * 10-row decile aggregate — constant-sized at any corpus scale.
+    *
+    * Exact integer counts and cents; two rounded divisions at output. */
+  def qDecileLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = graft.CacheTracker.track(
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("urgent"))
+        .groupBy("o_custkey")
+        .agg(sum("cents").as("m"), max("urgent").as("resp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = cust.count()
+    val targets = (1 to 9).map(k => k * n / 10 - 1).toSet
+    val bs = cust.repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("m").asc, col("o_custkey").asc)
+      .sortWithinPartitions(col("m").asc, col("o_custkey").asc)
+      .select(col("m")).as[Long].rdd
+      .zipWithIndex()
+      .filter { case (_, i) => targets.contains(i) }
+      .map(_._1).collect().sorted.toSeq
+    val score = bs.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col("m") > lit(b), 1).otherwise(0) }
+    val g = cust.withColumn("decile", (lit(11) - score).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("resp").as("n_responders"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cc", sum("n_customers").over(w))
+      .withColumn("cr", sum("n_responders").over(w))
+      .crossJoin(broadcast(g.agg(sum("n_customers").as("tc"), sum("n_responders").as("tr"))))
+      .select(col("decile"), col("n_customers"), col("n_responders"),
+        round(col("n_responders").cast("double") / col("n_customers"), 6).as("resp_rate"),
+        round((col("cr").cast("double") / col("cc"))
+          / (col("tr").cast("double") / col("tc")), 6).as("cum_lift"))
+  }
+
   /** Winsorized mean (robust statistics: clamp to [p10, p90] before
     * averaging, so a fat tail can't drag the estimate) of lineitem
     * quantity per return flag, next to the raw mean. Quantity is a
@@ -838,6 +885,7 @@ object Advanced {
           .as("within_2pct"))
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decile_lift" -> (qDecileLift _),
     "q_benford" -> (qBenford _),
     "q_winsorize" -> (qWinsorize _),
     "q_rfm_segments" -> (qRfmSegments _),
@@ -880,6 +928,33 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_decile_lift" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS m,
+        |    CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS resp
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n FROM cust),
+        |mr AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS rn FROM cust),
+        |mb AS (SELECT m AS b FROM mr
+        |  WHERE rn IN (SELECT (k * n) // 10 FROM t,
+        |    unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS u(k))),
+        |sc AS (SELECT c.*,
+        |    CAST(11 - (1 + (SELECT COUNT(*) FROM mb WHERE c.m > mb.b)) AS INTEGER) AS decile
+        |  FROM cust c),
+        |g AS (SELECT decile, COUNT(*) AS n_customers,
+        |    CAST(SUM(resp) AS BIGINT) AS n_responders
+        |  FROM sc GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS tc,
+        |    CAST(SUM(n_responders) AS BIGINT) AS tr FROM g),
+        |cum AS (SELECT g.*,
+        |    CAST(SUM(n_customers) OVER (ORDER BY decile) AS BIGINT) AS cc,
+        |    CAST(SUM(n_responders) OVER (ORDER BY decile) AS BIGINT) AS cr
+        |  FROM g)
+        |SELECT decile, n_customers, n_responders,
+        |  round(CAST(n_responders AS DOUBLE) / n_customers, 6) AS resp_rate,
+        |  round((CAST(cr AS DOUBLE) / cc) / (CAST(tr AS DOUBLE) / tc), 6) AS cum_lift
+        |FROM cum CROSS JOIN tt""".stripMargin,
     "q_benford" ->
       """WITH dg AS (
         |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit

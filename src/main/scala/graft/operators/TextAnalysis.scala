@@ -82,6 +82,48 @@ object TextAnalysis {
         col("score_r").as("logscore"), (col("c") === col("lang")).as("correct"))
   }
 
+  /** Kneser–Ney smoothed bigram language model (absolute discounting
+    * D = 0.75 with the continuation-probability backoff from Kneser &
+    * Ney 1995) — the n-gram LM estimation step that sits one level up
+    * from [[qLmPerplexity]]'s char-gram scorer: KN's continuation count
+    * ("in how many distinct left contexts does w appear") is what makes
+    * low-frequency-but-versatile words score sensibly, and it is the
+    * smoothing every KenLM-style corpus LM ships.
+    *
+    * p_KN(w2|w1) = (c12 − D)/c1 + (D·N₁₊(w1·)/c1) · N₁₊(·w2)/|bigram
+    * types|, reported for the top-30 bigrams next to the unsmoothed MLE
+    * ratio. Every term is an exact integer count; the probability is a
+    * fixed dag of double ops evaluated identically in both engines.
+    *
+    * Scale shape: one bigram groupBy (the corpus-sized shuffle, map-side
+    * combined), then three counts keyed by w1 / w2 / global over the
+    * TYPE relation (vocabulary-sized, not corpus-sized); the final
+    * top-30 is TakeOrderedAndProject. Left-context totals and type
+    * fan-outs come from ONE pass over the bigram relation each. */
+  def qKneserNey(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val bg = graft.CacheTracker.track(
+      Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val left = bg.groupBy("w1").agg(sum("c12").cast("long").as("c1"), count(lit(1)).as("nf"))
+    val right = bg.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val btot = bg.agg(count(lit(1)).as("btot"))
+    bg.join(left, "w1").join(right, "w2").crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1"), 6).as("p_mle"),
+        round(expr("(c12 - 0.75D) / c1 + (0.75D * nf / c1) * (CAST(nb AS DOUBLE) / btot)"), 6)
+          .as("p_kn"))
+      .orderBy(desc("c12"), col("w1"), col("w2"))
+      .limit(30)
+  }
+
   /** Document statistics + composite quality score. */
   def qTextStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1000,6 +1042,7 @@ object TextAnalysis {
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_naive_bayes" -> (qNaiveBayes _),
+    "q_kneser_ney" -> (qKneserNey _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_calibration" -> (qCalibration _),
@@ -1037,6 +1080,21 @@ object TextAnalysis {
       |FROM ov""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_kneser_ney" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM w, unnest(range(1, len(ws))) AS t(i)),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nf
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT w2, COUNT(*) AS nb FROM c GROUP BY 1),
+        |b AS (SELECT COUNT(*) AS btot FROM c)
+        |SELECT c.w1, c.w2, c.c12, l.c1,
+        |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p_mle,
+        |  round((c12 - 0.75) / c1 + (0.75 * nf / c1) * (CAST(nb AS DOUBLE) / btot), 6) AS p_kn
+        |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN b
+        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
     "q_naive_bayes" ->
       """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
         |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),

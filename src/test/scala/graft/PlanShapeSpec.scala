@@ -327,4 +327,39 @@ class PlanShapeSpec extends SparkSpec {
       s"assoc rules pair generation must not self-join:\n${ar.take(600)}")
     assert(ar.contains("Generate"), "assoc rules pairs come from the in-basket generator")
   }
+
+  test("round-7 eleventh wave shapes: kcore lineage stays cut, lift and KN broadcast their totals") {
+    // k-core: the localCheckpoint lineage cut must hold — without it the
+    // double-reference peel rounds grow the plan 3x per round and the
+    // final plan string balloons into the millions of characters
+    val kc = try plan("q_graph_kcore") finally graft.CacheTracker.releaseAll()
+    assert(kc.length < 200000, s"kcore plan blew up to ${kc.length} chars — lineage cut lost")
+    assert(kc.contains("Scan ExistingRDD") || kc.contains("LogicalRDD"),
+      "kcore rounds must read checkpointed leaves")
+    // decile lift: boundaries are baked literals, so the customer
+    // relation is never globally sorted in the returned plan; the
+    // population totals broadcast onto the 10-row decile aggregate
+    val dl = try plan("q_decile_lift") finally graft.CacheTracker.releaseAll()
+    assert(dl.contains("BroadcastNestedLoopJoin") || dl.contains("BroadcastExchange"),
+      s"lift totals must broadcast:\n${dl.take(600)}")
+    assert(!dl.contains("rangepartitioning(m"),
+      "decile assignment must not globally sort the customer relation in-plan")
+    // Kneser-Ney: top-30 via TakeOrderedAndProject, bigram-type total broadcast
+    val kn = try plan("q_kneser_ney") finally graft.CacheTracker.releaseAll()
+    assert(kn.contains("TakeOrderedAndProject"), s"KN top-30 shape:\n${kn.take(600)}")
+    assert(kn.contains("BroadcastNestedLoopJoin") || kn.contains("BroadcastExchange"),
+      "KN bigram-type total must broadcast")
+    // naive bayes: class totals and priors broadcast; the corpus-sized
+    // relations join keyed, never cartesian
+    val nb = try plan("q_naive_bayes") finally graft.CacheTracker.releaseAll()
+    assert(nb.contains("BroadcastNestedLoopJoin") || nb.contains("BroadcastHashJoin"),
+      s"NB class stats must broadcast:\n${nb.take(600)}")
+    // daily-series stats: one corpus shuffle to (type, day), no pair blowup
+    Seq("q_linreg_trend", "q_pacf", "q_cross_corr").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cartesian:\n${p.take(400)}")
+      assert("hashpartitioning\\(event_type".r.findAllIn(p).nonEmpty,
+        s"$q daily counts must partition by type:\n${p.take(600)}")
+    }
+  }
 }
