@@ -102,6 +102,44 @@ object Curation {
     * engine, run, and partitioning keeps the SAME docs — reproducible
     * training sets). Map-side gate + map-side keep decision + one tiny
     * grouped aggregate. */
+  /** Easy-to-hard curriculum schedule over LM difficulty: every document
+    * is scored by the char-gram cross-entropy of [[TextAnalysis
+    * .qLmPerplexity]] (low xent = predictable = easy), split into four
+    * curriculum stages at the xent quartiles, and each stage reports its
+    * doc count, gram budget, and difficulty band — the schedule a
+    * curriculum-learning pretraining run feeds its sampler.
+    *
+    * Stage boundaries use the range-partitioned boundary-extraction
+    * idiom (zipWithIndex over (xent, doc_id) order — no global sort
+    * window); per-stage spreads are min/max, which are order-insensitive
+    * doubles, so the output hash-matches without a sorted fold.
+    *
+    * Scale shape: the perplexity scorer's own broadcast-model plan, one
+    * boundary pass, then a map-side stage assignment into a 4-row
+    * aggregate. */
+  def qCurriculumSchedule(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val px = graft.CacheTracker.track(
+      TextAnalysis.qLmPerplexity(s, d).select(col("doc_id"), col("n_grams"), col("xent"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = px.count()
+    val targets = (1 to 3).map(k => k * n / 4 - 1).toSet
+    val bs = px.repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("xent").asc, col("doc_id").asc)
+      .sortWithinPartitions(col("xent").asc, col("doc_id").asc)
+      .select(col("xent")).as[Double].rdd
+      .zipWithIndex()
+      .filter { case (_, i) => targets.contains(i) }
+      .map(_._1).collect().sorted.toSeq
+    val stage = bs.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col("xent") > lit(b), 1).otherwise(0) }
+    px.withColumn("stage", stage.cast("int"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").cast("long").as("n_grams_total"),
+        min("xent").as("xent_min"), max("xent").as("xent_max"))
+  }
+
   def qWeightedSample(s: SparkSession, d: String): DataFrame = {
     val bucket = // 16-bit md5 bucket of the doc id, uniform on [0, 65536)
       expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)")
@@ -528,9 +566,23 @@ object Curation {
     "q_mix_temperature" -> (qMixTemperature _),
     "q_seq_pack" -> (qSeqPack _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_curriculum_schedule" -> (qCurriculumSchedule _),
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_curriculum_schedule" ->
+      s"""WITH px AS (${TextAnalysis.oracle("q_lm_perplexity")}),
+         |t AS (SELECT COUNT(*) AS n FROM px),
+         |r AS (SELECT xent, ROW_NUMBER() OVER (ORDER BY xent, doc_id) AS rn FROM px),
+         |b AS (SELECT xent AS bx FROM r
+         |  WHERE rn IN (SELECT (k * n) // 4 FROM t, unnest([1, 2, 3]) AS u(k))),
+         |sc AS (SELECT p.*,
+         |    CAST(1 + (SELECT COUNT(*) FROM b WHERE p.xent > b.bx) AS INTEGER) AS stage
+         |  FROM px p)
+         |SELECT stage, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_grams) AS BIGINT) AS n_grams_total,
+         |  MIN(xent) AS xent_min, MAX(xent) AS xent_max
+         |FROM sc GROUP BY 1""".stripMargin,
     "q_k_anon" ->
       """WITH cells AS (
         |  SELECT lang, source, n_chars // 200 AS len_bucket, COUNT(*) AS k

@@ -124,6 +124,72 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** Feature-hashing (hashing-trick) collision audit: every vocabulary
+    * word maps to one of 256 hash buckets (16-bit md5 prefix mod 256 —
+    * the same deterministic coin the curation samplers use), and the
+    * audit reports each bucket's type load and token mass against the
+    * uniform ideal. This is the readout that sizes the hash dimension
+    * before training a hashed bag-of-words model: load_ratio far above
+    * 1 on hot buckets means feature collisions are destroying signal.
+    *
+    * Scale shape: one corpus-sized word count (map-side combined), then
+    * a vocabulary-sized bucket aggregate; the vocab totals broadcast
+    * onto the constant 256-row profile. */
+  def qFeatureHash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val wc = graft.CacheTracker.track(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val tot = wc.agg(count(lit(1)).as("v"), sum("n_tok").cast("long").as("t"))
+    wc.withColumn("bucket",
+        expr("CAST(conv(substring(md5(word), 1, 4), 16, 10) AS BIGINT) % 256"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum("n_tok").cast("long").as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_types"), col("n_tokens"),
+        round(col("n_types") * lit(256).cast("double") / col("v"), 6).as("load_ratio"),
+        round(col("n_tokens") * lit(256).cast("double") / col("t"), 6).as("mass_ratio"))
+  }
+
+  /** Unigram^0.75 negative-sampling table (the word2vec/SGNS noise
+    * distribution from Mikolov et al. 2013): P_neg(w) ∝ count(w)^0.75,
+    * which flattens the head and lifts the tail exactly enough that
+    * frequent words stop dominating the negatives. Reports the top-30
+    * words with their raw unigram probability next to the smoothed
+    * sampling probability.
+    *
+    * Determinism: the normalizer Σ c^0.75 is a double sum over the
+    * vocabulary, so it folds over the SORTED distinct (count, type
+    * multiplicity) pairs — the [[qLmPerplexity]] contract — making the
+    * sum order-identical in both engines; each output row then divides
+    * once.
+    *
+    * Scale shape: corpus-sized word count, vocabulary-sized (count,
+    * multiplicity) aggregate (tiny — counts collapse heavily), the
+    * normalizer broadcast onto the top-30 TakeOrdered. */
+  def qNegativeSampling(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val wc = graft.CacheTracker.track(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val norm = wc.groupBy("c").agg(count(lit(1)).as("m"))
+      .agg(sort_array(collect_list(struct(col("c"), col("m")))).as("cm"),
+        sum(col("c") * col("m")).cast("long").as("n_tok"))
+      .select(expr(
+        "aggregate(cm, CAST(0 AS DOUBLE), (acc, x) -> acc + x.m * pow(x.c, 0.75D))")
+        .as("z"), col("n_tok"))
+    wc.crossJoin(broadcast(norm))
+      .select(col("word"), col("c"),
+        round(col("c").cast("double") / col("n_tok"), 6).as("p_unigram"),
+        round(expr("pow(c, 0.75D)") / col("z"), 6).as("p_neg"))
+      .orderBy(desc("c"), col("word"))
+      .limit(30)
+  }
+
   /** Document statistics + composite quality score. */
   def qTextStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1043,6 +1109,8 @@ object TextAnalysis {
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_kneser_ney" -> (qKneserNey _),
+    "q_feature_hash" -> (qFeatureHash _),
+    "q_negative_sampling" -> (qNegativeSampling _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_calibration" -> (qCalibration _),
@@ -1080,6 +1148,32 @@ object TextAnalysis {
       |FROM ov""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_feature_hash" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS n_tok FROM w GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS v, CAST(SUM(n_tok) AS BIGINT) AS t FROM wc),
+        |bk AS (
+        |  SELECT CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 256 AS bucket,
+        |    COUNT(*) AS n_types, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM wc GROUP BY 1)
+        |SELECT bucket, n_types, n_tokens,
+        |  round(n_types * CAST(256 AS DOUBLE) / v, 6) AS load_ratio,
+        |  round(n_tokens * CAST(256 AS DOUBLE) / t, 6) AS mass_ratio
+        |FROM bk CROSS JOIN tot""".stripMargin,
+    "q_negative_sampling" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+        |cm AS (SELECT c, COUNT(*) AS m FROM wc GROUP BY 1),
+        |nz AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(m * pow(c, 0.75) ORDER BY c)), (a, b) -> a + b) AS z,
+        |    CAST(SUM(c * m) AS BIGINT) AS n_tok
+        |  FROM cm)
+        |SELECT word, c,
+        |  round(CAST(c AS DOUBLE) / n_tok, 6) AS p_unigram,
+        |  round(pow(c, 0.75) / z, 6) AS p_neg
+        |FROM wc CROSS JOIN nz
+        |ORDER BY c DESC, word LIMIT 30""".stripMargin,
     "q_kneser_ney" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
