@@ -46,7 +46,7 @@ object TextAnalysis {
     * word (the model relation is vocabulary-sized — broadcast when it
     * fits, shuffle-keyed beyond), fans out by the constant class count,
     * and reduces per (doc, class). No all-pairs, no driver loop. */
-  def qNaiveBayes(s: SparkSession, d: String): DataFrame = {
+  private def nbScored(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     val train = docs.filter(col("doc_id") % 2 === 0)
@@ -77,10 +77,34 @@ object TextAnalysis {
           |  (acc, x) -> acc + x.mt * ln((x.cnt + 1.0) / (tot + v)))""".stripMargin), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(desc("score_r"), col("c"))))
+  }
+
+  def qNaiveBayes(s: SparkSession, d: String): DataFrame =
+    nbScored(s, d)
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
         col("score_r").as("logscore"), (col("c") === col("lang")).as("correct"))
-  }
+
+  /** Uncertainty sampling for active learning (Lewis & Gale 1994's
+    * margin criterion): the 20 held-out documents whose [[qNaiveBayes]]
+    * top-two class scores are closest — exactly the examples a labeling
+    * budget should be spent on, since the model is least decided there.
+    * Margin = logscore(top1) − logscore(top2) on the rounded scores
+    * (deterministic, same tie-breaks as the classifier); smallest
+    * margins first, doc_id tie-break, top-20 via TakeOrderedAndProject.
+    *
+    * Scale shape: inherits the classifier's plan; the margin is one
+    * `lead` over the existing per-doc rank window (same partitioning,
+    * no extra shuffle) and the selection is a bounded top-k. */
+  def qActiveLearning(s: SparkSession, d: String): DataFrame =
+    nbScored(s, d)
+      .withColumn("next_score", lead(col("score_r"), 1).over(
+        Window.partitionBy("doc_id").orderBy(desc("score_r"), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
+        round(col("score_r") - col("next_score"), 6).as("margin"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(20)
 
   /** Kneser–Ney smoothed bigram language model (absolute discounting
     * D = 0.75 with the continuation-probability backoff from Kneser &
@@ -1111,6 +1135,7 @@ object TextAnalysis {
     "q_kneser_ney" -> (qKneserNey _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_negative_sampling" -> (qNegativeSampling _),
+    "q_active_learning" -> (qActiveLearning _),
     "q_gopher_quality" -> (qGopherQuality _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_calibration" -> (qCalibration _),
@@ -1147,7 +1172,46 @@ object TextAnalysis {
       |  CAST(n_overlap AS DOUBLE) / n_grams AS contamination
       |FROM ov""".stripMargin
 
+  // Shared NB oracle chain (train counts → smoothed per-class scores →
+  // per-doc rank) — the classifier and the uncertainty sampler read the
+  // same `rk` relation.
+  private val nbChainSql =
+    """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+      |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+      |tw AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS word FROM train),
+      |cnts AS (SELECT c, word, COUNT(*) AS cnt FROM tw GROUP BY 1, 2),
+      |tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1),
+      |vs AS (SELECT COUNT(DISTINCT word) AS v FROM cnts),
+      |pri AS (SELECT lang AS c, COUNT(*) AS ndc FROM train GROUP BY 1),
+      |ntr AS (SELECT COUNT(*) AS nd FROM train),
+      |vocab AS (SELECT DISTINCT word FROM cnts),
+      |sw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM test),
+      |tm AS (SELECT doc_id, lang, word, COUNT(*) AS m FROM sw GROUP BY 1, 2, 3),
+      |tv AS (SELECT tm.* FROM tm JOIN vocab USING (word)),
+      |pr AS (
+      |  SELECT tv.doc_id, tv.lang, t.c, t.tot, COALESCE(cn.cnt, 0) AS cnt, tv.m
+      |  FROM tv CROSS JOIN tot t
+      |  LEFT JOIN cnts cn ON cn.c = t.c AND cn.word = tv.word),
+      |g AS (SELECT doc_id, lang, c, tot, cnt, CAST(SUM(m) AS BIGINT) AS mt
+      |  FROM pr GROUP BY 1, 2, 3, 4, 5),
+      |sc AS (
+      |  SELECT doc_id, lang, g.c,
+      |    round(list_reduce(list_prepend(ln(CAST(ndc AS DOUBLE) / nd),
+      |      list(mt * ln((cnt + 1.0) / (tot + v)) ORDER BY cnt)),
+      |      (a, b) -> a + b), 6) AS score_r
+      |  FROM g CROSS JOIN vs CROSS JOIN ntr JOIN pri ON pri.c = g.c
+      |  GROUP BY doc_id, lang, g.c, tot, ndc, nd, v),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_r DESC, c) AS rn FROM sc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_active_learning" ->
+      s"""$nbChainSql
+         |SELECT a.doc_id, a.lang, a.c AS pred_lang,
+         |  round(a.score_r - b.score_r, 6) AS margin
+         |FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND b.rn = 2
+         |WHERE a.rn = 1
+         |ORDER BY margin, a.doc_id LIMIT 20""".stripMargin,
     "q_feature_hash" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |wc AS (SELECT word, COUNT(*) AS n_tok FROM w GROUP BY 1),
@@ -1190,35 +1254,9 @@ object TextAnalysis {
         |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN b
         |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
     "q_naive_bayes" ->
-      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
-        |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
-        |tw AS (SELECT lang AS c, unnest(string_split(text, ' ')) AS word FROM train),
-        |cnts AS (SELECT c, word, COUNT(*) AS cnt FROM tw GROUP BY 1, 2),
-        |tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1),
-        |vs AS (SELECT COUNT(DISTINCT word) AS v FROM cnts),
-        |pri AS (SELECT lang AS c, COUNT(*) AS ndc FROM train GROUP BY 1),
-        |ntr AS (SELECT COUNT(*) AS nd FROM train),
-        |vocab AS (SELECT DISTINCT word FROM cnts),
-        |sw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM test),
-        |tm AS (SELECT doc_id, lang, word, COUNT(*) AS m FROM sw GROUP BY 1, 2, 3),
-        |tv AS (SELECT tm.* FROM tm JOIN vocab USING (word)),
-        |pr AS (
-        |  SELECT tv.doc_id, tv.lang, t.c, t.tot, COALESCE(cn.cnt, 0) AS cnt, tv.m
-        |  FROM tv CROSS JOIN tot t
-        |  LEFT JOIN cnts cn ON cn.c = t.c AND cn.word = tv.word),
-        |g AS (SELECT doc_id, lang, c, tot, cnt, CAST(SUM(m) AS BIGINT) AS mt
-        |  FROM pr GROUP BY 1, 2, 3, 4, 5),
-        |sc AS (
-        |  SELECT doc_id, lang, g.c,
-        |    round(list_reduce(list_prepend(ln(CAST(ndc AS DOUBLE) / nd),
-        |      list(mt * ln((cnt + 1.0) / (tot + v)) ORDER BY cnt)),
-        |      (a, b) -> a + b), 6) AS score_r
-        |  FROM g CROSS JOIN vs CROSS JOIN ntr JOIN pri ON pri.c = g.c
-        |  GROUP BY doc_id, lang, g.c, tot, ndc, nd, v),
-        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-        |    ORDER BY score_r DESC, c) AS rn FROM sc)
-        |SELECT doc_id, lang, c AS pred_lang, score_r AS logscore, c = lang AS correct
-        |FROM rk WHERE rn = 1""".stripMargin,
+      s"""$nbChainSql
+         |SELECT doc_id, lang, c AS pred_lang, score_r AS logscore, c = lang AS correct
+         |FROM rk WHERE rn = 1""".stripMargin,
     "q_text_readability" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS words
         |  FROM documents),
