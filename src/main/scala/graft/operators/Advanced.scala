@@ -823,6 +823,58 @@ object Advanced {
           / (col("tr").cast("double") / col("tc")), 6).as("cum_lift"))
   }
 
+  /** Poisson bootstrap confidence intervals (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams" — the one-pass bootstrap
+    * web-scale systems use): instead of resampling n rows with
+    * replacement (impossible distributed — it needs global coordination),
+    * each row gets an independent Poisson(1) weight per replica, which
+    * converges to multinomial resampling as n grows. 32 replicas of the
+    * mean order value per priority class, in ONE pass: the per-(row,
+    * replica) weight is an inverse-CDF lookup on the deterministic md5
+    * coin (fixed 16-bit thresholds, identical literals in both engines
+    * — never rand()), so the whole bootstrap is a map-side fan-out of
+    * 32× followed by one keyed aggregate.
+    *
+    * Determinism: replica sums are exact integers; each replica mean
+    * divides once; the across-replica mean/variance fold in ascending
+    * replica order (the [[qJackknife]] contract). CI = point ± 1.96·SE.
+    *
+    * Scale shape: 32× map-side row fan-out (a constant, and the
+    * standard tradeoff of the method) into a (group, replica)-keyed
+    * aggregate — map-side combined, no global state; the per-group
+    * replica vector is 32 doubles regardless of corpus size. */
+  def qPoissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    // P(Poisson(1) <= k) * 65536 for k = 0..7 (capped): weight = number
+    // of thresholds at or below the uniform 16-bit bucket
+    val thresholds = "array(24109, 48219, 60274, 64292, 65296, 65497, 65530, 65535)"
+    val rows = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+      col("o_orderkey"))
+    val base = rows.groupBy("grp")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").cast("long").as("sc"))
+    val reps = rows.withColumn("b", explode(expr("sequence(0, 31)")))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_', CAST(b AS STRING))), 1, 4), 16, 10) AS BIGINT)"))
+      .withColumn("w", expr(s"size(filter($thresholds, t -> bucket >= t))"))
+      .groupBy("grp", "b")
+      .agg(sum(expr("CAST(w AS BIGINT) * cents")).cast("long").as("swc"),
+        sum("w").cast("long").as("sw"))
+      .select(col("grp"), col("b"), (col("swc").cast("double") / col("sw")).as("mb"))
+    val boots = reps.groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("b"), col("mb")))).as("ms"))
+      .withColumn("mbar", expr("aggregate(ms, CAST(0 AS DOUBLE), (a, x) -> a + x.mb) / 32"))
+      .withColumn("se_c", expr(
+        "sqrt(aggregate(ms, CAST(0 AS DOUBLE), (a, x) -> a + (x.mb - mbar) * (x.mb - mbar)) / 31)"))
+    base.join(boots, "grp")
+      .select(col("grp").as("o_orderpriority"), col("n_orders"),
+        round(col("sc").cast("double") / col("n_orders") / 100.0, 4).as("point_mean"),
+        round(col("se_c") / 100.0, 6).as("boot_se"),
+        round((col("sc").cast("double") / col("n_orders") - lit(1.96) * col("se_c")) / 100.0, 4)
+          .as("ci_lo"),
+        round((col("sc").cast("double") / col("n_orders") + lit(1.96) * col("se_c")) / 100.0, 4)
+          .as("ci_hi"))
+  }
+
   /** Winsorized mean (robust statistics: clamp to [p10, p90] before
     * averaging, so a fat tail can't drag the estimate) of lineitem
     * quantity per return flag, next to the raw mean. Quantity is a
@@ -886,6 +938,7 @@ object Advanced {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decile_lift" -> (qDecileLift _),
+    "q_poisson_bootstrap" -> (qPoissonBootstrap _),
     "q_benford" -> (qBenford _),
     "q_winsorize" -> (qWinsorize _),
     "q_rfm_segments" -> (qRfmSegments _),
@@ -928,6 +981,40 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_poisson_bootstrap" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderkey
+        |  FROM orders),
+        |base AS (SELECT grp, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sc
+        |  FROM o GROUP BY 1),
+        |reps AS (
+        |  SELECT grp, b,
+        |    CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 4) AS BIGINT) AS bucket,
+        |    cents
+        |  FROM o, unnest(range(0, 32)) AS t(b)),
+        |wts AS (
+        |  SELECT grp, b,
+        |    len(list_filter([24109, 48219, 60274, 64292, 65296, 65497, 65530, 65535],
+        |      t -> bucket >= t)) AS w,
+        |    cents
+        |  FROM reps),
+        |rm AS (
+        |  SELECT grp, b,
+        |    CAST(CAST(SUM(w * cents) AS BIGINT) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS mb
+        |  FROM wts GROUP BY 1, 2),
+        |bt AS (SELECT grp, list(mb ORDER BY b) AS ms FROM rm GROUP BY 1),
+        |mb2 AS (SELECT *, list_reduce(list_prepend(CAST(0 AS DOUBLE), ms),
+        |    (a, x) -> a + x) / 32 AS mbar FROM bt),
+        |se AS (SELECT *, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ms, x -> (x - mbar) * (x - mbar))),
+        |      (a, x) -> a + x) / 31) AS se_c FROM mb2)
+        |SELECT base.grp AS o_orderpriority, n_orders,
+        |  round(CAST(sc AS DOUBLE) / n_orders / 100.0, 4) AS point_mean,
+        |  round(se_c / 100.0, 6) AS boot_se,
+        |  round((CAST(sc AS DOUBLE) / n_orders - 1.96 * se_c) / 100.0, 4) AS ci_lo,
+        |  round((CAST(sc AS DOUBLE) / n_orders + 1.96 * se_c) / 100.0, 4) AS ci_hi
+        |FROM base JOIN se ON base.grp = se.grp""".stripMargin,
     "q_decile_lift" ->
       """WITH cust AS (
         |  SELECT o_custkey,
