@@ -829,4 +829,42 @@ class AdvancedSpec extends SparkSpec {
       }
     } finally got.unpersist()
   }
+
+  test("poisson bootstrap: CI brackets the point estimate and SE shrinks on the bigger group") {
+    val rows = operators.Advanced.qPoissonBootstrap(spark, sf).collect()
+    assert(rows.length == 5) // one per order priority
+    rows.foreach { r =>
+      val (pm, se) = (r.getAs[Double]("point_mean"), r.getAs[Double]("boot_se"))
+      assert(se > 0, s"degenerate SE in $r")
+      assert(r.getAs[Double]("ci_lo") < pm && pm < r.getAs[Double]("ci_hi"), r.toString)
+      // Poisson(1) bootstrap SE of a mean ~ sd/sqrt(n); order values have
+      // sd ~ mean here, so SE far above the mean would indicate a broken fold
+      assert(se < pm, s"SE implausibly large in $r")
+    }
+  }
+
+  test("decile lift: deciles partition customers and cumulative lift converges to 1") {
+    val rows = operators.Advanced.qDecileLift(spark, sf).collect().sortBy(_.getAs[Int]("decile"))
+    CacheTracker.releaseAll()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // over ALL deciles the cumulative rate IS the population rate
+    assert(math.abs(rows.last.getAs[Double]("cum_lift") - 1.0) < 1e-9,
+      s"final cum_lift ${rows.last.getAs[Double]("cum_lift")}")
+  }
+
+  test("kneser-ney: probabilities are in (0,1) and the discount shaves the head MLE") {
+    val rows = operators.TextAnalysis.qKneserNey(spark, sf).collect()
+    CacheTracker.releaseAll()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val (mle, kn) = (r.getAs[Double]("p_mle"), r.getAs[Double]("p_kn"))
+      assert(mle > 0 && mle <= 1 && kn > 0 && kn < 1, r.toString)
+    }
+    // the single most frequent bigram: its discount loss outweighs the
+    // backoff mass it gets back, so KN must sit below MLE there
+    val top = rows.maxBy(_.getAs[Long]("c12"))
+    assert(top.getAs[Double]("p_kn") < top.getAs[Double]("p_mle"), top.toString)
+  }
 }
