@@ -1061,7 +1061,58 @@ object EventWindows {
           6).as("pacf3"))
   }
 
+  /** Sequential A/B monitoring (the always-valid-inference shape every
+    * experimentation platform runs instead of a single end-of-test
+    * t-test): purchase value split into two arms by user-id parity,
+    * cumulative Welch z-statistic recomputed after EVERY day, flagged
+    * against an O'Brien–Fleming-style constant boundary (|z| > 2.797,
+    * the group-sequential critical value that keeps family-wise error
+    * near 5% under repeated looks — a fixed 1.96 would inflate it).
+    *
+    * Determinism: per-day per-arm counts/sums/sum-of-squares are exact
+    * integers (value fixed-pointed to cents per row before any sum),
+    * cumulative sums are integer window aggregates, and each day's z is
+    * one fixed dag of double ops — no float accumulation anywhere.
+    *
+    * Scale shape: the corpus-sized work is one map-side-combined
+    * (day) aggregate; the sequential scan is a window over the
+    * calendar-day relation (~O(days) rows at any corpus size). */
+  def qAbSequential(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"),
+        (col("user_id") % 2 === 0).as("arm_a"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("day_idx")
+      .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na_d"),
+        sum(when(col("arm_a"), col("cents")).otherwise(0L)).as("sa_d"),
+        sum(when(col("arm_a"), col("cents") * col("cents")).otherwise(0L)).as("qa_d"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb_d"),
+        sum(when(!col("arm_a"), col("cents")).otherwise(0L)).as("sb_d"),
+        sum(when(!col("arm_a"), col("cents") * col("cents")).otherwise(0L)).as("qb_d"))
+    val w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("na", sum("na_d").over(w)).withColumn("sa", sum("sa_d").over(w))
+      .withColumn("qa", sum("qa_d").over(w))
+      .withColumn("nb", sum("nb_d").over(w)).withColumn("sb", sum("sb_d").over(w))
+      .withColumn("qb", sum("qb_d").over(w))
+      .withColumn("z", expr(
+        """CASE WHEN na > 1 AND nb > 1 THEN
+          |  CASE WHEN (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / na
+          |          + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / nb > 0
+          |  THEN round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+          |    / sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / na
+          |         + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / nb), 6)
+          |  END END""".stripMargin))
+      .select(col("day_idx"), col("na"), col("nb"),
+        expr("""CASE WHEN na > 0 AND nb > 0 THEN
+               |round(CAST(sa AS DOUBLE) / na / 100.0 - CAST(sb AS DOUBLE) / nb / 100.0, 6)
+               |END""".stripMargin).as("mean_diff"),
+        col("z"), (abs(col("z")) > 2.797).as("signif"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_sequential" -> (qAbSequential _),
     "q_pacf" -> (qPacf _),
     "q_linreg_trend" -> (qLinregTrend _),
     "q_cross_corr" -> (qCrossCorr _),
@@ -1269,6 +1320,45 @@ object EventWindows {
         |SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, n_churn,
         |  CAST(s AS BIGINT) AS surv_ppm
         |FROM e""".stripMargin,
+    "q_ab_sequential" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |    user_id % 2 = 0 AS arm_a,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (
+        |  SELECT day_idx,
+        |    CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+        |    CAST(SUM(CASE WHEN arm_a THEN cents ELSE 0 END) AS BIGINT) AS sa_d,
+        |    CAST(SUM(CASE WHEN arm_a THEN cents * cents ELSE 0 END) AS BIGINT) AS qa_d,
+        |    CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS nb_d,
+        |    CAST(SUM(CASE WHEN arm_a THEN 0 ELSE cents END) AS BIGINT) AS sb_d,
+        |    CAST(SUM(CASE WHEN arm_a THEN 0 ELSE cents * cents END) AS BIGINT) AS qb_d
+        |  FROM ev GROUP BY 1),
+        |cum AS (
+        |  SELECT day_idx,
+        |    CAST(SUM(na_d) OVER w AS BIGINT) AS na, CAST(SUM(sa_d) OVER w AS BIGINT) AS sa,
+        |    CAST(SUM(qa_d) OVER w AS BIGINT) AS qa,
+        |    CAST(SUM(nb_d) OVER w AS BIGINT) AS nb, CAST(SUM(sb_d) OVER w AS BIGINT) AS sb,
+        |    CAST(SUM(qb_d) OVER w AS BIGINT) AS qb
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |zz AS (
+        |  SELECT *,
+        |    CASE WHEN na > 1 AND nb > 1 THEN
+        |      CASE WHEN (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / na
+        |              + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / nb > 0
+        |      THEN round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |        / sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / na
+        |             + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / nb), 6)
+        |      END END AS z
+        |  FROM cum)
+        |SELECT day_idx, na, nb,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |  round(CAST(sa AS DOUBLE) / na / 100.0 - CAST(sb AS DOUBLE) / nb / 100.0, 6)
+        |  END AS mean_diff,
+        |  z, abs(z) > 2.797 AS signif
+        |FROM zz""".stripMargin,
     "q_pacf" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
