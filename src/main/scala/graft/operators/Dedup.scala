@@ -520,10 +520,16 @@ object Dedup {
     // init fused with propagation step 1: label(v) = min(v, neighbors)
     // in the same single shuffle that builds the vertex set — for
     // clique-shaped components (the common near-dup case) this is
-    // already the fixpoint, so the loop only confirms
+    // already the fixpoint, so the loop only confirms.
+    // Each round's labels are cut to a LAZY localCheckpoint (the
+    // convergence-check action right below materializes it): the round
+    // references labels TWICE (join + union), so composed lazily the
+    // analyzed plan would re-embed the whole LSH subtree per round and
+    // per downstream consumer — the same planning-cost trap fixed in
+    // [[qGraphKcore]]; a reliable checkpoint() is the cluster variant.
     var labels = edges.groupBy(col("a_id").as("id"))
       .agg(min(least(col("a_id"), col("b_id"))).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty graph
@@ -534,9 +540,8 @@ object Dedup {
         .select(edges("a_id").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
