@@ -752,6 +752,39 @@ object Similarity {
         (col("pred_label") === col("true_label")).as("correct"))
   }
 
+  /** Per-class confusion metrics for the kNN label classifier — the
+    * precision/recall/F1 readout every classifier eval publishes next
+    * to raw accuracy: reuses [[qKnnClassify]]'s prediction relation,
+    * reduces it to the confusion cells, and derives each class's
+    * metrics from the three exact integer counts (tp, predicted
+    * support, true support). Classes with no predictions report
+    * precision NULL rather than a fake zero (division guarded the same
+    * way in both engines).
+    *
+    * Scale shape: everything after the classifier is label-cardinality
+    * sized — two tiny keyed aggregates and one outer join. */
+  def qKnnConfusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pred = graft.CacheTracker.track(
+      qKnnClassify(s, d).persist(StorageLevel.MEMORY_AND_DISK))
+    val byTrue = pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("tp"))
+    val byPred = pred.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", expr(
+        "CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE) / n_pred, 6) END"))
+      .withColumn("recall", expr(
+        "CASE WHEN n_true > 0 THEN round(CAST(tp AS DOUBLE) / n_true, 6) END"))
+      .withColumn("f1", expr(
+        "CASE WHEN n_pred + n_true > 0 THEN round(CAST(2 * tp AS DOUBLE) / (n_pred + n_true), 6) END"))
+  }
+
   /** Covariance/correlation matrix of the first 8 embedding dimensions —
     * the feature-drift / redundancy audit (and the input PCA consumes).
     *
@@ -880,6 +913,7 @@ object Similarity {
     "q_pca_power" -> (qPcaPower _),
     "q_embed_project" -> (qEmbedProject _),
     "q_knn_classify" -> (qKnnClassify _),
+    "q_knn_confusion" -> (qKnnConfusion _),
     "q_emb_colstats" -> (qEmbColstats _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_sim_pq" -> (qSimPq _),
@@ -1422,5 +1456,39 @@ object Similarity {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, pred_label) AS vr
          |  FROM votes)
          |SELECT q_id, true_label, pred_label, votes, pred_label = true_label AS correct
-         |FROM best WHERE vr = 1""".stripMargin)
+         |FROM best WHERE vr = 1""".stripMargin,
+    "q_knn_confusion" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS c_id, emb AS ce, label AS pred_label FROM e WHERE vec_id % 20 <> 0),
+         |scored AS (
+         |  SELECT q_id, true_label, c_id, pred_label, $dkCos AS cos_r
+         |  FROM q CROSS JOIN c),
+         |ranked AS (
+         |  SELECT q_id, true_label, c_id, pred_label, cos_r,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT q_id, true_label, pred_label, COUNT(*) AS votes
+         |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT q_id, true_label, pred_label, votes,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, pred_label) AS vr
+         |  FROM votes),
+         |p AS (SELECT q_id, true_label, pred_label,
+         |    pred_label = true_label AS correct FROM best WHERE vr = 1),
+         |bt AS (SELECT true_label AS label, COUNT(*) AS n_true,
+         |    CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM p GROUP BY 1),
+         |bp AS (SELECT pred_label AS label, COUNT(*) AS n_pred FROM p GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(bt.label, bp.label) AS label,
+         |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+         |    COALESCE(tp, 0) AS tp
+         |  FROM bt FULL OUTER JOIN bp ON bt.label = bp.label)
+         |SELECT label, n_true, n_pred, tp,
+         |  CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+         |  CASE WHEN n_true > 0 THEN round(CAST(tp AS DOUBLE) / n_true, 6) END AS recall,
+         |  CASE WHEN n_pred + n_true > 0 THEN round(CAST(2 * tp AS DOUBLE) / (n_pred + n_true), 6) END AS f1
+         |FROM j""".stripMargin)
 }
