@@ -785,6 +785,61 @@ object Similarity {
         "CASE WHEN n_pred + n_true > 0 THEN round(CAST(2 * tp AS DOUBLE) / (n_pred + n_true), 6) END"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversification step between retrieval and presentation:
+    * from the top-20 relevance candidates for the query vector, greedily
+    * select 5 maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) with
+    * λ = 0.7, so each pick is relevant AND far from what's already
+    * picked. RAG context assembly and search-result diversification
+    * both run exactly this loop.
+    *
+    * Determinism: relevance and pairwise similarities are the 6-dp
+    * codegen cosine (the module contract), the MMR score rounds before
+    * the argmax, ties break on c_id; the incremental max-sim uses
+    * `greatest` over rounded values, so all five selections replay
+    * identically in the unrolled oracle.
+    *
+    * Scale shape: the candidate pool is top-20 by a TakeOrdered — the
+    * corpus never materializes; each greedy round is a map-side rescore
+    * of the pool against ONE collected vector (the train→broadcast
+    * pattern, 1 row) + a top-1 reduce. Pool size and round count are
+    * constants, so the whole loop is O(corpus) once, O(1) after. */
+  def qMmrDiversify(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    val cand = graft.CacheTracker.track(
+      e.filter(col("vec_id") =!= 0).select(col("vec_id").as("c_id"), col("emb").as("ce"))
+        .crossJoin(broadcast(q))
+        .withColumn("rel", expr(cosExpr))
+        .orderBy(desc("rel"), col("c_id")).limit(20)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    cand.count()
+    var rem = cand.withColumn("maxsim", lit(null).cast("double"))
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Option[Double], Double)]()
+    for (k <- 1 to 5) {
+      val mmrCol =
+        if (k == 1) col("rel")
+        else round(lit(0.7) * col("rel") - lit(0.3) * col("maxsim"), 6)
+      val top = rem.withColumn("mmr", mmrCol)
+        .orderBy(desc("mmr"), col("c_id")).limit(1).collect()(0)
+      val cid = top.getAs[Long]("c_id")
+      picked += ((k, cid, top.getAs[Double]("rel"),
+        Option(top.getAs[java.lang.Double]("maxsim")).map(_.doubleValue),
+        top.getAs[Double]("mmr")))
+      val sVec = top.getAs[scala.collection.Seq[Double]]("ce").toSeq
+      rem = rem.filter(col("c_id") =!= cid)
+        .withColumn("se", typedLit(sVec))
+        .withColumn("maxsim",
+          greatest(col("maxsim"), round(expr("cosine_sim(ce, se)"), 6)))
+        .drop("se")
+    }
+    import s.implicits._
+    picked.toSeq.toDF("sel_rank", "c_id", "rel", "maxsim", "mmr")
+  }
+
   /** Covariance/correlation matrix of the first 8 embedding dimensions —
     * the feature-drift / redundancy audit (and the input PCA consumes).
     *
@@ -914,6 +969,7 @@ object Similarity {
     "q_embed_project" -> (qEmbedProject _),
     "q_knn_classify" -> (qKnnClassify _),
     "q_knn_confusion" -> (qKnnConfusion _),
+    "q_mmr_diversify" -> (qMmrDiversify _),
     "q_emb_colstats" -> (qEmbColstats _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_sim_pq" -> (qSimPq _),
@@ -937,6 +993,36 @@ object Similarity {
     """round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
       |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
       |   sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6)""".stripMargin
+
+  /** DuckDB replay of [[qMmrDiversify]]: the greedy loop unrolls into
+    * five (rescore, argmax) CTE levels — generated so the rounds can't
+    * drift from the Spark loop. */
+  private def mmrOracle: String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |qv AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+         |cv AS (SELECT vec_id AS c_id, emb AS ce FROM e WHERE vec_id <> 0),
+         |cand AS (
+         |  SELECT c_id, ce, $dkCos AS rel FROM cv, qv
+         |  ORDER BY rel DESC, c_id LIMIT 20),
+         |s1 AS (SELECT c_id, ce, rel, CAST(NULL AS DOUBLE) AS ms, rel AS mmr
+         |  FROM cand ORDER BY rel DESC, c_id LIMIT 1),
+         |r2 AS (SELECT c.c_id, c.ce, c.rel, ${dkCos2("c.ce", "s.ce")} AS ms
+         |  FROM cand c, s1 s WHERE c.c_id <> s.c_id)""".stripMargin)
+    for (k <- 2 to 5) {
+      sb.append(s""",
+        |s$k AS (SELECT c_id, ce, rel, ms, round(0.7 * rel - 0.3 * ms, 6) AS mmr
+        |  FROM r$k ORDER BY mmr DESC, c_id LIMIT 1)""".stripMargin)
+      if (k < 5) sb.append(s""",
+        |r${k + 1} AS (SELECT r.c_id, r.ce, r.rel,
+        |    greatest(r.ms, ${dkCos2("r.ce", "s.ce")}) AS ms
+        |  FROM r$k r, s$k s WHERE r.c_id <> s.c_id)""".stripMargin)
+    }
+    sb.append("\n" + (1 to 5).map { k =>
+      s"SELECT $k AS sel_rank, c_id, rel, ms AS maxsim, mmr FROM s$k"
+    }.mkString("\nUNION ALL\n"))
+    sb.toString
+  }
 
   private def dkPlane(p: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64),
@@ -1437,6 +1523,7 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rank, c_id AS neighbor_id, cos_r AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_mmr_diversify" -> mmrOracle,
     "q_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
          |q AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e WHERE vec_id % 20 = 0),
