@@ -330,10 +330,16 @@ class PlanShapeSpec extends SparkSpec {
 
   test("round-7 eleventh wave shapes: kcore lineage stays cut, lift and KN broadcast their totals") {
     // k-core: the localCheckpoint lineage cut must hold — without it the
-    // double-reference peel rounds grow the plan 3x per round and the
-    // final plan string balloons into the millions of characters
-    val kc = try plan("q_graph_kcore") finally graft.CacheTracker.releaseAll()
-    assert(kc.length < 200000, s"kcore plan blew up to ${kc.length} chars — lineage cut lost")
+    // double-reference peel rounds grow the ANALYZED tree 3x per round
+    // (thousands of nodes); with the cut, the tree holds the LSH subtree
+    // a constant number of times. Node count is stable across session
+    // history, unlike plan-string length (InMemoryRelation prints its
+    // cached plan, whose rendering depends on what else ran).
+    val kcDf = SparkEntry.queries("q_graph_kcore")(spark, sf)
+    val kcNodes = kcDf.queryExecution.analyzed.collect { case _ => 1 }.sum
+    val kc = try kcDf.queryExecution.executedPlan.toString
+      finally graft.CacheTracker.releaseAll()
+    assert(kcNodes < 1500, s"kcore analyzed tree has $kcNodes nodes — lineage cut lost")
     assert(kc.contains("Scan ExistingRDD") || kc.contains("LogicalRDD"),
       "kcore rounds must read checkpointed leaves")
     // decile lift: boundaries are baked literals, so the customer
