@@ -952,7 +952,60 @@ object Dedup {
         expr("round(CAST(2 * n_tp AS DOUBLE) / greatest(n_pred + n_truth, 1), 6)").as("f1"))
   }
 
+  /** Clipped n-gram overlap count (BLEU's modified precision numerator):
+    * for each DISTINCT gram of the candidate list `c`, its count in `c`
+    * clipped by its count in the reference `r`, summed. */
+  private def clipExpr(c: String, r: String): String =
+    s"""aggregate(array_distinct($c), CAST(0 AS BIGINT),
+       | (acc, t) -> acc + least(CAST(size(filter($c, x -> x = t)) AS BIGINT),
+       |   CAST(size(filter($r, x -> x = t)) AS BIGINT)))""".stripMargin.replace("\n", "")
+
+  /** BLEU-2 overlap scoring between near-duplicate pairs — the
+    * generation-eval metric (Papineni et al. 2002) applied as a dedup
+    * AUDIT: for each LSH-verified pair, score the higher-id copy as a
+    * "candidate" against the lower-id "reference" (modified/clipped 1-
+    * and 2-gram precisions, brevity penalty, geometric mean). Exact
+    * copies score 1.0; the tail-append near-dups score the asymmetry
+    * LSH's symmetric Jaccard hides — the same reason q_dedup_containment
+    * exists, but in the cross-comparable unit every eval suite reports.
+    *
+    * Determinism: both precisions are ratios of exact integer clipped
+    * counts; the only floats are the final exp/ln expression, written
+    * identically in both engines and rounded at 6 dp (the q_text_bm25
+    * libm contract).
+    *
+    * Scale shape: the pair set is LSH-bounded (never all-pairs), texts
+    * join in by doc_id, and the clipped counts are per-pair map-side
+    * HOFs — O(|grams|·|types|) per pair with ~100-word documents, no
+    * additional shuffle beyond the two id joins. */
+  def qBleuPairs(s: SparkSession, d: String): DataFrame = {
+    val pairs = qDedupLshPairs(s, d).select("a_id", "b_id")
+    val docs = corpus(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("w").as("aw")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("w").as("bw")), "b_id")
+      .withColumn("ag2", expr(
+        "CASE WHEN size(aw) < 2 THEN array() ELSE transform(sequence(0, size(aw) - 2), i -> concat(aw[i], ' ', aw[i + 1])) END"))
+      .withColumn("bg2", expr(
+        "CASE WHEN size(bw) < 2 THEN array() ELSE transform(sequence(0, size(bw) - 2), i -> concat(bw[i], ' ', bw[i + 1])) END"))
+      .select(col("a_id"), col("b_id"),
+        size(col("aw")).cast("long").as("len_a"),
+        size(col("bw")).cast("long").as("len_b"),
+        expr(clipExpr("bw", "aw")).as("m1"),
+        expr(clipExpr("bg2", "ag2")).as("m2"))
+      .withColumn("p1", round(col("m1").cast("double") / col("len_b"), 6))
+      .withColumn("p2", when(col("len_b") < 2, 0.0)
+        .otherwise(round(col("m2").cast("double") / (col("len_b") - 1), 6)))
+      .withColumn("bleu2", when(col("m1") === 0 || col("m2") === 0, 0.0)
+        .otherwise(round(
+          when(col("len_b") >= col("len_a"), 1.0)
+            .otherwise(expr("exp(1.0 - CAST(len_a AS DOUBLE) / len_b)")) *
+          expr("exp(0.5 * (ln(CAST(m1 AS DOUBLE) / len_b) + ln(CAST(m2 AS DOUBLE) / (len_b - 1))))"),
+          6)))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bleu_pairs" -> (qBleuPairs _),
     "q_dedup_eval" -> (qDedupEval _),
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_graph_jaccard" -> (qGraphJaccard _),
@@ -1021,6 +1074,35 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_bleu_pairs" ->
+      s"""WITH $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |pw AS (SELECT p.a_id, p.b_id, wa.w AS aw, wb.w AS bw
+         |  FROM pairs p JOIN wd wa ON wa.doc_id = p.a_id JOIN wd wb ON wb.doc_id = p.b_id),
+         |g AS (SELECT a_id, b_id, aw, bw,
+         |    CASE WHEN len(aw) < 2 THEN []
+         |      ELSE list_transform(range(1, len(aw)), i -> aw[i] || ' ' || aw[i + 1]) END AS ag2,
+         |    CASE WHEN len(bw) < 2 THEN []
+         |      ELSE list_transform(range(1, len(bw)), i -> bw[i] || ' ' || bw[i + 1]) END AS bg2
+         |  FROM pw),
+         |m AS (SELECT a_id, b_id,
+         |    CAST(len(aw) AS BIGINT) AS len_a, CAST(len(bw) AS BIGINT) AS len_b,
+         |    COALESCE(CAST(list_sum(list_transform(list_distinct(bw),
+         |      t -> least(len(list_filter(bw, x -> x = t)), len(list_filter(aw, x -> x = t))))) AS BIGINT), 0) AS m1,
+         |    COALESCE(CAST(list_sum(list_transform(list_distinct(bg2),
+         |      t -> least(len(list_filter(bg2, x -> x = t)), len(list_filter(ag2, x -> x = t))))) AS BIGINT), 0) AS m2
+         |  FROM g)
+         |SELECT a_id, b_id, len_a, len_b, m1, m2,
+         |  round(CAST(m1 AS DOUBLE) / len_b, 6) AS p1,
+         |  CASE WHEN len_b < 2 THEN 0.0 ELSE round(CAST(m2 AS DOUBLE) / (len_b - 1), 6) END AS p2,
+         |  CASE WHEN m1 = 0 OR m2 = 0 THEN 0.0
+         |    ELSE round((CASE WHEN len_b >= len_a THEN 1.0
+         |        ELSE exp(1.0 - CAST(len_a AS DOUBLE) / len_b) END)
+         |      * exp(0.5 * (ln(CAST(m1 AS DOUBLE) / len_b) + ln(CAST(m2 AS DOUBLE) / (len_b - 1)))), 6)
+         |  END AS bleu2
+         |FROM m""".stripMargin,
     "q_dedup_eval" -> {
       val sums = (1 to 64).map(j =>
         s"SUM(CASE WHEN ${simhashBit("h", j)} THEN 1 ELSE 0 END) AS c$j").mkString(",\n         |    ")

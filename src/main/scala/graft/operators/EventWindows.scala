@@ -1111,7 +1111,32 @@ object EventWindows {
         col("z"), (abs(col("z")) > 2.797).as("signif"))
   }
 
+  /** Per-user contribution bounding — the preprocessing step every
+    * differential-privacy / abuse-robust aggregation runs before
+    * releasing counts (bound each user's influence so one hyperactive
+    * user or bot can't dominate a statistic): cap each user's events at
+    * 10 per event type and report, per type, the raw vs capped totals,
+    * how many users were clipped, and the share of mass the cap removed.
+    *
+    * No window is needed: capping a COUNT at k is `least(c, k)` on the
+    * per-(user, type) counts, so the plan is one (user_id, event_type)
+    * shuffle with map-side combine followed by a type-keyed reduction —
+    * strictly cheaper than the rank-and-filter form and exactly
+    * integer-equal to it. */
+  def qContributionCap(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(sum("c").cast("long").as("n_raw"),
+        sum(least(col("c"), lit(10L))).cast("long").as("n_capped"),
+        count(lit(1)).as("n_users"),
+        sum(when(col("c") > 10, 1L).otherwise(0L)).as("n_clipped"))
+      .withColumn("dropped_frac",
+        round((col("n_raw") - col("n_capped")).cast("double") / col("n_raw"), 6))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contribution_cap" -> (qContributionCap _),
     "q_ab_sequential" -> (qAbSequential _),
     "q_pacf" -> (qPacf _),
     "q_linreg_trend" -> (qLinregTrend _),
@@ -1175,6 +1200,18 @@ object EventWindows {
       |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_contribution_cap" ->
+      """WITH uc AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_raw,
+        |    CAST(SUM(least(c, 10)) AS BIGINT) AS n_capped,
+        |    COUNT(*) AS n_users,
+        |    CAST(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |  FROM uc GROUP BY 1)
+        |SELECT event_type, n_raw, n_capped, n_users, n_clipped,
+        |  round(CAST(n_raw - n_capped AS DOUBLE) / n_raw, 6) AS dropped_frac
+        |FROM a""".stripMargin,
     "q_funnel_latency" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS tv FROM events

@@ -44,6 +44,35 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the
+    * in-batch-negatives upgrade every retrieval-model pipeline runs —
+    * e.g. DPR/SimCSE style): for each anchor (every 25th vector), the
+    * top-5 most-cosine-similar vectors whose LABEL differs — maximally
+    * confusing negatives, far more informative than random ones. Label
+    * inequality also excludes the anchor itself.
+    *
+    * Scale shape: the anchor set is a sampled broadcast side (the
+    * qSimTopK pattern), scoring is map-side over one candidate scan,
+    * and rank ≤ 5 rides WindowGroupLimit so each task ships only its
+    * local top-5 per anchor. At 100 TB the brute-force scan swaps for
+    * the IVF/LSH candidate generation in this module with the same
+    * ranking tail. */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val anchors = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("label").as("q_label"))
+    val cands = e.select(col("vec_id").as("c_id"), col("emb").as("ce"), col("label").as("neg_label"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
+    cands.join(broadcast(anchors), col("q_label") =!= col("neg_label"))
+      .withColumn("cos_r", expr(cosExpr))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("q_label"), col("rank"), col("c_id"),
+        col("neg_label"), col("cos_r").as("cosine"))
+  }
+
   /** Max-inner-product top-5 via the norm-augmentation reduction
     * (Bachrach et al. 2014 / Neyshabur & Srebro 2015): append one
     * component s(x) = √(M² − |x|²) to every candidate (M = the max
@@ -976,6 +1005,7 @@ object Similarity {
     "q_sim_ivf_pq" -> (qSimIvfPq _),
     "q_sim_ivf_pq_res" -> (qSimIvfPqRes _),
     "q_sim_topk" -> (qSimTopK _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_sim_mips" -> (qSimMips _),
     "q_sim_sq8" -> (qSimSq8 _),
     "q_ndcg_eval" -> (qNdcgEval _),
@@ -1506,6 +1536,23 @@ object Similarity {
          |SELECT q_id, rank, c_id AS neighbor_id, ip8,
          |  ${dkCos2("qe2", "ce2")} AS cosine
          |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, label AS q_label FROM e WHERE vec_id % 25 = 0),
+        |c AS (SELECT vec_id AS c_id, emb AS ce, label AS neg_label FROM e),
+        |scored AS (
+        |  SELECT q_id, q_label, c_id, neg_label,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6) AS cos_r
+        |  FROM q JOIN c ON q_label <> neg_label),
+        |ranked AS (
+        |  SELECT q_id, q_label, c_id, neg_label, cos_r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, q_label, rank, c_id, neg_label, cos_r AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),

@@ -1117,7 +1117,89 @@ object TextAnalysis {
         "0.39 * (CAST(n_words AS DOUBLE) / n_sentences) + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59"), 4))
   }
 
+  /** Zipf's-law fit over the corpus word-frequency distribution — the
+    * lexical sanity check curation dashboards publish (natural text has
+    * rank-frequency slope ≈ −1; boilerplate/generated text departs):
+    * OLS of ln(freq) on ln(rank) over the top-200 ranks, next to the
+    * Heaps'-law inputs (total tokens, vocabulary size).
+    *
+    * Determinism: ranks come from a TakeOrdered top-200 (strict
+    * (freq desc, word) order), each point's ln values round to 6 dp
+    * before any arithmetic (the cross-engine libm contract q_text_bm25
+    * established), and the four OLS sums fold in PINNED rank order over
+    * the collected point list (the q_jackknife pattern) — so the doubles
+    * are bit-identical in both engines.
+    *
+    * Scale shape: one (word) shuffle with map-side combine for the
+    * frequency relation (vocab-sized by Heaps' law), a TakeOrdered
+    * top-200 (per-partition top-k, never a global sort), and a
+    * constant-200-row tail — the corpus totals reuse the persisted
+    * frequency relation rather than rescanning text. */
+  def qZipfFit(s: SparkSession, d: String): DataFrame = {
+    val wc = graft.CacheTracker.track(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .persist())
+    val totals = wc.agg(
+      count(lit(1)).as("n_types"),
+      sum("freq").cast("long").as("n_tokens"))
+    val top = wc.orderBy(col("freq").desc, col("word")).limit(200)
+      // bounded 200-row tail: the single-partition window is constant-size
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+      .select(col("rank"),
+        expr("round(ln(CAST(rank AS DOUBLE)), 6)").as("x"),
+        expr("round(ln(CAST(freq AS DOUBLE)), 6)").as("y"))
+    val fit = top
+      .select(col("rank"), struct(col("rank"), col("x"), col("y"),
+        (col("x") * col("x")).as("xx"), (col("x") * col("y")).as("xy")).as("p"))
+      .agg(count(lit(1)).as("n_fit"),
+        expr("""aggregate(sort_array(collect_list(p)),
+          | named_struct('sx', 0D, 'sy', 0D, 'sxx', 0D, 'sxy', 0D),
+          | (a, q) -> named_struct('sx', a.sx + q.x, 'sy', a.sy + q.y,
+          |   'sxx', a.sxx + q.xx, 'sxy', a.sxy + q.xy))"""
+          .stripMargin.replace("\n", "")).as("s"))
+      .select(col("n_fit"),
+        round(expr("(n_fit * s.sxy - s.sx * s.sy) / (n_fit * s.sxx - s.sx * s.sx)"), 6)
+          .as("slope"),
+        round(expr("(s.sy - (n_fit * s.sxy - s.sx * s.sy) / (n_fit * s.sxx - s.sx * s.sx) * s.sx) / n_fit"), 6)
+          .as("intercept"))
+    totals.crossJoin(fit)
+      .select(col("n_types"), col("n_tokens"), col("n_fit"),
+        col("slope"), col("intercept"), (-col("slope")).as("zipf_alpha"))
+  }
+
+  /** Per-source lexical-diversity profile — the vocabulary-richness
+    * audit that distinguishes natural prose from templated/boilerplate
+    * sources: type-token ratio, hapax fraction (Heaps-law mass in
+    * singleton types), and Yule's K concentration (10⁴·(Σ m·c² − N)/N²
+    * over the count-of-counts — high K = few types dominate).
+    *
+    * Everything derives from exact integer counts — the two divisions
+    * are single identical float expressions — so the output is
+    * hash-stable. Scale shape: one (source, word) shuffle with map-side
+    * combine (vocab-sized output), then a source-keyed reduction — the
+    * same two-stage shape as q_tfidf. */
+  def qLexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c") * col("c")).cast("long").as("sum_c2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"),
+        round(lit(10000.0) * (col("sum_c2") - col("n_tokens")) /
+          (col("n_tokens").cast("double") * col("n_tokens")), 6).as("yule_k"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_fit" -> (qZipfFit _),
+    "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_text_readability" -> (qTextReadability _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_phrase_search" -> (qPhraseSearch _),
@@ -1205,6 +1287,38 @@ object TextAnalysis {
       |    ORDER BY score_r DESC, c) AS rn FROM sc)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_zipf_fit" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_types, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM wc),
+        |top AS (SELECT word, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+        |  FROM wc ORDER BY freq DESC, word LIMIT 200),
+        |pts AS (SELECT rank, round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(freq AS DOUBLE)), 6) AS y FROM top),
+        |f AS (
+        |  SELECT COUNT(*) AS n_fit,
+        |    list_reduce(list_prepend({'x': 0.0, 'y': 0.0, 'xx': 0.0, 'xy': 0.0},
+        |      list({'x': x, 'y': y, 'xx': x * x, 'xy': x * y} ORDER BY rank)),
+        |      (a, b) -> {'x': a.x + b.x, 'y': a.y + b.y, 'xx': a.xx + b.xx, 'xy': a.xy + b.xy}) AS s
+        |  FROM pts),
+        |g AS (SELECT n_fit,
+        |    round((n_fit * s.xy - s.x * s.y) / (n_fit * s.xx - s.x * s.x), 6) AS slope,
+        |    round((s.y - (n_fit * s.xy - s.x * s.y) / (n_fit * s.xx - s.x * s.x) * s.x) / n_fit, 6) AS intercept
+        |  FROM f)
+        |SELECT n_types, n_tokens, n_fit, slope, intercept, -slope AS zipf_alpha
+        |FROM tot CROSS JOIN g""".stripMargin,
+    "q_lexical_diversity" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |    CAST(SUM(c * c) AS BIGINT) AS sum_c2
+        |  FROM wc GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+        |  round(10000.0 * (sum_c2 - n_tokens) / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS yule_k
+        |FROM a""".stripMargin,
     "q_active_learning" ->
       s"""$nbChainSql
          |SELECT a.doc_id, a.lang, a.c AS pred_lang,

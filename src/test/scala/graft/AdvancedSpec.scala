@@ -867,4 +867,22 @@ class AdvancedSpec extends SparkSpec {
     val top = rows.maxBy(_.getAs[Long]("c12"))
     assert(top.getAs[Double]("p_kn") < top.getAs[Double]("p_mle"), top.toString)
   }
+
+  test("contribution cap: mass conserved, cap binds, and least(c,k) equals the rank-filter form") {
+    val g = operators.EventWindows.qContributionCap(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    assert(g.agg(sum("n_raw")).head.getLong(0) == ev.count(),
+      "raw totals must partition the event table")
+    assert(g.filter(col("n_capped") > col("n_raw") ||
+      col("n_capped") > col("n_users") * 10 ||
+      col("n_clipped") > col("n_users")).count() == 0)
+    // equivalence with the explicit per-user rank-and-keep form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val ranked = ev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .groupBy("event_type").agg(count(lit(1)).as("n_capped_rank"))
+    val joined = g.join(ranked, "event_type")
+    assert(joined.filter(col("n_capped") =!= col("n_capped_rank")).count() == 0)
+    g.unpersist()
+  }
 }

@@ -1690,6 +1690,84 @@ class PipelineSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("BLEU-2 pair audit: exact copies score 1.0, tail-append near-dups strictly between 0 and 1") {
+    val g = Dedup.qBleuPairs(spark, sf).cache()
+    val exact = g.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
+    assert(exact.count() == 100)
+    assert(exact.filter(col("bleu2") =!= 1.0 || col("p1") =!= 1.0 || col("p2") =!= 1.0).count() == 0)
+    val near = g.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 2000000L).cache()
+    assert(near.count() >= 60) // LSH recall bound, as in the jaccard spec
+    assert(near.filter(col("bleu2") <= 0.0 || col("bleu2") >= 1.0).count() == 0)
+    // tail-append makes the CANDIDATE the longer side: no brevity penalty,
+    // the loss is purely clipped-precision (m1 < len_b)
+    assert(near.filter(col("len_b") <= col("len_a")).count() == 0)
+    assert(near.filter(col("m1") >= col("len_b")).count() == 0)
+    near.unpersist(); g.unpersist()
+  }
+
+  test("Zipf fit matches a driver-side OLS replay and slopes downward") {
+    val r = TextAnalysis.qZipfFit(spark, sf).head()
+    // the synthetic corpus has a 31-type vocabulary at every sf, so the
+    // top-200 cap is not binding and the fit covers the whole vocab
+    assert(r.getAs[Long]("n_fit") == math.min(200L, r.getAs[Long]("n_types")))
+    val slope = r.getAs[Double]("slope")
+    assert(slope < 0, s"rank-frequency slope must be negative, got $slope")
+    assert(r.getAs[Double]("zipf_alpha") == -slope)
+    // replay: same top-200, same 6-dp-rounded ln points, driver-side OLS
+    val pts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(200)
+      .collect().zipWithIndex.map { case (row, i) =>
+        val x = BigDecimal(math.log(i + 1.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val y = BigDecimal(math.log(row.getAs[Long]("freq").toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (x, y)
+      }
+    val n = pts.length.toDouble
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+    pts.foreach { case (x, y) => sx += x; sy += y; sxx += x * x; sxy += x * y }
+    val expSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(pts.length == r.getAs[Long]("n_fit"))
+    assert(math.abs(slope - expSlope) < 1e-6, s"$slope vs replay $expSlope")
+  }
+
+  test("lexical diversity: counts nest, ratios bounded, token mass conserved") {
+    val g = TextAnalysis.qLexicalDiversity(spark, sf).cache()
+    assert(g.filter(col("n_hapax") > col("n_types") || col("n_types") > col("n_tokens")).count() == 0)
+    assert(g.filter(col("ttr") <= 0 || col("ttr") > 1 ||
+      col("hapax_frac") < 0 || col("hapax_frac") > 1 || col("yule_k") < 0).count() == 0)
+    val massOut = g.agg(sum("n_tokens")).head.getLong(0)
+    val massIn = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n")).agg(sum("n")).head.getLong(0)
+    assert(massOut == massIn, "per-source token totals must sum to the corpus total")
+    g.unpersist()
+  }
+
+  test("hard negatives: 5 per anchor, labels differ, and the set matches brute force") {
+    val g = Similarity.qHardNegatives(spark, sf).cache()
+    val perAnchor = g.groupBy("q_id").count()
+    assert(perAnchor.filter(col("count") =!= 5).count() == 0)
+    assert(g.filter(col("q_label") === col("neg_label")).count() == 0)
+    assert(g.filter(col("cosine") < -1.0 || col("cosine") > 1.0).count() == 0)
+    // brute force replay over the full cross join (500 vectors at sf0.001)
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val a = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("c_id"), col("emb").as("ce"), col("label").as("neg_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_r").desc, col("c_id"))
+    val brute = c.join(a, col("q_label") =!= col("neg_label"))
+      .withColumn("cos_r", expr("round(cosine_sim(qe, ce), 6)"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id")
+    assert(g.select("q_id", "rank", "c_id").exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(g.select("q_id", "rank", "c_id")).count() == 0)
+    g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
