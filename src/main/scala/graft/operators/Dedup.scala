@@ -485,6 +485,44 @@ object Dedup {
         (abs(col("est_jaccard") - col("jaccard")) <= 0.45).as("within_bound"))
   }
 
+  /** b-bit minwise hashing (Li & König, CACM 2011) — the sketch
+    * COMPRESSION theorem that makes web-scale MinHash indexes fit in
+    * memory: storing only the lowest b bits of each of the 16 permuted
+    * mins (here b = 2: 32 bits/doc instead of 512) still yields an
+    * unbiased Jaccard estimator after correcting for accidental low-bit
+    * collisions, Ĵ = (A_b − C_b)/(1 − C_b) with C_b = 2^(−b) (the
+    * sparse-set simplification of the paper's r1/r2 form). The query
+    * reports, per LSH candidate pair, the full-signature estimate, the
+    * 2-bit estimate, the exact Jaccard, and both absolute errors — the
+    * storage/accuracy tradeoff measured on real pairs. The 2-bit
+    * estimate may leave [0, 1] on non-duplicate pairs (an unbiased
+    * linear correction can — documented estimator property, not a bug).
+    *
+    * Scale shape: identical to [[qMinhashEstimate]] — one signature
+    * pass, banded candidates (never all-pairs), per-pair map-side
+    * zip_with folds over the 16-slot signatures. */
+  def qMinhashBbit(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa_sig"), col("sset").as("sa_set"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb_sig"), col("sset").as("sb_set"))
+    bandedCandidates(sigs).join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_match",
+        expr("size(filter(zip_with(sa_sig, sb_sig, (x, y) -> x = y), b -> b))"))
+      .withColumn("n_match_2bit",
+        expr("size(filter(zip_with(sa_sig, sb_sig, (x, y) -> x % 4 = y % 4), b -> b))"))
+      .withColumn("n_inter", size(array_intersect(col("sa_set"), col("sb_set"))))
+      .withColumn("n_union", size(col("sa_set")) + size(col("sb_set")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .withColumn("est_full", col("n_match") / lit(16.0))
+      .withColumn("est_bbit", round((col("n_match_2bit") / lit(16.0) - lit(0.25)) / lit(0.75), 6))
+      .select(col("a_id"), col("b_id"), col("n_match"), col("n_match_2bit"),
+        col("est_full"), col("est_bbit"), col("jaccard"),
+        round(abs(col("est_full") - col("jaccard")), 6).as("err_full"),
+        round(abs(col("est_bbit") - col("jaccard")), 6).as("err_bbit"))
+  }
+
   /** Connected components over the verified near-dup pairs — the step a
     * curation pipeline needs AFTER pair generation: pairwise matches
     * grouped into duplicate clusters, each with a canonical id (the
@@ -1025,6 +1063,7 @@ object Dedup {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
+    "q_minhash_bbit" -> (qMinhashBbit _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _))
@@ -1430,6 +1469,26 @@ object Dedup {
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
          |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
          |FROM est""".stripMargin,
+    "q_minhash_bbit" ->
+      s"""WITH $lshJChain,
+         |est AS (
+         |  SELECT a_id, b_id,
+         |    len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS n_match,
+         |    len(list_filter(range(1, 17), i -> sa.sig[i] % 4 = sb.sig[i] % 4)) AS n_match_2bit,
+         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+         |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
+         |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id),
+         |e2 AS (
+         |  SELECT a_id, b_id, CAST(n_match AS INTEGER) AS n_match,
+         |    CAST(n_match_2bit AS INTEGER) AS n_match_2bit,
+         |    n_match / 16.0 AS est_full,
+         |    round((n_match_2bit / 16.0 - 0.25) / 0.75, 6) AS est_bbit,
+         |    CAST(n_inter AS DOUBLE) / n_union AS jaccard
+         |  FROM est)
+         |SELECT a_id, b_id, n_match, n_match_2bit, est_full, est_bbit, jaccard,
+         |  round(abs(est_full - jaccard), 6) AS err_full,
+         |  round(abs(est_bbit - jaccard), 6) AS err_bbit
+         |FROM e2""".stripMargin,
     // same pair pipeline, then connected components: the oracle takes
     // the closure fixpoint (recursive reach + MIN) that matches the
     // engine's label-propagation fixpoint extensionally

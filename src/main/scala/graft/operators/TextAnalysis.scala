@@ -1117,6 +1117,55 @@ object TextAnalysis {
         "0.39 * (CAST(n_words AS DOUBLE) / n_sentences) + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59"), 4))
   }
 
+  /** Label-noise audit via the confident-joint matrix (the heart of
+    * confident learning, Northcutt et al. 2021): cross-tabulate each
+    * held-out document's GIVEN label against the classifier's PREDICTED
+    * label — the off-diagonal mass estimates the label-error rate per
+    * class, and the flagged cells are where a relabeling budget should
+    * go. Reuses the [[qNaiveBayes]] prediction relation unchanged.
+    *
+    * Scale shape: inherits the classifier's plan; the joint matrix is a
+    * |classes|² aggregate and the per-class totals ride a window over
+    * those bounded cells. */
+  def qLabelNoise(s: SparkSession, d: String): DataFrame = {
+    nbScored(s, d).filter(col("rn") === 1)
+      .select(col("lang"), col("c").as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_given", sum("n_docs").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("n_docs"), col("n_given"),
+        round(col("n_docs").cast("double") / col("n_given"), 6).as("cell_frac"),
+        (col("lang") =!= col("pred_lang")).as("suspected_noise"))
+  }
+
+  /** Wilson-score ranking of sources by quality-gate pass rate — the
+    * small-sample-honest ordering (the classic "how not to sort by
+    * average rating" correction): rank by the 95% LOWER confidence
+    * bound of the [[qGopherQuality]] pass proportion, so a source with
+    * 3/3 passes cannot outrank one with 480/500. The bound is the
+    * Wilson interval (p̂ + z²/2n − z√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)
+    * at z = 1.96, computed as one identical float expression from the
+    * exact integer (n_pass, n_docs) in both engines.
+    *
+    * Scale shape: the gate is the existing map-side quality pass; the
+    * aggregate and the rank window are |sources|-bounded. */
+  def qWilsonRank(s: SparkSession, d: String): DataFrame = {
+    val wilson =
+      """(CAST(n_pass AS DOUBLE) / n_docs + 1.96 * 1.96 / (2 * n_docs)
+        | - 1.96 * sqrt((CAST(n_pass AS DOUBLE) / n_docs * (1 - CAST(n_pass AS DOUBLE) / n_docs)
+        |     + 1.96 * 1.96 / (4 * n_docs)) / n_docs))
+        | / (1 + 1.96 * 1.96 / n_docs)""".stripMargin.replace("\n", "")
+    qGopherQuality(s, d).select(col("doc_id"), col("pass_all"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass_all"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("p_hat", round(col("n_pass").cast("double") / col("n_docs"), 6))
+      .withColumn("wilson_lo", round(expr(wilson), 6))
+      // |sources|-bounded tail: the unpartitioned window is constant-size
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("wilson_lo"), col("source"))))
+  }
+
   /** Zipf's-law fit over the corpus word-frequency distribution — the
     * lexical sanity check curation dashboards publish (natural text has
     * rank-frequency slope ≈ −1; boilerplate/generated text departs):
@@ -1198,6 +1247,8 @@ object TextAnalysis {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_noise" -> (qLabelNoise _),
+    "q_wilson_rank" -> (qWilsonRank _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_text_readability" -> (qTextReadability _),
@@ -1287,6 +1338,42 @@ object TextAnalysis {
       |    ORDER BY score_r DESC, c) AS rn FROM sc)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_label_noise" ->
+      s"""$nbChainSql,
+         |p AS (SELECT lang, c AS pred_lang FROM rk WHERE rn = 1),
+         |m AS (SELECT lang, pred_lang, COUNT(*) AS n_docs FROM p GROUP BY 1, 2),
+         |t AS (SELECT *, CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS n_given FROM m)
+         |SELECT lang, pred_lang, n_docs, n_given,
+         |  round(CAST(n_docs AS DOUBLE) / n_given, 6) AS cell_frac,
+         |  lang <> pred_lang AS suspected_noise
+         |FROM t""".stripMargin,
+    "q_wilson_rank" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        |base AS (SELECT doc_id, source, len(words) AS n_words,
+        |    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mwl
+        |  FROM w),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN []
+        |    ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS g
+        |  FROM w),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM gc GROUP BY 1),
+        |f AS (SELECT b.doc_id, b.source,
+        |    ((b.mwl >= 3 AND b.mwl <= 10) AND (CAST(max2 AS DOUBLE) / tot2 <= 0.2)
+        |      AND (b.n_words >= 20)) AS pass_all
+        |  FROM base b JOIN rep USING (doc_id)),
+        |a AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN pass_all THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM f GROUP BY 1),
+        |wl AS (SELECT source, n_docs, n_pass,
+        |    round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS p_hat,
+        |    round((CAST(n_pass AS DOUBLE) / n_docs + 1.96 * 1.96 / (2 * n_docs)
+        |      - 1.96 * sqrt((CAST(n_pass AS DOUBLE) / n_docs * (1 - CAST(n_pass AS DOUBLE) / n_docs)
+        |          + 1.96 * 1.96 / (4 * n_docs)) / n_docs))
+        |      / (1 + 1.96 * 1.96 / n_docs), 6) AS wilson_lo
+        |  FROM a)
+        |SELECT source, n_docs, n_pass, p_hat, wilson_lo,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY wilson_lo DESC, source) AS INTEGER) AS rank
+        |FROM wl""".stripMargin,
     "q_zipf_fit" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |wc AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),

@@ -1768,6 +1768,45 @@ class PipelineSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("b-bit minhash: low-bit matches dominate full matches, exact copies estimate 1.0") {
+    val g = Dedup.qMinhashBbit(spark, sf).cache()
+    // a full 32-bit slot match is also a 2-bit match, never the reverse
+    assert(g.filter(col("n_match_2bit") < col("n_match")).count() == 0)
+    val exact = g.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
+    assert(exact.count() == 100)
+    assert(exact.filter(col("est_bbit") =!= 1.0 || col("est_full") =!= 1.0).count() == 0)
+    // the correction maps n2 = 4 (pure-chance agreement) to 0, n2 = 16 to 1
+    assert(g.filter(col("est_bbit") > 1.0).count() == 0)
+    g.unpersist()
+  }
+
+  test("label-noise joint: per-class fractions sum to 1 and diagonal cells are not flagged") {
+    val g = TextAnalysis.qLabelNoise(spark, sf).cache()
+    CacheTracker.releaseAll()
+    assert(g.filter(col("suspected_noise") === (col("lang") === col("pred_lang"))).count() == 0)
+    val byLang = g.groupBy("lang")
+      .agg(sum("n_docs").as("s"), max("n_given").as("ng"), sum("cell_frac").as("fs"))
+      .collect()
+    byLang.foreach { r =>
+      assert(r.getAs[Long]("s") == r.getAs[Long]("ng"), r.toString)
+      assert(math.abs(r.getAs[Double]("fs") - 1.0) < 1e-4, r.toString)
+    }
+    g.unpersist()
+  }
+
+  test("wilson ranking: lower bound never exceeds the point rate and ranks are a permutation") {
+    val rows = TextAnalysis.qWilsonRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo) = (r.getAs[Double]("p_hat"), r.getAs[Double]("wilson_lo"))
+      assert(lo <= p && lo >= 0 && p <= 1, r.toString)
+    }
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    // the bound must order by evidence, not raw rate: ranks follow wilson_lo desc
+    val sorted = rows.sortBy(r => (-r.getAs[Double]("wilson_lo"), r.getAs[String]("source")))
+    assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
