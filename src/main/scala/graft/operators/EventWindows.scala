@@ -1135,7 +1135,38 @@ object EventWindows {
         round((col("n_raw") - col("n_capped")).cast("double") / col("n_raw"), 6))
   }
 
+  /** Explicit sessionization — the lag-gap form of session windows that
+    * assigns a stable SESSION ID to every event (the native
+    * session_window aggregate in [[qWindowSession]] gives per-session
+    * aggregates but no joinable id): a session starts at any event more
+    * than 30 minutes after the user's previous one, the running count
+    * of session starts is the per-user session index, and each session
+    * reports its event count, duration, and bounds in epoch seconds —
+    * all exact integers.
+    *
+    * Scale shape: one user_id partitioning serves the lag, the running
+    * sum, and the per-session aggregate (Spark reuses the single sort
+    * within one Window stage, and the groupBy re-shuffles only the
+    * session-keyed rows). */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (qSessionize _),
     "q_contribution_cap" -> (qContributionCap _),
     "q_ab_sequential" -> (qAbSequential _),
     "q_pacf" -> (qPacf _),
@@ -1200,6 +1231,21 @@ object EventWindows {
       |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |l AS (SELECT user_id, event_id, ts, es,
+        |    LAG(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+        |  FROM e),
+        |n AS (SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+        |    THEN 1 ELSE 0 END AS new_s FROM l),
+        |si AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM n)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  CAST(MIN(es) AS BIGINT) AS start_s, CAST(MAX(es) AS BIGINT) AS end_s,
+        |  CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_s
+        |FROM si GROUP BY 1, 2""".stripMargin,
     "q_contribution_cap" ->
       """WITH uc AS (
         |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),

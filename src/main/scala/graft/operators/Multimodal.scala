@@ -180,7 +180,66 @@ object Multimodal {
         round(col("pad_px").cast("double") / col("canvas_px"), 6).as("pad_frac"))
   }
 
+  /** Perceptual-hash near-duplicate detection over media payloads — the
+    * image-dedup step (pHash/dHash family) a multimodal curation
+    * pipeline runs where text dedup runs MinHash: the payload is
+    * "resized" onto a fixed 64-cell grid (cell w = the
+    * length-proportional byte window [w·L/64, (w+1)·L/64) — the
+    * stand-in for "mean luminance of grid cell w" while the container
+    * has no image codec; a real decoded-pixel dHash keeps everything
+    * downstream unchanged), each cell contributes one parity bit, and
+    * the 64-bit fingerprints go through the exact banded Hamming join
+    * of q_dedup_simhash_pairs: 4 × 16-bit bands, pigeonhole-exact
+    * recall at hamming ≤ 3. The resize is what keeps every band
+    * content-bearing for any payload size — FIXED windows would leave
+    * trailing cells empty on short payloads, collapsing one band into
+    * a corpus-wide bucket (the quadratic failure this design rejects).
+    * The injected near-dup path is an IN-PLACE single-byte perturbation
+    * (doc_id % 7, +2000000): same length ⇒ same grid ⇒ only the cell
+    * covering the touched byte can flip — the local-pixel-edit case
+    * perceptual hashing exists to catch; byte-exact copies (doc_id % 5,
+    * +1000000) collide in every band.
+    *
+    * Scale shape: fingerprinting is one map-side pass (64 windowed
+    * hashes per payload); candidates come from the 4-band equi-join
+    * (never all-pairs); the verify is 4 xor+popcounts per pair. */
+  def qMultimodalPhash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val media = docs
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("#"),
+            expr("substring(text, 12, 1000000)")).as("text")))
+    def bandExpr(b: Int): String = (1 to 16).map { i =>
+      val j = 16 * b + i
+      val pos = s"((${j - 1} * length(text)) div 64) + 1"
+      val width = "(length(text) + 63) div 64"
+      s"(CASE WHEN CAST(conv(substring(md5(substring(text, $pos, $width)), 1, 1), 16, 10) AS INT) % 2 = 1 THEN CAST(${1L << (16 - i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    val sigs = graft.CacheTracker.track(
+      media
+        .select(col("doc_id") +: (0 to 3).map(b => expr(bandExpr(b)).as(s"b$b")): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 to 3).map(b => col(s"b$b")): _*)).as(Seq("band", "bits")))
+    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("bits"))
+      .join(banded.select(col("doc_id").as("b_id"), col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = sigs.select(col("doc_id").as("a_id") +: (0 to 3).map(b => col(s"b$b").as(s"a$b")): _*)
+    val sb = sigs.select(col("doc_id").as("b_id") +: (0 to 3).map(b => col(s"b$b").as(s"bb$b")): _*)
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("hamming",
+        (0 to 3).map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"bb$b")))).reduce(_ + _).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_aspect_buckets" -> (qAspectBuckets _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -188,6 +247,33 @@ object Multimodal {
     "q_multimodal_audio" -> (qMultimodalAudio _))
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_phash" -> {
+      def bandSql(b: Int): String = (1 to 16).map { i =>
+        val j = 16 * b + i
+        val pos = s"((${j - 1} * length(text)) // 64) + 1"
+        val width = "(length(text) + 63) // 64"
+        s"(CASE WHEN CAST('0x' || substring(md5(substring(text, $pos, $width)), 1, 1) AS BIGINT) % 2 = 1 THEN ${1L << (16 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH media AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 2000000,
+         |    substring(text, 1, 10) || '#' || substring(text, 12, 1000000)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |fp AS (SELECT doc_id, ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
+         |    ${bandSql(2)} AS b2, ${bandSql(3)} AS b3 FROM media),
+         |bands AS (SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bits
+         |  FROM fp, unnest(range(0, 4)) AS t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bits = y.bits AND x.doc_id < y.doc_id),
+         |h AS (SELECT a_id, b_id,
+         |    CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+         |      + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INTEGER) AS hamming
+         |  FROM cand JOIN fp fa ON fa.doc_id = cand.a_id JOIN fp fb ON fb.doc_id = cand.b_id)
+         |SELECT a_id, b_id, hamming FROM h WHERE hamming <= 3""".stripMargin
+    },
     "q_aspect_buckets" ->
       """WITH img AS (
         |  SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents

@@ -1029,8 +1029,23 @@ object TextAnalysis {
     * and a map-side HOF rewrite; the full corpus is never folded —
     * applying learned rules corpus-wide is a map-side transform
     * (spec-exercised), not part of training. */
-  def qBpeMerges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** One greedy left-to-right merge pass of rule (l, r) over a token
+    * array column. Column-based HOF so rule tokens (which may themselves
+    * contain the U+0001 merge separator from earlier rounds) need no SQL
+    * escaping. */
+  private def bpeMergePass(toks: Column, l: String, r: String): Column =
+    aggregate(toks, typedLit(Seq.empty[String]),
+      (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(lit(l), lit("\u0001"), lit(r)))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The 5-round greedy training loop over the 1-in-20 sample: returns
+    * each round's argmax rule + post-merge sample token count. The
+    * per-round collect is the established train-then-broadcast pattern
+    * (the rule table IS the model). */
+  private def bpeTrain(s: SparkSession, d: String): Seq[(Int, String, String, Long, Long)] = {
     val sample = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
       .select(split(col("text"), " ").as("toks"))
       .persist()
@@ -1042,19 +1057,44 @@ object TextAnalysis {
         .groupBy("p.l", "p.r").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()(0)
       val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      // Column-based HOF so rule tokens (which may themselves contain the
-      // U+0001 merge separator from earlier rounds) need no SQL escaping.
-      cur = cur.select(aggregate(col("toks"), typedLit(Seq.empty[String]),
-        (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(lit(l), lit("\u0001"), lit(r)))))
-          .otherwise(concat(acc, array(x)))).as("toks"))
+      cur = cur.select(bpeMergePass(col("toks"), l, r).as("toks"))
       val tokAfter = cur.agg(sum(size(col("toks"))).cast("long")).collect()(0).getLong(0)
       rules += ((step, l, r, n, tokAfter))
     }
     sample.unpersist()
-    rules.toSeq.toDF("step", "left_tok", "right_tok", "n_pair", "sample_tokens_after")
+    rules.toSeq
+  }
+
+  def qBpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, d).toDF("step", "left_tok", "right_tok", "n_pair", "sample_tokens_after")
+  }
+
+  /** BPE ENCODE — the apply face of [[qBpeMerges]]: tokenize a held-out
+    * document set (doc_id % 20 == 1, disjoint from the training sample)
+    * with the trained merge table, applying the five rules in rank
+    * order, and report per-document raw vs encoded token counts — the
+    * compression a tokenizer buys, measured out-of-sample.
+    *
+    * Scale shape: training is the bounded sample loop above; APPLYING
+    * the broadcast rule table is pure map-side (five chained folds per
+    * document, no shuffle) — exactly how a production tokenizer runs
+    * over 100 TB once its merges are fixed. The held-out 1-in-20 slice
+    * keeps the oracle's per-position recursion bounded; the engine-side
+    * plan is the same at any slice. */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val rules = bpeTrain(s, d)
+    val enc0 = Tables.documents(s, d).filter(col("doc_id") % 20 === 1)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_raw", size(col("toks")).cast("long"))
+    val encoded = rules.foldLeft(enc0) { case (df, (_, l, r, _, _)) =>
+      df.withColumn("toks", bpeMergePass(col("toks"), l, r))
+    }
+    encoded
+      .withColumn("n_bpe", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n_raw"), col("n_bpe"),
+        (col("n_raw") - col("n_bpe")).as("n_merged"),
+        round(col("n_bpe").cast("double") / col("n_raw"), 6).as("compression"))
   }
 
   /** DuckDB replay of [[qBpeMerges]]: per round, pair counts via an
@@ -1092,6 +1132,63 @@ object TextAnalysis {
          |  (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM seqs_${k + 1}) AS sample_tokens_after
          |FROM rule_$k""".stripMargin
     }.mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
+  /** DuckDB replay of [[qBpeEncode]]: the training chain of [[bpeOracle]]
+    * verbatim (rule_1..rule_5 over the 1-in-20 sample), then the same
+    * five greedy folds applied to the held-out doc_id % 20 == 1 slice as
+    * per-position recursive CTEs. */
+  private def bpeEncodeOracle: String = {
+    val sb = new StringBuilder(
+      "WITH RECURSIVE seqs_1 AS MATERIALIZED (SELECT doc_id AS doc, string_split(text, ' ') AS toks " +
+        "FROM documents WHERE doc_id % 20 = 0)")
+    for (k <- 1 to 5) {
+      sb.append(s""",
+        |pairs_$k AS MATERIALIZED (
+        |  SELECT l, r, COUNT(*) AS n FROM (
+        |    SELECT t.toks[u.i] AS l, t.toks[u.i + 1] AS r
+        |    FROM seqs_$k t, unnest(range(1, len(t.toks))) AS u(i))
+        |  GROUP BY 1, 2),
+        |rule_$k AS MATERIALIZED (SELECT l, r, CAST(n AS BIGINT) AS n FROM pairs_$k
+        |  ORDER BY n DESC, l, r LIMIT 1),
+        |m_$k AS (
+        |  SELECT doc, 1 AS pos, [toks[1]] AS acc, toks FROM seqs_$k
+        |  UNION ALL
+        |  SELECT doc, pos + 1,
+        |    CASE WHEN acc[-1] = (SELECT l FROM rule_$k)
+        |        AND toks[pos + 1] = (SELECT r FROM rule_$k)
+        |      THEN list_append(acc[1:len(acc) - 1],
+        |        (SELECT l FROM rule_$k) || chr(1) || (SELECT r FROM rule_$k))
+        |      ELSE list_append(acc, toks[pos + 1]) END,
+        |    toks
+        |  FROM m_$k WHERE pos < len(toks)),
+        |seqs_${k + 1} AS MATERIALIZED (SELECT doc, acc AS toks FROM m_$k WHERE pos = len(toks))""".stripMargin)
+    }
+    sb.append(""",
+      |enc_1 AS MATERIALIZED (SELECT doc_id AS doc, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id % 20 = 1)""".stripMargin)
+    for (k <- 1 to 5) {
+      sb.append(s""",
+        |em_$k AS (
+        |  SELECT doc, 1 AS pos, [toks[1]] AS acc, toks FROM enc_$k
+        |  UNION ALL
+        |  SELECT doc, pos + 1,
+        |    CASE WHEN acc[-1] = (SELECT l FROM rule_$k)
+        |        AND toks[pos + 1] = (SELECT r FROM rule_$k)
+        |      THEN list_append(acc[1:len(acc) - 1],
+        |        (SELECT l FROM rule_$k) || chr(1) || (SELECT r FROM rule_$k))
+        |      ELSE list_append(acc, toks[pos + 1]) END,
+        |    toks
+        |  FROM em_$k WHERE pos < len(toks)),
+        |enc_${k + 1} AS MATERIALIZED (SELECT doc, acc AS toks FROM em_$k WHERE pos = len(toks))""".stripMargin)
+    }
+    sb.append("""
+      |SELECT e1.doc AS doc_id, CAST(len(e1.toks) AS BIGINT) AS n_raw,
+      |  CAST(len(e6.toks) AS BIGINT) AS n_bpe,
+      |  CAST(len(e1.toks) - len(e6.toks) AS BIGINT) AS n_merged,
+      |  round(CAST(len(e6.toks) AS DOUBLE) / len(e1.toks), 6) AS compression
+      |FROM enc_1 e1 JOIN enc_6 e6 ON e1.doc = e6.doc""".stripMargin)
     sb.toString
   }
 
@@ -1249,6 +1346,7 @@ object TextAnalysis {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_label_noise" -> (qLabelNoise _),
     "q_wilson_rank" -> (qWilsonRank _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_text_readability" -> (qTextReadability _),
@@ -1472,6 +1570,7 @@ object TextAnalysis {
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4) AS fk_grade
         |FROM b""".stripMargin,
     "q_bpe_merges" -> bpeOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_phrase_search" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1807,6 +1807,48 @@ class PipelineSpec extends SparkSpec {
     assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
   }
 
+  test("BPE encode: out-of-sample compression is real and bounded by the raw token count") {
+    val g = TextAnalysis.qBpeEncode(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).filter(col("doc_id") % 20 === 1).count()
+    assert(g.count() == nDocs, "one row per held-out document")
+    assert(g.filter(col("n_bpe") > col("n_raw") || col("n_bpe") < 1).count() == 0)
+    assert(g.filter(col("n_merged") =!= col("n_raw") - col("n_bpe")).count() == 0)
+    assert(g.filter(col("compression") > 1.0 || col("compression") <= 0.0).count() == 0)
+    // the trained rules must actually fire on the held-out slice
+    assert(g.agg(sum("n_merged")).head.getLong(0) > 0, "no merge applied out-of-sample")
+    g.unpersist()
+  }
+
+  test("sessionization: session count matches the native session_window and indexes are contiguous") {
+    val g = operators.EventWindows.qSessionize(spark, sf).cache()
+    // same 30-minute gap rule => same session count as the native aggregate
+    assert(g.count() == operators.EventWindows.qWindowSession(spark, sf).count())
+    assert(g.agg(sum("n_events")).head.getLong(0) == Tables.events(spark, sf).count())
+    assert(g.filter(col("duration_s") < 0).count() == 0)
+    val idx = g.groupBy("user_id")
+      .agg(min("session_idx").as("lo"), max("session_idx").as("hi"), count(lit(1)).as("n"))
+    assert(idx.filter(col("lo") =!= 1L || col("hi") =!= col("n")).count() == 0,
+      "per-user session indexes must be contiguous from 1")
+    g.unpersist()
+  }
+
+  test("perceptual hash: every injected copy and in-place perturbation is found, nothing else") {
+    val g = Multimodal.qMultimodalPhash(spark, sf).cache()
+    CacheTracker.releaseAll()
+    val docs = Tables.documents(spark, sf)
+    val nExact = docs.filter(col("doc_id") % 5 === 0).count()
+    val nPert = docs.filter(col("doc_id") % 7 === 0).count()
+    val exact = g.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
+    assert(exact.count() == nExact)
+    assert(exact.filter(col("hamming") =!= 0).count() == 0, "byte-exact copies must collide fully")
+    val pert = g.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 2000000L)
+    assert(pert.count() == nPert, "a same-length single-byte edit flips at most 2 grid cells")
+    assert(pert.filter(col("hamming") > 2).count() == 0)
+    // no false positives: pairs of two ORIGINAL docs would be chance 64-bit collisions
+    assert(g.filter(col("a_id") < 1000000L && col("b_id") < 1000000L).count() == 0)
+    g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
