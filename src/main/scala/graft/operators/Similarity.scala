@@ -73,6 +73,55 @@ object Similarity {
         col("neg_label"), col("cos_r").as("cosine"))
   }
 
+  /** Centroid (simplified) silhouette score per label — the clustering
+    * / embedding-space quality audit (Rousseeuw 1987, the centroid
+    * variant every large-scale eval uses since pairwise silhouette is
+    * O(n²)): for each vector, a = distance to its OWN label centroid,
+    * b = distance to the nearest OTHER centroid, s = (b − a)/max(a, b);
+    * per-label mean s and the count of separated (s > 0) vectors. High
+    * mean ⇒ labels form tight, separated clusters in embedding space.
+    *
+    * Determinism: coordinates integer-scale at 10⁷ (the q_emb_colstats
+    * contract); each point-centroid distance² is the exact
+    * DECIMAL(38,0) sum Σ(n·x_i − Σx_i)² divided once by n² (one
+    * identical float expression), and the per-label MEAN averages the
+    * 6-dp-scaled integer silhouettes — order-insensitive everywhere, no
+    * float accumulation across rows.
+    *
+    * Scale shape: one (label, dim) aggregate builds the centroid sums
+    * (|labels|·64 rows, broadcast back); scoring fans each point's dims
+    * out by the constant label count and reduces per (vec, label) —
+    * map-side combined, no all-pairs, no collect. Long arithmetic in
+    * n·x holds to n ≈ 10¹¹ per label; swap the product to DECIMAL
+    * beyond. */
+  def qSilhouette(s: SparkSession, d: String): DataFrame = {
+    val pts = graft.CacheTracker.track(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("sv", expr("CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT)"))
+        .select("vec_id", "label", "dim", "sv")
+        .persist())
+    val cent = pts.groupBy(col("label").as("c"), col("dim"))
+      .agg(sum("sv").cast("long").as("csum"), count(lit(1)).as("nc"))
+    val dist = pts.join(broadcast(cent), "dim")
+      .withColumn("t", expr("nc * sv - csum"))
+      .groupBy("vec_id", "label", "c", "nc")
+      .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("d2s"))
+      .withColumn("dist2", expr("CAST(d2s AS DOUBLE) / nc / nc"))
+    val sil = dist.groupBy("vec_id", "label")
+      .agg(min(when(col("c") === col("label"), col("dist2"))).as("a2"),
+        min(when(col("c") =!= col("label"), col("dist2"))).as("b2"))
+      .withColumn("sil", expr(
+        "CASE WHEN greatest(a2, b2) = 0 THEN 0.0 ELSE round((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)), 6) END"))
+    sil.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(round(sil * 1000000) AS BIGINT)")).cast("long").as("ssil"),
+        sum(when(col("sil") > 0, 1L).otherwise(0L)).as("n_separated"))
+      .select(col("label"), col("n_vecs"),
+        round(col("ssil").cast("double") / col("n_vecs") / lit(1000000.0), 6).as("mean_sil"),
+        col("n_separated"))
+  }
+
   /** Max-inner-product top-5 via the norm-augmentation reduction
     * (Bachrach et al. 2014 / Neyshabur & Srebro 2015): append one
     * component s(x) = √(M² − |x|²) to every candidate (M = the max
@@ -1006,6 +1055,7 @@ object Similarity {
     "q_sim_ivf_pq_res" -> (qSimIvfPqRes _),
     "q_sim_topk" -> (qSimTopK _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_silhouette" -> (qSilhouette _),
     "q_sim_mips" -> (qSimMips _),
     "q_sim_sq8" -> (qSimSq8 _),
     "q_ndcg_eval" -> (qNdcgEval _),
@@ -1536,6 +1586,31 @@ object Similarity {
          |SELECT q_id, rank, c_id AS neighbor_id, ip8,
          |  ${dkCos2("qe2", "ce2")} AS cosine
          |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_silhouette" ->
+      """WITH p AS (
+        |  SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS sv
+        |  FROM embeddings, unnest(range(1, 65)) AS t(i)),
+        |cent AS (SELECT label AS c, dim, CAST(SUM(sv) AS BIGINT) AS csum, COUNT(*) AS nc
+        |  FROM p GROUP BY 1, 2),
+        |j AS (SELECT p.vec_id, p.label, c.c, c.nc, (c.nc * p.sv - c.csum) AS t
+        |  FROM p JOIN cent c USING (dim)),
+        |d AS (SELECT vec_id, label, c, nc, SUM(CAST(t AS DECIMAL(38,0)) * t) AS d2s
+        |  FROM j GROUP BY 1, 2, 3, 4),
+        |dd AS (SELECT vec_id, label, c, CAST(d2s AS DOUBLE) / nc / nc AS dist2 FROM d),
+        |ab AS (SELECT vec_id, label,
+        |    MIN(CASE WHEN c = label THEN dist2 END) AS a2,
+        |    MIN(CASE WHEN c <> label THEN dist2 END) AS b2
+        |  FROM dd GROUP BY 1, 2),
+        |sl AS (SELECT vec_id, label,
+        |    CASE WHEN greatest(a2, b2) = 0 THEN 0.0
+        |      ELSE round((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)), 6) END AS sil
+        |  FROM ab)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  round(CAST(CAST(SUM(CAST(round(sil * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / COUNT(*) / 1000000.0, 6) AS mean_sil,
+        |  CAST(SUM(CASE WHEN sil > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_separated
+        |FROM sl GROUP BY 1""".stripMargin,
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe, label AS q_label FROM e WHERE vec_id % 25 = 0),

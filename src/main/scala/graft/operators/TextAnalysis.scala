@@ -1263,6 +1263,44 @@ object TextAnalysis {
         row_number().over(Window.orderBy(desc("wilson_lo"), col("source"))))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing readout (what
+    * fraction of corpus TOKENS does a top-k vocabulary cover?): for
+    * each budget k, the token mass of the k most frequent types. The
+    * knee of this curve decides vocab size / OOV budget for any
+    * frequency-ranked tokenizer.
+    *
+    * Scale shape: frequencies are one (word) shuffle with map-side
+    * combine; the global rank is the range-partitioned
+    * sort + zipWithIndex pattern (no single-partition Window — the
+    * q_vocab_encode lesson); the budget fan-out is a constant 8×
+    * explode over the vocab-sized relation. */
+  def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(1, 2, 5, 10, 20, 50, 100, 1000)
+    val freqs = graft.CacheTracker.track(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .persist())
+    val tot = freqs.agg(sum("freq").cast("long").as("n_tokens"), count(lit(1)).as("n_types"))
+    val ranked = freqs
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        col("freq").desc, col("word").asc)
+      .sortWithinPartitions(col("freq").desc, col("word"))
+      .select(col("freq")).as[Long].rdd
+      .zipWithIndex()
+      .map { case (f, i) => (f, i + 1L) }
+      .toDF("freq", "rank")
+    ranked.crossJoin(broadcast(tot))
+      .select(explode(typedLit(ks)).as("k"), col("freq"), col("rank"),
+        col("n_tokens"), col("n_types"))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k", "n_tokens", "n_types")
+      .agg(count(lit(1)).as("n_in_vocab"), sum("freq").cast("long").as("covered"))
+      .select(col("k"), col("n_in_vocab"), col("n_types"), col("n_tokens"), col("covered"),
+        round(col("covered").cast("double") / col("n_tokens"), 6).as("coverage"))
+  }
+
   /** Zipf's-law fit over the corpus word-frequency distribution — the
     * lexical sanity check curation dashboards publish (natural text has
     * rank-frequency slope ≈ −1; boilerplate/generated text departs):
@@ -1347,6 +1385,7 @@ object TextAnalysis {
     "q_label_noise" -> (qLabelNoise _),
     "q_wilson_rank" -> (qWilsonRank _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_text_readability" -> (qTextReadability _),
@@ -1571,6 +1610,17 @@ object TextAnalysis {
         |FROM b""".stripMargin,
     "q_bpe_merges" -> bpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens, COUNT(*) AS n_types FROM wc),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank FROM wc),
+        |x AS (SELECT k, freq, rank
+        |  FROM r, unnest([1, 2, 5, 10, 20, 50, 100, 1000]) AS u(k) WHERE rank <= k)
+        |SELECT CAST(k AS INTEGER) AS k, COUNT(*) AS n_in_vocab, tot.n_types, tot.n_tokens,
+        |  CAST(SUM(freq) AS BIGINT) AS covered,
+        |  round(CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / tot.n_tokens, 6) AS coverage
+        |FROM x CROSS JOIN tot GROUP BY k, tot.n_types, tot.n_tokens""".stripMargin,
     "q_phrase_search" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1849,6 +1849,33 @@ class PipelineSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("silhouette: one row per label, scores bounded, vector mass conserved") {
+    val rows = Similarity.qSilhouette(spark, sf).collect()
+    CacheTracker.releaseAll()
+    val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.length == nLabels)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_sil")
+      assert(m >= -1.0 && m <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_separated") <= r.getAs[Long]("n_vecs"), r.toString)
+    }
+  }
+
+  test("vocab coverage: monotone in budget, saturates at the full vocabulary") {
+    val rows = TextAnalysis.qVocabCoverage(spark, sf).collect().sortBy(_.getAs[Int]("k"))
+    CacheTracker.releaseAll()
+    val nTypes = rows.head.getAs[Long]("n_types")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in_vocab") == math.min(r.getAs[Int]("k").toLong, nTypes), r.toString)
+      assert(r.getAs[Long]("covered") <= r.getAs[Long]("n_tokens"), r.toString)
+    }
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage must be monotone")
+    assert(cov.last == 1.0, "a budget beyond the vocabulary must cover every token")
+    assert(cov.head > 0.0)
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
