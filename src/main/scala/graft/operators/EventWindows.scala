@@ -1148,9 +1148,15 @@ object EventWindows {
     * sum, and the per-session aggregate (Spark reuses the single sort
     * within one Window stage, and the groupBy re-shuffles only the
     * session-keyed rows). */
-  def qSessionize(s: SparkSession, d: String): DataFrame = {
+  def qSessionize(s: SparkSession, d: String): DataFrame =
+    sessionsFrom(graft.Tables.events(s, d))
+
+  /** The lag-gap sessionizer over any (user_id, ts, event_id) relation —
+    * shared with SessionStreamSpec, which proves the streaming
+    * transformWithState twin emits exactly these sessions. */
+  private[graft] def sessionsFrom(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    graft.Tables.events(s, d)
+    events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_s",
