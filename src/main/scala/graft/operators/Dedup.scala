@@ -523,6 +523,55 @@ object Dedup {
         round(abs(col("est_bbit") - col("jaccard")), 6).as("err_bbit"))
   }
 
+  /** MinHash as a MERGEABLE sketch — the union algebra HLL gets in
+    * q_hll_sketch_union, for set SIMILARITY: the signature of a union
+    * is the elementwise MIN of the member signatures (each slot is a
+    * permutation-min, and min distributes over union), so per-SOURCE
+    * shingle-universe sketches build from the per-document signatures
+    * already at rest — no re-shingling, no rescan — and any pair of
+    * sources gets a Jaccard estimate from two 16-slot vectors. The
+    * exact per-pair universe Jaccard rides along as the ground truth
+    * with the same ±0.45 3σ bound as q_minhash_estimate.
+    *
+    * Scale shape: the union sketch is one (source, slot) min-aggregate
+    * over data already computed (map-side combined, 16·|sources| rows);
+    * pairing is |sources|²-bounded. The exact side is the oracle-check
+    * cost, not the production path — at 100 TB only the sketches ship. */
+  def qMinhashUnion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sigd = graft.CacheTracker.track(
+      withSignature(Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))
+        .filter(size(col("hashes")) >= 1)
+        .select(col("source"), col("sig"), array_distinct(col("shingles")).as("sset"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val srcSig = sigd
+      .select(col("source"), posexplode(col("sig")).as(Seq("k", "v")))
+      .groupBy("source", "k").agg(min("v").as("v"))
+      .groupBy("source")
+      .agg(expr("transform(sort_array(collect_list(struct(k, v))), x -> x.v)").as("usig"))
+    val uni = graft.CacheTracker.track(
+      sigd.select(col("source"), explode(col("sset")).as("sh")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sizes = uni.groupBy("source").agg(count(lit(1)).as("nsh"))
+    val inter = uni.select(col("source").as("sa"), col("sh"))
+      .join(uni.select(col("source").as("sb"), col("sh")), "sh")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
+    srcSig.select(col("source").as("sa"), col("usig").as("siga"))
+      .crossJoin(srcSig.select(col("source").as("sb"), col("usig").as("sigb")))
+      .filter(col("sa") < col("sb"))
+      .withColumn("n_match", expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b))"))
+      .join(broadcast(sizes.select(col("source").as("sa"), col("nsh").as("na"))), "sa")
+      .join(broadcast(sizes.select(col("source").as("sb"), col("nsh").as("nb"))), "sb")
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("sa"), col("sb"), col("n_match"),
+        (col("n_match") / lit(16.0)).as("est_jaccard"),
+        col("n_inter"), (col("na") + col("nb") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .withColumn("within_bound", abs(col("n_match") / lit(16.0) - col("jaccard")) <= 0.45)
+  }
+
   /** Connected components over the verified near-dup pairs — the step a
     * curation pipeline needs AFTER pair generation: pairwise matches
     * grouped into duplicate clusters, each with a canonical id (the
@@ -1064,6 +1113,7 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_minhash_bbit" -> (qMinhashBbit _),
+    "q_minhash_union" -> (qMinhashUnion _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _))
@@ -1469,6 +1519,31 @@ object Dedup {
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
          |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
          |FROM est""".stripMargin,
+    "q_minhash_union" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM w),
+         |hs AS (SELECT doc_id, source, shingles, $hashesSql AS hashes FROM sh),
+         |sg AS (SELECT doc_id, source, $sigSql AS sig, list_distinct(shingles) AS sset
+         |  FROM hs WHERE len(hashes) >= 1),
+         |uz AS (SELECT source, u.k AS k, MIN(sig[u.k + 1]) AS v
+         |  FROM sg, unnest(range(0, 16)) AS u(k) GROUP BY 1, 2),
+         |us AS (SELECT source, list(v ORDER BY k) AS usig FROM uz GROUP BY 1),
+         |uni AS (SELECT DISTINCT source, unnest(sset) AS sh2 FROM sg),
+         |sizes AS (SELECT source, COUNT(*) AS nsh FROM uni GROUP BY 1),
+         |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+         |  FROM uni a JOIN uni b ON a.sh2 = b.sh2 AND a.source < b.source GROUP BY 1, 2),
+         |p AS (SELECT a.source AS sa, b.source AS sb,
+         |    CAST(len(list_filter(range(1, 17), i -> a.usig[i] = b.usig[i])) AS INTEGER) AS n_match
+         |  FROM us a JOIN us b ON a.source < b.source),
+         |e AS (SELECT p.sa, p.sb, p.n_match,
+         |    CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |    CAST(za.nsh + zb.nsh - CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS BIGINT) AS n_union
+         |  FROM p JOIN sizes za ON za.source = p.sa JOIN sizes zb ON zb.source = p.sb
+         |  LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb)
+         |SELECT sa, sb, n_match, n_match / 16.0 AS est_jaccard, n_inter, n_union,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
+         |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
+         |FROM e""".stripMargin,
     "q_minhash_bbit" ->
       s"""WITH $lshJChain,
          |est AS (

@@ -101,7 +101,48 @@ object Scale {
         expr("round((CAST(trn AS DOUBLE) - CAST(n_keys + 1 AS DOUBLE) * total) / (CAST(n_keys AS DOUBLE) * total), 6)").as("gini"))
   }
 
+  /** Sketch-based JOIN-SIZE estimation — the planner primitive behind
+    * join reordering and broadcast decisions at scale (AMS/Count-Min
+    * inner product, Alon-Gilbert-Matias-Szegedy / Cormode-Muthukrishnan):
+    * |A ⋈ B| on a key equals Σ_k c_A(k)·c_B(k), and the inner product of
+    * the two sides' CMS rows OVERESTIMATES it (never under), with the
+    * min over the 4 independent depth rows as the estimate. Both 4×512
+    * sketches build in one map-side-combined pass per side (cell indexes
+    * from disjoint 7-hex slices of ONE md5 digest — the
+    * q_cms_heavy_hitters trick), so the planner learns the join size of
+    * events ⋈ orders on the user/customer key without performing the
+    * join or shuffling either fact table by it. The exact Σ c_A·c_B
+    * rides along as ground truth.
+    *
+    * Scale shape: two scans with 2048-cell aggregates; the depth-wise
+    * inner product joins two 2048-row relations. The exact side is one
+    * key-keyed aggregate per table plus a key join — the
+    * oracle-check cost, not the production path. */
+  def qJoinSizeSketch(s: SparkSession, d: String): DataFrame = {
+    val cellsExpr =
+      "transform(sequence(0, 3), j -> cast(conv(substring(h, j * 7 + 1, 7), 16, 10) as bigint) % 512)"
+    def sketch(df: DataFrame): DataFrame = df
+      .withColumn("h", md5(col("k")))
+      .select(posexplode(expr(cellsExpr)).as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(count(lit(1)).as("c"))
+    val ev = Tables.events(s, d).select(col("user_id").cast("string").as("k"))
+    val od = Tables.orders(s, d).select(col("o_custkey").cast("string").as("k"))
+    val ip = sketch(ev).withColumnRenamed("c", "ca")
+      .join(sketch(od).withColumnRenamed("c", "cb"), Seq("j", "cell"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).cast("long").as("est"))
+    val est = ip.agg(min("est").cast("long").as("cms_est"))
+    val exact = ev.groupBy("k").agg(count(lit(1)).as("ce"))
+      .join(od.groupBy("k").agg(count(lit(1)).as("co")), "k")
+      .agg(sum(col("ce") * col("co")).cast("long").as("exact_size"))
+    exact.crossJoin(est)
+      .select(col("exact_size"), col("cms_est"),
+        (col("cms_est") - col("exact_size")).as("overcount"),
+        round(col("cms_est").cast("double") / col("exact_size"), 6).as("ratio"),
+        (col("cms_est") >= col("exact_size")).as("never_under"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_skew_audit" -> (qSkewAudit _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_rate_limit" -> (qSaltedRateLimit _))
@@ -109,6 +150,25 @@ object Scale {
   // The oracle is the UNSALTED aggregate — proving the two-phase plan
   // computes the same answer.
   val oracle: Map[String, String] = Map(
+    "q_join_size_sketch" ->
+      """WITH ek AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |ok AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        |ec AS (SELECT j, CAST('0x' || substring(md5(k), j * 7 + 1, 7) AS BIGINT) % 512 AS cell,
+        |    COUNT(*) AS c
+        |  FROM ek, unnest(range(0, 4)) AS t(j) GROUP BY 1, 2),
+        |oc AS (SELECT j, CAST('0x' || substring(md5(k), j * 7 + 1, 7) AS BIGINT) % 512 AS cell,
+        |    COUNT(*) AS c
+        |  FROM ok, unnest(range(0, 4)) AS t(j) GROUP BY 1, 2),
+        |ip AS (SELECT ec.j, CAST(SUM(ec.c * oc.c) AS BIGINT) AS est
+        |  FROM ec JOIN oc ON ec.j = oc.j AND ec.cell = oc.cell GROUP BY 1),
+        |m AS (SELECT CAST(MIN(est) AS BIGINT) AS cms_est FROM ip),
+        |ex AS (SELECT CAST(SUM(e.c * o.c) AS BIGINT) AS exact_size
+        |  FROM (SELECT k, COUNT(*) AS c FROM ek GROUP BY 1) e
+        |  JOIN (SELECT k, COUNT(*) AS c FROM ok GROUP BY 1) o USING (k))
+        |SELECT exact_size, cms_est, cms_est - exact_size AS overcount,
+        |  round(CAST(cms_est AS DOUBLE) / exact_size, 6) AS ratio,
+        |  cms_est >= exact_size AS never_under
+        |FROM ex CROSS JOIN m""".stripMargin,
     "q_skew_audit" ->
       """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
         |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, key) AS rank FROM c),

@@ -1876,6 +1876,53 @@ class PipelineSpec extends SparkSpec {
     assert(cov.head > 0.0)
   }
 
+  test("minhash union sketch: slot mins recompute from the distinct shingle universe") {
+    val g = Dedup.qMinhashUnion(spark, sf).cache()
+    CacheTracker.releaseAll()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(g.count() == nSources * (nSources - 1) / 2, "one row per source pair")
+    assert(g.filter(col("jaccard") < 0 || col("jaccard") > 1 ||
+      col("est_jaccard") < 0 || col("est_jaccard") > 1).count() == 0)
+    assert(g.filter(col("n_inter") > col("n_union")).count() == 0)
+    // 3-sigma contract: rare violations allowed, systematic failure is not
+    val okFrac = g.filter(col("within_bound")).count().toDouble / g.count()
+    assert(okFrac >= 0.9, s"bound held on only $okFrac of pairs")
+    g.unpersist()
+    // mergeability identity: the per-source slot min computed from the
+    // DISTINCT shingle universe (independent interpreted-HOF shingling)
+    // equals the min over the per-document signature slots
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("sset", array_distinct(expr(Dedup.shinglesHofExpr)))
+      .filter(size(col("sset")) > 0)
+    val fromUniverse = docs
+      .select(col("source"), explode(col("sset")).as("sh")).distinct()
+      .withColumn("h", expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
+      .select(col("source"), posexplode(expr(
+        "transform(sequence(0, 15), k -> ((2654435761 + 40503 * k) * h + 2654435769 * k + 97) % 2147483647)"))
+        .as(Seq("k", "v")))
+      .groupBy("source", "k").agg(min("v").as("uv"))
+    val fromDocs = Dedup.withSignature(docs.select(col("doc_id"), col("source"), col("text")))
+      .filter(size(col("hashes")) >= 1)
+      .select(col("source"), posexplode(col("sig")).as(Seq("k", "v")))
+      .groupBy("source", "k").agg(min("v").as("dv"))
+    assert(fromUniverse.join(fromDocs, Seq("source", "k"))
+      .filter(col("uv") =!= col("dv")).count() == 0,
+      "union-of-mins must equal min-over-universe in every slot")
+  }
+
+  test("join-size sketch: the inner product never underestimates and exact matches the real join") {
+    val r = operators.Scale.qJoinSizeSketch(spark, sf).head()
+    assert(r.getAs[Boolean]("never_under"))
+    assert(r.getAs[Double]("ratio") >= 1.0)
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    val od = Tables.orders(spark, sf).select(col("o_custkey"))
+    val trueSize = ev.join(od, col("user_id") === col("o_custkey")).count()
+    assert(r.getAs[Long]("exact_size") == trueSize, "sum of count products must equal the join size")
+    assert(r.getAs[Long]("cms_est") == r.getAs[Long]("exact_size") + r.getAs[Long]("overcount"))
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
