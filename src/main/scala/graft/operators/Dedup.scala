@@ -523,6 +523,85 @@ object Dedup {
         round(abs(col("est_bbit") - col("jaccard")), 6).as("err_bbit"))
   }
 
+  /** Jaccard-threshold sweep over the UNthresholded LSH candidates —
+    * the tuning readout that decides a dedup pipeline's similarity
+    * cutoff: per candidate threshold, how many pairs survive, how many
+    * of the injected exact copies and tail-append near-dups are
+    * recovered (recall per family kind), and how many surviving pairs
+    * are "natural" (not injected — the precision cost of lowering the
+    * bar). Injected exact copies sit at Jaccard 1.0 and tail-appends
+    * just above 0.5, so the sweep shows exactly where each population
+    * falls off.
+    *
+    * Scale shape: one signature pass + the banded candidate join
+    * (q_minhash_estimate's relation, never all-pairs); the sweep is a
+    * constant 4× conditional aggregate over the candidate pairs. */
+  def qDedupThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
+    val cands = bandedCandidates(sigs).join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .withColumn("kind", when(
+          col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L, "exact")
+        .when(col("a_id") < 1000000L && col("b_id") === col("a_id") + 2000000L, "near")
+        .otherwise("natural"))
+    // injected-family totals from the parquet footer + closed forms over
+    // the contiguous doc_id range (no pre-count jobs — the adaptive-LSH
+    // pattern); the oracle derives the identical integers from COUNT(*)
+    val n = Tables.parquetRowCount(s, d, "documents")
+    val nExact = (n + 4) / 5
+    val nNear = (n + 6) / 7
+    cands.select(explode(typedLit(Seq(0.3, 0.5, 0.7, 0.9))).as("threshold"),
+        col("jaccard"), col("kind"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("kind") === "exact", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("kind") === "near", 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("kind") === "natural", 1L).otherwise(0L)).as("n_natural"))
+      .select(col("threshold"), col("n_pairs"), col("n_exact"), col("n_near"), col("n_natural"),
+        round(col("n_exact").cast("double") / lit(nExact.toDouble), 6).as("exact_recall"),
+        round(col("n_near").cast("double") / lit(nNear.toDouble), 6).as("near_recall"))
+  }
+
+  /** Pair-counting evaluation of the duplicate CLUSTERING against the
+    * injected ground truth — the Rand-family contingency computation
+    * (pair precision / recall / F1) that turns "we clustered" into a
+    * measured claim: predicted pairs = Σ_c C(size_c, 2) over discovered
+    * clusters, true pairs = Σ_f C(size_f, 2) over the injected families
+    * (doc_id mod 10⁶ — exact copies and tail-append variants share a
+    * family), and true positives come from the (cluster, family)
+    * contingency cells — never from materializing pairs. Natural
+    * near-dups the corpus happens to contain count against precision by
+    * construction (the standard labeled-eval caveat; they are real
+    * near-dups but not injected family members).
+    *
+    * Scale shape: three aggregates over the label relation (cluster-,
+    * cell-, and family-keyed) — the pair counts are binomials of group
+    * sizes, so nothing quadratic ever materializes at any corpus size. */
+  def qDedupClusterEval(s: SparkSession, d: String): DataFrame = {
+    val labels = qDedupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val tp = labels.withColumn("fam", col("doc_id") % 1000000L)
+      .groupBy("cluster_id", "fam").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("tp"))
+    val pred = labels.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("pred_pairs"),
+        count(lit(1)).as("n_clusters"))
+    val truth = corpus(s, d).select((col("doc_id") % 1000000L).as("fam"))
+      .groupBy("fam").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("true_pairs"))
+    pred.crossJoin(tp).crossJoin(truth)
+      .select(col("n_clusters"), col("pred_pairs"), col("true_pairs"), col("tp"),
+        round(col("tp").cast("double") / col("pred_pairs"), 6).as("pair_precision"),
+        round(col("tp").cast("double") / col("true_pairs"), 6).as("pair_recall"),
+        round(lit(2.0) * col("tp") / (col("pred_pairs") + col("true_pairs")), 6).as("pair_f1"))
+  }
+
   /** MinHash as a MERGEABLE sketch — the union algebra HLL gets in
     * q_hll_sketch_union, for set SIMILARITY: the signature of a union
     * is the elementwise MIN of the member signatures (each slot is a
@@ -1114,6 +1193,8 @@ object Dedup {
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_minhash_bbit" -> (qMinhashBbit _),
     "q_minhash_union" -> (qMinhashUnion _),
+    "q_dedup_cluster_eval" -> (qDedupClusterEval _),
+    "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _))
@@ -1519,6 +1600,50 @@ object Dedup {
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
          |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
          |FROM est""".stripMargin,
+    "q_dedup_threshold_sweep" ->
+      s"""WITH $lshJChain,
+         |k AS (SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / n_union AS jaccard,
+         |    CASE WHEN a_id < 1000000 AND b_id = a_id + 1000000 THEN 'exact'
+         |         WHEN a_id < 1000000 AND b_id = a_id + 2000000 THEN 'near'
+         |         ELSE 'natural' END AS kind
+         |  FROM j),
+         |nd AS (SELECT COUNT(*) AS n FROM documents),
+         |x AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold, jaccard, kind
+         |  FROM k, unnest([0.3, 0.5, 0.7, 0.9]) AS t(threshold)
+         |  WHERE jaccard >= CAST(t.threshold AS DOUBLE))
+         |SELECT threshold, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN kind = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN kind = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+         |  CAST(SUM(CASE WHEN kind = 'natural' THEN 1 ELSE 0 END) AS BIGINT) AS n_natural,
+         |  round(CAST(CAST(SUM(CASE WHEN kind = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST((n + 4) // 5 AS DOUBLE), 6) AS exact_recall,
+         |  round(CAST(CAST(SUM(CASE WHEN kind = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST((n + 6) // 7 AS DOUBLE), 6) AS near_recall
+         |FROM x CROSS JOIN nd GROUP BY threshold, n""".stripMargin,
+    "q_dedup_cluster_eval" ->
+      s"""WITH RECURSIVE $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |tp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS tp FROM (
+         |  SELECT COUNT(*) AS n FROM (SELECT id, cluster_id, id % 1000000 AS fam FROM labels)
+         |  GROUP BY cluster_id, fam)),
+         |pr AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pred_pairs,
+         |    COUNT(*) AS n_clusters
+         |  FROM (SELECT COUNT(*) AS n FROM labels GROUP BY cluster_id)),
+         |tr AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS true_pairs FROM (
+         |  SELECT COUNT(*) AS n FROM corpus GROUP BY doc_id % 1000000))
+         |SELECT n_clusters, pred_pairs, true_pairs, tp,
+         |  round(CAST(tp AS DOUBLE) / pred_pairs, 6) AS pair_precision,
+         |  round(CAST(tp AS DOUBLE) / true_pairs, 6) AS pair_recall,
+         |  round(2.0 * tp / (pred_pairs + true_pairs), 6) AS pair_f1
+         |FROM pr CROSS JOIN tp CROSS JOIN tr""".stripMargin,
     "q_minhash_union" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
          |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM w),

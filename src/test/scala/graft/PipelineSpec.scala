@@ -1923,6 +1923,34 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("cms_est") == r.getAs[Long]("exact_size") + r.getAs[Long]("overcount"))
   }
 
+  test("cluster eval: high family recall, consistent F1, nothing counted twice") {
+    val r = Dedup.qDedupClusterEval(spark, sf).head()
+    CacheTracker.releaseAll()
+    val (tp, pred, truth) = (r.getAs[Long]("tp"),
+      r.getAs[Long]("pred_pairs"), r.getAs[Long]("true_pairs"))
+    assert(tp <= pred && tp <= truth)
+    assert(r.getAs[Double]("pair_recall") >= 0.9, "LSH must recover nearly every injected family pair")
+    val f1 = 2.0 * tp / (pred + truth)
+    assert(math.abs(r.getAs[Double]("pair_f1") - f1) < 1e-5)
+  }
+
+  test("threshold sweep: monotone in the cutoff, exact copies never lost, counts partition") {
+    val rows = Dedup.qDedupThresholdSweep(spark, sf).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    CacheTracker.releaseAll()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq == Seq(0.3, 0.5, 0.7, 0.9))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("exact_recall") == 1.0, "exact copies sit at jaccard 1.0")
+      assert(r.getAs[Long]("n_pairs") ==
+        r.getAs[Long]("n_exact") + r.getAs[Long]("n_near") + r.getAs[Long]("n_natural"))
+    }
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b }, "pair counts must shrink")
+    val nearRec = rows.map(_.getAs[Double]("near_recall"))
+    assert(nearRec.zip(nearRec.tail).forall { case (a, b) => a >= b })
+    assert(nearRec.head > nearRec.last, "a higher bar must shed tail-append near-dups")
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
