@@ -368,4 +368,34 @@ class PlanShapeSpec extends SparkSpec {
         s"$q daily counts must partition by type:\n${p.take(600)}")
     }
   }
+
+  test("round-7 second-half waves keep their scale shapes") {
+    // contribution cap: pure two-stage aggregation — the least(c, k) form
+    // must never regress into a per-row rank window
+    val cc = plan("q_contribution_cap")
+    assert(!cc.contains("Window"), s"cap must not rank rows:\n${cc.take(400)}")
+    // hard negatives: anchors broadcast; rank<=5 pushed below the
+    // exchange by WindowGroupLimit so only local top-5 rows shuffle
+    val hn = plan("q_hard_negatives")
+    assert(hn.contains("BroadcastNestedLoopJoin") || hn.contains("BroadcastHashJoin"),
+      s"anchor side must broadcast:\n${hn.take(600)}")
+    assert(hn.contains("WindowGroupLimit"), s"rank filter must push down:\n${hn.take(600)}")
+    // vocab coverage / zipf: the vocab rank must stay range-partitioned —
+    // no single-partition Window over the corpus-sized relation (the
+    // bounded 200-row zipf tail is the one allowed unpartitioned window)
+    val vc = try plan("q_vocab_coverage") finally graft.CacheTracker.releaseAll()
+    assert(!vc.contains("Window"), s"coverage rank must be zipWithIndex, not Window:\n${vc.take(400)}")
+    // BLEU pairs: per-pair HOFs ride the id joins — never a cartesian
+    val bp = try plan("q_bleu_pairs") finally graft.CacheTracker.releaseAll()
+    assert(!bp.contains("CartesianProduct"), s"pair metric must not cartesian:\n${bp.take(400)}")
+    // perceptual hash: banded equi-join candidates — no cartesian, and the
+    // verify joins hash-partition on the pair ids
+    val ph = try plan("q_multimodal_phash") finally graft.CacheTracker.releaseAll()
+    assert(!ph.contains("CartesianProduct"), s"phash must stay banded:\n${ph.take(400)}")
+    // join-size sketch: the estimate side never shuffles a fact table by
+    // the join key — only 2048-cell sketch relations join
+    val js = plan("q_join_size_sketch")
+    assert(!js.contains("SortMergeJoin"),
+      s"sketch inner product must stay on tiny relations:\n${js.take(600)}")
+  }
 }
