@@ -1951,6 +1951,31 @@ class PipelineSpec extends SparkSpec {
     assert(nearRec.head > nearRec.last, "a higher bar must shed tail-append near-dups")
   }
 
+  test("incremental top-k: the stored-index + batch merge equals a from-scratch recompute") {
+    val g = Similarity.qSimTopkIncremental(spark, sf).cache()
+    assert(g.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    // the merge must equal brute force over everything (rank monotonicity)
+    graft.functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_r").desc, col("c_id"))
+    val full = e.select(col("vec_id").as("c_id"), col("emb").as("ce"))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos_r", expr("round(cosine_sim(qe, ce), 6)"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id")
+    assert(g.select(col("q_id"), col("rank"), col("neighbor_id").as("c_id"))
+      .exceptAll(full).count() == 0)
+    assert(full.exceptAll(g.select(col("q_id"), col("rank"),
+      col("neighbor_id").as("c_id"))).count() == 0)
+    // the new batch must actually contribute neighbors (live refresh path)
+    assert(g.filter(col("from_batch")).count() > 0)
+    g.unpersist()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
