@@ -523,6 +523,73 @@ object Dedup {
         round(abs(col("est_bbit") - col("jaccard")), 6).as("err_bbit"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., SoCC 2014 — "Connected Components in MapReduce
+    * and Beyond"): each round, large-star hangs every
+    * greater-than-center neighbor off its neighborhood minimum, then
+    * small-star does the same for the ≤ side; the edge relation
+    * converges to a star forest centered on component minima in
+    * O(log² n) rounds REGARDLESS of component diameter — the algorithm
+    * of record for high-diameter graphs, where [[qDedupClusters]]'s
+    * label propagation needs O(diameter) rounds. On the quasi-clique
+    * near-dup graph both converge immediately; the value here is the
+    * second, diameter-robust implementation proven EXTENSIONALLY EQUAL
+    * to propagation (spec) and to the oracle's recursive closure (hash).
+    *
+    * Each round is two (node-keyed aggregate + join) shuffles over the
+    * shrinking edge relation; rounds cut lineage with localCheckpoint
+    * (the qGraphKcore lesson). Convergence = the normalized edge set is
+    * EXACTLY unchanged (two exceptAll probes on the tiny converged
+    * relation; at 100 TB swap for the checksum heuristic and one final
+    * exact confirm). */
+  def qDedupCcLargestar(s: SparkSession, d: String): DataFrame =
+    largestarFromPairs(qDedupLshPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** The alternating-star rounds over any verified-pairs relation —
+    * decoupled like [[clustersFromPairs]] so the spec can drive it over
+    * a high-diameter path graph. */
+  private[graft] def largestarFromPairs(pairsDf: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairsIn = pairsDf.persist(StorageLevel.MEMORY_AND_DISK)
+    // normalized undirected edges (lo, hi), self-loops dropped
+    var edges = pairsIn
+      .select(least(col("a_id"), col("b_id")).as("a"), greatest(col("a_id"), col("b_id")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(false)
+    var converged = false
+    while (!converged) {
+      val adj = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      // large-star: m(u) = min(N(u) ∪ {u}); emit {v, m} for v > u
+      val lsm = adj.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      val e1 = adj.filter(col("v") > col("u")).join(lsm, "u")
+        .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val adj1 = e1.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e1.select(col("b").as("u"), col("a").as("v")))
+      // small-star: over the ≤ neighborhood, m = min(N≤(u) ∪ {u});
+      // emit {v, m} for v ∈ N≤(u) plus {u, m}
+      val ss = adj1.filter(col("v") < col("u"))
+      val ssm = ss.groupBy("u").agg(min("v").as("m"))
+      val e2 = ss.join(ssm, "u")
+        .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
+        .unionByName(ssm.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(false)
+      converged = e2.exceptAll(edges).isEmpty && edges.exceptAll(e2).isEmpty
+      edges = e2
+    }
+    pairsIn.unpersist()
+    // converged star forest: every edge is (component min, member)
+    val labels = graft.CacheTracker.track(
+      edges.select(col("b").as("id"), col("a").as("label"))
+        .unionByName(edges.select(col("a").as("id"), col("a").as("label")).distinct())
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    labels.join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   /** Jaccard-threshold sweep over the UNthresholded LSH candidates —
     * the tuning readout that decides a dedup pipeline's similarity
     * cutoff: per candidate threshold, how many pairs survive, how many
@@ -1195,6 +1262,7 @@ object Dedup {
     "q_minhash_union" -> (qMinhashUnion _),
     "q_dedup_cluster_eval" -> (qDedupClusterEval _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
+    "q_dedup_cc_largestar" -> (qDedupCcLargestar _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _))
@@ -1600,6 +1668,22 @@ object Dedup {
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
          |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
          |FROM est""".stripMargin,
+    // same closure oracle as q_dedup_clusters: the star algorithm must
+    // land on the identical (doc, component-min, size) relation
+    "q_dedup_cc_largestar" ->
+      s"""WITH RECURSIVE $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+         |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
     "q_dedup_threshold_sweep" ->
       s"""WITH $lshJChain,
          |k AS (SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / n_union AS jaccard,

@@ -1976,6 +1976,26 @@ class PipelineSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("large-star/small-star CC equals label propagation exactly, including on a long path") {
+    // on the real near-dup graph
+    val star = Dedup.qDedupCcLargestar(spark, sf)
+      .select("doc_id", "cluster_id", "cluster_size").cache()
+    val prop = Dedup.qDedupClusters(spark, sf)
+      .select("doc_id", "cluster_id", "cluster_size").cache()
+    assert(star.exceptAll(prop).count() == 0 && prop.exceptAll(star).count() == 0)
+    star.unpersist(); prop.unpersist(); CacheTracker.releaseAll()
+    // and on a HIGH-DIAMETER graph (a 60-node path), the regime the star
+    // algorithm exists for: both algorithms find one component with min 0
+    import spark.implicits._
+    val path = (0L until 59L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    Seq(Dedup.largestarFromPairs(path), Dedup.clustersFromPairs(path)).foreach { df =>
+      val got = df.select("doc_id", "cluster_id", "cluster_size").cache()
+      assert(got.filter(col("cluster_id") =!= 0L || col("cluster_size") =!= 60L).count() == 0)
+      assert(got.count() == 60)
+      got.unpersist(); CacheTracker.releaseAll()
+    }
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
