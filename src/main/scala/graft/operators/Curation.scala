@@ -308,6 +308,33 @@ object Curation {
         (col("k_gen") < 5).as("at_risk_after"))
   }
 
+  /** l-diversity audit — the disclosure-control check one rung above
+    * [[qKAnon]] (Machanavajjhala et al. 2007): a quasi-identifier cell
+    * can pass k-anonymity yet still leak if (almost) every member
+    * shares one SENSITIVE value. Over events, QI = (event_type, day)
+    * and the sensitive attribute is the `props.k` payload: per cell,
+    * the distinct sensitive count l, the modal value's share, and the
+    * at-risk flag (l < 3 or one value covering > 80%).
+    *
+    * Scale shape: one (cell, sensitive) map-side-combined aggregate,
+    * then a cell-keyed reduction — the modal share is a MAX over the
+    * per-value counts, no window, no second corpus pass. Exact
+    * integers plus one final division. */
+  def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("from_json(props, 'k INT').k").as("sens"))
+      .groupBy("event_type", "day", "sens").agg(count(lit(1)).as("c"))
+      .groupBy("event_type", "day")
+      .agg(sum("c").cast("long").as("n_rows"),
+        count(lit(1)).as("l_distinct"),
+        max("c").cast("long").as("top_count"))
+      .select(col("event_type"), col("day"), col("n_rows"), col("l_distinct"),
+        round(col("top_count").cast("double") / col("n_rows"), 6).as("top_share"),
+        (col("l_distinct") < 3 ||
+          col("top_count").cast("double") / col("n_rows") > 0.8).as("at_risk"))
+  }
+
   /** Zone-map pruning audit — the scan-economics number behind layout
     * decisions ([[qZorderLayout]] exists to improve it): simulate two
     * file layouts of lineitem (natural = orderkey-hashed files, i.e.
@@ -560,6 +587,7 @@ object Curation {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_zonemap_prune" -> (qZonemapPrune _),
     "q_k_anon" -> (qKAnon _),
+    "q_ldiversity" -> (qLDiversity _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_shard_layout" -> (qShardLayout _),
@@ -583,6 +611,19 @@ object Curation {
          |  CAST(SUM(n_grams) AS BIGINT) AS n_grams_total,
          |  MIN(xent) AS xent_min, MAX(xent) AS xent_max
          |FROM sc GROUP BY 1""".stripMargin,
+    "q_ldiversity" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(json_extract(props, '$.k') AS INTEGER) AS sens
+        |  FROM events),
+        |vc AS (SELECT event_type, day, sens, COUNT(*) AS c FROM s GROUP BY 1, 2, 3),
+        |cell AS (SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    COUNT(*) AS l_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+        |  FROM vc GROUP BY 1, 2)
+        |SELECT event_type, day, n_rows, l_distinct,
+        |  round(CAST(top_count AS DOUBLE) / n_rows, 6) AS top_share,
+        |  (l_distinct < 3 OR CAST(top_count AS DOUBLE) / n_rows > 0.8) AS at_risk
+        |FROM cell""".stripMargin,
     "q_k_anon" ->
       """WITH cells AS (
         |  SELECT lang, source, n_chars // 200 AS len_bucket, COUNT(*) AS k

@@ -1171,7 +1171,34 @@ object EventWindows {
       .withColumn("duration_s", col("end_s") - col("start_s"))
   }
 
+  /** Calendar-completeness audit — the ingestion-gap detector every
+    * data-ops dashboard runs on an event feed: per event type, the
+    * observed-day count against the [first, last] calendar span, the
+    * total missing days, and the LONGEST consecutive outage (the lag
+    * form of gaps-and-islands, on the absence side). All exact integer
+    * date arithmetic.
+    *
+    * Scale shape: one distinct to (type, day) — map-side combined,
+    * calendar-bounded output — then a per-type window over those
+    * bounded day rows; the corpus is scanned once. */
+  def qEventGaps(s: SparkSession, d: String): DataFrame = {
+    val days = graft.Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("event_type").orderBy("day")
+    days.withColumn("prev_day", lag("day", 1).over(w))
+      .withColumn("gap", when(col("prev_day").isNull, 0)
+        .otherwise(datediff(col("day"), col("prev_day")) - 1))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_observed"),
+        min("day").as("first_day"), max("day").as("last_day"),
+        max("gap").cast("long").as("longest_gap"),
+        sum("gap").cast("long").as("n_missing"))
+      .withColumn("n_days_expected",
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_gaps" -> (qEventGaps _),
     "q_sessionize" -> (qSessionize _),
     "q_contribution_cap" -> (qContributionCap _),
     "q_ab_sequential" -> (qAbSequential _),
@@ -1237,6 +1264,21 @@ object EventWindows {
       |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_event_gaps" ->
+      """WITH dys AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+        |l AS (SELECT event_type, day,
+        |    LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+        |  FROM dys),
+        |g AS (SELECT event_type, day,
+        |    CASE WHEN prev_day IS NULL THEN 0
+        |      ELSE datediff('day', prev_day, day) - 1 END AS gap
+        |  FROM l)
+        |SELECT event_type, COUNT(*) AS n_days_observed,
+        |  MIN(day) AS first_day, MAX(day) AS last_day,
+        |  CAST(MAX(gap) AS BIGINT) AS longest_gap,
+        |  CAST(SUM(gap) AS BIGINT) AS n_missing,
+        |  CAST(datediff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS n_days_expected
+        |FROM g GROUP BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),

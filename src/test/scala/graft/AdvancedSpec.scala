@@ -868,6 +868,30 @@ class AdvancedSpec extends SparkSpec {
     assert(top.getAs[Double]("p_kn") < top.getAs[Double]("p_mle"), top.toString)
   }
 
+  test("event gaps: calendar identity holds and observed days partition the span") {
+    val rows = operators.EventWindows.qEventGaps(spark, sf).collect()
+    assert(rows.length == 5) // one per event type
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days_expected") ==
+        r.getAs[Long]("n_days_observed") + r.getAs[Long]("n_missing"), r.toString)
+      assert(r.getAs[Long]("longest_gap") <= r.getAs[Long]("n_missing"), r.toString)
+      assert(!r.getAs[java.sql.Date]("first_day").after(r.getAs[java.sql.Date]("last_day")))
+    }
+  }
+
+  test("l-diversity: cell masses reconcile and flags follow the rule") {
+    val g = operators.Curation.qLDiversity(spark, sf).cache()
+    assert(g.agg(sum("n_rows")).head.getLong(0) == Tables.events(spark, sf).count())
+    assert(g.filter(col("l_distinct") > col("n_rows") ||
+      col("top_share") <= 0 || col("top_share") > 1).count() == 0)
+    // the flag uses the unrounded share; compare away from the boundary
+    assert(g.filter(col("l_distinct") < 3 && !col("at_risk")).count() == 0)
+    assert(g.filter(col("top_share") > 0.800001 && !col("at_risk")).count() == 0)
+    assert(g.filter(col("l_distinct") >= 3 && col("top_share") < 0.799999 &&
+      col("at_risk")).count() == 0)
+    g.unpersist()
+  }
+
   test("contribution cap: mass conserved, cap binds, and least(c,k) equals the rank-filter form") {
     val g = operators.EventWindows.qContributionCap(spark, sf).cache()
     val ev = Tables.events(spark, sf)
