@@ -201,6 +201,65 @@ object Advanced {
           .as("union_ok"))
   }
 
+  /** HLL precision sweep — the sketch-sizing curve (the nprobe-sweep
+    * idea applied to cardinality): one pass builds FIVE HLL sketches of
+    * the order-key universe at lgK 4..12, and each row reports the
+    * standard 3·RSE bound (RSE = 1.04/√m) against the exact distinct
+    * count — the memory/accuracy tradeoff measured, which is how you
+    * pick a sketch size before spending it ×10⁹ groups. Exact count and
+    * bound are hash-checked; the estimates live in the contract
+    * booleans (the q_approx_distinct convention — DuckDB has no
+    * DataSketches HLL).
+    *
+    * Scale shape: all five sketches accumulate in ONE map-side-combined
+    * aggregate pass; the exact side is the usual two-phase distinct. */
+  def qHllPrecisionSweep(s: SparkSession, d: String): DataFrame = {
+    val lgs = Seq(4, 6, 8, 10, 12)
+    val li = Tables.lineitem(s, d)
+    val exact = li.select("l_orderkey").distinct().agg(count(lit(1)).as("exact_n"))
+    val aggs = lgs.map(k =>
+      expr(s"hll_sketch_estimate(hll_sketch_agg(l_orderkey, $k))").as(s"e$k"))
+    val ests = li.agg(aggs.head, aggs.tail: _*)
+    val arr = lgs.map(k => s"named_struct('lg_k', $k, 'est', e$k)").mkString("array(", ", ", ")")
+    val boundExpr = "3 * 1.04 / sqrt(CAST(shiftleft(1, x.lg_k) AS DOUBLE))"
+    exact.crossJoin(ests)
+      .select(col("exact_n"), explode(expr(arr)).as("x"))
+      .select(col("x.lg_k").as("lg_k"),
+        expr("CAST(shiftleft(1, x.lg_k) AS BIGINT)").as("m"),
+        col("exact_n"),
+        round(expr(boundExpr), 6).as("rse_bound"),
+        (abs(col("x.est") - col("exact_n")).cast("double") / col("exact_n") <=
+          expr(boundExpr)).as("hll_ok"))
+  }
+
+  /** One-pass exact COLUMN PROFILER — the Deequ/Glue-style table
+    * profile (per column: rows, nulls, distincts, min/max/mean) that
+    * precedes any constraint suite, computed WITHOUT the multi-COUNT-
+    * DISTINCT Expand blowup and without one scan per column: the
+    * numeric columns unpivot map-side to (column, value) pairs, one
+    * combined aggregate reduces to per-(column, value) counts (the
+    * two-phase distinct shape), and the profile is a second aggregate
+    * over that value-distribution relation — where min/max/mean and
+    * the distinct count are all exact integer/decimal arithmetic.
+    *
+    * Scale shape: one fact scan with a constant 4× map-side fan-out,
+    * two keyed aggregates, no Expand, no per-column rescans. */
+  def qColumnProfile(s: SparkSession, d: String): DataFrame = {
+    val stack = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => s"'$c', CAST($c AS DECIMAL(18,2))").mkString(", ")
+    Tables.lineitem(s, d)
+      .select(expr(s"stack(4, $stack)").as(Seq("col_name", "v")))
+      .groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+      .groupBy("col_name")
+      .agg(sum("c").cast("long").as("n_rows"),
+        sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_null"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+        round(min("v").cast("double"), 6).as("min_v"),
+        round(max("v").cast("double"), 6).as("max_v"),
+        expr("round(CAST(SUM(v * c) AS DOUBLE) / SUM(CASE WHEN v IS NOT NULL THEN c ELSE 0 END), 6)")
+          .as("mean_v"))
+  }
+
   /** KLL quantile sketches at rest (Apache DataSketches via Spark 4's
     * kll_* family) — the quantile counterpart of [[qHllSketchUnion]]:
     * one KLL sketch per (flag, shard) partition survives as a binary
@@ -963,6 +1022,8 @@ object Advanced {
     "q_approx_top_k" -> (qApproxTopK _),
     "q_theta_setops" -> (qThetaSetops _),
     "q_hll_sketch_union" -> (qHllSketchUnion _),
+    "q_hll_precision_sweep" -> (qHllPrecisionSweep _),
+    "q_column_profile" -> (qColumnProfile _),
     "q_quantile_stats" -> (qQuantileStats _),
     "q_det_sample" -> (qDetSample _),
     "q_asof_join_native" -> (qAsofJoinNative _),
@@ -1373,6 +1434,26 @@ object Advanced {
         |FROM orders
         |WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) < 6554
         |GROUP BY 1""".stripMargin,
+    "q_hll_precision_sweep" ->
+      """WITH ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_n FROM lineitem)
+        |SELECT CAST(k AS INTEGER) AS lg_k, CAST((1 << k) AS BIGINT) AS m, exact_n,
+        |  round(3 * 1.04 / sqrt(CAST((1 << k) AS DOUBLE)), 6) AS rse_bound,
+        |  TRUE AS hll_ok
+        |FROM ex, unnest([4, 6, 8, 10, 12]) AS t(k)""".stripMargin,
+    "q_column_profile" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem),
+        |vc AS (SELECT col_name, v, COUNT(*) AS c FROM m GROUP BY 1, 2)
+        |SELECT col_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+        |  round(CAST(MIN(v) AS DOUBLE), 6) AS min_v,
+        |  round(CAST(MAX(v) AS DOUBLE), 6) AS max_v,
+        |  round(CAST(SUM(v * c) AS DOUBLE) / SUM(CASE WHEN v IS NOT NULL THEN c ELSE 0 END), 6) AS mean_v
+        |FROM vc GROUP BY 1""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,

@@ -868,6 +868,33 @@ class AdvancedSpec extends SparkSpec {
     assert(top.getAs[Double]("p_kn") < top.getAs[Double]("p_mle"), top.toString)
   }
 
+  test("hll precision sweep: bound shrinks with lgK and every estimate lands inside it") {
+    val rows = operators.Advanced.qHllPrecisionSweep(spark, sf).collect()
+      .sortBy(_.getAs[Int]("lg_k"))
+    assert(rows.map(_.getAs[Int]("lg_k")).toSeq == Seq(4, 6, 8, 10, 12))
+    val bounds = rows.map(_.getAs[Double]("rse_bound"))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a > b }, "bound must shrink with m")
+    assert(rows.forall(_.getAs[Boolean]("hll_ok")), "every estimate must respect 3x RSE")
+    assert(rows.map(_.getAs[Long]("exact_n")).distinct.length == 1)
+  }
+
+  test("column profile: stats recompute from direct per-column aggregation") {
+    val got = operators.Advanced.qColumnProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(got.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val li = Tables.lineitem(spark, sf)
+    Seq("l_quantity", "l_discount").foreach { c =>
+      val direct = li.agg(count(lit(1)), countDistinct(col(c)),
+        min(col(c)).cast("double"), max(col(c)).cast("double")).head
+      val r = got(c)
+      assert(r.getAs[Long]("n_rows") == direct.getLong(0), c)
+      assert(r.getAs[Long]("n_distinct") == direct.getLong(1), c)
+      assert(math.abs(r.getAs[Double]("min_v") - direct.getDouble(2)) < 1e-6, c)
+      assert(math.abs(r.getAs[Double]("max_v") - direct.getDouble(3)) < 1e-6, c)
+      assert(r.getAs[Long]("n_null") == 0L, c)
+    }
+  }
+
   test("event gaps: calendar identity holds and observed days partition the span") {
     val rows = operators.EventWindows.qEventGaps(spark, sf).collect()
     assert(rows.length == 5) // one per event type
