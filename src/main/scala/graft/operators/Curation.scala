@@ -308,6 +308,53 @@ object Curation {
         (col("k_gen") < 5).as("at_risk_after"))
   }
 
+  /** Per-source DATASET CARD — the datasheet a curation run publishes
+    * (Gebru et al.'s "Datasheets for Datasets", operationalized): for
+    * every source, size (docs/tokens/mean length), exact-duplicate
+    * rate, Gopher quality pass rate, and language mix (count + Shannon
+    * entropy of the lang distribution) — one relation summarizing
+    * everything downstream consumers need before mixing the source in.
+    *
+    * Determinism: all rates are ratios of exact integers; the lang
+    * entropy folds over the lang-sorted count list (the q_text_entropy
+    * sorted-fold contract) and rounds at 6 dp.
+    *
+    * Scale shape: one persisted map-side base projection feeds four
+    * source-keyed aggregates (core counts, (source, hash) dup cells,
+    * (source, lang) mix cells, quality flags); every post-base relation
+    * is source- or cell-bounded. */
+  def qDatasetCard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = graft.CacheTracker.track(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("h"), size(split(col("text"), " ")).cast("long").as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val core = base.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum("w").cast("long").as("n_tokens"))
+    val dups = base.groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(sum(expr("c - 1")).cast("long").as("n_dup_docs"))
+    val langs = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(count(lit(1)).as("n_langs"),
+        sum("c").cast("long").as("nl"),
+        sort_array(collect_list(struct(col("lang"), col("c")))).as("ls"))
+      .select(col("source"), col("n_langs"),
+        round(expr(
+          """aggregate(ls, CAST(0 AS DOUBLE),
+            | (a, x) -> a - (x.c / CAST(nl AS DOUBLE)) * ln(x.c / CAST(nl AS DOUBLE)))"""
+            .stripMargin.replace("\n", "")), 6).as("lang_entropy"))
+    val quality = TextAnalysis.qGopherQuality(s, d).select(col("doc_id"), col("pass_all"))
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum(when(col("pass_all"), 1L).otherwise(0L)).as("n_pass"))
+    core.join(dups, "source").join(langs, "source").join(quality, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("mean_tokens"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("n_pass"),
+        round(col("n_pass").cast("double") / col("n_docs"), 6).as("quality_rate"),
+        col("n_langs"), col("lang_entropy"))
+  }
+
   /** l-diversity audit — the disclosure-control check one rung above
     * [[qKAnon]] (Machanavajjhala et al. 2007): a quasi-identifier cell
     * can pass k-anonymity yet still leak if (almost) every member
@@ -588,6 +635,7 @@ object Curation {
     "q_zonemap_prune" -> (qZonemapPrune _),
     "q_k_anon" -> (qKAnon _),
     "q_ldiversity" -> (qLDiversity _),
+    "q_dataset_card" -> (qDatasetCard _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_shard_layout" -> (qShardLayout _),
@@ -611,6 +659,46 @@ object Curation {
          |  CAST(SUM(n_grams) AS BIGINT) AS n_grams_total,
          |  MIN(xent) AS xent_min, MAX(xent) AS xent_max
          |FROM sc GROUP BY 1""".stripMargin,
+    "q_dataset_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |core AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_tokens
+        |  FROM base GROUP BY 1),
+        |dups AS (SELECT source, CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+        |  FROM (SELECT source, h, COUNT(*) AS c FROM base GROUP BY 1, 2) GROUP BY 1),
+        |lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |langs AS (SELECT source, COUNT(*) AS n_langs, CAST(SUM(c) AS BIGINT) AS nl,
+        |    list({'lang': lang, 'c': c} ORDER BY lang, c) AS ls
+        |  FROM lc GROUP BY 1),
+        |le AS (SELECT source, n_langs,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ls, x -> (x.c / CAST(nl AS DOUBLE)) * ln(x.c / CAST(nl AS DOUBLE)))),
+        |      (a, b) -> a - b), 6) AS lang_entropy
+        |  FROM langs),
+        |wd AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        |gb AS (SELECT doc_id, source, len(words) AS n_words,
+        |    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mwl
+        |  FROM wd),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN []
+        |    ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS g
+        |  FROM wd),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM gc GROUP BY 1),
+        |q AS (SELECT b.source,
+        |    CAST(SUM(CASE WHEN (b.mwl >= 3 AND b.mwl <= 10)
+        |      AND (CAST(max2 AS DOUBLE) / tot2 <= 0.2) AND (b.n_words >= 20)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM gb b JOIN rep USING (doc_id) GROUP BY 1)
+        |SELECT core.source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens,
+        |  n_dup_docs, round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  n_pass, round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS quality_rate,
+        |  n_langs, lang_entropy
+        |FROM core JOIN dups ON dups.source = core.source
+        |JOIN le ON le.source = core.source
+        |JOIN q ON q.source = core.source""".stripMargin,
     "q_ldiversity" ->
       """WITH s AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

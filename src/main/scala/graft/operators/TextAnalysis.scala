@@ -1263,6 +1263,31 @@ object TextAnalysis {
         row_number().over(Window.orderBy(desc("wilson_lo"), col("source"))))
   }
 
+  /** Tokenizer FERTILITY by language — the multilingual-equity metric
+    * (subtokens per whitespace word): languages whose fertility runs
+    * far above the corpus mean pay more context budget per sentence
+    * under the same tokenizer, the imbalance multilingual-tokenizer
+    * papers report as "parity". Uses the BPE-ish regex tokenization of
+    * q_token_count; parity = language fertility over corpus fertility,
+    * both as exact token-count ratios.
+    *
+    * Scale shape: one map-side pass counts both tokenizations per doc;
+    * one lang-keyed aggregate + a broadcast one-row corpus total. */
+  def qTokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("lang"),
+      size(split(col("text"), " ")).cast("long").as("w"),
+      size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long").as("sub"))
+    val byLang = t.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+      sum("w").cast("long").as("n_words"), sum("sub").cast("long").as("n_subtokens"))
+    val global = t.agg(sum("w").cast("long").as("g_words"),
+      sum("sub").cast("long").as("g_subtokens"))
+    byLang.crossJoin(broadcast(global))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtokens"),
+        round(col("n_subtokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round((col("n_subtokens").cast("double") / col("n_words")) /
+          (col("g_subtokens").cast("double") / col("g_words")), 6).as("parity"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing readout (what
     * fraction of corpus TOKENS does a top-k vocabulary cover?): for
     * each budget k, the token mass of the k most frequent types. The
@@ -1386,6 +1411,7 @@ object TextAnalysis {
     "q_wilson_rank" -> (qWilsonRank _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_text_readability" -> (qTextReadability _),
@@ -1610,6 +1636,21 @@ object TextAnalysis {
         |FROM b""".stripMargin,
     "q_bpe_merges" -> bpeOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS sub
+        |  FROM documents),
+        |bl AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(sub) AS BIGINT) AS n_subtokens
+        |  FROM t GROUP BY 1),
+        |g AS (SELECT CAST(SUM(w) AS BIGINT) AS g_words,
+        |    CAST(SUM(sub) AS BIGINT) AS g_subtokens FROM t)
+        |SELECT lang, n_docs, n_words, n_subtokens,
+        |  round(CAST(n_subtokens AS DOUBLE) / n_words, 6) AS fertility,
+        |  round((CAST(n_subtokens AS DOUBLE) / n_words)
+        |    / (CAST(g_subtokens AS DOUBLE) / g_words), 6) AS parity
+        |FROM bl CROSS JOIN g""".stripMargin,
     "q_vocab_coverage" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |wc AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),

@@ -1996,6 +1996,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer fertility: parities average to 1 under token weighting") {
+    val rows = TextAnalysis.qTokenizerFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") > 0, r.toString)
+      assert(r.getAs[Double]("parity") > 0, r.toString)
+    }
+    // token-weighted mean of language fertilities IS the corpus fertility
+    val wParity = rows.map(r => r.getAs[Long]("n_words").toDouble * r.getAs[Double]("parity")).sum /
+      rows.map(_.getAs[Long]("n_words").toDouble).sum
+    assert(math.abs(wParity - 1.0) < 1e-4, s"weighted parity $wParity")
+  }
+
+  test("dataset card: per-source facts reconcile with direct recomputation") {
+    val cards = operators.Curation.qDatasetCard(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    CacheTracker.releaseAll()
+    val docs = Tables.documents(spark, sf)
+    assert(cards.values.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    cards.values.foreach { r =>
+      assert(r.getAs[Double]("dup_rate") >= 0 && r.getAs[Double]("dup_rate") < 1, r.toString)
+      assert(r.getAs[Double]("quality_rate") >= 0 && r.getAs[Double]("quality_rate") <= 1)
+      assert(r.getAs[Double]("lang_entropy") >= 0 &&
+        r.getAs[Double]("lang_entropy") <= math.log(r.getAs[Long]("n_langs").toDouble) + 1e-6)
+    }
+    // spot-recompute one source's token total directly
+    val src = cards.keys.head
+    val direct = docs.filter(col("source") === src)
+      .select(size(split(col("text"), " ")).cast("long").as("w")).agg(sum("w")).head.getLong(0)
+    assert(cards(src).getAs[Long]("n_tokens") == direct)
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
