@@ -308,6 +308,51 @@ object Curation {
         (col("k_gen") < 5).as("at_risk_after"))
   }
 
+  /** Train/validation/test LEAKAGE audit — the reason q_split_stratified
+    * splits by a content-independent coin still isn't enough: two
+    * NEAR-DUPLICATE documents can land in different splits, and a test
+    * answer the model saw in train is contamination (the
+    * split-boundary face of q_decontaminate). Composes the split
+    * assignment with the LSH near-dup pair pipeline over the raw
+    * document table and reports the pair count per (split, split) cell
+    * — off-diagonal cells ARE the leaks — plus each cell's share of
+    * all near-dup pairs.
+    *
+    * Scale shape: the pair side is the banded LSH join (never
+    * all-pairs); the split coin is map-side md5; the matrix is a ≤9-cell
+    * aggregate. */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = graft.CacheTracker.track(
+      Dedup.withSignature(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .filter(size(col("hashes")) >= 1)
+        .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val pairs = Dedup.bandedCandidates(sigs)
+      .join(sigs.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id")
+    val bucket =
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+    val split = Tables.documents(s, d).select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test").as("split"))
+    val cells = pairs
+      .join(split.select(col("doc_id").as("a_id"), col("split").as("sp_a")), "a_id")
+      .join(split.select(col("doc_id").as("b_id"), col("split").as("sp_b")), "b_id")
+      .select(least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+    cells
+      .withColumn("n_total", sum("n_pairs").over(Window.partitionBy(lit(1))))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("is_leak"),
+        round(col("n_pairs").cast("double") / col("n_total"), 6).as("pair_share"))
+  }
+
   /** Per-source DATASET CARD — the datasheet a curation run publishes
     * (Gebru et al.'s "Datasheets for Datasets", operationalized): for
     * every source, size (docs/tokens/mean length), exact-duplicate
@@ -636,6 +681,7 @@ object Curation {
     "q_k_anon" -> (qKAnon _),
     "q_ldiversity" -> (qLDiversity _),
     "q_dataset_card" -> (qDatasetCard _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_shard_layout" -> (qShardLayout _),
@@ -659,6 +705,39 @@ object Curation {
          |  CAST(SUM(n_grams) AS BIGINT) AS n_grams_total,
          |  MIN(xent) AS xent_min, MAX(xent) AS xent_max
          |FROM sc GROUP BY 1""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Dedup.shinglesSql} AS shingles FROM w),
+         |hs AS (SELECT doc_id, shingles, ${Dedup.hashesSql} AS hashes FROM sh),
+         |sg AS (SELECT doc_id, ${Dedup.sigSql} AS sig, list_distinct(shingles) AS sset
+         |  FROM hs WHERE len(hashes) >= 1),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
+         |  FROM sg, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+         |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
+         |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b
+         |    FROM documents)),
+         |cells AS (SELECT least(a.split, b.split) AS split_a,
+         |    greatest(a.split, b.split) AS split_b, COUNT(*) AS n_pairs
+         |  FROM pairs p JOIN sp a ON a.doc_id = p.a_id JOIN sp b ON b.doc_id = p.b_id
+         |  GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cells)
+         |SELECT split_a, split_b, n_pairs, split_a <> split_b AS is_leak,
+         |  round(CAST(n_pairs AS DOUBLE) / n_total, 6) AS pair_share
+         |FROM cells CROSS JOIN t""".stripMargin,
     "q_dataset_card" ->
       """WITH base AS (
         |  SELECT doc_id, source, lang, md5(text) AS h,

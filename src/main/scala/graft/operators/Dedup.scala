@@ -98,7 +98,7 @@ object Dedup {
     * rows exploded to (band_idx, band_hash) keys, equi-joined, a_id <
     * b_id, distinct. The one shuffle of the LSH pipeline, on a key that
     * spreads uniformly. */
-  private[operators] def bandedCandidates(sigs: DataFrame): DataFrame = {
+  private[graft] def bandedCandidates(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))

@@ -2028,6 +2028,30 @@ class PipelineSpec extends SparkSpec {
     assert(cards(src).getAs[Long]("n_tokens") == direct)
   }
 
+  test("split leakage: cells partition the near-dup pairs and flags mark the off-diagonal") {
+    val rows = operators.Curation.qSplitLeakage(spark, sf).collect()
+    CacheTracker.releaseAll()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_leak") ==
+        (r.getAs[String]("split_a") != r.getAs[String]("split_b")), r.toString)
+      assert(r.getAs[String]("split_a") <= r.getAs[String]("split_b"), "cells must normalize")
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("pair_share")).sum - 1.0) < 1e-4)
+    // the cells must partition the document near-dup pair set exactly
+    val sigs = Dedup.withSignature(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .filter(size(col("hashes")) >= 1)
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+    val nPairs = Dedup.bandedCandidates(sigs)
+      .join(sigs.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")) >= 0.5)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
