@@ -590,6 +590,37 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** INCREMENTAL connected components — the index-refresh face of the
+    * clustering (completing the incremental family: q_incr_agg for
+    * aggregates, q_dedup_incremental for exact dedup,
+    * q_sim_topk_incremental for ANN): when NEW documents (the
+    * +2000000 tail-append arrivals) bring new near-dup edges, the fresh
+    * labels propagate over (the at-rest STAR EDGES of the history
+    * clustering ∪ the new edges only) — the star edges preserve the
+    * history graph's connectivity with one edge per old vertex, so the
+    * merged propagation touches O(affected components + new edges)
+    * instead of replaying every historical pair. The oracle is the
+    * full-graph recursive closure: hash equality proves the refresh
+    * loses nothing (the standing incremental contract).
+    *
+    * Scale shape: history clustering is the at-rest input (recomputed
+    * here to simulate it, as in q_sim_topk_incremental); the merge runs
+    * label propagation over a star forest plus the new-edge delta. */
+  def qDedupCcIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val all = qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val old = all.filter(col("a_id") < 2000000L && col("b_id") < 2000000L)
+    val fresh = all.filter(col("a_id") >= 2000000L || col("b_id") >= 2000000L)
+    // the at-rest state: one (center, member) star edge per old vertex
+    val starEdges = clustersFromPairs(old)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("a_id"), col("doc_id").as("b_id"))
+    val out = clustersFromPairs(starEdges.unionByName(fresh))
+    all.unpersist()
+    out
+  }
+
   /** Jaccard-threshold sweep over the UNthresholded LSH candidates —
     * the tuning readout that decides a dedup pipeline's similarity
     * cutoff: per candidate threshold, how many pairs survive, how many
@@ -1263,6 +1294,7 @@ object Dedup {
     "q_dedup_cluster_eval" -> (qDedupClusterEval _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_cc_largestar" -> (qDedupCcLargestar _),
+    "q_dedup_cc_incremental" -> (qDedupCcIncremental _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _))
@@ -1668,6 +1700,22 @@ object Dedup {
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
          |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
          |FROM est""".stripMargin,
+    // same closure oracle as q_dedup_clusters: the star-edge + delta
+    // merge must land on the identical full-graph clustering
+    "q_dedup_cc_incremental" ->
+      s"""WITH RECURSIVE $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+         |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
     // same closure oracle as q_dedup_clusters: the star algorithm must
     // land on the identical (doc, component-min, size) relation
     "q_dedup_cc_largestar" ->

@@ -2052,6 +2052,17 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs)
   }
 
+  test("incremental CC: star edges plus the new-edge delta equal the full-graph clustering") {
+    val inc = Dedup.qDedupCcIncremental(spark, sf)
+      .select("doc_id", "cluster_id", "cluster_size").cache()
+    val full = Dedup.qDedupClusters(spark, sf)
+      .select("doc_id", "cluster_id", "cluster_size").cache()
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+    // the delta path must be live: new arrivals actually join old clusters
+    assert(inc.filter(col("doc_id") >= 2000000L && col("cluster_id") < 2000000L).count() > 0)
+    inc.unpersist(); full.unpersist(); CacheTracker.releaseAll()
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
