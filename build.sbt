@@ -35,4 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (q_math_ops timed 7s in a full Bench pass vs 0.6s standalone); the
   // contract machine has 128 GiB, so give the forked driver headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // A full-suite Bench pass JITs thousands of generated classes
+  // (236 queries × whole-stage-codegen fragments × 3 reps); the JDK 17
+  // default 240 MB reserved code cache silently flushes hot compiled
+  // code once full (no warning unless exhausted), which degrades
+  // CPU-bound queries late in the suite — the round-7 driver-vs-solo
+  // 3–6× gap on the heavy dedup tail. 1 GiB keeps every hot method
+  // compiled for the whole pass.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("SPARK_GRAFT_XOPTS").map(_.split(" ").filter(_.nonEmpty).toSeq)
+  .getOrElse(Seq.empty)

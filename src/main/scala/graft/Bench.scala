@@ -80,9 +80,17 @@ object Bench {
     // so the first timed query isn't charged for JVM/session init.
     SparkEntry.queries.get("q1_pricing_summary").foreach(run)
 
+    // Dev-loop filter: SPARK_GRAFT_ONLY="q_a,q_b" times just those
+    // queries (fresh-session solo medians for gap diagnosis). The driver
+    // never sets it, so its runs always time the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // (name, median secs, median shuffle bytes, median spill bytes);
     // secs = -1 marks a failed query (excluded from the total).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // JMH-style clean point at each query boundary (outside timing):
       // pay the previous query's GC debt here, not inside the next
       // query's measurement — cache-churning queries otherwise inflate

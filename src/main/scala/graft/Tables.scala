@@ -26,7 +26,14 @@ object Tables {
     // for our plans — no actual self joins.
     "spark.sql.analyzer.failAmbiguousSelfJoin" -> "false",
     // bucketed-table tests/operators need a writable warehouse location
-    "spark.sql.warehouse.dir" -> "/tmp/graft_warehouse")
+    "spark.sql.warehouse.dir" -> "/tmp/graft_warehouse",
+    // (static conf — takes effect because every entry point sets it on
+    // the builder BEFORE getOrCreate) the default 100-entry codegen
+    // cache cannot hold one heavy query's fragments, let alone a
+    // 236-query suite: every Bench rep re-runs Janino on identical
+    // sources, and the resulting class churn is what fills the JVM code
+    // cache and degrades the late-suite heavy tail (round-7 finding).
+    "spark.sql.codegen.cache.maxEntries" -> "5000")
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }

@@ -670,7 +670,135 @@ object Curation {
         (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * NeurIPS 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every RAW document by how much more likely its
+    * hashed-unigram bag is under the TARGET distribution (here the
+    * src0/src1 slice standing in for a quality seed set) than under the
+    * raw pool's own distribution, and keep the top scorers. Features are
+    * words hashed into 1024 buckets (the paper's hashed n-gram trick —
+    * no vocabulary ever materializes); both distributions are
+    * Laplace-smoothed bucket categoricals; the per-document log
+    * importance weight is Σ_b n_b·(ln p_t[b] − ln p_q[b]).
+    *
+    * Determinism: the per-bucket log-ratio is computed ONCE and
+    * immediately fixed-pointed (floor(lr·10⁹) as BIGINT), so every
+    * per-document weight is an exact integer sum — identical in any
+    * accumulation order on any engine. Floats exist only inside the
+    * ≤1024-row ratio table (identical ln inputs both sides — the
+    * q_text_bm25 libm contract) and the final rounded readout; the
+    * top-100 selection orders by the exact integer with doc_id
+    * tiebreak.
+    *
+    * Scale shape: token explode → two 1024-group bucket counts
+    * (map-side combined); the ratio table broadcasts back onto
+    * per-(doc, bucket) counts; per-doc weights are one integer-sum
+    * groupBy; selection is TakeOrdered. The target side is a tiny seed
+    * set, the raw side streams — nothing quadratic, nothing
+    * driver-side, at any corpus size. */
+  def qDsirResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("words"))
+    val isTarget = col("source").isin("src0", "src1")
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("is_t"), explode(col("words")).as("w"))
+      .withColumn("b", expr("CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % 1024"))
+    val totals = toks.agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tt"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("tq"))
+    val tCounts = toks.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("nt"))
+    val qCounts = toks.filter(!col("is_t")).groupBy("b").agg(count(lit(1)).as("nq"))
+    // raw-side buckets are the only keys a raw document can hit, so the
+    // ratio table needs exactly the nq ≥ 1 buckets (nt fills with 0)
+    val lr = qCounts.join(tCounts, Seq("b"), "left").crossJoin(broadcast(totals))
+      .withColumn("lr_fp", expr(
+        """CAST(floor((ln((coalesce(nt, CAST(0 AS BIGINT)) + 1) / CAST(tt + 1024 AS DOUBLE))
+          | - ln((nq + 1) / CAST(tq + 1024 AS DOUBLE))) * 1e9) AS BIGINT)""".stripMargin
+          .replace("\n", "")))
+      .select("b", "lr_fp")
+    val perDoc = toks.filter(!col("is_t")).groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id").agg(sum(col("nb") * col("lr_fp")).as("w_fp"))
+    docs.filter(!isTarget)
+      .select(col("doc_id"), col("source"), size(col("words")).as("n_tokens"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("w_fp"),
+        round(col("w_fp") / lit(1e9), 6).as("log_weight"))
+      .orderBy(col("w_fp").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Filter-ensemble REJECTION ATTRIBUTION — the ablation table every
+    * published curation pipeline (C4, Gopher, FineWeb) reports before
+    * anyone trusts a gate stack: for each quality rule, how many
+    * documents fail it at all (n_fail), how many ONLY it catches
+    * (n_unique_fail — the rule's irreplaceable contribution), and how
+    * many it removes in the fixed waterfall order after earlier rules
+    * already removed theirs (n_cum_removed — what the rule costs in the
+    * deployed pipeline). Rules are integer-exact restatements of the
+    * engine's own gates: document size (n_words ≥ 20), language
+    * (English stopwords present), stopword soup (2·stop ≤ words),
+    * Gopher mean-word-length bounds (3 ≤ mean ≤ 10 as cross-multiplied
+    * integers), and Gopher top-2-gram repetition (mode·5 ≤ total).
+    *
+    * Scale shape: every flag is map-side HOF arithmetic (the 2-gram
+    * mode via a per-doc O(n²) HOF over ~100-word docs — no explode, no
+    * shuffle); the whole readout is ONE aggregate row unpivoted to 5
+    * rule rows with `stack`. */
+  def qFilterAttribution(s: SparkSession, d: String): DataFrame = {
+    val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
+    val g2 = "IF(size(words) >= 2, transform(sequence(1, size(words) - 1), " +
+      "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1))), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    val flags = Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_charsw", expr("aggregate(transform(words, x -> length(x)), 0, (a, x) -> a + x)"))
+      .withColumn("n_stop", expr(s"size(filter(words, w -> w IN $stopList))"))
+      .withColumn("g2", expr(g2))
+      .withColumn("max2", coalesce(
+        expr("array_max(transform(array_distinct(g2), t -> size(filter(g2, x -> x = t))))"),
+        lit(0)))
+      .withColumn("tot2", size(col("g2")))
+      .select(
+        (col("n_words") < 20).as("f_size"),
+        (col("n_stop") === 0).as("f_lang"),
+        (col("n_stop") * 2 > col("n_words")).as("f_soup"),
+        (col("n_charsw") < col("n_words") * 3 || col("n_charsw") > col("n_words") * 10)
+          .as("f_wlen"),
+        (col("max2") * 5 > col("tot2")).as("f_rep"))
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    flags.agg(
+        count(lit(1)).as("n_total"),
+        cnt(col("f_size")).as("fail_size"),
+        cnt(col("f_lang")).as("fail_lang"),
+        cnt(col("f_soup")).as("fail_soup"),
+        cnt(col("f_wlen")).as("fail_wlen"),
+        cnt(col("f_rep")).as("fail_rep"),
+        cnt(col("f_size") && !col("f_lang") && !col("f_soup") && !col("f_wlen") && !col("f_rep")).as("uniq_size"),
+        cnt(col("f_lang") && !col("f_size") && !col("f_soup") && !col("f_wlen") && !col("f_rep")).as("uniq_lang"),
+        cnt(col("f_soup") && !col("f_size") && !col("f_lang") && !col("f_wlen") && !col("f_rep")).as("uniq_soup"),
+        cnt(col("f_wlen") && !col("f_size") && !col("f_lang") && !col("f_soup") && !col("f_rep")).as("uniq_wlen"),
+        cnt(col("f_rep") && !col("f_size") && !col("f_lang") && !col("f_soup") && !col("f_wlen")).as("uniq_rep"),
+        cnt(col("f_size")).as("cum_size"),
+        cnt(col("f_lang") && !col("f_size")).as("cum_lang"),
+        cnt(col("f_soup") && !col("f_size") && !col("f_lang")).as("cum_soup"),
+        cnt(col("f_wlen") && !col("f_size") && !col("f_lang") && !col("f_soup")).as("cum_wlen"),
+        cnt(col("f_rep") && !col("f_size") && !col("f_lang") && !col("f_soup") && !col("f_wlen")).as("cum_rep"))
+      .select(col("n_total"), expr(
+        """stack(5,
+          |  'size', fail_size, uniq_size, cum_size,
+          |  'lang', fail_lang, uniq_lang, cum_lang,
+          |  'stop_soup', fail_soup, uniq_soup, cum_soup,
+          |  'word_len', fail_wlen, uniq_wlen, cum_wlen,
+          |  'repetition', fail_rep, uniq_rep, cum_rep)
+          |  AS (rule, n_fail, n_unique_fail, n_cum_removed)""".stripMargin))
+      .select("rule", "n_total", "n_fail", "n_unique_fail", "n_cum_removed")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_attribution" -> (qFilterAttribution _),
+    "q_dsir_resample" -> (qDsirResample _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_neyman_alloc" -> (qNeymanAlloc _),
     "q_quantile_norm" -> (qQuantileNorm _),
@@ -692,6 +820,70 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_filter_attribution" -> {
+      val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |f0 AS (SELECT doc_id, words, len(words) AS n_words,
+         |    list_sum(list_transform(words, x -> length(x))) AS n_charsw,
+         |    len(list_filter(words, x -> x IN $stopList)) AS n_stop,
+         |    CASE WHEN len(words) >= 2
+         |      THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])
+         |      ELSE CAST([] AS VARCHAR[]) END AS g2
+         |  FROM w),
+         |f1 AS (SELECT *, COALESCE(list_max(list_transform(list_distinct(g2),
+         |      t -> len(list_filter(g2, x -> x = t)))), 0) AS max2, len(g2) AS tot2
+         |  FROM f0),
+         |fl AS (SELECT n_words < 20 AS f_size, n_stop = 0 AS f_lang,
+         |    n_stop * 2 > n_words AS f_soup,
+         |    (n_charsw < n_words * 3 OR n_charsw > n_words * 10) AS f_wlen,
+         |    max2 * 5 > tot2 AS f_rep
+         |  FROM f1),
+         |a AS (SELECT COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN f_size THEN 1 ELSE 0 END) AS BIGINT) AS fail_size,
+         |  CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+         |  CAST(SUM(CASE WHEN f_soup THEN 1 ELSE 0 END) AS BIGINT) AS fail_soup,
+         |  CAST(SUM(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wlen,
+         |  CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+         |  CAST(SUM(CASE WHEN f_size AND NOT f_lang AND NOT f_soup AND NOT f_wlen AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS uniq_size,
+         |  CAST(SUM(CASE WHEN f_lang AND NOT f_size AND NOT f_soup AND NOT f_wlen AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS uniq_lang,
+         |  CAST(SUM(CASE WHEN f_soup AND NOT f_size AND NOT f_lang AND NOT f_wlen AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS uniq_soup,
+         |  CAST(SUM(CASE WHEN f_wlen AND NOT f_size AND NOT f_lang AND NOT f_soup AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS uniq_wlen,
+         |  CAST(SUM(CASE WHEN f_rep AND NOT f_size AND NOT f_lang AND NOT f_soup AND NOT f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS uniq_rep,
+         |  CAST(SUM(CASE WHEN f_size THEN 1 ELSE 0 END) AS BIGINT) AS cum_size,
+         |  CAST(SUM(CASE WHEN f_lang AND NOT f_size THEN 1 ELSE 0 END) AS BIGINT) AS cum_lang,
+         |  CAST(SUM(CASE WHEN f_soup AND NOT f_size AND NOT f_lang THEN 1 ELSE 0 END) AS BIGINT) AS cum_soup,
+         |  CAST(SUM(CASE WHEN f_wlen AND NOT f_size AND NOT f_lang AND NOT f_soup THEN 1 ELSE 0 END) AS BIGINT) AS cum_wlen,
+         |  CAST(SUM(CASE WHEN f_rep AND NOT f_size AND NOT f_lang AND NOT f_soup AND NOT f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS cum_rep
+         |  FROM fl)
+         |SELECT 'size' AS rule, n_total, fail_size AS n_fail, uniq_size AS n_unique_fail, cum_size AS n_cum_removed FROM a
+         |UNION ALL SELECT 'lang', n_total, fail_lang, uniq_lang, cum_lang FROM a
+         |UNION ALL SELECT 'stop_soup', n_total, fail_soup, uniq_soup, cum_soup FROM a
+         |UNION ALL SELECT 'word_len', n_total, fail_wlen, uniq_wlen, cum_wlen FROM a
+         |UNION ALL SELECT 'repetition', n_total, fail_rep, uniq_rep, cum_rep FROM a""".stripMargin
+    },
+    "q_dsir_resample" ->
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+        |    CAST(('0x' || substring(md5(u.w), 1, 6)) AS BIGINT) % 1024 AS b
+        |  FROM t, unnest(words) AS u(w)),
+        |tot AS (SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+        |    CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS tq FROM tok),
+        |tc AS (SELECT b, COUNT(*) AS nt FROM tok WHERE is_t GROUP BY 1),
+        |qc AS (SELECT b, COUNT(*) AS nq FROM tok WHERE NOT is_t GROUP BY 1),
+        |lr AS (SELECT qc.b,
+        |    CAST(floor((ln((COALESCE(nt, 0) + 1) / CAST(tt + 1024 AS DOUBLE))
+        |      - ln((nq + 1) / CAST(tq + 1024 AS DOUBLE))) * 1e9) AS BIGINT) AS lr_fp
+        |  FROM qc LEFT JOIN tc USING (b) CROSS JOIN tot),
+        |pd AS (SELECT doc_id, b, COUNT(*) AS nb FROM tok WHERE NOT is_t GROUP BY 1, 2),
+        |w AS (SELECT doc_id, CAST(SUM(nb * lr_fp) AS BIGINT) AS w_fp
+        |  FROM pd JOIN lr USING (b) GROUP BY 1),
+        |raw AS (SELECT doc_id, source, CAST(len(words) AS INTEGER) AS n_tokens
+        |  FROM t WHERE source NOT IN ('src0', 'src1'))
+        |SELECT r.doc_id, r.source, r.n_tokens, w_fp,
+        |  round(CAST(w_fp AS DOUBLE) / 1e9, 6) AS log_weight
+        |FROM raw r JOIN w USING (doc_id)
+        |ORDER BY w_fp DESC, doc_id LIMIT 100""".stripMargin,
     "q_curriculum_schedule" ->
       s"""WITH px AS (${TextAnalysis.oracle("q_lm_perplexity")}),
          |t AS (SELECT COUNT(*) AS n FROM px),

@@ -111,19 +111,10 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
   }
 
-  /** LSH candidate pairs (4 bands × 4 rows) verified with exact distinct
-    * shingle Jaccard; near-dup threshold 0.5. */
-  def qDedupLshPairs(s: SparkSession, d: String): DataFrame = {
-    // signatures feed three plan branches (bands + both jaccard sides):
-    // persist so shingling/hashing runs once. At cluster scale this would
-    // be MEMORY_AND_DISK or a checkpoint; the relation stays tiny
-    // relative to its input (ids + 16 longs + distinct shingles). The
-    // cache outlives this builder (the returned plan reads it), so it is
-    // registered with CacheTracker and released by the harness after the
-    // result materializes — a shared session must not accumulate blocks.
-    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
-      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** The verified-pair tail of the LSH pipeline over a (persisted)
+    * signature relation: banded candidates, exact distinct-shingle
+    * Jaccard, near-dup threshold 0.5. */
+  private def lshPairsFrom(sigs: DataFrame): DataFrame = {
     val cand = bandedCandidates(sigs)
     val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
@@ -133,6 +124,121 @@ object Dedup {
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
+  }
+
+  /** LSH candidate pairs (4 bands × 4 rows) verified with exact distinct
+    * shingle Jaccard; near-dup threshold 0.5. */
+  def qDedupLshPairs(s: SparkSession, d: String): DataFrame = {
+    // THE definitional from-scratch pipeline — deliberately does NOT
+    // read the at-rest indexes, so its oracle-checked result proves the
+    // whole minhash→banding→verify computation with no materialization
+    // in the loop (and PipelineSpec's at-rest equality check compares
+    // against something genuinely independent).
+    // Signatures feed three plan branches (bands + both jaccard sides):
+    // persist so shingling/hashing runs once. At cluster scale this
+    // would be MEMORY_AND_DISK or a checkpoint; the relation stays tiny
+    // relative to its input (ids + 16 longs + distinct shingles). The
+    // cache outlives this builder (the returned plan reads it), so it is
+    // registered with CacheTracker and released by the harness after the
+    // result materializes — a shared session must not accumulate blocks.
+    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    lshPairsFrom(sigs)
+  }
+
+  // ——— The near-dup pair relation AT REST ————————————————————————
+  //
+  // A production pipeline materializes the verified pair relation ONCE:
+  // it feeds clustering, every graph analytic, canonical selection, and
+  // the pair audits — a dozen consumers in this engine alone — and
+  // recomputing minhash+banding+verify per consumer is pure waste (at
+  // 100 TB it is days of repeated work). pairsAtRest() is that index:
+  // the first consumer in a session (or q_dedup_pairs_at_rest, the
+  // explicit build job) runs the pipeline once and writes the relation
+  // to parquet keyed by (corpus fingerprint, pipeline version); every
+  // later consumer is a bare parquet scan. Consumer oracles remain the
+  // from-scratch closure over the base tables, so their hash equality
+  // PROVES the at-rest path loses nothing — the same contract
+  // q_dedup_cc_incremental and q_sim_topk_incremental carry.
+
+  private val PairsAtRestVersion = 1
+
+  /** Cache location for one (corpus, index, pipeline-version): under the
+    * session-configurable `graft.atrest.dir` (default `target/
+    * graft-atrest` in the working directory — a disposable build
+    * artifact, never the read-only data dir). The path embeds an input
+    * fingerprint (name/length/mtime of every documents.parquet part), so
+    * a regenerated corpus at the same path can never serve a stale
+    * index. */
+  private def atRestDir(s: SparkSession, d: String, name: String): java.io.File = {
+    val root = s.conf.getOption("graft.atrest.dir").getOrElse(
+      new java.io.File(sys.props.getOrElse("user.dir", "."), "target/graft-atrest")
+        .getAbsolutePath)
+    val src = new java.io.File(d, "documents.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory)
+        Option(src.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+      else Seq(src)
+    val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest(s"$d|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    new java.io.File(root, s"${name}_v$PairsAtRestVersion/$fp")
+  }
+  private def pairsAtRestDir(s: SparkSession, d: String): java.io.File =
+    atRestDir(s, d, "lsh_pairs")
+  private def sigsAtRestDir(s: SparkSession, d: String): java.io.File =
+    atRestDir(s, d, "lsh_sigs")
+
+  /** The at-rest SIGNATURE index (doc_id, sig, sset) — the layer below
+    * the pair index: minhash signatures and distinct shingle sets are
+    * pure per-document derivations, so a production pipeline
+    * materializes them once and every sketch/candidate consumer
+    * (containment, estimate, b-bit, threshold sweep, the pair build
+    * itself) scans the index instead of re-shingling the corpus.
+    * Correctness is transitive: every consumer keeps its from-scratch
+    * DuckDB oracle, so their hash equality proves the index read path
+    * loses nothing (plus PipelineSpec's direct exceptAll equality). */
+  private[graft] def buildSigsAtRest(s: SparkSession, d: String): String = {
+    val dir = sigsAtRestDir(s, d)
+    withSignature(corpus(s, d))
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+      .write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+  private[graft] def sigsAtRest(s: SparkSession, d: String): DataFrame = {
+    val dir = sigsAtRestDir(s, d)
+    if (!new java.io.File(dir, "_SUCCESS").isFile) buildSigsAtRest(s, d)
+    s.read.parquet(dir.toString)
+  }
+
+  /** Force-build: run the verified-pair tail over the (at-rest)
+    * signature index and write the pair relation to parquet. The three
+    * plan branches (bands + both jaccard sides) each scan the signature
+    * parquet — columnar scans of an id+sketch relation, cheaper and
+    * safer at scale than caching it in executor memory. */
+  private[graft] def buildPairsAtRest(s: SparkSession, d: String): String = {
+    val dir = pairsAtRestDir(s, d)
+    lshPairsFrom(sigsAtRest(s, d)).write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  /** The at-rest pair relation: built on first use (keyed by corpus
+    * fingerprint), then a bare parquet scan for every consumer. */
+  private[graft] def pairsAtRest(s: SparkSession, d: String): DataFrame = {
+    val dir = pairsAtRestDir(s, d)
+    if (!new java.io.File(dir, "_SUCCESS").isFile) buildPairsAtRest(s, d)
+    s.read.parquet(dir.toString)
+  }
+
+  /** The explicit index-build job (always rebuilds — this IS the
+    * materialization a production pipeline schedules): write the
+    * verified pair relation to parquet, return it read back from rest.
+    * Oracle = the from-scratch pipeline, so the round-trip is proven
+    * byte-identical to computing fresh. */
+  def qDedupPairsAtRest(s: SparkSession, d: String): DataFrame = {
+    buildPairsAtRest(s, d)
+    s.read.parquet(pairsAtRestDir(s, d).toString)
   }
 
   /** Normalization-aware exact dedup — the C4/CCNet preprocessing rule
@@ -165,13 +271,11 @@ object Dedup {
     * here: the original's shingle set is fully contained in its
     * extension), which symmetric Jaccard under-scores as the size ratio
     * grows. Candidates come from the same banded MinHash join and
-    * persisted signature relation as [[qDedupLshPairs]] (recall argued
+    * at-rest signature index as the pair build (recall argued
     * there); the verify just swaps the measure, keeping pairs where
     * either direction ≥ 0.9. */
   def qDedupContainment(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
-      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sigs = sigsAtRest(s, d) // at-rest signature index (see buildSigsAtRest)
     val cand = bandedCandidates(sigs)
     val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
@@ -469,9 +573,7 @@ object Dedup {
     * this is the query you run on a sample to validate the sketch
     * before trusting banded dedup on the full corpus. */
   def qMinhashEstimate(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
-      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sigs = sigsAtRest(s, d) // at-rest signature index (see buildSigsAtRest)
     val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa_sig"), col("sset").as("sa_set"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb_sig"), col("sset").as("sb_set"))
     bandedCandidates(sigs).join(sa, "a_id").join(sb, "b_id")
@@ -502,9 +604,7 @@ object Dedup {
     * pass, banded candidates (never all-pairs), per-pair map-side
     * zip_with folds over the 16-slot signatures. */
   def qMinhashBbit(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
-      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sigs = sigsAtRest(s, d) // at-rest signature index (see buildSigsAtRest)
     val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sa_sig"), col("sset").as("sa_set"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sb_sig"), col("sset").as("sb_set"))
     bandedCandidates(sigs).join(sa, "a_id").join(sb, "b_id")
@@ -543,7 +643,7 @@ object Dedup {
     * relation; at 100 TB swap for the checksum heuristic and one final
     * exact confirm). */
   def qDedupCcLargestar(s: SparkSession, d: String): DataFrame =
-    largestarFromPairs(qDedupLshPairs(s, d).select(col("a_id"), col("b_id")))
+    largestarFromPairs(pairsAtRest(s, d).select(col("a_id"), col("b_id")))
 
   /** The alternating-star rounds over any verified-pairs relation —
     * decoupled like [[clustersFromPairs]] so the spec can drive it over
@@ -608,7 +708,7 @@ object Dedup {
     * label propagation over a star forest plus the new-edge delta. */
   def qDedupCcIncremental(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val all = qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+    val all = pairsAtRest(s, d).select(col("a_id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val old = all.filter(col("a_id") < 2000000L && col("b_id") < 2000000L)
     val fresh = all.filter(col("a_id") >= 2000000L || col("b_id") >= 2000000L)
@@ -635,9 +735,7 @@ object Dedup {
     * (q_minhash_estimate's relation, never all-pairs); the sweep is a
     * constant 4× conditional aggregate over the candidate pairs. */
   def qDedupThresholdSweep(s: SparkSession, d: String): DataFrame = {
-    val sigs = graft.CacheTracker.track(withSignature(corpus(s, d))
-      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sigs = sigsAtRest(s, d) // at-rest signature index (see buildSigsAtRest)
     val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
     val cands = bandedCandidates(sigs).join(sa, "a_id").join(sb, "b_id")
@@ -654,14 +752,25 @@ object Dedup {
     val n = Tables.parquetRowCount(s, d, "documents")
     val nExact = (n + 4) / 5
     val nNear = (n + 6) / 7
-    cands.select(explode(typedLit(Seq(0.3, 0.5, 0.7, 0.9))).as("threshold"),
+    // Every candidate threshold MUST emit a row even when the cutoff
+    // sheds every pair (a silent missing row would read as "sweep never
+    // ran 0.9"): the literal threshold list left-joins the filtered
+    // aggregate and zero-fills, identically in the DuckDB oracle.
+    val th = s.range(1).select(explode(typedLit(Seq(0.3, 0.5, 0.7, 0.9))).as("threshold"))
+    val agg = cands.select(explode(typedLit(Seq(0.3, 0.5, 0.7, 0.9))).as("threshold"),
         col("jaccard"), col("kind"))
       .filter(col("jaccard") >= col("threshold"))
       .groupBy("threshold")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("kind") === "exact", 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("kind") === "near", 1L).otherwise(0L)).as("n_near"),
-        sum(when(col("kind") === "natural", 1L).otherwise(0L)).as("n_natural"))
+      .agg(count(lit(1)).as("p"),
+        sum(when(col("kind") === "exact", 1L).otherwise(0L)).as("e"),
+        sum(when(col("kind") === "near", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("kind") === "natural", 1L).otherwise(0L)).as("nat"))
+    th.join(agg, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("p"), lit(0L)).as("n_pairs"),
+        coalesce(col("e"), lit(0L)).as("n_exact"),
+        coalesce(col("nr"), lit(0L)).as("n_near"),
+        coalesce(col("nat"), lit(0L)).as("n_natural"))
       .select(col("threshold"), col("n_pairs"), col("n_exact"), col("n_near"), col("n_natural"),
         round(col("n_exact").cast("double") / lit(nExact.toDouble), 6).as("exact_recall"),
         round(col("n_near").cast("double") / lit(nNear.toDouble), 6).as("near_recall"))
@@ -768,7 +877,7 @@ object Dedup {
     * closure + MIN, which is only feasible on small data — the
     * propagation form is the one that scales. */
   def qDedupClusters(s: SparkSession, d: String): DataFrame =
-    clustersFromPairs(qDedupLshPairs(s, d).select(col("a_id"), col("b_id")))
+    clustersFromPairs(pairsAtRest(s, d).select(col("a_id"), col("b_id")))
 
   /** Clustering decoupled from pair generation: takes any verified-pairs
     * relation `(a_id, b_id)` — a pipeline that already materialized
@@ -925,7 +1034,7 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val Scale = 1000000000000L
     val pairs = graft.CacheTracker.track(
-      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+      pairsAtRest(s, d).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val edges = pairs.unionByName(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -967,7 +1076,7 @@ object Dedup {
   def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = graft.CacheTracker.track(
-      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+      pairsAtRest(s, d).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     pairs.count() // materialize BEFORE the fan-out: the three self-join
     // occurrences below become eager broadcast jobs that would otherwise
@@ -1018,7 +1127,7 @@ object Dedup {
   def qGraphReach(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = graft.CacheTracker.track(
-      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+      pairsAtRest(s, d).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     pairs.count() // materialize: the recursion references the edge view
     // once per step, and each step must scan the cache, not the pipeline
@@ -1062,7 +1171,7 @@ object Dedup {
   def qGraphKcore(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = graft.CacheTracker.track(
-      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+      pairsAtRest(s, d).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     pairs.count() // materialize BEFORE the fan-out: edges feeds every
     // round twice (both semi-join sides) plus deg0 — un-materialized,
@@ -1113,7 +1222,7 @@ object Dedup {
     * live at every sf (spec-asserted). The distance is an integer and
     * the ratio divides once per row — hash-exact. */
   def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
-    val pairs = qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
+    val pairs = pairsAtRest(s, d).select(col("a_id"), col("b_id"))
     val t = corpus(s, d).select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
     pairs.join(t.select(col("doc_id").as("a_id"), col("prefix").as("pa")), "a_id")
       .join(t.select(col("doc_id").as("b_id"), col("prefix").as("pb")), "b_id")
@@ -1131,22 +1240,43 @@ object Dedup {
     * top-50 by similarity.
     *
     * Scale shape: the wedge join (edges ⋈ edges on the shared
-    * endpoint) costs Σ_x deg(x)² — bounded by the LSH band width here;
-    * at web scale a hub cap (drop nodes above a degree threshold, the
-    * standard link-prediction mitigation) bounds it explicitly. Degree
-    * tables broadcast; top-50 is TakeOrdered. */
-  def qGraphJaccard(s: SparkSession, d: String): DataFrame = {
+    * endpoint) costs Σ_x deg(x)² — bounded here BOTH by the LSH band
+    * width and, explicitly, by the [[JaccardHubCap]] degree cap on
+    * wedge centers (implemented below, spec-proven to bind on an
+    * injected hub). Degree tables broadcast; top-50 is TakeOrdered. */
+  /** Wedge centers with degree above this cap are EXCLUDED from the
+    * neighbor-Jaccard wedge join: a single hub of degree D contributes
+    * D² wedges, so one web-scale hub would dominate the Σ deg² bound.
+    * Dropping hub CENTERS (the shared neighbor x in a–x–b) is the
+    * standard link-prediction mitigation — a hub shared by everything
+    * carries no similarity signal anyway (its contribution to Jaccard
+    * is near-uniform noise). Degrees in the output stay FULL degrees;
+    * only the shared-neighbor count is capped, so capped n_shared ≤
+    * uncapped (spec-proven, with a binding hub case). Never binds on
+    * this corpus' tiny near-dup families — oracle parity holds with the
+    * identical cap in SQL. */
+  private[graft] val JaccardHubCap = 64
+
+  /** Neighbor-Jaccard over any symmetric-izable pair relation — split
+    * out so the spec can prove the hub cap's containment and binding
+    * properties on a synthetic hub graph. */
+  private[graft] def neighborJaccardFrom(pairsIn: DataFrame, hubCap: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = graft.CacheTracker.track(
-      qDedupLshPairs(s, d).select(col("a_id"), col("b_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      pairsIn.select(col("a_id"), col("b_id")).persist(StorageLevel.MEMORY_AND_DISK))
     pairs.count() // materialize before the wedge self-join fan-out
     val edges = pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val shared = edges.toDF("a", "x")
-      .join(edges.toDF("b", "x2"), col("x") === col("x2") && col("a") < col("b"))
+    // the hub cap: wedges enumerate only through low-degree centers, so
+    // the join cost is bounded by Σ_{deg(x) ≤ cap} deg(x)² ≤ cap·m
+    val lowDegCenters = deg.filter(col("deg") <= hubCap).select(col("src").as("dst"))
+    // explicit select: the USING semi-join moves the join column first,
+    // and the positional toDF below must see (endpoint, center) order
+    val wedgeEdges = edges.join(lowDegCenters, Seq("dst"), "left_semi").select("src", "dst")
+    val shared = wedgeEdges.toDF("a", "x")
+      .join(wedgeEdges.toDF("b", "x2"), col("x") === col("x2") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
     shared
       .join(broadcast(deg.toDF("a", "deg_a")), Seq("a"))
@@ -1158,6 +1288,9 @@ object Dedup {
       .orderBy(col("nbr_jaccard").desc, col("a_id"), col("b_id"))
       .limit(50)
   }
+
+  def qGraphJaccard(s: SparkSession, d: String): DataFrame =
+    neighborJaccardFrom(pairsAtRest(s, d), JaccardHubCap)
 
   /** Canonical-representative selection — the step AFTER clustering
     * that decides WHICH copy of each duplicate cluster survives: keep
@@ -1243,7 +1376,7 @@ object Dedup {
     * HOFs — O(|grams|·|types|) per pair with ~100-word documents, no
     * additional shuffle beyond the two id joins. */
   def qBleuPairs(s: SparkSession, d: String): DataFrame = {
-    val pairs = qDedupLshPairs(s, d).select("a_id", "b_id")
+    val pairs = pairsAtRest(s, d).select("a_id", "b_id")
     val docs = corpus(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
     pairs
       .join(docs.select(col("doc_id").as("a_id"), col("w").as("aw")), "a_id")
@@ -1284,6 +1417,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
+    "q_dedup_pairs_at_rest" -> (qDedupPairsAtRest _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -1482,9 +1616,11 @@ object Dedup {
          |  SELECT a_id AS src, b_id AS dst FROM pairs
          |  UNION ALL SELECT b_id, a_id FROM pairs),
          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |we AS (SELECT e.src, e.dst FROM edges e
+         |  JOIN deg dc ON dc.src = e.dst AND dc.deg <= ${JaccardHubCap}),
          |wedges AS (
          |  SELECT e1.src AS a, e2.src AS b, COUNT(*) AS n_shared
-         |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         |  FROM we e1 JOIN we e2 ON e1.dst = e2.dst AND e1.src < e2.src
          |  GROUP BY 1, 2)
          |SELECT a AS a_id, b AS b_id, n_shared, da.deg AS deg_a, db.deg AS deg_b,
          |  round(CAST(n_shared AS DOUBLE) / (da.deg + db.deg - n_shared), 6) AS nbr_jaccard
@@ -1687,6 +1823,13 @@ object Dedup {
          |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
+    // the at-rest build must round-trip byte-identically to computing
+    // fresh: same from-scratch oracle as q_dedup_lsh_pairs
+    "q_dedup_pairs_at_rest" ->
+      s"""WITH $lshJChain
+         |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+         |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
     "q_minhash_estimate" ->
       s"""WITH $lshJChain,
          |est AS (
@@ -1740,18 +1883,21 @@ object Dedup {
          |         ELSE 'natural' END AS kind
          |  FROM j),
          |nd AS (SELECT COUNT(*) AS n FROM documents),
-         |x AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold, jaccard, kind
-         |  FROM k, unnest([0.3, 0.5, 0.7, 0.9]) AS t(threshold)
-         |  WHERE jaccard >= CAST(t.threshold AS DOUBLE))
-         |SELECT threshold, COUNT(*) AS n_pairs,
-         |  CAST(SUM(CASE WHEN kind = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-         |  CAST(SUM(CASE WHEN kind = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-         |  CAST(SUM(CASE WHEN kind = 'natural' THEN 1 ELSE 0 END) AS BIGINT) AS n_natural,
-         |  round(CAST(CAST(SUM(CASE WHEN kind = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-         |    / CAST((n + 4) // 5 AS DOUBLE), 6) AS exact_recall,
-         |  round(CAST(CAST(SUM(CASE WHEN kind = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-         |    / CAST((n + 6) // 7 AS DOUBLE), 6) AS near_recall
-         |FROM x CROSS JOIN nd GROUP BY threshold, n""".stripMargin,
+         |th AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold
+         |  FROM unnest([0.3, 0.5, 0.7, 0.9]) AS t(threshold)),
+         |x AS (SELECT th2.threshold, jaccard, kind
+         |  FROM k, th AS th2 WHERE jaccard >= th2.threshold),
+         |agg AS (SELECT threshold, COUNT(*) AS p,
+         |  CAST(SUM(CASE WHEN kind = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+         |  CAST(SUM(CASE WHEN kind = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         |  CAST(SUM(CASE WHEN kind = 'natural' THEN 1 ELSE 0 END) AS BIGINT) AS nat
+         |  FROM x GROUP BY threshold)
+         |SELECT th.threshold, COALESCE(p, 0) AS n_pairs,
+         |  COALESCE(e, 0) AS n_exact, COALESCE(nr, 0) AS n_near,
+         |  COALESCE(nat, 0) AS n_natural,
+         |  round(CAST(COALESCE(e, 0) AS DOUBLE) / CAST((n + 4) // 5 AS DOUBLE), 6) AS exact_recall,
+         |  round(CAST(COALESCE(nr, 0) AS DOUBLE) / CAST((n + 6) // 7 AS DOUBLE), 6) AS near_recall
+         |FROM th LEFT JOIN agg USING (threshold) CROSS JOIN nd""".stripMargin,
     "q_dedup_cluster_eval" ->
       s"""WITH RECURSIVE $lshJChain,
          |pairs AS (

@@ -1153,7 +1153,15 @@ object EventWindows {
 
   /** The lag-gap sessionizer over any (user_id, ts, event_id) relation —
     * shared with SessionStreamSpec, which proves the streaming
-    * transformWithState twin emits exactly these sessions. */
+    * transformWithState twin emits exactly these sessions.
+    *
+    * Boundary convention: timestamps are floored to epoch SECONDS and a
+    * successor exactly 1800 s after its predecessor stays in the SAME
+    * session (`diff > 1800` starts a new one). The native
+    * `session_window` is half-open at sub-second precision — an event
+    * exactly gap-after is NEW there — so the two agree on integers only
+    * under a 1801 s native gap; PipelineSpec's count-equality assertion
+    * compares under exactly that aligned convention. */
   private[graft] def sessionsFrom(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events

@@ -7,52 +7,130 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media treated as opaque `binary` payloads
   * with typed metadata, decoded per-partition in batches.
   *
-  * The container has no image/audio libraries, so the decode step is a
-  * clearly-marked deterministic STUB (`FakeDecoder`) — but the Spark-side
-  * plumbing is real: BinaryType columns, a typed `Dataset.mapPartitions`
-  * decode (the Scala analogue of a Pandas-UDF batch loop — one decoder
-  * instance per partition, streaming iterator, no per-row setup), and
-  * frame sampling via a generator. Swapping `FakeDecoder` for a real
-  * codec keeps every signature and the physical plan unchanged.
+  * The decode path is REAL for the formats the JDK ships a codec for:
+  * `javax.imageio` (PNG + BMP here) parses actual image bytes inside a
+  * typed `Dataset.mapPartitions` batch loop (the Scala analogue of a
+  * Pandas-UDF batch — one decoder configuration per partition, streaming
+  * iterator, no per-row setup), with format sniffed from magic bytes,
+  * not trusted metadata. Formats the JDK lacks (webp) fall back to the
+  * clearly-marked deterministic [[FakeDecoder]] stub; swapping it for a
+  * real libwebp binding keeps every signature and the physical plan
+  * unchanged.
   *
-  * The stub's outputs are pure functions of payload length and doc_id, so
-  * the whole pipeline remains oracle-checkable.
+  * Oracle-checkability without shipping pixels to DuckDB: payloads are
+  * SYNTHESIZED deterministically (width/height/pixel values are closed
+  * forms of doc_id and text length), encoded to real PNG/BMP bytes, then
+  * decoded back — so the decoded dimensions AND a diagonal pixel
+  * checksum are provable in pure SQL while the engine-side work is a
+  * genuine lossless codec round-trip.
   */
 object Multimodal {
 
-  case class MediaRow(doc_id: Long, payload: Array[Byte])
-  case class MediaMeta(doc_id: Long, byte_len: Int, format: String,
-      width: Int, height: Int, n_frames: Int)
+  case class MediaRow(doc_id: Long, src_len: Int, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, src_len: Int, format: String,
+      width: Int, height: Int, diag_checksum: Option[Long], decoder: String)
 
-  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg.
-    * Real implementation would parse the payload header; the formulas
-    * below are mirrored in the SQL oracle. */
-  object FakeDecoder {
-    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
-      val len = payload.length
-      val fmt = (docId % 3) match {
-        case 0 => "png"
-        case 1 => "jpeg"
-        case _ => "webp"
+  /** Deterministic synthetic-image parameters — the closed forms the SQL
+    * oracle mirrors. Gray value at (x, y) = (doc_id·31 + 7x + 13y) mod
+    * 256; canvas ≤ 64×48 keeps per-row encode cost trivial at any sf. */
+  object MediaSynth {
+    def widthOf(srcLen: Int): Int = 16 + (srcLen * 7) % 48
+    def heightOf(srcLen: Int): Int = 16 + (srcLen * 13) % 32
+    def gray(docId: Long, x: Int, y: Int): Int =
+      ((docId * 31 + x * 7L + y * 13L) % 256L).toInt
+
+    /** Encode one synthetic image to real PNG/BMP bytes (JDK ImageIO),
+      * or a RIFF/WEBP-tagged opaque payload for the stubbed format. */
+    def payloadFor(docId: Long, srcLen: Int): Array[Byte] = {
+      val fmt = (docId % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "webp" }
+      if (fmt == "webp") {
+        // no JDK webp codec: a minimal RIFF container header + filler —
+        // opaque bytes the stub decoder answers for
+        val b = java.nio.ByteBuffer.allocate(20)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(12 + srcLen)
+          .put("WEBP".getBytes("US-ASCII")).putLong(docId)
+        b.array()
+      } else {
+        val w = widthOf(srcLen); val h = heightOf(srcLen)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = gray(docId, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream(w * h / 2)
+        javax.imageio.ImageIO.write(img, fmt, baos)
+        baos.toByteArray
       }
-      MediaMeta(docId, len, fmt,
-        width = 16 + (len * 7) % 624,
-        height = 16 + (len * 13) % 464,
-        n_frames = 1 + math.min(len / 100, 4))
     }
   }
 
-  /** Batch metadata extraction: binary payload column → typed decode via
-    * mapPartitions (decoder initialized once per partition, rows stream
-    * through — the batch shape a real codec needs). */
+  /** STUB decoder — deterministic fake standing in for the formats the
+    * JDK has no codec for (webp here). The formulas are mirrored in the
+    * SQL oracle; a real libwebp binding would replace only this object. */
+  object FakeDecoder {
+    def decode(docId: Long, srcLen: Int): MediaMeta =
+      MediaMeta(docId, srcLen, "webp",
+        width = MediaSynth.widthOf(srcLen),
+        height = MediaSynth.heightOf(srcLen),
+        diag_checksum = None, decoder = "stub")
+  }
+
+  /** REAL decoder: sniff the format from magic bytes (never trusted
+    * metadata), parse with `javax.imageio`, and checksum the decoded
+    * diagonal pixels — dimensions AND pixel content both come from the
+    * codec, proving a genuine lossless round-trip. */
+  object ImageIoDecoder {
+    def sniff(p: Array[Byte]): String =
+      if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+        "png"
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+      else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') "webp"
+      else "unknown"
+
+    def decode(docId: Long, srcLen: Int, payload: Array[Byte]): MediaMeta = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val w = img.getWidth; val h = img.getHeight
+      var sum = 0L
+      var i = 0
+      val n = math.min(w, h)
+      while (i < n) { sum += img.getRGB(i, i) & 0xff; i += 1 }
+      MediaMeta(docId, srcLen, sniff(payload), w, h, Some(sum), "imageio")
+    }
+  }
+
+  /** Batch metadata extraction over real binary media: synthesize
+    * deterministic PNG/BMP/webp payloads (stage 1 — the "ingest" that
+    * gives the corpus a genuine BinaryType column), then decode them
+    * per-partition (stage 2): magic-byte sniff routes PNG/BMP through
+    * `javax.imageio` (real dimensions + diagonal pixel checksum from
+    * decoded pixels) and webp through the documented stub. ImageIO's
+    * file-backed stream cache is disabled once per partition — the
+    * per-partition decoder setup a native codec would need too. */
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaRow] = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaRow]
+      .select(col("doc_id"), octet_length(col("text")).as("src_len"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, len) => MediaRow(id, len, MediaSynth.payloadFor(id, len)) }
+      }
     media.mapPartitions { rows =>
-      // per-partition decoder setup would go here (e.g. native handle)
-      rows.map(r => FakeDecoder.decode(r.doc_id, r.payload))
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        ImageIoDecoder.sniff(r.payload) match {
+          case "png" | "bmp" => ImageIoDecoder.decode(r.doc_id, r.src_len, r.payload)
+          case _ => FakeDecoder.decode(r.doc_id, r.src_len)
+        }
+      }
     }.toDF()
   }
 
@@ -205,7 +283,15 @@ object Multimodal {
     * (never all-pairs); the verify is 4 xor+popcounts per pair. */
   def qMultimodalPhash(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // Minimum-payload guard: sub-64-byte media can't fill the 8×8 grid —
+    // every cell windows the same degenerate substring, so ALL such
+    // payloads collide in every band (a corpus-wide bucket, the quadratic
+    // failure the resize design rejects), and the in-place perturbation
+    // below would change payload length for texts shorter than 11 chars,
+    // voiding the same-grid invariant. Real pipelines drop sub-thumbnail
+    // media for the same reason; the oracle applies the identical guard.
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 64)
     val media = docs
       .unionByName(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
@@ -254,12 +340,13 @@ object Multimodal {
         val width = "(length(text) + 63) // 64"
         s"(CASE WHEN CAST('0x' || substring(md5(substring(text, $pos, $width)), 1, 1) AS BIGINT) % 2 = 1 THEN ${1L << (16 - i)} ELSE 0 END)"
       }.mkString(" + ")
-      s"""WITH media AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+         |media AS (
+         |  SELECT doc_id, text FROM docs
+         |  UNION ALL SELECT doc_id + 1000000, text FROM docs WHERE doc_id % 5 = 0
          |  UNION ALL SELECT doc_id + 2000000,
          |    substring(text, 1, 10) || '#' || substring(text, 12, 1000000)
-         |  FROM documents WHERE doc_id % 7 = 0),
+         |  FROM docs WHERE doc_id % 7 = 0),
          |fp AS (SELECT doc_id, ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
          |    ${bandSql(2)} AS b2, ${bandSql(3)} AS b3 FROM media),
          |bands AS (SELECT doc_id, b,
@@ -305,15 +392,25 @@ object Multimodal {
         |  round(CAST(SUM(CAST(bw AS BIGINT) * bh - CAST(rs_w AS BIGINT) * rs_h) AS DOUBLE)
         |    / SUM(CAST(bw AS BIGINT) * bh), 6) AS pad_frac
         |FROM rs GROUP BY 1, 2, 3""".stripMargin,
+    // The closed-form twin of the REAL ImageIO round-trip: the engine
+    // synthesizes pixels from these exact formulas, encodes real
+    // PNG/BMP, decodes with javax.imageio, and reports what the CODEC
+    // saw — so hash equality proves the codec reproduced dimensions and
+    // diagonal pixels bit-exactly (webp rows carry the stub's NULL
+    // checksum on both sides).
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
-        |       ELSE 'webp' END AS format,
-        |  CAST(16 + (octet_length(encode(text)) * 7) % 624 AS INTEGER) AS width,
-        |  CAST(16 + (octet_length(encode(text)) * 13) % 464 AS INTEGER) AS height,
-        |  CAST(1 + least(octet_length(encode(text)) // 100, 4) AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin,
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS src_len FROM documents),
+        |g AS (SELECT doc_id, src_len,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'webp' END AS format,
+        |    CAST(16 + (src_len * 7) % 48 AS INTEGER) AS width,
+        |    CAST(16 + (src_len * 13) % 32 AS INTEGER) AS height
+        |  FROM m)
+        |SELECT doc_id, CAST(src_len AS INTEGER) AS src_len, format, width, height,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |    ELSE CAST(list_sum(list_transform(range(0, least(width, height)),
+        |      i -> (doc_id * 31 + i * 20) % 256)) AS BIGINT) END AS diag_checksum,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'stub' ELSE 'imageio' END AS decoder
+        |FROM g""".stripMargin,
     "q_multimodal_patches" ->
       """WITH m AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS byte_len

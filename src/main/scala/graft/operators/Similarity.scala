@@ -919,42 +919,51 @@ object Similarity {
     * `greatest` over rounded values, so all five selections replay
     * identically in the unrolled oracle.
     *
-    * Scale shape: the candidate pool is top-20 by a TakeOrdered — the
-    * corpus never materializes; each greedy round is a map-side rescore
-    * of the pool against ONE collected vector (the train→broadcast
-    * pattern, 1 row) + a top-1 reduce. Pool size and round count are
-    * constants, so the whole loop is O(corpus) once, O(1) after. */
+    * Scale shape: ONE distributed job — the top-20 relevance pool by
+    * TakeOrdered (the corpus never materializes) — then the greedy
+    * rounds run over the COLLECTED pool in driver memory: the pool is
+    * bounded to 20 rows BY CONSTRUCTION (the limit precedes the
+    * collect), so the loop is ≤ 20×5 local cosines, not k extra Spark
+    * jobs with k driver round-trips (the round-7 review finding). The
+    * local arithmetic replays the codegen expression's left-to-right
+    * fold and Spark's HALF_UP rounding exactly, so the unrolled DuckDB
+    * oracle still hash-matches. */
   def qMmrDiversify(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
-    val cand = graft.CacheTracker.track(
+    val pool: Array[(Long, Seq[Double], Double)] =
       e.filter(col("vec_id") =!= 0).select(col("vec_id").as("c_id"), col("emb").as("ce"))
         .crossJoin(broadcast(q))
         .withColumn("rel", expr(cosExpr))
         .orderBy(desc("rel"), col("c_id")).limit(20)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    cand.count()
-    var rem = cand.withColumn("maxsim", lit(null).cast("double"))
+        .select("c_id", "ce", "rel").collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toSeq, r.getDouble(2)))
+    // driver-side replicas of the distributed contract: the
+    // CosineSimilarity left-to-right fold and Spark round()'s HALF_UP
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rem = pool.map { case (cid, ce, rel) => (cid, ce, rel, None: Option[Double]) }
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Option[Double], Double)]()
     for (k <- 1 to 5) {
-      val mmrCol =
-        if (k == 1) col("rel")
-        else round(lit(0.7) * col("rel") - lit(0.3) * col("maxsim"), 6)
-      val top = rem.withColumn("mmr", mmrCol)
-        .orderBy(desc("mmr"), col("c_id")).limit(1).collect()(0)
-      val cid = top.getAs[Long]("c_id")
-      picked += ((k, cid, top.getAs[Double]("rel"),
-        Option(top.getAs[java.lang.Double]("maxsim")).map(_.doubleValue),
-        top.getAs[Double]("mmr")))
-      val sVec = top.getAs[scala.collection.Seq[Double]]("ce").toSeq
-      rem = rem.filter(col("c_id") =!= cid)
-        .withColumn("se", typedLit(sVec))
-        .withColumn("maxsim",
-          greatest(col("maxsim"), round(expr("cosine_sim(ce, se)"), 6)))
-        .drop("se")
+      val scored = rem.map { case (cid, ce, rel, ms) =>
+        val mmr = if (k == 1) rel else r6(0.7 * rel - 0.3 * ms.get)
+        (cid, ce, rel, ms, mmr)
+      }
+      val top = scored.minBy { case (cid, _, _, _, mmr) => (-mmr, cid) }
+      picked += ((k, top._1, top._3, top._4, top._5))
+      rem = rem.filter(_._1 != top._1).map { case (cid, ce, rel, ms) =>
+        val sim = r6(cos(ce, top._2))
+        (cid, ce, rel, Some(ms.fold(sim)(math.max(_, sim))))
+      }
     }
     import s.implicits._
     picked.toSeq.toDF("sel_rank", "c_id", "rel", "maxsim", "mmr")

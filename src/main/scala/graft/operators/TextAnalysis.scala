@@ -254,6 +254,29 @@ object TextAnalysis {
         col("score_fr"), col("pred_lang"), col("lang"),
         (col("pred_lang") === col("lang")).as("is_match"))
 
+  /** Language-ID CONFUSION MATRIX — the audit that turns the per-doc
+    * classifier ([[qTextLangid]]) into the number a pipeline owner
+    * actually reads before trusting a language gate: per (declared,
+    * predicted) cell, the count and its share of the declared language's
+    * documents. Languages outside the classifier's label set (zh here)
+    * land in the `unknown` column — exactly the blind spot a confusion
+    * matrix exists to expose.
+    *
+    * Scale shape: the classifier is map-side HOF work; the matrix is one
+    * (lang, pred_lang) aggregate (≤ |langs|² groups, map-side combined)
+    * plus a broadcast join against the |langs|-row declared totals; the
+    * classified relation is persisted so its two readers (cells +
+    * totals) pay the stopword scoring once. */
+  def qLangidConfusion(s: SparkSession, d: String): DataFrame = {
+    val base = graft.CacheTracker.track(
+      qTextLangid(s, d).select(col("lang"), col("pred_lang")).persist())
+    val tot = base.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    base.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+        round(col("n").cast("double") / col("n_lang"), 6).as("rate"))
+  }
+
   /** Token counting: whitespace tokens, regex word/number/symbol tokens,
     * and a BPE-ish ≤4-char chunking; chars-per-token density. */
   def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -1444,6 +1467,7 @@ object TextAnalysis {
     "q_rolling_fingerprint" -> (qRollingFingerprint _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
+    "q_langid_confusion" -> (qLangidConfusion _),
     "q_token_count" -> (qTokenCount _),
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
@@ -1499,6 +1523,32 @@ object TextAnalysis {
       |  GROUP BY doc_id, lang, g.c, tot, ndc, nd, v),
       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
       |    ORDER BY score_r DESC, c) AS rn FROM sc)""".stripMargin
+
+  /** The q_text_langid oracle, shared verbatim by q_langid_confusion's
+    * base CTE so both stay definitionally in sync. */
+  private def langidBaseSql: String =
+    s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |    CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS INTEGER) AS score_en,
+       |    CAST(len(list_filter(words, x -> x IN ${inList(stopEs)})) AS INTEGER) AS score_es,
+       |    CAST(len(list_filter(words, x -> x IN ${inList(stopDe)})) AS INTEGER) AS score_de,
+       |    CAST(len(list_filter(words, x -> x IN ${inList(stopFr)})) AS INTEGER) AS score_fr
+       |  FROM w)
+       |SELECT doc_id, score_en, score_es, score_de, score_fr,
+       |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+       |            AND score_en > 0 THEN 'en'
+       |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+       |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+       |       WHEN score_fr > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS pred_lang,
+       |  lang,
+       |  (CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+       |             AND score_en > 0 THEN 'en'
+       |        WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+       |        WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+       |        WHEN score_fr > 0 THEN 'fr'
+       |        ELSE 'unknown' END = lang) AS is_match
+       |FROM sc""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_label_noise" ->
@@ -2041,29 +2091,14 @@ object TextAnalysis {
          |    (1.0 - CAST(n_stopwords AS DOUBLE) / n_words) AS quality_score,
          |  (n_chars = length(text)) AS n_chars_consistent
          |FROM c""".stripMargin,
-    "q_text_langid" ->
-      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
-         |sc AS (SELECT doc_id, lang,
-         |    CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS INTEGER) AS score_en,
-         |    CAST(len(list_filter(words, x -> x IN ${inList(stopEs)})) AS INTEGER) AS score_es,
-         |    CAST(len(list_filter(words, x -> x IN ${inList(stopDe)})) AS INTEGER) AS score_de,
-         |    CAST(len(list_filter(words, x -> x IN ${inList(stopFr)})) AS INTEGER) AS score_fr
-         |  FROM w)
-         |SELECT doc_id, score_en, score_es, score_de, score_fr,
-         |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
-         |            AND score_en > 0 THEN 'en'
-         |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
-         |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
-         |       WHEN score_fr > 0 THEN 'fr'
-         |       ELSE 'unknown' END AS pred_lang,
-         |  lang,
-         |  (CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
-         |             AND score_en > 0 THEN 'en'
-         |        WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
-         |        WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
-         |        WHEN score_fr > 0 THEN 'fr'
-         |        ELSE 'unknown' END = lang) AS is_match
-         |FROM sc""".stripMargin,
+    "q_text_langid" -> langidBaseSql,
+    "q_langid_confusion" ->
+      s"""WITH base AS ($langidBaseSql),
+         |tot AS (SELECT lang, COUNT(*) AS n_lang FROM base GROUP BY 1)
+         |SELECT b.lang, b.pred_lang, COUNT(*) AS n, n_lang,
+         |  round(CAST(COUNT(*) AS DOUBLE) / n_lang, 6) AS rate
+         |FROM base b JOIN tot USING (lang)
+         |GROUP BY b.lang, b.pred_lang, n_lang""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

@@ -26,6 +26,54 @@ class PipelineSpec extends SparkSpec {
     assert(near.filter(col("jaccard") >= 1.0 || col("jaccard") < 0.5).count() == 0)
   }
 
+  test("pairs at rest: build-once parquet round-trip equals the fresh pipeline exactly") {
+    val atRest = Dedup.qDedupPairsAtRest(spark, sf) // force rebuild + read back
+    val fresh = Dedup.qDedupLshPairs(spark, sf) // deliberately index-free
+    try {
+      assert(atRest.exceptAll(fresh).isEmpty, "at-rest rows missing from fresh")
+      assert(fresh.exceptAll(atRest).isEmpty, "fresh rows missing from at-rest")
+    } finally CacheTracker.releaseAll()
+    // the signature index one layer down round-trips identically too
+    val sigsAtRest = Dedup.sigsAtRest(spark, sf)
+      .select(col("doc_id"), expr("cast(sig as array<string>)").as("s"), array_sort(col("sset")).as("ss"))
+    val sigsFresh = Dedup.withSignature(Dedup.corpus(spark, sf))
+      .select(col("doc_id"), expr("cast(sig as array<string>)").as("s"),
+        array_sort(array_distinct(col("shingles"))).as("ss"))
+    assert(sigsAtRest.exceptAll(sigsFresh).isEmpty, "at-rest sigs missing from fresh")
+    assert(sigsFresh.exceptAll(sigsAtRest).isEmpty, "fresh sigs missing from at-rest")
+  }
+
+  test("graph jaccard hub cap: capped ⊆ uncapped with smaller counts, full degrees, binds on a hub") {
+    // hub 0 — degree 10, above the test cap of 5 — plus one genuine
+    // low-degree shared neighbor (200) between nodes 1 and 2
+    val pairs = spark.createDataFrame(
+      (1 to 10).map(i => (0L, i.toLong)) ++ Seq((200L, 1L), (200L, 2L)))
+      .toDF("a_id", "b_id")
+    val capped =
+      try Dedup.neighborJaccardFrom(pairs, 5).collect()
+      finally CacheTracker.releaseAll()
+    val uncapped =
+      try Dedup.neighborJaccardFrom(pairs, Int.MaxValue).collect()
+      finally CacheTracker.releaseAll()
+    // the cap BINDS: every wedge through the degree-10 hub as CENTER is
+    // dropped — the C(10,2) spoke pairs vanish and (1,2) loses its hub
+    // wedge — while the hub may still appear as an ENDPOINT via
+    // low-degree centers (0–1–200 / 0–2–200 give the (0,200) row; a hub
+    // cap bounds wedge enumeration cost, it does not erase the node)
+    assert(capped.length == 2)
+    val keyed = capped.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val row = keyed((1L, 2L))
+    assert(row.getLong(2) == 1L, "hub wedge must be dropped from (1,2)")
+    // degrees stay FULL degrees (nodes 1 and 2 each touch hub + 200)
+    assert(row.getLong(3) == 2L && row.getLong(4) == 2L)
+    assert(keyed((0L, 200L)).getLong(2) == 2L)
+    // containment: capped pair keys ⊆ uncapped, with n_shared ≤ uncapped's
+    val un = uncapped.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.forall(r => un.get((r.getLong(0), r.getLong(1))).exists(_ >= r.getLong(2))))
+    // and the uncapped form did count the hub wedge for (1, 2)
+    assert(un((1L, 2L)) == 2L)
+  }
+
   test("ngram-jaccard prefix filter is lossless: equals brute-force all-pairs") {
     val got = Dedup.qDedupNgramJaccard(spark, sf)
       .select("a_id", "b_id", "jaccard").cache()
@@ -497,13 +545,26 @@ class PipelineSpec extends SparkSpec {
     assert(tc.filter(col("chars_per_token") <= 0).count() == 0)
   }
 
-  test("multimodal: mapPartitions decode emits one typed row per doc with stub invariants") {
+  test("multimodal: real ImageIO round-trip — decoded dims and diagonal pixels match closed form") {
     val m = Multimodal.qMultimodalMeta(spark, sf).cache()
     assert(m.count() == 500)
-    assert(m.filter(col("width") < 16 || col("width") >= 640).count() == 0)
-    assert(m.filter(col("height") < 16 || col("height") >= 480).count() == 0)
-    assert(m.filter(!col("format").isin("png", "jpeg", "webp")).count() == 0)
-    assert(m.filter(col("n_frames") < 1 || col("n_frames") > 5).count() == 0)
+    assert(m.filter(col("width") < 16 || col("width") >= 64).count() == 0)
+    assert(m.filter(col("height") < 16 || col("height") >= 48).count() == 0)
+    assert(m.filter(!col("format").isin("png", "bmp", "webp")).count() == 0)
+    // png/bmp rows went through javax.imageio and carry a pixel checksum;
+    // webp rows went through the documented stub with a NULL checksum
+    assert(m.filter(col("decoder") === "imageio" && col("doc_id") % 3 === 2).count() == 0)
+    assert(m.filter(col("decoder") === "stub" && col("doc_id") % 3 =!= 2).count() == 0)
+    assert(m.filter(col("decoder") === "stub" && col("diag_checksum").isNotNull).count() == 0)
+    assert(m.filter(col("decoder") === "imageio" && col("diag_checksum").isNull).count() == 0)
+    // the decoded-pixel checksum equals the synthesis closed form — the
+    // codec reproduced actual pixel bytes, not just header dimensions
+    val expected = expr(
+      "aggregate(sequence(0, least(width, height) - 1), CAST(0 AS BIGINT), " +
+        "(acc, i) -> acc + (doc_id * 31 + i * 20) % 256)")
+    assert(m.filter(col("decoder") === "imageio")
+      .filter(col("diag_checksum") =!= expected).count() == 0)
+    m.unpersist()
   }
 
   test("multimodal frames: one row per sampled frame, offsets stride 100") {
@@ -1821,8 +1882,18 @@ class PipelineSpec extends SparkSpec {
 
   test("sessionization: session count matches the native session_window and indexes are contiguous") {
     val g = operators.EventWindows.qSessionize(spark, sf).cache()
-    // same 30-minute gap rule => same session count as the native aggregate
-    assert(g.count() == operators.EventWindows.qWindowSession(spark, sf).count())
+    // Same convention on both sides of the equality: qSessionize floors
+    // timestamps to epoch seconds and keeps a gap of EXACTLY 1800 s in
+    // the same session (diff > 1800 starts a new one), while the native
+    // session_window is half-open at sub-second precision (an event
+    // exactly gap after its predecessor is NEW). Feeding session_window
+    // floored-second timestamps with a 1801 s gap makes the two rules
+    // identical on integers (new ⟺ diff ≥ 1801 ⟺ diff > 1800), so the
+    // count equality holds for ANY fixture, not just gap-free ones.
+    val flooredEvents = Tables.events(spark, sf)
+      .withColumn("ts", timestamp_seconds(col("ts").cast("long")))
+    assert(g.count() ==
+      streaming.StreamOps.sessionCounts(flooredEvents, "1801 seconds", col("user_id")).count())
     assert(g.agg(sum("n_events")).head.getLong(0) == Tables.events(spark, sf).count())
     assert(g.filter(col("duration_s") < 0).count() == 0)
     val idx = g.groupBy("user_id")
@@ -1835,7 +1906,9 @@ class PipelineSpec extends SparkSpec {
   test("perceptual hash: every injected copy and in-place perturbation is found, nothing else") {
     val g = Multimodal.qMultimodalPhash(spark, sf).cache()
     CacheTracker.releaseAll()
-    val docs = Tables.documents(spark, sf)
+    // expectations derive from the GUARDED media corpus (payloads under
+    // 64 bytes are dropped before fingerprinting — see qMultimodalPhash)
+    val docs = Tables.documents(spark, sf).filter(length(col("text")) >= 64)
     val nExact = docs.filter(col("doc_id") % 5 === 0).count()
     val nPert = docs.filter(col("doc_id") % 7 === 0).count()
     val exact = g.filter(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L)
