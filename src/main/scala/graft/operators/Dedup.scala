@@ -98,11 +98,16 @@ object Dedup {
     * rows exploded to (band_idx, band_hash) keys, equi-joined, a_id <
     * b_id, distinct. The one shuffle of the LSH pipeline, on a key that
     * spreads uniformly. */
-  private[graft] def bandedCandidates(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
+  /** (doc_id, band_idx, band_hash) — each signature exploded to its 4
+    * LSH band keys. */
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))
         .as(Seq("band_idx", "band_hash")))
+
+  private[graft] def bandedCandidates(sigs: DataFrame): DataFrame = {
+    val bands = bandsOf(sigs)
     bands.as("x")
       .join(bands.withColumnRenamed("doc_id", "b_id").as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -111,11 +116,9 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
   }
 
-  /** The verified-pair tail of the LSH pipeline over a (persisted)
-    * signature relation: banded candidates, exact distinct-shingle
-    * Jaccard, near-dup threshold 0.5. */
-  private def lshPairsFrom(sigs: DataFrame): DataFrame = {
-    val cand = bandedCandidates(sigs)
+  /** Exact distinct-shingle Jaccard verification of a candidate pair
+    * set against a signature relation; near-dup threshold 0.5. */
+  private[graft] def verifiedPairs(cand: DataFrame, sigs: DataFrame): DataFrame = {
     val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
     cand.join(sa, "a_id").join(sb, "b_id")
@@ -125,6 +128,12 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
   }
+
+  /** The verified-pair tail of the LSH pipeline over a (persisted)
+    * signature relation: banded candidates, exact distinct-shingle
+    * Jaccard, near-dup threshold 0.5. */
+  private def lshPairsFrom(sigs: DataFrame): DataFrame =
+    verifiedPairs(bandedCandidates(sigs), sigs)
 
   /** LSH candidate pairs (4 bands × 4 rows) verified with exact distinct
     * shingle Jaccard; near-dup threshold 0.5. */
@@ -162,33 +171,12 @@ object Dedup {
   // PROVES the at-rest path loses nothing — the same contract
   // q_dedup_cc_incremental and q_sim_topk_incremental carry.
 
-  private val PairsAtRestVersion = 1
-
-  /** Cache location for one (corpus, index, pipeline-version): under the
-    * session-configurable `graft.atrest.dir` (default `target/
-    * graft-atrest` in the working directory — a disposable build
-    * artifact, never the read-only data dir). The path embeds an input
-    * fingerprint (name/length/mtime of every documents.parquet part), so
-    * a regenerated corpus at the same path can never serve a stale
-    * index. */
-  private def atRestDir(s: SparkSession, d: String, name: String): java.io.File = {
-    val root = s.conf.getOption("graft.atrest.dir").getOrElse(
-      new java.io.File(sys.props.getOrElse("user.dir", "."), "target/graft-atrest")
-        .getAbsolutePath)
-    val src = new java.io.File(d, "documents.parquet")
-    val parts: Seq[java.io.File] =
-      if (src.isDirectory)
-        Option(src.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
-      else Seq(src)
-    val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val fp = md.digest(s"$d|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    new java.io.File(root, s"${name}_v$PairsAtRestVersion/$fp")
-  }
+  // Index locations + fingerprinting live in [[graft.AtRest]] (shared
+  // with the similarity module's ANN index).
   private def pairsAtRestDir(s: SparkSession, d: String): java.io.File =
-    atRestDir(s, d, "lsh_pairs")
+    graft.AtRest.dir(s, d, "lsh_pairs", "documents")
   private def sigsAtRestDir(s: SparkSession, d: String): java.io.File =
-    atRestDir(s, d, "lsh_sigs")
+    graft.AtRest.dir(s, d, "lsh_sigs", "documents")
 
   /** The at-rest SIGNATURE index (doc_id, sig, sset) — the layer below
     * the pair index: minhash signatures and distinct shingle sets are
@@ -201,14 +189,19 @@ object Dedup {
     * loses nothing (plus PipelineSpec's direct exceptAll equality). */
   private[graft] def buildSigsAtRest(s: SparkSession, d: String): String = {
     val dir = sigsAtRestDir(s, d)
-    withSignature(corpus(s, d))
-      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-      .write.mode("overwrite").parquet(dir.toString)
+    sigRelation(corpus(s, d)).write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
+
+  /** (doc_id, sig, sset) for any (doc_id, text) relation — the signature
+    * index row shape, shared by the batch build and the streaming
+    * refresh sink. */
+  private[graft] def sigRelation(docs: DataFrame): DataFrame =
+    withSignature(docs)
+      .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
   private[graft] def sigsAtRest(s: SparkSession, d: String): DataFrame = {
     val dir = sigsAtRestDir(s, d)
-    if (!new java.io.File(dir, "_SUCCESS").isFile) buildSigsAtRest(s, d)
+    if (!graft.AtRest.isBuilt(dir)) buildSigsAtRest(s, d)
     s.read.parquet(dir.toString)
   }
 
@@ -227,7 +220,7 @@ object Dedup {
     * fingerprint), then a bare parquet scan for every consumer. */
   private[graft] def pairsAtRest(s: SparkSession, d: String): DataFrame = {
     val dir = pairsAtRestDir(s, d)
-    if (!new java.io.File(dir, "_SUCCESS").isFile) buildPairsAtRest(s, d)
+    if (!graft.AtRest.isBuilt(dir)) buildPairsAtRest(s, d)
     s.read.parquet(dir.toString)
   }
 
@@ -239,6 +232,97 @@ object Dedup {
   def qDedupPairsAtRest(s: SparkSession, d: String): DataFrame = {
     buildPairsAtRest(s, d)
     s.read.parquet(pairsAtRestDir(s, d).toString)
+  }
+
+  /** INCREMENTAL maintenance of the pair index — the refresh job that
+    * keeps [[pairsAtRest]] current when NEW documents arrive (here the
+    * +2M tail-append arrivals, the corpus' standing stand-in for an
+    * ingest batch): the history index — pairs among pre-arrival docs,
+    * the at-rest input, recomputed here to simulate it exactly as
+    * q_dedup_cc_incremental does for star edges — is UNIONED with the
+    * delta pairs, whose candidates come from joining ONLY the arrivals'
+    * band keys against the full band relation. New ids sort above all
+    * history ids, so history pairs and delta pairs partition the full
+    * pair set; the oracle is the complete from-scratch pipeline, and
+    * hash equality proves the refresh loses nothing (the standing
+    * incremental contract).
+    *
+    * Scale shape: refresh cost ∝ |delta| — the delta band join probes
+    * |new|·4 keys against the band relation instead of re-banding the
+    * corpus, and verification touches only candidate pairs with an
+    * arrival on one side. At 100 TB this is the difference between a
+    * nightly full rebuild and a minutes-long ingest tick. */
+  def qDedupPairsIncremental(s: SparkSession, d: String): DataFrame = {
+    val sigs = sigsAtRest(s, d)
+    val hist = sigs.filter(col("doc_id") < 2000000L)
+    val histPairs = lshPairsFrom(hist) // the at-rest history index
+    val newBands = bandsOf(sigs.filter(col("doc_id") >= 2000000L))
+      .withColumnRenamed("doc_id", "b_id")
+    val deltaCand = bandsOf(sigs).as("x")
+      .join(newBands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("b_id"))
+      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+    histPairs.unionByName(verifiedPairs(deltaCand, sigs))
+  }
+
+  /** N-GRAM NOVELTY of arrivals against the history corpus — the
+    * memorization/novelty audit run before admitting an ingest batch:
+    * for each arriving document (the +2M tail-append docs, the corpus'
+    * standing ingest batch), the fraction of its distinct word 3-grams
+    * NEVER seen in history. Tail-append near-dups score near zero
+    * (everything but the appended tail is old) — exactly the "this
+    * batch is mostly recycled" signal the metric exists for; a clean
+    * batch scores near one.
+    *
+    * Scale shape: the history gram universe is one distinct over the
+    * exploded gram relation (at 100 TB this is the at-rest gram index
+    * decontamination already maintains); arrivals anti-join it on the
+    * gram key — one shuffle each side, never quadratic. */
+  def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
+    val grams = graft.CacheTracker.track(corpus(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val history = grams.filter(col("doc_id") < 2000000L).select("g").distinct()
+    val arrivals = grams.filter(col("doc_id") >= 2000000L)
+    val novel = arrivals.join(history, Seq("g"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    arrivals.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"),
+        round(coalesce(col("nn"), lit(0L)).cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** CROSS-SOURCE duplication matrix — the "who copies whom" readout a
+    * corpus owner derives FROM THE AT-REST PAIR INDEX (no recompute):
+    * every verified near-dup pair maps through its base documents'
+    * sources (injected copies keep their original's source: id mod 10⁶)
+    * into a symmetric (source_a ≤ source_b) cell, with intra-source
+    * pairs on the diagonal. Cross-source mass is the licensing /
+    * provenance signal; the diagonal is ordinary within-source
+    * duplication.
+    *
+    * Scale shape: the pair relation is index-at-rest (bounded by LSH
+    * banding); two broadcast-sized joins against the (doc_id, source)
+    * dimension; one |sources|² aggregate. */
+  def qCrossSourceDup(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id").as("base"), col("source"))
+    pairsAtRest(s, d)
+      .select((col("a_id") % 1000000L).as("a_base"), (col("b_id") % 1000000L).as("b_base"))
+      .join(broadcast(src.withColumnRenamed("base", "a_base")
+        .withColumnRenamed("source", "sa")), "a_base")
+      .join(broadcast(src.withColumnRenamed("base", "b_base")
+        .withColumnRenamed("source", "sb")), "b_base")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("intra", col("source_a") === col("source_b"))
   }
 
   /** Normalization-aware exact dedup — the C4/CCNet preprocessing rule
@@ -1418,6 +1502,9 @@ object Dedup {
     "q_dedup_minhash_sig" -> (qDedupMinhashSig _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
     "q_dedup_pairs_at_rest" -> (qDedupPairsAtRest _),
+    "q_dedup_pairs_incremental" -> (qDedupPairsIncremental _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_cross_source_dup" -> (qCrossSourceDup _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -1826,6 +1913,37 @@ object Dedup {
     // the at-rest build must round-trip byte-identically to computing
     // fresh: same from-scratch oracle as q_dedup_lsh_pairs
     "q_dedup_pairs_at_rest" ->
+      s"""WITH $lshJChain
+         |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+         |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
+         |g AS (SELECT DISTINCT doc_id, u.g FROM sh, unnest(shingles) AS u(g)),
+         |hist AS (SELECT DISTINCT g FROM g WHERE doc_id < 2000000),
+         |arr AS (SELECT doc_id, g FROM g WHERE doc_id >= 2000000),
+         |nov AS (SELECT a.doc_id, COUNT(*) AS nn
+         |  FROM arr a LEFT JOIN hist h ON a.g = h.g
+         |  WHERE h.g IS NULL GROUP BY 1),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM arr GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams, COALESCE(nn, 0) AS n_novel,
+         |  round(CAST(COALESCE(nn, 0) AS DOUBLE) / t.n_grams, 6) AS novelty
+         |FROM tot t LEFT JOIN nov USING (doc_id)""".stripMargin,
+    "q_cross_source_dup" ->
+      s"""WITH $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |m AS (SELECT da.source AS sa, db.source AS sb FROM pairs
+         |  JOIN documents da ON da.doc_id = pairs.a_id % 1000000
+         |  JOIN documents db ON db.doc_id = pairs.b_id % 1000000)
+         |SELECT source_a, source_b, n_pairs, source_a = source_b AS intra
+         |FROM (SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+         |    COUNT(*) AS n_pairs FROM m GROUP BY 1, 2)""".stripMargin,
+    // history-index ∪ delta refresh must equal the from-scratch pipeline
+    // (the incremental contract — same oracle as q_dedup_lsh_pairs)
+    "q_dedup_pairs_incremental" ->
       s"""WITH $lshJChain
          |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard

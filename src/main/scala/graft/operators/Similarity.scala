@@ -531,8 +531,14 @@ object Similarity {
     // -- index: assign every vector to its cell (fresh map-side scan)
     val cells = assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
-    // -- search: queries probe their nprobe=2 nearest cells
-    val probes = assignCells(e.filter(col("vec_id") % 20 === 0), centLit, 2)
+    ivfSearch(cells, centLit, e.filter(col("vec_id") % 20 === 0))
+  }
+
+  /** nprobe=2 IVF top-5 search over a (c_id, cid, ce) cell-assignment
+    * relation — shared by the train-inline form and the at-rest index
+    * reader. */
+  private def ivfSearch(cells: DataFrame, centLit: DataFrame, queries: DataFrame): DataFrame = {
+    val probes = assignCells(queries, centLit, 2)
       .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
     cells.join(broadcast(probes), Seq("cid")).filter(col("q_id") =!= col("c_id"))
@@ -540,6 +546,44 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
+  }
+
+  /** IVF INDEX AT REST — the ANN face of the at-rest index family (next
+    * to q_dedup_pairs_at_rest): a production vector store trains its
+    * coarse quantizer once and persists BOTH artifacts — the tiny
+    * centroid table and the full cell-assignment relation (FAISS's
+    * inverted lists, here a cid-keyed parquet) — then every search
+    * session loads centroids (k rows → broadcast), assigns its queries
+    * to probe cells, and scans ONLY the matching index partitions.
+    * This build job always rebuilds: train → write centroids parquet →
+    * write assignments parquet, then answer the standard query set FROM
+    * the index read back off disk. Oracle = q_sim_ivf's from-scratch
+    * SQL, so the persisted-index search is proven byte-identical to the
+    * train-inline form — floats and all (the parquet double round-trip
+    * is exact; ranking ties break on c_id).
+    *
+    * Scale shape: identical to q_sim_ivf's search phase, plus two
+    * writes; at 100 TB the assignment relation would additionally be
+    * partitioned BY cid on disk so a probe reads only its cells'
+    * files — partition pruning at the storage layer, which Spark's
+    * partitionBy write gives for free (elided here: the corpus is one
+    * file and the driver's reader compares whole relations). */
+  def qSimIvfAtRest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cellsDir = graft.AtRest.dir(s, d, "ivf_cells", "embeddings")
+    val centsDir = graft.AtRest.dir(s, d, "ivf_cents", "embeddings")
+    val e = graft.CacheTracker.track(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val centLit = ivfCentroidsLit(e, k = 8)
+    centLit.write.mode("overwrite").parquet(centsDir.toString)
+    assignCells(e, centLit, 1)
+      .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
+      .write.mode("overwrite").parquet(cellsDir.toString)
+    // ---- search session: everything below reads the index from disk
+    val centsAtRest = s.read.parquet(centsDir.toString)
+    val cellsAtRest = s.read.parquet(cellsDir.toString)
+    ivfSearch(cellsAtRest, centsAtRest, e.filter(col("vec_id") % 20 === 0))
   }
 
   /** Product quantization (PQ) — the third classic ANN path next to
@@ -1113,6 +1157,7 @@ object Similarity {
     "q_ndcg_eval" -> (qNdcgEval _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_ivf_at_rest" -> (qSimIvfAtRest _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
 
   // Shared DuckDB fragments. The hyperplane coefficients are an
@@ -1274,7 +1319,12 @@ object Similarity {
        |       ELSE (w * 1000000) // (SELECT MAX(abs(w)) FROM w$k) END AS x
        |  FROM w$k)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = oracleBase +
+    // the at-rest index search must answer byte-identically to the
+    // train-inline form — same from-scratch oracle as q_sim_ivf
+    ("q_sim_ivf_at_rest" -> oracleBase("q_sim_ivf"))
+
+  private def oracleBase: Map[String, String] = Map(
     "q_emb_covariance" ->
       s"""WITH $covSrcSql
          |SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j, CAST(n AS BIGINT) AS n,

@@ -277,6 +277,50 @@ object TextAnalysis {
         round(col("n").cast("double") / col("n_lang"), 6).as("rate"))
   }
 
+  /** Per-source TOKEN-DISTRIBUTION DRIFT — Jensen–Shannon divergence
+    * between each source's hashed-unigram distribution and the whole
+    * corpus (the mixture monitor a pretraining pipeline runs per ingest
+    * tick: a source whose JS jumps has changed character — scraper
+    * drift, spam influx, language shift — before any downstream metric
+    * moves). Tokens hash into 1024 buckets (the q_dsir_resample trick —
+    * no vocabulary materializes); both sides are Laplace-smoothed over
+    * the full bucket grid so every KL term is finite.
+    *
+    * Determinism: each bucket's JS contribution is fixed-pointed
+    * (floor(c·10¹²) as BIGINT) before the per-source sum, so the
+    * aggregate is exact in any accumulation order; ln inputs are
+    * identical doubles on both engines (the q_text_bm25 libm contract).
+    *
+    * Scale shape: one token explode feeds three counted aggregates
+    * (per-(source, bucket), per-source, per-bucket — all map-side
+    * combined); the scoring grid is |sources|×1024 rows of pure
+    * arithmetic with the ≤1024-row corpus profile broadcast. Nothing
+    * scales with corpus volume except the initial counts. */
+  def qTokenJsDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.CacheTracker.track(Tables.documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .withColumn("b", expr("CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % 1024"))
+      .select("source", "b")
+      .persist())
+    val srcCnt = toks.groupBy("source", "b").agg(count(lit(1)).as("c_sb"))
+    val srcTot = toks.groupBy("source").agg(count(lit(1)).as("t_s"))
+    val corpCnt = toks.groupBy("b").agg(count(lit(1)).as("c_b"))
+    val corpTot = toks.agg(count(lit(1)).as("t"))
+    srcTot
+      .crossJoin(s.range(1024).select(col("id").as("b")))
+      .join(srcCnt, Seq("source", "b"), "left")
+      .join(broadcast(corpCnt), Seq("b"), "left")
+      .crossJoin(broadcast(corpTot))
+      .withColumn("p", expr("(coalesce(c_sb, CAST(0 AS BIGINT)) + 1) / CAST(t_s + 1024 AS DOUBLE)"))
+      .withColumn("q", expr("(coalesce(c_b, CAST(0 AS BIGINT)) + 1) / CAST(t + 1024 AS DOUBLE)"))
+      .withColumn("m", expr("(p + q) / 2"))
+      .withColumn("cfp", expr(
+        "CAST(floor((0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)) * 1e12) AS BIGINT)"))
+      .groupBy("source", "t_s").agg(sum("cfp").as("js_fp"))
+      .select(col("source"), col("t_s").as("n_tokens"), col("js_fp"),
+        round(col("js_fp") / lit(1e12), 6).as("js"))
+  }
+
   /** Token counting: whitespace tokens, regex word/number/symbol tokens,
     * and a BPE-ish ≤4-char chunking; chars-per-token density. */
   def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -1468,6 +1512,7 @@ object TextAnalysis {
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_langid_confusion" -> (qLangidConfusion _),
+    "q_token_js_drift" -> (qTokenJsDrift _),
     "q_token_count" -> (qTokenCount _),
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
@@ -2092,6 +2137,33 @@ object TextAnalysis {
          |  (n_chars = length(text)) AS n_chars_consistent
          |FROM c""".stripMargin,
     "q_text_langid" -> langidBaseSql,
+    "q_token_js_drift" ->
+      """WITH w AS (SELECT source, string_split(lower(text), ' ') AS words FROM documents),
+        |tok AS (SELECT source,
+        |    CAST(('0x' || substring(md5(u.w), 1, 6)) AS BIGINT) % 1024 AS b
+        |  FROM w, unnest(words) AS u(w)),
+        |sc AS (SELECT source, b, COUNT(*) AS c_sb FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, COUNT(*) AS t_s FROM tok GROUP BY 1),
+        |cc AS (SELECT b, COUNT(*) AS c_b FROM tok GROUP BY 1),
+        |ct AS (SELECT COUNT(*) AS t FROM tok),
+        |grid AS (SELECT st.source, st.t_s, r.range AS b
+        |  FROM st CROSS JOIN range(0, 1024) r),
+        |j AS (SELECT g.source, g.t_s, g.b,
+        |    COALESCE(c_sb, 0) AS c_sb, COALESCE(c_b, 0) AS c_b, t
+        |  FROM grid g LEFT JOIN sc ON sc.source = g.source AND sc.b = g.b
+        |  LEFT JOIN cc ON cc.b = g.b CROSS JOIN ct),
+        |x AS (SELECT source, t_s,
+        |    CAST(floor((0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)) * 1e12) AS BIGINT) AS cfp
+        |  FROM (SELECT source, t_s,
+        |      (c_sb + 1) / CAST(t_s + 1024 AS DOUBLE) AS p,
+        |      (c_b + 1) / CAST(t + 1024 AS DOUBLE) AS q,
+        |      ((c_sb + 1) / CAST(t_s + 1024 AS DOUBLE)
+        |        + (c_b + 1) / CAST(t + 1024 AS DOUBLE)) / 2 AS m
+        |    FROM j))
+        |SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cfp) AS BIGINT) AS js_fp,
+        |  round(CAST(SUM(cfp) AS DOUBLE) / 1e12, 6) AS js
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "q_langid_confusion" ->
       s"""WITH base AS ($langidBaseSql),
          |tot AS (SELECT lang, COUNT(*) AS n_lang FROM base GROUP BY 1)

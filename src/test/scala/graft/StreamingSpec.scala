@@ -427,4 +427,36 @@ class StreamingSpec extends SparkSpec {
         s"socket stream delivered sum=${row.get(0)} count=${row.get(1)}")
     } finally { q.stop(); server.close() }
   }
+
+  test("streaming pair-index maintenance: replayed micro-batches rebuild exactly the batch pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pairidx").toFile
+    val sigsDir = new java.io.File(tmp, "sigs").toString
+    val pairsDir = new java.io.File(tmp, "pairs").toString
+    val corpus = operators.Dedup.corpus(spark, sf).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // three arrival ticks in a SCRAMBLED order (id mod 3): copies can
+    // arrive before their originals, so emission must not depend on
+    // arrival order (least/greatest normalization in the sink)
+    val batches = Seq(corpus.filter(_._1 % 3 == 1),
+      corpus.filter(_._1 % 3 == 2), corpus.filter(_._1 % 3 == 0))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.pairIndexRefreshSink(
+      in.toDF().toDF("doc_id", "text"), sigsDir, pairsDir)
+    try {
+      batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val cols = Seq("a_id", "b_id", "n_inter", "n_union", "jaccard")
+      val streamed = spark.read.parquet(pairsDir).select(cols.head, cols.tail: _*)
+      val batch = operators.Dedup.qDedupLshPairs(spark, sf).select(cols.head, cols.tail: _*)
+      try {
+        // each pair emitted exactly once, and the union of ticks is
+        // precisely the from-scratch batch pair set
+        assert(streamed.count() ==
+          streamed.select("a_id", "b_id").distinct().count(), "duplicate emissions")
+        assert(streamed.exceptAll(batch).isEmpty, "streamed pairs not in batch set")
+        assert(batch.exceptAll(streamed).isEmpty, "batch pairs missing from streamed index")
+      } finally CacheTracker.releaseAll()
+    } finally q.stop()
+  }
 }
