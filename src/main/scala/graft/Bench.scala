@@ -97,9 +97,19 @@ object Bench {
       // whichever query happens to run after them.
       System.gc()
       Thread.sleep(200)
-      val runs = (1 to REPS).map { _ =>
+      // SPARK_GRAFT_DEBUG=1 (never set by the driver): per-rep GC-time
+      // deltas on stderr, for attributing in-suite-only slowdowns to
+      // collector pressure vs real execution cost.
+      val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      val runs = (1 to REPS).map { rep =>
         waitQuiesce()
         val sh0 = shuffleBytes.get; val sp0 = spillBytes.get
+        val gc0 = if (debug) gcMs else 0L
         val t0 = System.nanoTime()
         val secs =
           try { materialize(fn); (System.nanoTime() - t0) / 1e9 }
@@ -111,6 +121,8 @@ object Bench {
           // clock stopped — now release builder-persisted intermediates
           // (and pay any blocking-unpersist cost) outside the measurement
           finally CacheTracker.releaseAll()
+        if (debug) System.err.println(
+          f"BENCHDBG $name rep$rep ${secs}%.3fs gc=${gcMs - gc0}ms")
         waitQuiesce()
         (secs, shuffleBytes.get - sh0, spillBytes.get - sp0)
       }

@@ -860,6 +860,51 @@ object Dedup {
         round(col("n_near").cast("double") / lit(nNear.toDouble), 6).as("near_recall"))
   }
 
+  /** LSH BANDING-CONFIGURATION sweep — the (bands × rows) tuning table
+    * that decides an LSH deployment before anyone pays for it: for each
+    * way of splitting the 16-permutation signature (2×8, 4×4, 8×2), the
+    * candidate-pair volume (the COST axis — what the verify stage must
+    * score) against the recall of the injected exact and near families
+    * (the QUALITY axis; family totals are closed forms of the corpus
+    * row count, as in q_dedup_threshold_sweep). More, shorter bands =
+    * higher recall and more candidates; the sweep shows the knee.
+    * Complements q_dedup_threshold_sweep, which fixes the banding and
+    * sweeps the verify cutoff.
+    *
+    * Scale shape: three banded self-equi-joins over the AT-REST
+    * signature index (never all-pairs, no re-shingling); each config's
+    * readout is one aggregate row. */
+  def qLshBandSweep(s: SparkSession, d: String): DataFrame = {
+    val sigs = sigsAtRest(s, d)
+    val n = Tables.parquetRowCount(s, d, "documents")
+    val nExact = (n + 4) / 5
+    val nNear = (n + 6) / 7
+    Seq((2, 8), (4, 4), (8, 2)).map { case (bn, r) =>
+      val bands = sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bn - 1}), b -> array_join(" +
+          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x as string)), '-'))"))
+        .as(Seq("band_idx", "band_hash")))
+      bands.as("x")
+        .join(bands.withColumnRenamed("doc_id", "b_id").as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("b_id"))
+        .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("a_id") < 1000000L && col("b_id") === col("a_id") + 1000000L, 1L)
+            .otherwise(0L)).as("n_exact_found"),
+          sum(when(col("a_id") < 1000000L && col("b_id") === col("a_id") + 2000000L, 1L)
+            .otherwise(0L)).as("n_near_found"))
+        .select(lit(s"${bn}x$r").as("bands_rows"),
+          col("n_candidates"), col("n_exact_found"), col("n_near_found"),
+          round(col("n_exact_found").cast("double") / lit(nExact.toDouble), 6)
+            .as("exact_recall"),
+          round(col("n_near_found").cast("double") / lit(nNear.toDouble), 6)
+            .as("near_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Pair-counting evaluation of the duplicate CLUSTERING against the
     * injected ground truth — the Rand-family contingency computation
     * (pair precision / recall / F1) that turns "we clustered" into a
@@ -1505,6 +1550,7 @@ object Dedup {
     "q_dedup_pairs_incremental" -> (qDedupPairsIncremental _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_cross_source_dup" -> (qCrossSourceDup _),
+    "q_lsh_band_sweep" -> (qLshBandSweep _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -1917,6 +1963,37 @@ object Dedup {
          |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
+    "q_lsh_band_sweep" -> {
+      def cfg(bn: Int, r: Int, tag: String): String =
+        s"""b_$tag AS (
+           |  SELECT doc_id, b AS band_idx,
+           |    array_to_string(sig[b*$r+1:b*$r+$r], '-') AS band_hash
+           |  FROM sg, unnest(range(0, $bn)) AS t(b)),
+           |c_$tag AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM b_$tag x JOIN b_$tag y
+           |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+           |    AND x.doc_id < y.doc_id),
+           |a_$tag AS (
+           |  SELECT '${bn}x$r' AS bands_rows, COUNT(*) AS n_candidates,
+           |    CAST(SUM(CASE WHEN a_id < 1000000 AND b_id = a_id + 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_found,
+           |    CAST(SUM(CASE WHEN a_id < 1000000 AND b_id = a_id + 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_found
+           |  FROM c_$tag)""".stripMargin
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
+         |hs AS (SELECT doc_id, shingles, $hashesSql AS hashes FROM sh),
+         |sg AS (SELECT doc_id, $sigSql AS sig FROM hs),
+         |nd AS (SELECT COUNT(*) AS n FROM documents),
+         |${cfg(2, 8, "a")},
+         |${cfg(4, 4, "b")},
+         |${cfg(8, 2, "c")},
+         |u AS (SELECT * FROM a_a UNION ALL SELECT * FROM a_b UNION ALL SELECT * FROM a_c)
+         |SELECT bands_rows, n_candidates, n_exact_found, n_near_found,
+         |  round(CAST(n_exact_found AS DOUBLE) / CAST((n + 4) // 5 AS DOUBLE), 6) AS exact_recall,
+         |  round(CAST(n_near_found AS DOUBLE) / CAST((n + 6) // 7 AS DOUBLE), 6) AS near_recall
+         |FROM u CROSS JOIN nd""".stripMargin
+    },
     "q_ngram_novelty" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
