@@ -796,7 +796,45 @@ object Curation {
       .select("rule", "n_total", "n_fail", "n_unique_fail", "n_cum_removed")
   }
 
+  /** GREEDY QUALITY-RANKED mixture fill — the knapsack face of mixture
+    * planning (complementing q_mix_budget's equal-share epoch-capped
+    * plan and q_mix_temperature's α-resampling): rank sources by their
+    * quality-gate pass rate, then fill a 40%-of-corpus token budget
+    * best-first, each source capped at half the budget (the diversity
+    * cap that stops one pristine source from becoming the whole mix).
+    * The greedy fill needs NO iteration: with per-source caps, the
+    * running take is min(budget, running-cap), so each source's take is
+    * the difference of two window cumsums — one |sources|-row sorted
+    * window, closed form.
+    *
+    * All integer arithmetic (pass rates as ppm, floor-div budgets) —
+    * hash-exact. Scale shape: one gate pass (map-side HOFs), one
+    * per-source aggregate, one bounded |sources|-row window. */
+  def qMixGreedyQuality(s: SparkSession, d: String): DataFrame = {
+    val flags = gateFlags(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))
+    val per = flags.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass_quality") && col("pass_lang"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("n_words").cast("long")).as("avail_tokens"))
+      .withColumn("quality_ppm", expr("n_pass * 1000000 div n_docs"))
+    val tot = per.agg(sum("avail_tokens").cast("long").as("tot_tokens"))
+    val w = Window.orderBy(col("quality_ppm").desc, col("source"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot_tokens * 2 div 5"))
+      .withColumn("cap_tokens", least(col("avail_tokens"), expr("budget div 2")))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cumcap", sum("cap_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("taken_tokens",
+        expr("least(budget, cumcap) - least(budget, cumcap - cap_tokens)"))
+      .select(col("rank"), col("source"), col("quality_ppm"), col("n_docs"),
+        col("avail_tokens"), col("cap_tokens"), col("taken_tokens"),
+        (col("taken_tokens") < col("cap_tokens")).as("budget_bound"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_greedy_quality" -> (qMixGreedyQuality _),
     "q_filter_attribution" -> (qFilterAttribution _),
     "q_dsir_resample" -> (qDsirResample _),
     "q_length_buckets" -> (qLengthBuckets _),
@@ -820,6 +858,31 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_mix_greedy_quality" -> {
+      val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+         |f AS (SELECT source, len(words) AS n_words,
+         |    len(list_filter(words, x -> x IN $stopList)) AS n_stop FROM w),
+         |per AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN n_words >= 20 AND n_stop * 2 <= n_words AND n_stop > 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |    CAST(SUM(n_words) AS BIGINT) AS avail_tokens
+         |  FROM f GROUP BY 1),
+         |q AS (SELECT *, n_pass * 1000000 // n_docs AS quality_ppm FROM per),
+         |t AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS tot_tokens FROM q),
+         |r AS (SELECT q.*, tot_tokens * 2 // 5 AS budget,
+         |    LEAST(avail_tokens, (tot_tokens * 2 // 5) // 2) AS cap_tokens,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY quality_ppm DESC, source) AS INTEGER) AS rank,
+         |    CAST(SUM(LEAST(avail_tokens, (tot_tokens * 2 // 5) // 2))
+         |      OVER (ORDER BY quality_ppm DESC, source
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumcap
+         |  FROM q CROSS JOIN t)
+         |SELECT rank, source, quality_ppm, n_docs, avail_tokens, cap_tokens,
+         |  LEAST(budget, cumcap) - LEAST(budget, cumcap - cap_tokens) AS taken_tokens,
+         |  (LEAST(budget, cumcap) - LEAST(budget, cumcap - cap_tokens)) < cap_tokens
+         |    AS budget_bound
+         |FROM r""".stripMargin
+    },
     "q_filter_attribution" -> {
       val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -321,6 +321,72 @@ object TextAnalysis {
         round(col("js_fp") / lit(1e12), 6).as("js"))
   }
 
+  /** Heaps'-law VOCABULARY-GROWTH fit — V(N) ≈ K·N^β, the
+    * sublinear-growth law every tokenizer-budget and dedup-planning
+    * decision leans on ("how much NEW vocabulary will the next 10× of
+    * data bring?"). The growth curve is sampled at ten doc-count
+    * checkpoints WITHOUT any sequential scan: each word contributes one
+    * row at its FIRST-OCCURRENCE doc (min doc_id — one aggregate), so
+    * V(checkpoint) is a cumulative count over first-occurrence deciles,
+    * and N(checkpoint) a cumulative token sum over doc deciles. The
+    * log-log OLS reuses q_zipf_fit's sorted-fold contract (10 points,
+    * fold order pinned by k — bit-identical across engines).
+    *
+    * Scale shape: one token explode, one min-per-word aggregate, two
+    * 10-group aggregates, a 10-row window — no step scans the corpus
+    * more than once, at any size. */
+  def qHeapsLaw(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
+    val n = Tables.parquetRowCount(s, d, "documents")
+    // the TYPE unit is the word 3-gram: this corpus' word vocabulary is
+    // tiny and saturates in the first checkpoint (a flat, degenerate
+    // curve), while its gram vocabulary keeps growing — the regime the
+    // law describes (and the unit the dedup pipeline's shingles use)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("grams", expr("shingles3(words)"))
+    val vk = docs.select(col("doc_id"), explode(col("grams")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("fd"))
+      .select(expr(s"CAST(fd * 10 div $n AS INT) + 1").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("new_types"))
+    val nk = docs.select(expr(s"CAST(doc_id * 10 div $n AS INT) + 1").as("k"),
+        size(col("grams")).cast("long").as("t"))
+      .groupBy("k").agg(sum("t").as("new_tokens"))
+    val grid = s.range(1, 11).select(col("id").cast("int").as("k"))
+    // bounded 10-row global window (the q_zipf_fit constant-size pattern)
+    val w10 = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = graft.CacheTracker.track(grid
+      .join(vk, Seq("k"), "left").join(nk, Seq("k"), "left")
+      .select(col("k"), coalesce(col("new_types"), lit(0L)).as("nt"),
+        coalesce(col("new_tokens"), lit(0L)).as("nn"))
+      .withColumn("vocab", sum("nt").over(w10))
+      .withColumn("n_tokens", sum("nn").over(w10))
+      .select(col("k"), col("n_tokens"), col("vocab"),
+        expr("round(ln(CAST(n_tokens AS DOUBLE)), 6)").as("x"),
+        expr("round(ln(CAST(vocab AS DOUBLE)), 6)").as("y"))
+      .persist())
+    val fit = pts
+      .select(struct(col("k"), col("x"), col("y"),
+        (col("x") * col("x")).as("xx"), (col("x") * col("y")).as("xy")).as("p"))
+      .agg(count(lit(1)).as("nf"),
+        expr("""aggregate(sort_array(collect_list(p)),
+          | named_struct('sx', 0D, 'sy', 0D, 'sxx', 0D, 'sxy', 0D),
+          | (a, q) -> named_struct('sx', a.sx + q.x, 'sy', a.sy + q.y,
+          |   'sxx', a.sxx + q.xx, 'sxy', a.sxy + q.xy))"""
+          .stripMargin.replace("\n", "")).as("sm"))
+      .select( // + 0.0 collapses IEEE -0.0 to +0.0 (hash-stable when a fold
+        // lands exactly on zero from below; DuckDB does the same)
+        (round(expr("(nf * sm.sxy - sm.sx * sm.sy) / (nf * sm.sxx - sm.sx * sm.sx)"), 6)
+          + lit(0.0)).as("heaps_beta"),
+        (round(expr(
+          "(sm.sy - (nf * sm.sxy - sm.sx * sm.sy) / (nf * sm.sxx - sm.sx * sm.sx) * sm.sx) / nf"), 6)
+          + lit(0.0)).as("heaps_lnk"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("k"), col("n_tokens"), col("vocab"),
+        col("heaps_beta"), col("heaps_lnk"),
+        expr("CAST(round(exp(heaps_lnk + heaps_beta * x), 0) AS BIGINT)").as("pred_vocab"))
+  }
+
   /** Token counting: whitespace tokens, regex word/number/symbol tokens,
     * and a BPE-ish ≤4-char chunking; chars-per-token density. */
   def qTokenCount(s: SparkSession, d: String): DataFrame =
@@ -1513,6 +1579,7 @@ object TextAnalysis {
     "q_text_langid" -> (qTextLangid _),
     "q_langid_confusion" -> (qLangidConfusion _),
     "q_token_js_drift" -> (qTokenJsDrift _),
+    "q_heaps_law" -> (qHeapsLaw _),
     "q_token_count" -> (qTokenCount _),
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
@@ -2137,6 +2204,39 @@ object TextAnalysis {
          |  (n_chars = length(text)) AS n_chars_consistent
          |FROM c""".stripMargin,
     "q_text_langid" -> langidBaseSql,
+    "q_heaps_law" ->
+      """WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+        |w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |w AS (SELECT doc_id, list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams FROM w0),
+        |tok AS (SELECT doc_id, u.g AS g FROM w, unnest(grams) AS u(g)),
+        |fdw AS (SELECT g, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+        |vk AS (SELECT CAST(fd * 10 // n AS INTEGER) + 1 AS k, COUNT(*) AS nt
+        |  FROM fdw CROSS JOIN nd GROUP BY 1),
+        |nk AS (SELECT CAST(doc_id * 10 // n AS INTEGER) + 1 AS k,
+        |    CAST(SUM(len(grams)) AS BIGINT) AS nn
+        |  FROM w CROSS JOIN nd GROUP BY 1),
+        |g AS (SELECT CAST(r.range AS INTEGER) AS k FROM range(1, 11) r),
+        |byk AS (SELECT g.k, COALESCE(nt, 0) AS nt, COALESCE(nn, 0) AS nn
+        |  FROM g LEFT JOIN vk USING (k) LEFT JOIN nk USING (k)),
+        |cum AS (SELECT k,
+        |    CAST(SUM(nn) OVER (ORDER BY k) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(nt) OVER (ORDER BY k) AS BIGINT) AS vocab FROM byk),
+        |pts AS (SELECT k, n_tokens, vocab,
+        |    round(ln(CAST(n_tokens AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(vocab AS DOUBLE)), 6) AS y FROM cum),
+        |f AS (SELECT COUNT(*) AS nf,
+        |    list_reduce(list_prepend({'x': 0.0, 'y': 0.0, 'xx': 0.0, 'xy': 0.0},
+        |      list({'x': x, 'y': y, 'xx': x * x, 'xy': x * y} ORDER BY k)),
+        |      (a, b) -> {'x': a.x + b.x, 'y': a.y + b.y, 'xx': a.xx + b.xx, 'xy': a.xy + b.xy}) AS sm
+        |  FROM pts),
+        |fit AS (SELECT
+        |    round((nf * sm.xy - sm.x * sm.y) / (nf * sm.xx - sm.x * sm.x), 6) + 0.0 AS heaps_beta,
+        |    round((sm.y - (nf * sm.xy - sm.x * sm.y) / (nf * sm.xx - sm.x * sm.x) * sm.x) / nf, 6) + 0.0 AS heaps_lnk
+        |  FROM f)
+        |SELECT k, n_tokens, vocab, heaps_beta, heaps_lnk,
+        |  CAST(round(exp(heaps_lnk + heaps_beta * x), 0) AS BIGINT) AS pred_vocab
+        |FROM pts CROSS JOIN fit""".stripMargin,
     "q_token_js_drift" ->
       """WITH w AS (SELECT source, string_split(lower(text), ' ') AS words FROM documents),
         |tok AS (SELECT source,
