@@ -905,6 +905,44 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** TAKEDOWN CLOSURE — the right-to-be-forgotten propagation every
+    * training-data owner must be able to run: given a delete request
+    * list (here doc_id % 97 == 0, the standing stand-in for a takedown
+    * batch), compute the FULL blast radius over the near-dup graph —
+    * the seeds themselves plus every member of any duplicate cluster
+    * containing a seed (a near-copy of deleted content is still that
+    * content; it must at least be flagged for review) — and, per
+    * affected document, how many rows the at-rest PAIR INDEX holds for
+    * it (the index-purge workload the deletion job must also apply —
+    * deleting corpus rows while their sketches and pairs survive at
+    * rest is the classic GDPR leak).
+    *
+    * Scale shape: cluster labels come from the at-rest pair relation
+    * (never recomputed from text); seeds join against labels and the
+    * affected set is two broadcast-sized joins; the per-doc purge count
+    * is one degree aggregate over the pair edges. */
+  def qTakedownClosure(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = graft.CacheTracker.track(
+      pairsAtRest(s, d).select(col("a_id"), col("b_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val labels = clustersFromPairs(pairs).select(col("doc_id"), col("cluster_id"))
+    val seeds = corpus(s, d).select(col("doc_id")).filter(col("doc_id") % 97 === 0)
+    val seedClusters = labels.join(seeds, "doc_id").select("cluster_id").distinct()
+    val members = labels.join(broadcast(seedClusters), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"))
+    val singletonSeeds = seeds.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(null).cast("long").as("cluster_id"))
+    val deg = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    members.unionByName(singletonSeeds)
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") % 97 === 0, "seed").otherwise("cluster_member").as("reason"),
+        coalesce(col("n"), lit(0L)).as("n_pair_rows"))
+  }
+
   /** Pair-counting evaluation of the duplicate CLUSTERING against the
     * injected ground truth — the Rand-family contingency computation
     * (pair precision / recall / F1) that turns "we clustered" into a
@@ -1551,6 +1589,7 @@ object Dedup {
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_cross_source_dup" -> (qCrossSourceDup _),
     "q_lsh_band_sweep" -> (qLshBandSweep _),
+    "q_takedown_closure" -> (qTakedownClosure _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -1963,6 +2002,31 @@ object Dedup {
          |SELECT a_id, b_id, CAST(n_inter AS INTEGER) AS n_inter, CAST(n_union AS INTEGER) AS n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin,
+    "q_takedown_closure" ->
+      s"""WITH RECURSIVE $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |seeds AS (SELECT doc_id FROM corpus WHERE doc_id % 97 = 0),
+         |sc AS (SELECT DISTINCT cluster_id FROM labels l JOIN seeds s ON l.id = s.doc_id),
+         |members AS (SELECT l.id AS doc_id, l.cluster_id
+         |  FROM labels l JOIN sc USING (cluster_id)),
+         |aff AS (SELECT doc_id, cluster_id FROM members
+         |  UNION ALL
+         |  SELECT s.doc_id, CAST(NULL AS BIGINT) FROM seeds s
+         |  LEFT JOIN labels l ON l.id = s.doc_id WHERE l.id IS NULL),
+         |deg AS (SELECT x.id, COUNT(*) AS n FROM (
+         |  SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs) x GROUP BY 1)
+         |SELECT a.doc_id, a.cluster_id,
+         |  CASE WHEN a.doc_id % 97 = 0 THEN 'seed' ELSE 'cluster_member' END AS reason,
+         |  COALESCE(n, 0) AS n_pair_rows
+         |FROM aff a LEFT JOIN deg ON deg.id = a.doc_id""".stripMargin,
     "q_lsh_band_sweep" -> {
       def cfg(bn: Int, r: Int, tag: String): String =
         s"""b_$tag AS (

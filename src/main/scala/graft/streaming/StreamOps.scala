@@ -104,6 +104,55 @@ object StreamOps {
       } finally { cached.unpersist(); () }
     }.start()
 
+  /** STREAMING mixture-drift monitor — the per-ingest-tick face of
+    * q_token_js_drift: each micro-batch of arriving (doc_id, text)
+    * documents is scored by the Jensen–Shannon divergence of its
+    * hashed-token distribution (1024 md5 buckets, Laplace-smoothed)
+    * against the AT-REST corpus profile (a (b, c_q) parquet the batch
+    * side maintains), appending one (batch_id, n_tokens, js_fp, js)
+    * row per tick. A tick whose sources shifted — scraper drift, spam
+    * influx, a one-source batch — scores visibly above a
+    * corpus-representative tick (StreamingSpec proves exactly that
+    * separation). Same fixed-point determinism contract as the batch
+    * query: per-bucket contributions floor to 10⁻¹² integers before
+    * the sum.
+    *
+    * Scale shape per tick: one token explode over the BATCH only, a
+    * 1024-group count, a broadcast-sized join against the 1024-row
+    * profile, one appended row. The standing corpus is never
+    * rescanned. */
+  def driftMonitorSink(docs: DataFrame, profileDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      val s = batch.sparkSession
+      val toks = batch
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .withColumn("b", expr("CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % 1024"))
+        .select("b").persist()
+      try {
+        val tp = toks.count()
+        if (tp > 0) {
+          val prof = s.read.parquet(profileDir)
+          val tq = prof.agg(sum("c_q").cast("long")).head.getLong(0)
+          val grid = s.range(1024).select(col("id").as("b"))
+          grid
+            .join(toks.groupBy("b").agg(count(lit(1)).as("c_p")), Seq("b"), "left")
+            .join(prof, Seq("b"), "left")
+            .withColumn("p", expr(
+              s"(coalesce(c_p, CAST(0 AS BIGINT)) + 1) / CAST($tp + 1024 AS DOUBLE)"))
+            .withColumn("q", expr(
+              s"(coalesce(c_q, CAST(0 AS BIGINT)) + 1) / CAST($tq + 1024 AS DOUBLE)"))
+            .withColumn("m", expr("(p + q) / 2"))
+            .withColumn("cfp", expr(
+              "CAST(floor((0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)) * 1e12) AS BIGINT)"))
+            .agg(sum("cfp").as("js_fp"))
+            .select(lit(id).as("batch_id"), lit(tp).as("n_tokens"),
+              col("js_fp"), round(col("js_fp") / lit(1e12), 6).as("js"))
+            .write.mode("append").parquet(outDir)
+        }
+      } finally { toks.unpersist(); () }
+    }.start()
+
   /** STREAMING maintenance of the at-rest near-dup PAIR INDEX — the
     * production ingest tick q_dedup_pairs_incremental models, driven by
     * Structured Streaming. Each micro-batch of arriving (doc_id, text)

@@ -428,6 +428,39 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); server.close() }
   }
 
+  test("streaming drift monitor: a one-source tick scores above a corpus-representative tick") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toFile
+    val profileDir = new java.io.File(tmp, "profile").toString
+    val outDir = new java.io.File(tmp, "ticks").toString
+    // the at-rest corpus profile the batch side maintains
+    Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .withColumn("b", expr("CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % 1024"))
+      .groupBy("b").agg(count(lit(1)).as("c_q"))
+      .write.mode("overwrite").parquet(profileDir)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+    // tick 0: corpus-representative sample (every 3rd doc, all sources);
+    // tick 1: a single source only — the drifted ingest
+    val tick0 = docs.filter(_.getLong(0) % 3 == 0).map(r => (r.getLong(0), r.getString(1)))
+    val tick1 = docs.filter(_.getString(2) == "src0").map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.driftMonitorSink(in.toDF().toDF("doc_id", "text"), profileDir, outDir)
+    try {
+      in.addData(tick0.toSeq); q.processAllAvailable()
+      in.addData(tick1.toSeq); q.processAllAvailable()
+      val ticks = spark.read.parquet(outDir).orderBy("batch_id").collect()
+      assert(ticks.length == 2)
+      val Array(rep, drifted) = ticks.map(r => r.getAs[Double]("js"))
+      assert(rep > 0 && drifted > 0 && rep < math.log(2.0) && drifted < math.log(2.0),
+        s"JS out of range: $rep / $drifted")
+      assert(drifted > rep,
+        s"one-source tick ($drifted) must score above the representative tick ($rep)")
+    } finally q.stop()
+  }
+
   test("streaming pair-index maintenance: replayed micro-batches rebuild exactly the batch pair set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
