@@ -106,6 +106,82 @@ object Multimodal {
     }
   }
 
+  case class AudioRow(doc_id: Long, src_len: Int, payload: Array[Byte])
+  case class AudioMeta(doc_id: Long, src_len: Int, sample_rate: Int,
+      n_channels: Int, bits: Int, n_samples: Long, sample_checksum: Long,
+      decoder: String)
+
+  /** Deterministic synthetic-audio parameters — the closed forms the SQL
+    * oracle mirrors: 16-bit signed PCM mono, sample rate by doc parity
+    * (the qMultimodalAudio convention), sample i =
+    * ((doc_id·31 + 17i) mod 65536) − 32768. */
+  object AudioSynth {
+    def rateOf(docId: Long): Int = if (docId % 2 == 0) 16000 else 44100
+    def samplesOf(srcLen: Int): Int = 64 + (srcLen * 3) % 192
+    def sample(docId: Long, i: Int): Int =
+      ((docId * 31 + i * 17L) % 65536L).toInt - 32768
+
+    /** Encode one synthetic clip to a real RIFF/WAVE container via the
+      * JDK's `javax.sound.sampled` writer. */
+    def payloadFor(docId: Long, srcLen: Int): Array[Byte] = {
+      val n = samplesOf(srcLen)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = sample(docId, i)
+        pcm(i * 2) = (v & 0xff).toByte // little-endian signed 16-bit
+        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rateOf(docId).toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
+  /** REAL audio metadata extraction — the WAV face of the ImageIO
+    * round-trip ([[qMultimodalMeta]]): audio-modality documents
+    * (doc_id % 3 == 1, the qMultimodalAudio rows) are synthesized into
+    * genuine RIFF/WAVE containers (16-bit PCM mono, closed-form rate /
+    * length / samples), then decoded back per-partition with the JDK's
+    * `javax.sound.sampled` — format, channel count, bit depth, and
+    * frame length come from the CODEC's header parse, and the decoded
+    * PCM samples are checksummed, so hash equality against the
+    * closed-form oracle proves a genuine lossless container round-trip
+    * (not header trust). */
+  def qMultimodalAudioMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[AudioRow] = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), octet_length(col("text")).as("src_len"))
+      .as[(Long, Int)]
+      .mapPartitions(rows => rows.map { case (id, len) =>
+        AudioRow(id, len, AudioSynth.payloadFor(id, len))
+      })
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        val pcm = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          // little-endian signed 16-bit — as the codec declares it
+          sum += ((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1) << 8)).toShort.toLong
+          i += 1
+        }
+        AudioMeta(r.doc_id, r.src_len, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, n, sum, "javax.sound")
+      }
+    }.toDF()
+  }
+
   /** Batch metadata extraction over real binary media: synthesize
     * deterministic PNG/BMP/webp payloads (stage 1 — the "ingest" that
     * gives the corpus a genuine BinaryType column), then decode them
@@ -328,6 +404,7 @@ object Multimodal {
     "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_aspect_buckets" -> (qAspectBuckets _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_audio_meta" -> (qMultimodalAudioMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_patches" -> (qMultimodalPatches _),
     "q_multimodal_audio" -> (qMultimodalAudio _))
@@ -436,6 +513,24 @@ object Multimodal {
         |  CAST(px AS INTEGER) AS px, CAST(py AS INTEGER) AS py,
         |  md5(substring(text, CAST((py * gx + px) * 29 + 1 AS INTEGER), 29)) AS patch_hash
         |FROM grid, unnest(range(0, gy)) AS ty(py), unnest(range(0, gx)) AS tx(px)""".stripMargin,
+    // closed-form twin of the REAL javax.sound WAV round-trip: the
+    // engine synthesizes PCM from these formulas, writes a genuine RIFF
+    // container, decodes it back, and reports what the codec parsed —
+    // hash equality proves format fields AND samples round-tripped
+    "q_multimodal_audio_meta" ->
+      """WITH a AS (SELECT doc_id, octet_length(encode(text)) AS src_len
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |g AS (SELECT doc_id, CAST(src_len AS INTEGER) AS src_len,
+        |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS sample_rate,
+        |    64 + (src_len * 3) % 192 AS n
+        |  FROM a)
+        |SELECT doc_id, src_len, CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels, CAST(16 AS INTEGER) AS bits,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |    i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT) AS sample_checksum,
+        |  'javax.sound' AS decoder
+        |FROM g""".stripMargin,
     "q_multimodal_audio" ->
       """WITH a AS (
         |  SELECT doc_id, text,
