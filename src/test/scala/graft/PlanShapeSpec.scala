@@ -39,6 +39,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*(1)"))
   }
 
+  test("at-rest consumers scan the pair index, never the minhash pipeline") {
+    // a graph consumer's plan must contain a parquet scan of the at-rest
+    // index and NONE of the LSH pipeline's fingerprints — if a future
+    // edit silently reverts a consumer to recomputing signatures, this
+    // trips before the bench does
+    // the index reader itself is a bare parquet scan of the at-rest dir
+    val reader = operators.Dedup.pairsAtRest(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(reader.contains("graft-atrest") && reader.toLowerCase.contains("parquet"),
+      "pairsAtRest must be a parquet scan of the index directory")
+    try {
+      for (q <- Seq("q_graph_pagerank", "q_dedup_clusters", "q_graph_jaccard")) {
+        // consumers run their iterative phases eagerly, so the returned
+        // plan may read a cache/checkpoint — but NOTHING in it may be
+        // the signature pipeline (minhash/shingling fingerprints)
+        val p = try plan(q) finally CacheTracker.releaseAll()
+        assert(!p.contains("minhash_perms") && !p.contains("shingles3"),
+          s"$q must not re-run the signature pipeline")
+      }
+    } finally CacheTracker.releaseAll()
+  }
+
   test("native as-of join plans through AsOfJoinExec (custom strategy fires)") {
     val p = plan("q_asof_join_native")
     assert(p.contains("AsOfJoin"), s"custom exec missing from plan:\n${p.take(600)}")
