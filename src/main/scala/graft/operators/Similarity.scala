@@ -548,6 +548,37 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("cos_r").as("cosine"))
   }
 
+  /** ANN RECALL MATRIX — the cross-method eval a vector-store owner
+    * reads before picking an index: recall@5 of each approximate method
+    * (hyperplane LSH, IVF, SQ8 scalar quantization, PQ/ADC) against the
+    * brute-force cosine top-5 on the SAME query set, in one table with
+    * the returned-row count (methods may return fewer than 5 when
+    * probes miss). Each method keeps its own scale shape; the matrix
+    * itself is four semi-join counts against the broadcast-sized truth
+    * relation.
+    *
+    * Determinism: every method is individually hash-exact vs its
+    * oracle, so the overlap counts are exact integers and the oracle is
+    * literally the four method SQLs composed as CTEs. */
+  def qAnnRecallMatrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val truth = graft.CacheTracker.track(qSimTopK(s, d)
+      .select(col("q_id"), col("neighbor_id")).persist(StorageLevel.MEMORY_AND_DISK))
+    val nq = truth.select("q_id").distinct().count()
+    val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "lsh" -> (qSimAnnLsh _), "ivf" -> (qSimIvf _),
+      "sq8" -> (qSimSq8 _), "pq" -> (qSimPq _))
+    methods.map { case (name, f) =>
+      f(s, d).select(col("q_id"), col("neighbor_id"))
+        .join(truth.withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(lit(name).as("method"), lit(nq).as("n_queries"),
+          col("n_returned"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(5.0 * nq), 6).as("recall_at_5"))
+    }.reduce(_ unionByName _)
+  }
+
   /** IVF INDEX AT REST — the ANN face of the at-rest index family (next
     * to q_dedup_pairs_at_rest): a production vector store trains its
     * coarse quantizer once and persists BOTH artifacts — the tiny
@@ -1158,6 +1189,7 @@ object Similarity {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_at_rest" -> (qSimIvfAtRest _),
+    "q_ann_recall_matrix" -> (qAnnRecallMatrix _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
 
   // Shared DuckDB fragments. The hyperplane coefficients are an
@@ -1322,7 +1354,31 @@ object Similarity {
   val oracle: Map[String, String] = oracleBase +
     // the at-rest index search must answer byte-identically to the
     // train-inline form — same from-scratch oracle as q_sim_ivf
-    ("q_sim_ivf_at_rest" -> oracleBase("q_sim_ivf"))
+    ("q_sim_ivf_at_rest" -> oracleBase("q_sim_ivf")) +
+    // each method is individually hash-exact vs its oracle, so the
+    // recall matrix's oracle is literally those SQLs composed as CTEs
+    ("q_ann_recall_matrix" -> {
+      val o = oracleBase
+      s"""WITH truth AS (${o("q_sim_topk")}),
+         |m_lsh AS (${o("q_sim_ann_lsh")}),
+         |m_ivf AS (${o("q_sim_ivf")}),
+         |m_sq8 AS (${o("q_sim_sq8")}),
+         |m_pq AS (${o("q_sim_pq")}),
+         |nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_q FROM truth),
+         |u AS (
+         |  SELECT 'lsh' AS method, q_id, neighbor_id FROM m_lsh
+         |  UNION ALL SELECT 'ivf', q_id, neighbor_id FROM m_ivf
+         |  UNION ALL SELECT 'sq8', q_id, neighbor_id FROM m_sq8
+         |  UNION ALL SELECT 'pq', q_id, neighbor_id FROM m_pq),
+         |h AS (SELECT method, COUNT(*) AS n_returned,
+         |    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM u LEFT JOIN (SELECT DISTINCT q_id, neighbor_id FROM truth) t
+         |    ON u.q_id = t.q_id AND u.neighbor_id = t.neighbor_id
+         |  GROUP BY method)
+         |SELECT method, n_q AS n_queries, n_returned, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / (5.0 * n_q), 6) AS recall_at_5
+         |FROM h CROSS JOIN nq""".stripMargin
+    })
 
   private def oracleBase: Map[String, String] = Map(
     "q_emb_covariance" ->
