@@ -833,7 +833,45 @@ object Curation {
         (col("taken_tokens") < col("cap_tokens")).as("budget_bound"))
   }
 
+  /** QUALITY × DUPLICATION contingency — does failing the quality gate
+    * correlate with being a near-duplicate? The 2×2 readout (with
+    * per-cell χ² contributions, the q_chi2_contingency formula) that
+    * decides whether dedup and quality filtering are redundant or
+    * complementary stages — if low-quality docs were mostly dups, one
+    * stage could absorb the other; if independent, both earn their
+    * scan. Duplicate membership is read off the AT-REST pair index
+    * (never recomputed); the gate is the standing integer-exact
+    * stopword rule.
+    *
+    * Scale shape: one distinct over the pair endpoints, one left join
+    * onto the gated corpus, a 4-cell aggregate with broadcast
+    * marginals. */
+  def qQualityDupContingency(s: SparkSession, d: String): DataFrame = {
+    val p = Dedup.pairsAtRest(s, d)
+    val dupIds = p.select(col("a_id").as("doc_id"))
+      .unionByName(p.select(col("b_id").as("doc_id"))).distinct()
+    val base = graft.CacheTracker.track(gateFlags(Dedup.corpus(s, d))
+      .select(col("doc_id"), (col("pass_quality") && col("pass_lang")).as("pass"))
+      .join(dupIds.withColumn("dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("pass"), coalesce(col("dup"), lit(false)).as("is_dup"))
+      .persist())
+    val cells = base.groupBy("is_dup", "pass").agg(count(lit(1)).as("n_obs"))
+    val rowTot = base.groupBy("is_dup").agg(count(lit(1)).as("n_dup_margin"))
+    val colTot = base.groupBy("pass").agg(count(lit(1)).as("n_pass_margin"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    cells.join(broadcast(rowTot), "is_dup").join(broadcast(colTot), "pass")
+      .crossJoin(broadcast(tot))
+      .select(col("is_dup"), col("pass"), col("n_obs"),
+        col("n_dup_margin"), col("n_pass_margin"),
+        expr("round(CAST(n_dup_margin * n_pass_margin AS DOUBLE) / n_total, 6)")
+          .as("expected"),
+        expr("round(CAST(n_obs * n_total - n_dup_margin * n_pass_margin AS DOUBLE)" +
+          " * CAST(n_obs * n_total - n_dup_margin * n_pass_margin AS DOUBLE)" +
+          " / (CAST(n_total AS DOUBLE) * n_dup_margin * n_pass_margin), 6)").as("contrib"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_dup_contingency" -> (qQualityDupContingency _),
     "q_mix_greedy_quality" -> (qMixGreedyQuality _),
     "q_filter_attribution" -> (qFilterAttribution _),
     "q_dsir_resample" -> (qDsirResample _),
@@ -858,6 +896,32 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_quality_dup_contingency" -> {
+      val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
+      s"""WITH ${Dedup.lshJChain},
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT a_id AS doc_id FROM pairs UNION ALL SELECT b_id FROM pairs)),
+         |cw AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |flags AS (SELECT cw.doc_id,
+         |    (len(words) >= 20
+         |      AND len(list_filter(words, x -> x IN $stopList)) * 2 <= len(words)
+         |      AND len(list_filter(words, x -> x IN $stopList)) > 0) AS pass
+         |  FROM cw),
+         |base AS (SELECT pass, (d.doc_id IS NOT NULL) AS is_dup
+         |  FROM flags f LEFT JOIN dup d ON d.doc_id = f.doc_id),
+         |cells AS (SELECT is_dup, pass, COUNT(*) AS n_obs FROM base GROUP BY 1, 2),
+         |rt AS (SELECT is_dup, COUNT(*) AS n_dup_margin FROM base GROUP BY 1),
+         |ct AS (SELECT pass, COUNT(*) AS n_pass_margin FROM base GROUP BY 1),
+         |tt AS (SELECT COUNT(*) AS n_total FROM base)
+         |SELECT is_dup, pass, n_obs, n_dup_margin, n_pass_margin,
+         |  round(CAST(n_dup_margin * n_pass_margin AS DOUBLE) / n_total, 6) AS expected,
+         |  round(CAST(n_obs * n_total - n_dup_margin * n_pass_margin AS DOUBLE)
+         |    * CAST(n_obs * n_total - n_dup_margin * n_pass_margin AS DOUBLE)
+         |    / (CAST(n_total AS DOUBLE) * n_dup_margin * n_pass_margin), 6) AS contrib
+         |FROM cells JOIN rt USING (is_dup) JOIN ct USING (pass) CROSS JOIN tt""".stripMargin
+    },
     "q_mix_greedy_quality" -> {
       val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
       s"""WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),

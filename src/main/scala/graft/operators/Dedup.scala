@@ -1629,7 +1629,7 @@ object Dedup {
   // Shared CTE chain: derived corpus -> shingles -> MinHash signatures
   // -> banded candidates -> exact-Jaccard-scored pairs (`j`). Used by
   // both the pair query and the clustering query.
-  private val lshJChain: String =
+  private[operators] val lshJChain: String =
     s"""$corpusSql,
        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
        |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),

@@ -537,7 +537,7 @@ object Similarity {
   /** nprobe=2 IVF top-5 search over a (c_id, cid, ce) cell-assignment
     * relation — shared by the train-inline form and the at-rest index
     * reader. */
-  private def ivfSearch(cells: DataFrame, centLit: DataFrame, queries: DataFrame): DataFrame = {
+  private[graft] def ivfSearch(cells: DataFrame, centLit: DataFrame, queries: DataFrame): DataFrame = {
     val probes = assignCells(queries, centLit, 2)
       .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))

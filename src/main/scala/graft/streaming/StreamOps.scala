@@ -104,6 +104,34 @@ object StreamOps {
       } finally { cached.unpersist(); () }
     }.start()
 
+  /** STREAMING ANN query serving over the AT-REST IVF index — the
+    * vector-store serving shape: queries arrive as a stream of
+    * (vec_id, embedding) rows; each micro-batch loads nothing but the
+    * tiny centroid table and the cid-keyed cell parquet (both written
+    * once by the index build — q_sim_ivf_at_rest), assigns the batch's
+    * queries to their nprobe=2 cells, scans ONLY matching index
+    * partitions, and appends the per-query top-5 (tagged with the
+    * batch id). The standing corpus is never re-embedded, never
+    * re-clustered, never rescanned — each tick costs
+    * O(batch × probed cells). StreamingSpec proves the union of ticks
+    * equals the batch q_sim_ivf answer set exactly. */
+  def annQuerySink(queries: DataFrame, cellsDir: String, centsDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      val s = batch.sparkSession
+      graft.functions.VectorFunctions.register(s)
+      val q = batch.select(col("vec_id"), col("ce")).persist()
+      try {
+        if (!q.isEmpty) {
+          val cells = s.read.parquet(cellsDir)
+          val cents = s.read.parquet(centsDir)
+          graft.operators.Similarity.ivfSearch(cells, cents, q)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+      } finally { q.unpersist(); () }
+    }.start()
+
   /** STREAMING mixture-drift monitor — the per-ingest-tick face of
     * q_token_js_drift: each micro-batch of arriving (doc_id, text)
     * documents is scored by the Jensen–Shannon divergence of its

@@ -428,6 +428,37 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); server.close() }
   }
 
+  test("streaming ANN serving: ticked queries against the at-rest IVF index equal the batch answers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // build the at-rest index once (centroids + cell assignments)
+    operators.Similarity.qSimIvfAtRest(spark, sf).count()
+    CacheTracker.releaseAll()
+    val cellsDir = AtRest.dir(spark, sf, "ivf_cells", "embeddings").toString
+    val centsDir = AtRest.dir(spark, sf, "ivf_cents", "embeddings").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_annserve").toString + "/out"
+    // the standard query set, split across two ticks
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .collect().map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toSeq))
+    val (t0, t1) = queries.partition(_._1 % 40 == 0)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.annQuerySink(
+      in.toDF().toDF("vec_id", "ce"), cellsDir, centsDir, outDir)
+    try {
+      in.addData(t0.toSeq); q.processAllAvailable()
+      in.addData(t1.toSeq); q.processAllAvailable()
+      val cols = Seq("q_id", "rank", "neighbor_id", "cosine")
+      val streamed = spark.read.parquet(outDir).select(cols.head, cols.tail: _*)
+      val batch = operators.Similarity.qSimIvf(spark, sf).select(cols.head, cols.tail: _*)
+      try {
+        assert(streamed.exceptAll(batch).isEmpty, "streamed answers not in batch set")
+        assert(batch.exceptAll(streamed).isEmpty, "batch answers missing from stream")
+      } finally CacheTracker.releaseAll()
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: a one-source tick scores above a corpus-representative tick") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
