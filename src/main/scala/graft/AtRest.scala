@@ -12,12 +12,17 @@ import org.apache.spark.sql.SparkSession
   * The root is session-configurable (`graft.atrest.dir`; default
   * `target/graft-atrest` under the working directory — a disposable build
   * artifact, never the read-only data dir). Each index path embeds a
-  * FINGERPRINT of its source table's parquet parts (name/length/mtime),
-  * so a regenerated corpus at the same path can never serve a stale
-  * index, plus a code version so pipeline changes invalidate cleanly.
+  * FINGERPRINT of (a) its source table's parquet parts (name/length/
+  * mtime), so a regenerated corpus at the same path can never serve a
+  * stale index, and (b) the index's DERIVATION-PARAMETER string (shingle
+  * width, band geometry, jaccard threshold, quantizer config, on-disk
+  * layout…), so changing a pipeline constant invalidates its indexes
+  * automatically instead of relying on someone remembering to bump the
+  * shared code [[Version]].
   */
 object AtRest {
-  /** Bump to invalidate every at-rest index after a pipeline change. */
+  /** Bump to invalidate every at-rest index after a cross-cutting
+    * pipeline change not captured by an index's own params string. */
   val Version = 1
 
   def root(s: SparkSession): String =
@@ -25,8 +30,12 @@ object AtRest {
       new java.io.File(sys.props.getOrElse("user.dir", "."), "target/graft-atrest")
         .getAbsolutePath)
 
-  /** Index directory for (source dir, index name, source table). */
-  def dir(s: SparkSession, d: String, name: String, srcTable: String): java.io.File = {
+  /** Index directory for (source dir, index name, source table,
+    * derivation params). `params` names every constant the index content
+    * depends on — it is hashed into the directory fingerprint, so two
+    * indexes derived differently can never alias. */
+  def dir(s: SparkSession, d: String, name: String, srcTable: String,
+          params: String = ""): java.io.File = {
     val src = new java.io.File(d, s"$srcTable.parquet")
     val parts: Seq[java.io.File] =
       if (src.isDirectory)
@@ -34,10 +43,95 @@ object AtRest {
       else Seq(src)
     val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
     val md = java.security.MessageDigest.getInstance("MD5")
-    val fp = md.digest(s"$d|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val fp = md.digest(s"$d|$sig|$params".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     new java.io.File(root(s), s"${name}_v$Version/$fp")
   }
 
   /** A parquet write is complete iff Spark's _SUCCESS marker landed. */
   def isBuilt(dir: java.io.File): Boolean = new java.io.File(dir, "_SUCCESS").isFile
+
+  /** Garbage-collect STALE fingerprints of one index family: every
+    * sibling of `keep` under the same `<name>_v<Version>` parent is a
+    * build against a corpus/params generation that can no longer be
+    * requested (the fingerprint embeds source mtimes + params, and
+    * [[dir]] always resolves to the current generation), so it is dead
+    * weight — at 100 TB an un-GC'd index tree grows by a full index per
+    * corpus refresh. Returns the number of stale generations removed.
+    * Called by the build jobs after a successful write, so the invariant
+    * is "at most one live generation per index family + the one just
+    * built". */
+  def gcStale(keep: java.io.File): Int = {
+    val parent = keep.getParentFile
+    val stale = Option(parent.listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName != keep.getName))
+      .getOrElse(Nil)
+    stale.foreach(deleteRecursively)
+    stale.size
+  }
+
+  /** COMPACTION for streaming-appended index fragments: a foreachBatch
+    * maintenance sink appends one parquet fragment set per tick
+    * (StreamOps.pairIndexRefreshSink), so after days of minutes-cadence
+    * ticks the index is a small-files problem — thousands of KB-sized
+    * parts, each a task + a NameNode entry at cluster scale. Compaction
+    * rewrites the relation as `numFiles` sorted parts (sorting by the
+    * index key makes the rewritten parts range-clustered, so min/max
+    * parquet stats prune reads), atomically swaps it in place via
+    * rename, and leaves content byte-identical (AtRestSpec proves
+    * exceptAll-equality both ways and the bounded file count). */
+  def compact(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit = {
+    val tmp = dir + ".compact-tmp"
+    val old = new java.io.File(dir)
+    import org.apache.spark.sql.functions.col
+    s.read.parquet(dir)
+      .repartition(numFiles)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp)
+    val bak = new java.io.File(dir + ".compact-old")
+    if (!old.renameTo(bak))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!new java.io.File(tmp).renameTo(old)) {
+      bak.renameTo(old) // roll back — leave the index serving
+      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
+    }
+    deleteRecursively(bak)
+  }
+
+  /** Compaction for the STREAMING tick trees (`batch_id=<id>` Hive
+    * partitions appended by pairIndexRefreshSink / annQuerySink /
+    * driftMonitorSink): folds every existing tick partition into ONE
+    * `batch_id=-1` history partition of `numFiles` key-sorted files,
+    * preserving the Hive layout so later ticks keep appending their own
+    * positive-id subdirectories and readers see one consistent
+    * partitioned relation throughout. Run between ticks (or on the
+    * maintenance cadence a production table service schedules) — the
+    * per-tick rewrite-own-subdir idempotency contract applies only to
+    * the in-flight batch, never to compacted history. Data columns are
+    * byte-identical before/after; only the batch_id provenance of
+    * compacted history collapses to -1 (AtRestSpec proves both). */
+  def compactTicks(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = dir + ".compact-tmp"
+    val old = new java.io.File(dir)
+    s.read.parquet(dir)
+      .drop("batch_id")
+      .repartition(numFiles)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+    val bak = new java.io.File(dir + ".compact-old")
+    if (!old.renameTo(bak))
+      throw new java.io.IOException(s"compactTicks: cannot move $dir aside")
+    if (!new java.io.File(tmp).renameTo(old)) {
+      bak.renameTo(old)
+      throw new java.io.IOException(s"compactTicks: cannot swap $tmp into place")
+    }
+    deleteRecursively(bak)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 }

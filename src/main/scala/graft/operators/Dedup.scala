@@ -173,10 +173,15 @@ object Dedup {
 
   // Index locations + fingerprinting live in [[graft.AtRest]] (shared
   // with the similarity module's ANN index).
+  /** Every constant the signature/pair index content depends on —
+    * hashed into the AtRest fingerprint so a threshold or band-geometry
+    * change auto-invalidates the indexes. */
+  private[graft] val LshIndexParams =
+    "shingle=3,perms=16,bands=4x4,jaccard>=0.5,inject=corpus-v1"
   private def pairsAtRestDir(s: SparkSession, d: String): java.io.File =
-    graft.AtRest.dir(s, d, "lsh_pairs", "documents")
+    graft.AtRest.dir(s, d, "lsh_pairs", "documents", LshIndexParams)
   private def sigsAtRestDir(s: SparkSession, d: String): java.io.File =
-    graft.AtRest.dir(s, d, "lsh_sigs", "documents")
+    graft.AtRest.dir(s, d, "lsh_sigs", "documents", LshIndexParams)
 
   /** The at-rest SIGNATURE index (doc_id, sig, sset) — the layer below
     * the pair index: minhash signatures and distinct shingle sets are
@@ -190,6 +195,7 @@ object Dedup {
   private[graft] def buildSigsAtRest(s: SparkSession, d: String): String = {
     val dir = sigsAtRestDir(s, d)
     sigRelation(corpus(s, d)).write.mode("overwrite").parquet(dir.toString)
+    graft.AtRest.gcStale(dir)
     dir.toString
   }
 
@@ -213,6 +219,7 @@ object Dedup {
   private[graft] def buildPairsAtRest(s: SparkSession, d: String): String = {
     val dir = pairsAtRestDir(s, d)
     lshPairsFrom(sigsAtRest(s, d)).write.mode("overwrite").parquet(dir.toString)
+    graft.AtRest.gcStale(dir)
     dir.toString
   }
 

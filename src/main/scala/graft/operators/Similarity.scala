@@ -536,12 +536,27 @@ object Similarity {
 
   /** nprobe=2 IVF top-5 search over a (c_id, cid, ce) cell-assignment
     * relation — shared by the train-inline form and the at-rest index
-    * reader. */
+    * reader.
+    *
+    * The probed-cell set (≤ 2·|queries| values, in practice ≤ k=8 after
+    * distinct) is collected and pushed down as a LITERAL `cid IN (…)`
+    * predicate on the cell relation BEFORE the join: against the at-rest
+    * index — parquet partitioned by `cid` on disk — this lands in the
+    * scan's PartitionFilters, so a search (and each streaming
+    * annQuerySink tick) reads ONLY the probed cells' files instead of
+    * scanning the whole index; against the train-inline cached relation
+    * it is an ordinary pushed filter. Collecting the cid set is one tiny
+    * extra job over the query batch (queries × k broadcast argmin) —
+    * nothing corpus-sized. PlanShapeSpec asserts the PartitionFilters
+    * are present on the at-rest path. */
   private[graft] def ivfSearch(cells: DataFrame, centLit: DataFrame, queries: DataFrame): DataFrame = {
     val probes = assignCells(queries, centLit, 2)
       .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
+    val probedCids = probes.select("cid").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
-    cells.join(broadcast(probes), Seq("cid")).filter(col("q_id") =!= col("c_id"))
+    cells.filter(col("cid").isin(probedCids.map(Int.box): _*))
+      .join(broadcast(probes), Seq("cid")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos_r", expr(cosExpr))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -594,15 +609,16 @@ object Similarity {
     * is exact; ranking ties break on c_id).
     *
     * Scale shape: identical to q_sim_ivf's search phase, plus two
-    * writes; at 100 TB the assignment relation would additionally be
-    * partitioned BY cid on disk so a probe reads only its cells'
-    * files — partition pruning at the storage layer, which Spark's
-    * partitionBy write gives for free (elided here: the corpus is one
-    * file and the driver's reader compares whole relations). */
+    * writes — and the assignment relation is PARTITIONED BY cid on
+    * disk (`.partitionBy("cid")`, FAISS's inverted-list files), so the
+    * probed-cell predicate ivfSearch pushes down becomes a storage-layer
+    * PartitionFilter: a search session — batch or a streaming
+    * annQuerySink tick — opens only its probed cells' files, the
+    * O(batch × probed cells) contract the at-rest design exists for.
+    * PlanShapeSpec asserts the pruned scan shape. */
   def qSimIvfAtRest(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val cellsDir = graft.AtRest.dir(s, d, "ivf_cells", "embeddings")
-    val centsDir = graft.AtRest.dir(s, d, "ivf_cents", "embeddings")
+    val (cellsDir, centsDir) = ivfIndexDirs(s, d)
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -610,12 +626,26 @@ object Similarity {
     centLit.write.mode("overwrite").parquet(centsDir.toString)
     assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
-      .write.mode("overwrite").parquet(cellsDir.toString)
+      .write.partitionBy("cid").mode("overwrite").parquet(cellsDir.toString)
+    graft.AtRest.gcStale(cellsDir); graft.AtRest.gcStale(centsDir)
     // ---- search session: everything below reads the index from disk
     val centsAtRest = s.read.parquet(centsDir.toString)
     val cellsAtRest = s.read.parquet(cellsDir.toString)
     ivfSearch(cellsAtRest, centsAtRest, e.filter(col("vec_id") % 20 === 0))
   }
+
+  /** Every constant the IVF index content/layout depends on — hashed
+    * into the AtRest fingerprint so changing any of them (or the
+    * on-disk layout) auto-invalidates the index. */
+  private[graft] val IvfIndexParams =
+    "k=8,lloyd=2,sample=mod8,seed=lowest-k,metric=cosine-r6,layout=partitionBy(cid)"
+
+  /** (cells, cents) at-rest directories for the IVF index — shared with
+    * the streaming serving spec so builder and server can never
+    * disagree on the index location. */
+  private[graft] def ivfIndexDirs(s: SparkSession, d: String): (java.io.File, java.io.File) =
+    (graft.AtRest.dir(s, d, "ivf_cells", "embeddings", IvfIndexParams),
+     graft.AtRest.dir(s, d, "ivf_cents", "embeddings", IvfIndexParams))
 
   /** Product quantization (PQ) — the third classic ANN path next to
     * hyperplane LSH and IVF: 64 dims split into 8 subvectors of 8, each

@@ -110,27 +110,44 @@ object StreamOps {
     * tiny centroid table and the cid-keyed cell parquet (both written
     * once by the index build — q_sim_ivf_at_rest), assigns the batch's
     * queries to their nprobe=2 cells, scans ONLY matching index
-    * partitions, and appends the per-query top-5 (tagged with the
+    * partitions (the index is written `partitionBy("cid")` and
+    * ivfSearch pushes the probed-cid set as a literal predicate, so the
+    * tick's parquet scan carries PartitionFilters — PlanShapeSpec
+    * asserts it), and appends the per-query top-5 (tagged with the
     * batch id). The standing corpus is never re-embedded, never
     * re-clustered, never rescanned — each tick costs
     * O(batch × probed cells). StreamingSpec proves the union of ticks
-    * equals the batch q_sim_ivf answer set exactly. */
+    * equals the batch q_sim_ivf answer set exactly.
+    *
+    * Delivery: foreachBatch is at-least-once, so the append is made
+    * IDEMPOTENT per micro-batch — each tick writes to a
+    * `batch_id=<id>` subdirectory and a replayed batch OVERWRITES its
+    * own directory instead of double-appending (the readers glob the
+    * directory tree, and `batch_id` is recovered from the partition
+    * path). */
   def annQuerySink(queries: DataFrame, cellsDir: String, centsDir: String, outDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-      val s = batch.sparkSession
-      graft.functions.VectorFunctions.register(s)
-      val q = batch.select(col("vec_id"), col("ce")).persist()
-      try {
-        if (!q.isEmpty) {
-          val cells = s.read.parquet(cellsDir)
-          val cents = s.read.parquet(centsDir)
-          graft.operators.Similarity.ivfSearch(cells, cents, q)
-            .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(outDir)
-        }
-      } finally { q.unpersist(); () }
+      annQueryTick(batch, id, cellsDir, centsDir, outDir)
     }.start()
+
+  /** One ANN-serving tick — the foreachBatch body, exposed so
+    * StreamingSpec can re-invoke a batch id verbatim and prove the
+    * replay leaves the output tree unchanged. */
+  private[graft] def annQueryTick(batch: DataFrame, id: Long,
+      cellsDir: String, centsDir: String, outDir: String): Unit = {
+    val s = batch.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    val q = batch.select(col("vec_id"), col("ce")).persist()
+    try {
+      if (!q.isEmpty) {
+        val cells = s.read.parquet(cellsDir)
+        val cents = s.read.parquet(centsDir)
+        graft.operators.Similarity.ivfSearch(cells, cents, q)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+    } finally { q.unpersist(); () }
+  }
 
   /** STREAMING mixture-drift monitor — the per-ingest-tick face of
     * q_token_js_drift: each micro-batch of arriving (doc_id, text)
@@ -148,9 +165,18 @@ object StreamOps {
     * Scale shape per tick: one token explode over the BATCH only, a
     * 1024-group count, a broadcast-sized join against the 1024-row
     * profile, one appended row. The standing corpus is never
-    * rescanned. */
+    * rescanned.
+    *
+    * Delivery: idempotent per micro-batch — each tick OVERWRITES its
+    * own `batch_id=<id>` subdirectory, so an at-least-once foreachBatch
+    * replay cannot double-append a tick row. A missing profile fails
+    * fast HERE (at sink creation), not inside the running stream; an
+    * empty profile skips the tick (no denominator to compare against)
+    * instead of NPE-ing the query. */
   def driftMonitorSink(docs: DataFrame, profileDir: String, outDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(graft.AtRest.isBuilt(new java.io.File(profileDir)),
+      s"drift monitor needs a built corpus profile at $profileDir")
     docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
       val s = batch.sparkSession
       val toks = batch
@@ -159,9 +185,9 @@ object StreamOps {
         .select("b").persist()
       try {
         val tp = toks.count()
-        if (tp > 0) {
-          val prof = s.read.parquet(profileDir)
-          val tq = prof.agg(sum("c_q").cast("long")).head.getLong(0)
+        val prof = s.read.parquet(profileDir)
+        val tq = prof.agg(coalesce(sum("c_q"), lit(0L)).cast("long")).head.getLong(0)
+        if (tp > 0 && tq > 0) {
           val grid = s.range(1024).select(col("id").as("b"))
           grid
             .join(toks.groupBy("b").agg(count(lit(1)).as("c_p")), Seq("b"), "left")
@@ -174,12 +200,13 @@ object StreamOps {
             .withColumn("cfp", expr(
               "CAST(floor((0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)) * 1e12) AS BIGINT)"))
             .agg(sum("cfp").as("js_fp"))
-            .select(lit(id).as("batch_id"), lit(tp).as("n_tokens"),
+            .select(lit(tp).as("n_tokens"),
               col("js_fp"), round(col("js_fp") / lit(1e12), 6).as("js"))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
         }
       } finally { toks.unpersist(); () }
     }.start()
+  }
 
   /** STREAMING maintenance of the at-rest near-dup PAIR INDEX — the
     * production ingest tick q_dedup_pairs_incremental models, driven by
@@ -203,34 +230,55 @@ object StreamOps {
     * State lives entirely in the two on-disk indexes: the stream holds
     * no executor state, survives restarts, and each tick costs
     * O(arrivals × band matches) — the minutes-not-nightly refresh shape
-    * at 100 TB. */
+    * at 100 TB.
+    *
+    * Delivery: foreachBatch is at-least-once, so BOTH appends are made
+    * idempotent per micro-batch — each tick OVERWRITES its own
+    * `batch_id=<id>` subdirectory of the sig/pair index trees, and the
+    * standing-index read excludes the current batch's own subdirectory
+    * (a partition-pruned filter), so a replayed batch sees exactly the
+    * state its first attempt saw and rewrites exactly the same rows.
+    * A restart/retry between the two writes therefore cannot
+    * double-append (StreamingSpec replays a batch mid-stream to prove
+    * it). Index readers glob the tree; [[graft.AtRest.compactTicks]]
+    * folds accumulated tick fragments into a bounded file count. */
   def pairIndexRefreshSink(docs: DataFrame, sigsDir: String, pairsDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-      import graft.operators.Dedup
-      val s = batch.sparkSession
-      val newSigs = Dedup.sigRelation(batch).persist()
-      try {
-        if (newSigs.isEmpty) ()
-        else {
-          val standing =
-            if (new java.io.File(sigsDir).isDirectory)
-              Some(s.read.parquet(sigsDir)) else None
-          val all = standing.map(_.unionByName(newSigs)).getOrElse(newSigs)
-          val newBands = Dedup.bandsOf(newSigs)
-            .withColumnRenamed("doc_id", "y_id")
-          val cand = Dedup.bandsOf(all).as("x")
-            .join(newBands.as("y"),
-              col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_hash") === col("y.band_hash") &&
-              col("x.doc_id") =!= col("y_id"))
-            .select(least(col("x.doc_id"), col("y_id")).as("a_id"),
-              greatest(col("x.doc_id"), col("y_id")).as("b_id"))
-            .distinct()
-          Dedup.verifiedPairs(cand, all)
-            .write.mode("append").parquet(pairsDir)
-          newSigs.write.mode("append").parquet(sigsDir)
-        }
-      } finally { newSigs.unpersist(); () }
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      pairIndexRefreshTick(batch, id, sigsDir, pairsDir)
     }.start()
+
+  /** One pair-index maintenance tick — the foreachBatch body, exposed
+    * so StreamingSpec can re-invoke a batch id verbatim (the
+    * at-least-once replay) and prove the index trees are unchanged. */
+  private[graft] def pairIndexRefreshTick(batch: DataFrame, id: Long,
+      sigsDir: String, pairsDir: String): Unit = {
+    import graft.operators.Dedup
+    val s = batch.sparkSession
+    val newSigs = Dedup.sigRelation(batch).persist()
+    try {
+      if (newSigs.isEmpty) ()
+      else {
+        val standing =
+          if (new java.io.File(sigsDir).isDirectory)
+            Some(s.read.parquet(sigsDir)
+              .filter(col("batch_id") =!= id).drop("batch_id"))
+          else None
+        val all = standing.map(_.unionByName(newSigs)).getOrElse(newSigs)
+        val newBands = Dedup.bandsOf(newSigs)
+          .withColumnRenamed("doc_id", "y_id")
+        val cand = Dedup.bandsOf(all).as("x")
+          .join(newBands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") =!= col("y_id"))
+          .select(least(col("x.doc_id"), col("y_id")).as("a_id"),
+            greatest(col("x.doc_id"), col("y_id")).as("b_id"))
+          .distinct()
+        Dedup.verifiedPairs(cand, all)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$id")
+        newSigs.write.mode("overwrite").parquet(s"$sigsDir/batch_id=$id")
+      }
+    } finally { newSigs.unpersist(); () }
+  }
 }

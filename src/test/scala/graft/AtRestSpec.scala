@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Lifecycle management of the at-rest index family: compaction of
+  * streaming-appended tick fragments (bounded file counts, byte-identical
+  * content) and garbage collection of stale fingerprint generations —
+  * without these, the minutes-cadence refresh sinks turn the index trees
+  * into a small-files problem within days at production rates, and every
+  * corpus regeneration leaks a dead index generation forever. */
+class AtRestSpec extends SparkSpec {
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(dir)
+  }
+
+  test("compact: rewrites a fragmented index to a bounded file count, content byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/idx"
+    // a fragmented index: 16 shuffle partitions → 16 small files
+    (1L to 5000L).map(i => (i, i % 97, s"p$i")).toDF("a_id", "b_id", "payload")
+      .repartition(16).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().toSet
+    assert(parquetFiles(new java.io.File(dir)).size >= 8, "precondition: fragmented")
+    AtRest.compact(spark, dir, Seq("a_id", "b_id"), numFiles = 3)
+    val after = spark.read.parquet(dir)
+    assert(parquetFiles(new java.io.File(dir)).size <= 3, "file count not bounded")
+    assert(after.collect().toSet == before, "compaction changed content")
+    assert(!new java.io.File(dir + ".compact-tmp").exists &&
+      !new java.io.File(dir + ".compact-old").exists, "temp dirs must be cleaned up")
+  }
+
+  test("compactTicks: folds batch_id tick partitions into history; later ticks keep appending") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cticks").toString + "/pairs"
+    // simulate three maintenance ticks of a streaming index
+    for (id <- 0 to 2)
+      (1L to 400L).map(i => (id * 1000L + i, i % 7)).toDF("a_id", "b_id")
+        .write.mode("overwrite").parquet(s"$dir/batch_id=$id")
+    val before = spark.read.parquet(dir).select("a_id", "b_id").collect().toSet
+    assert(parquetFiles(new java.io.File(dir)).size >= 6, "precondition: one fragment set per tick")
+    AtRest.compactTicks(spark, dir, Seq("a_id", "b_id"), numFiles = 2)
+    assert(parquetFiles(new java.io.File(dir)).size <= 2, "tick fragments not folded")
+    val compacted = spark.read.parquet(dir)
+    assert(compacted.select("a_id", "b_id").collect().toSet == before,
+      "compaction changed data columns")
+    // (partition-type inference reads batch_id=-1 back as int)
+    assert(compacted.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(-1L),
+      "compacted history must carry the batch_id=-1 sentinel")
+    // the stream resumes: a new tick appends its own subdirectory and
+    // readers see one consistent partitioned relation
+    Seq((9001L, 3L)).toDF("a_id", "b_id").write.parquet(s"$dir/batch_id=3")
+    val resumed = spark.read.parquet(dir)
+    assert(resumed.count() == before.size + 1L, "post-compaction tick append lost rows")
+    assert(resumed.filter(col("batch_id") === 3L).count() == 1L)
+  }
+
+  test("gcStale: removes dead fingerprint generations, keeps the live one") {
+    import spark.implicits._
+    val fam = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_gc").toFile, "idx_v1")
+    val live = new java.io.File(fam, "aaaa1111aaaa1111")
+    Seq((1L, "x")).toDF("id", "v").write.parquet(live.toString)
+    // two dead generations from prior corpus/params fingerprints
+    for (g <- Seq("bbbb2222bbbb2222", "cccc3333cccc3333")) {
+      Seq((2L, "y")).toDF("id", "v")
+        .write.parquet(new java.io.File(fam, g).toString)
+    }
+    assert(AtRest.gcStale(live) == 2)
+    val left = fam.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(left == Seq("aaaa1111aaaa1111"), s"survivors: $left")
+    assert(spark.read.parquet(live.toString).count() == 1L, "live generation must survive intact")
+  }
+
+  test("derivation params are part of the fingerprint: changed params resolve to a fresh dir") {
+    val a = AtRest.dir(spark, sf, "spec_idx", "documents", "shingle=3,jaccard>=0.5")
+    val b = AtRest.dir(spark, sf, "spec_idx", "documents", "shingle=3,jaccard>=0.6")
+    val c = AtRest.dir(spark, sf, "spec_idx", "documents", "shingle=3,jaccard>=0.5")
+    assert(a.getName != b.getName, "different params must not alias one index dir")
+    assert(a == c, "same params must resolve to the same dir")
+    assert(a.getParentFile == b.getParentFile, "same family parent for GC scope")
+  }
+}

@@ -420,4 +420,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!js.contains("SortMergeJoin"),
       s"sketch inner product must stay on tiny relations:\n${js.take(600)}")
   }
+
+  test("at-rest IVF search prunes to the probed cells (PartitionFilters on the cid-keyed index)") {
+    // the cell index is written partitionBy("cid") and ivfSearch pushes
+    // the probed-cid set as a literal predicate — the serving contract
+    // "a tick reads ONLY its probed cells' files" holds only if that
+    // predicate lands in the scan's PartitionFilters, not a post-scan
+    // Filter. This is the guard for q_sim_ivf_at_rest AND the streaming
+    // annQuerySink (same ivfSearch over the same index).
+    val df = operators.Similarity.qSimIvfAtRest(spark, sf)
+    val p = try df.queryExecution.executedPlan.toString
+      finally CacheTracker.releaseAll()
+    val partFilters = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(p).toList
+    assert(partFilters.exists(f => f.contains("cid") && f.contains("IN")),
+      s"probed-cid IN predicate must be a PartitionFilter on the cell scan:\n" +
+        partFilters.mkString("\n") + "\n" + p.take(1200))
+    // and the index really is laid out as cid=<n> partition directories
+    val (cellsDir, _) = operators.Similarity.ivfIndexDirs(spark, sf)
+    val cellParts = Option(cellsDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(cellParts.length >= 2,
+      s"cell index must be hive-partitioned by cid, found: ${cellsDir.listFiles().map(_.getName).mkString(",")}")
+  }
 }

@@ -434,8 +434,8 @@ class StreamingSpec extends SparkSpec {
     // build the at-rest index once (centroids + cell assignments)
     operators.Similarity.qSimIvfAtRest(spark, sf).count()
     CacheTracker.releaseAll()
-    val cellsDir = AtRest.dir(spark, sf, "ivf_cells", "embeddings").toString
-    val centsDir = AtRest.dir(spark, sf, "ivf_cents", "embeddings").toString
+    val (cellsF, centsF) = operators.Similarity.ivfIndexDirs(spark, sf)
+    val (cellsDir, centsDir) = (cellsF.toString, centsF.toString)
     val outDir = java.nio.file.Files.createTempDirectory("graft_annserve").toString + "/out"
     // the standard query set, split across two ticks
     val queries = Tables.embeddings(spark, sf)
@@ -455,6 +455,15 @@ class StreamingSpec extends SparkSpec {
       try {
         assert(streamed.exceptAll(batch).isEmpty, "streamed answers not in batch set")
         assert(batch.exceptAll(streamed).isEmpty, "batch answers missing from stream")
+        val nBefore = streamed.count()
+        // at-least-once REPLAY of the second tick: the overwrite-own-
+        // subdir contract must leave the answer tree unchanged
+        StreamOps.annQueryTick(
+          t1.toSeq.toDF("vec_id", "ce"), 1L, cellsDir, centsDir, outDir)
+        val replayed = spark.read.parquet(outDir).select(cols.head, cols.tail: _*)
+        assert(replayed.count() == nBefore, "replayed ANN tick changed the answer count")
+        assert(replayed.exceptAll(batch).isEmpty && batch.exceptAll(replayed).isEmpty,
+          "replayed ANN tick changed the answers")
       } finally CacheTracker.releaseAll()
     } finally q.stop()
   }
@@ -520,6 +529,19 @@ class StreamingSpec extends SparkSpec {
           streamed.select("a_id", "b_id").distinct().count(), "duplicate emissions")
         assert(streamed.exceptAll(batch).isEmpty, "streamed pairs not in batch set")
         assert(batch.exceptAll(streamed).isEmpty, "batch pairs missing from streamed index")
+        val nBefore = streamed.count()
+        // at-least-once REPLAY: re-invoke the last tick verbatim (the
+        // retry foreachBatch can deliver after a crash between the two
+        // index writes) — rewrite-own-subdir idempotency must leave
+        // both index trees semantically unchanged, not double-append
+        StreamOps.pairIndexRefreshTick(
+          batches(2).toSeq.toDF("doc_id", "text"), 2L, sigsDir, pairsDir)
+        val replayed = spark.read.parquet(pairsDir).select(cols.head, cols.tail: _*)
+        assert(replayed.count() == nBefore, "replayed tick changed the pair count")
+        assert(replayed.exceptAll(batch).isEmpty && batch.exceptAll(replayed).isEmpty,
+          "replayed tick changed the pair index content")
+        val sigCount = spark.read.parquet(sigsDir).count()
+        assert(sigCount == corpus.length.toLong, "replayed tick duplicated signatures")
       } finally CacheTracker.releaseAll()
     } finally q.stop()
   }
