@@ -106,10 +106,17 @@ object Bench {
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(_.getCollectionTime).sum
       }
+      // Janino compilations since JVM start — the codegen-cache MISS
+      // counter: a query whose reps keep compiling in-suite (cache
+      // evictions from neighbors) but not solo is inflated by codegen,
+      // not by its plan. Always-on (MXBean/metric reads are ~free) so a
+      // driver-host BENCH run self-attributes without a builder re-time.
+      def compileN: Long =
+        org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
       val runs = (1 to REPS).map { rep =>
         waitQuiesce()
         val sh0 = shuffleBytes.get; val sp0 = spillBytes.get
-        val gc0 = if (debug) gcMs else 0L
+        val gc0 = gcMs; val cn0 = compileN
         val t0 = System.nanoTime()
         val secs =
           try { materialize(fn); (System.nanoTime() - t0) / 1e9 }
@@ -121,15 +128,17 @@ object Bench {
           // clock stopped — now release builder-persisted intermediates
           // (and pay any blocking-unpersist cost) outside the measurement
           finally CacheTracker.releaseAll()
+        val gcD = gcMs - gc0; val cnD = compileN - cn0
         if (debug) System.err.println(
-          f"BENCHDBG $name rep$rep ${secs}%.3fs gc=${gcMs - gc0}ms")
+          f"BENCHDBG $name rep$rep ${secs}%.3fs gc=${gcD}ms compiles=$cnD")
         waitQuiesce()
-        (secs, shuffleBytes.get - sh0, spillBytes.get - sp0)
+        (secs, shuffleBytes.get - sh0, spillBytes.get - sp0, gcD, cnD)
       }
       def medianD(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       def medianL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
-      if (runs.exists(_._1 < 0)) (name, -1.0, 0L, 0L)
-      else (name, medianD(runs.map(_._1)), medianL(runs.map(_._2)), medianL(runs.map(_._3)))
+      if (runs.exists(_._1 < 0)) (name, -1.0, 0L, 0L, 0L, 0L)
+      else (name, medianD(runs.map(_._1)), medianL(runs.map(_._2)), medianL(runs.map(_._3)),
+        runs.map(_._4).sum, runs.map(_._5).sum)
     }.toSeq
     val total = results.map(_._2).filter(_ >= 0).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
@@ -139,7 +148,7 @@ object Bench {
     val sorted = results.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
-    sorted.foreach { case (k, v, _, _) =>
+    sorted.foreach { case (k, v, _, _, _, _) =>
       val piece = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
       if (sb.length + piece.length <= 1150) { sb.append(piece); kept += 1 }
     }
@@ -147,9 +156,16 @@ object Bench {
     // scale signature of the slowest queries: [shuffle_kb, spill_kb]
     // (KB keeps the line comfortably under the driver's tail capture)
     val shuf = sorted.take(10)
-      .map { case (k, _, sh, sp) => "\"" + k + "\":[" + sh / 1024 + "," + sp / 1024 + "]" }
+      .map { case (k, _, sh, sp, _, _) => "\"" + k + "\":[" + sh / 1024 + "," + sp / 1024 + "]" }
       .mkString(",")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
+    // environment attribution for the slowest queries: [gc_ms, janino
+    // compilations] summed over the reps — a row that is slow WITH high
+    // gc/compile counts is environment-inflated (collector pressure /
+    // codegen-cache eviction), one without them is intrinsically slow.
+    val diag = sorted.take(10)
+      .map { case (k, _, _, _, gc, cn) => "\"" + k + "\":[" + gc + "," + cn + "]" }
+      .mkString(",")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

@@ -950,6 +950,64 @@ object Dedup {
         coalesce(col("n"), lit(0L)).as("n_pair_rows"))
   }
 
+  /** TAKEDOWN PURGE with verification — the execute-and-prove half of
+    * the GDPR contract [[qTakedownClosure]] only *plans*: delete every
+    * pair touching the takedown closure from the at-rest pair index
+    * (written as a fresh `lsh_pairs_redacted` generation — the real
+    * index-purge workload, not a view), then PROVE the purged index
+    * equals the index REBUILT FROM SCRATCH on the redacted corpus —
+    * exceptAll in both directions plus the three counts. Equality is
+    * the non-obvious guarantee a DPO needs: pair derivation is per-pair
+    * local (signatures are per-document, candidates per-band), so
+    * removing documents removes exactly their pairs and can never
+    * create or alter a surviving pair — the purge is a complete erasure
+    * with NO rebuild required. The oracle asserts that identity
+    * independently (purged = restriction of the pair chain), so hash
+    * equality proves Spark's real rebuild converged to it.
+    *
+    * Scale shape: the closure and purge are joins against the at-rest
+    * index (anti-join on the broadcast-sized takedown set); the
+    * from-scratch rebuild is the VERIFICATION cost, paid only by this
+    * audit — production purges ship just the anti-join rewrite. */
+  def qTakedownPurge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val t = graft.CacheTracker.track(qTakedownClosure(s, d).select("doc_id").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val pairs = graft.CacheTracker.track(
+      pairsAtRest(s, d)
+        .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"), col("jaccard"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val purged = pairs
+      .join(broadcast(t.withColumnRenamed("doc_id", "a_id")), Seq("a_id"), "left_anti")
+      .join(broadcast(t.withColumnRenamed("doc_id", "b_id")), Seq("b_id"), "left_anti")
+      .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
+    val dir = graft.AtRest.dir(s, d, "lsh_pairs_redacted", "documents", LshIndexParams)
+    purged.write.mode("overwrite").parquet(dir.toString)
+    graft.AtRest.gcStale(dir)
+    val purgedAtRest = s.read.parquet(dir.toString)
+      .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
+    val redacted = corpus(s, d).join(broadcast(t), Seq("doc_id"), "left_anti")
+    val redSigs = graft.CacheTracker.track(
+      sigRelation(redacted).persist(StorageLevel.MEMORY_AND_DISK))
+    val rebuilt = graft.CacheTracker.track(
+      lshPairsFrom(redSigs)
+        .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    rebuilt.count() // one materialization before the 3-way compare fan-out
+    t.agg(count(lit(1)).as("n_docs_purged"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs_before")))
+      .crossJoin(purgedAtRest.agg(count(lit(1)).as("n_pairs_after")))
+      .crossJoin(rebuilt.agg(count(lit(1)).as("n_rebuilt")))
+      .crossJoin(purgedAtRest.exceptAll(rebuilt).agg(count(lit(1)).as("n_only_purged")))
+      .crossJoin(rebuilt.exceptAll(purgedAtRest).agg(count(lit(1)).as("n_only_rebuilt")))
+      .select(col("n_docs_purged"), col("n_pairs_before"),
+        (col("n_pairs_before") - col("n_pairs_after")).as("n_pairs_purged"),
+        col("n_pairs_after"), col("n_rebuilt"),
+        col("n_only_purged"), col("n_only_rebuilt"),
+        (col("n_only_purged") === 0 && col("n_only_rebuilt") === 0 &&
+          col("n_pairs_after") === col("n_rebuilt")).as("purge_exact"))
+  }
+
   /** Pair-counting evaluation of the duplicate CLUSTERING against the
     * injected ground truth — the Rand-family contingency computation
     * (pair precision / recall / F1) that turns "we clustered" into a
@@ -1597,6 +1655,7 @@ object Dedup {
     "q_cross_source_dup" -> (qCrossSourceDup _),
     "q_lsh_band_sweep" -> (qLshBandSweep _),
     "q_takedown_closure" -> (qTakedownClosure _),
+    "q_takedown_purge" -> (qTakedownPurge _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -2034,6 +2093,42 @@ object Dedup {
          |  CASE WHEN a.doc_id % 97 = 0 THEN 'seed' ELSE 'cluster_member' END AS reason,
          |  COALESCE(n, 0) AS n_pair_rows
          |FROM aff a LEFT JOIN deg ON deg.id = a.doc_id""".stripMargin,
+    // the oracle asserts the locality IDENTITY (pairs of the redacted
+    // corpus = restriction of the full pair set to surviving endpoints);
+    // Spark performs the REAL from-scratch rebuild on the redacted
+    // corpus, so hash equality proves the purge is a complete erasure
+    "q_takedown_purge" ->
+      s"""WITH RECURSIVE $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |edges AS (
+         |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |seeds AS (SELECT doc_id FROM corpus WHERE doc_id % 97 = 0),
+         |sc AS (SELECT DISTINCT cluster_id FROM labels l JOIN seeds s ON l.id = s.doc_id),
+         |tset AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT id AS doc_id FROM labels JOIN sc USING (cluster_id)
+         |  UNION ALL SELECT doc_id FROM seeds) u),
+         |purged AS (SELECT a_id, b_id FROM pairs
+         |  WHERE a_id NOT IN (SELECT doc_id FROM tset)
+         |    AND b_id NOT IN (SELECT doc_id FROM tset)),
+         |m AS (SELECT
+         |    (SELECT COUNT(*) FROM tset) AS n_docs_purged,
+         |    (SELECT COUNT(*) FROM pairs) AS n_pairs_before,
+         |    (SELECT COUNT(*) FROM purged) AS n_pairs_after)
+         |SELECT CAST(n_docs_purged AS BIGINT) AS n_docs_purged,
+         |  CAST(n_pairs_before AS BIGINT) AS n_pairs_before,
+         |  CAST(n_pairs_before - n_pairs_after AS BIGINT) AS n_pairs_purged,
+         |  CAST(n_pairs_after AS BIGINT) AS n_pairs_after,
+         |  CAST(n_pairs_after AS BIGINT) AS n_rebuilt,
+         |  CAST(0 AS BIGINT) AS n_only_purged,
+         |  CAST(0 AS BIGINT) AS n_only_rebuilt,
+         |  TRUE AS purge_exact
+         |FROM m""".stripMargin,
     "q_lsh_band_sweep" -> {
       def cfg(bn: Int, r: Int, tag: String): String =
         s"""b_$tag AS (

@@ -357,24 +357,40 @@ object Multimodal {
     * Scale shape: fingerprinting is one map-side pass (64 windowed
     * hashes per payload); candidates come from the 4-band equi-join
     * (never all-pairs); the verify is 4 xor+popcounts per pair. */
-  def qMultimodalPhash(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // Minimum-payload guard: sub-64-byte media can't fill the 8×8 grid —
-    // every cell windows the same degenerate substring, so ALL such
-    // payloads collide in every band (a corpus-wide bucket, the quadratic
-    // failure the resize design rejects), and the in-place perturbation
-    // below would change payload length for texts shorter than 11 chars,
-    // voiding the same-grid invariant. Real pipelines drop sub-thumbnail
-    // media for the same reason; the oracle applies the identical guard.
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+  /** The media-payload relation the phash family runs on.
+    *
+    * Minimum-payload guard: sub-64-byte media can't fill the 8×8 grid —
+    * every cell windows the same degenerate substring, so ALL such
+    * payloads collide in every band (a corpus-wide bucket, the quadratic
+    * failure the resize design rejects), and the in-place perturbation
+    * below would change payload length for texts shorter than 11 chars,
+    * voiding the same-grid invariant. Real pipelines drop sub-thumbnail
+    * media for the same reason; the oracle applies the identical guard.
+    * Injections: byte-exact copies (doc_id%5, +1e6) and single-byte
+    * in-place perturbations (doc_id%7, +2e6). `half` keeps the
+    * deterministic doc_id%2 sample the EVAL runs on (the injected ids
+    * preserve parity — both offsets are even — so injected pairs stay
+    * co-sampled, the q_dedup_eval sampling contract). */
+  private def mediaRelation(s: SparkSession, d: String, half: Boolean = false): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 64)
-    val media = docs
+    val docs = if (half) base.filter(col("doc_id") % 2 === 0) else base
+    docs
       .unionByName(docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .unionByName(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(substring(col("text"), 1, 10), lit("#"),
             expr("substring(text, 12, 1000000)")).as("text")))
+  }
+
+  def qMultimodalPhash(s: SparkSession, d: String): DataFrame =
+    phashPairsFrom(mediaRelation(s, d))
+
+  /** Banded-Hamming phash pairing over a (doc_id, text) media relation —
+    * shared by q_multimodal_phash (full corpus) and the eval (half). */
+  private def phashPairsFrom(media: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     def bandExpr(b: Int): String = (1 to 16).map { i =>
       val j = 16 * b + i
       val pos = s"((${j - 1} * length(text)) div 64) + 1"
@@ -400,8 +416,64 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Precision/recall/F1 of the banded-Hamming phash pairing against the
+    * EXACT per-grid-cell truth — the media face of q_dedup_eval, the
+    * audit a pipeline owner runs before trusting the 1-bit-per-cell
+    * sketch for image dedup: truth is "payloads differ in ≤ 3 of their
+    * 64 grid cells" (exact substring comparison per cell, the decoded-
+    * pixel analogue), prediction is [[qMultimodalPhash]]'s parity-bit
+    * banding at hamming ≤ 3.
+    *
+    * Truth candidates are EXACT by pigeonhole: ≤ 3 differing cells
+    * across 4 disjoint 16-cell bands leaves ≥ 1 band with every cell
+    * equal, so the md5-of-concatenated-cells band key matches and the
+    * equi-join finds the pair — never all-pairs, same scale shape as
+    * the sketch side. Structural consequence the eval documents: every
+    * truth pair is also predicted (equal cells give equal parity bits,
+    * so pred-hamming ≤ n_diff_cells ≤ 3, and the all-equal band also
+    * collides) ⇒ recall = 1.0 by construction; precision measures
+    * exactly the parity-collision false positives (a differing cell
+    * flips the bit only with probability ~1/2, so ~(1/2)^k of k-cell
+    * diffs sneak under the Hamming bar).
+    *
+    * Scale shape: runs on the deterministic doc_id%2 half (the eval
+    * never needs the full corpus); both pair sets persist before the
+    * count/join fan-out; candidates stay band-bounded on both sides. */
+  def qMultimodalPhashEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val media = mediaRelation(s, d, half = true)
+    val pred = graft.CacheTracker.track(
+      phashPairsFrom(media).select("a_id", "b_id").persist(StorageLevel.MEMORY_AND_DISK))
+    def cellExpr(j: String, t: String): String =
+      s"substring($t, (($j - 1) * length($t)) div 64 + 1, (length($t) + 63) div 64)"
+    def bandKey(b: Int): String =
+      "md5(concat(" + (1 to 16).map(i => cellExpr(s"${16 * b + i}", "text")).mkString(", ") + "))"
+    val keyed = media.select(col("doc_id"),
+      posexplode(array((0 to 3).map(b => expr(bandKey(b))): _*)).as(Seq("band", "bkey")))
+    val cand = keyed.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+      .join(keyed.select(col("doc_id").as("b_id"), col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
+    val nDiff = "size(filter(sequence(1, 64), j -> " +
+      cellExpr("j", "ta") + " != " + cellExpr("j", "tb") + "))"
+    val truth = graft.CacheTracker.track(cand
+      .join(media.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(media.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .filter(expr(nDiff) <= 3)
+      .select("a_id", "b_id").persist(StorageLevel.MEMORY_AND_DISK))
+    pred.count(); truth.count() // fill both caches before the fan-out
+    val tp = pred.join(truth, Seq("a_id", "b_id"))
+    pred.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .select(col("n_pred"), col("n_truth"), col("n_tp"),
+        expr("round(CAST(n_tp AS DOUBLE) / greatest(n_pred, 1), 6)").as("prec"),
+        expr("round(CAST(n_tp AS DOUBLE) / greatest(n_truth, 1), 6)").as("rec"),
+        expr("round(CAST(2 * n_tp AS DOUBLE) / greatest(n_pred + n_truth, 1), 6)").as("f1"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_phash" -> (qMultimodalPhash _),
+    "q_multimodal_phash_eval" -> (qMultimodalPhashEval _),
     "q_aspect_buckets" -> (qAspectBuckets _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_audio_meta" -> (qMultimodalAudioMeta _),
@@ -437,6 +509,61 @@ object Multimodal {
          |      + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INTEGER) AS hamming
          |  FROM cand JOIN fp fa ON fa.doc_id = cand.a_id JOIN fp fb ON fb.doc_id = cand.b_id)
          |SELECT a_id, b_id, hamming FROM h WHERE hamming <= 3""".stripMargin
+    },
+    "q_multimodal_phash_eval" -> {
+      def bandSql(b: Int): String = (1 to 16).map { i =>
+        val j = 16 * b + i
+        val pos = s"((${j - 1} * length(text)) // 64) + 1"
+        val width = "(length(text) + 63) // 64"
+        s"(CASE WHEN CAST('0x' || substring(md5(substring(text, $pos, $width)), 1, 1) AS BIGINT) % 2 = 1 THEN ${1L << (16 - i)} ELSE 0 END)"
+      }.mkString(" + ")
+      def cellSql(j: String, t: String): String =
+        s"substring($t, (($j - 1) * length($t)) // 64 + 1, (length($t) + 63) // 64)"
+      def keySql(b: Int): String =
+        "md5(" + (1 to 16).map(i => cellSql(s"${16 * b + i}", "text")).mkString(" || ") + ")"
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  WHERE length(text) >= 64 AND doc_id % 2 = 0),
+         |media AS (
+         |  SELECT doc_id, text FROM docs
+         |  UNION ALL SELECT doc_id + 1000000, text FROM docs WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 2000000,
+         |    substring(text, 1, 10) || '#' || substring(text, 12, 1000000)
+         |  FROM docs WHERE doc_id % 7 = 0),
+         |fp AS (SELECT doc_id, ${bandSql(0)} AS b0, ${bandSql(1)} AS b1,
+         |    ${bandSql(2)} AS b2, ${bandSql(3)} AS b3 FROM media),
+         |bands AS (SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bits
+         |  FROM fp, unnest(range(0, 4)) AS t(b)),
+         |candp AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bits = y.bits AND x.doc_id < y.doc_id),
+         |pred AS (SELECT a_id, b_id
+         |  FROM candp JOIN fp fa ON fa.doc_id = candp.a_id JOIN fp fb ON fb.doc_id = candp.b_id
+         |  WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+         |      + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= 3),
+         |tk AS (SELECT doc_id, ${keySql(0)} AS k0, ${keySql(1)} AS k1,
+         |    ${keySql(2)} AS k2, ${keySql(3)} AS k3 FROM media),
+         |tbands AS (SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN k0 WHEN 1 THEN k1 WHEN 2 THEN k2 ELSE k3 END AS bkey
+         |  FROM tk, unnest(range(0, 4)) AS t(b)),
+         |candt AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM tbands x JOIN tbands y
+         |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |truth AS (SELECT a_id, b_id FROM candt
+         |  JOIN media ma ON ma.doc_id = candt.a_id
+         |  JOIN media mb ON mb.doc_id = candt.b_id
+         |  WHERE len(list_filter(range(1, 65), j ->
+         |    ${cellSql("j", "ma.text")} <> ${cellSql("j", "mb.text")})) <= 3),
+         |m AS (SELECT
+         |    (SELECT COUNT(*) FROM pred) AS n_pred,
+         |    (SELECT COUNT(*) FROM truth) AS n_truth,
+         |    (SELECT COUNT(*) FROM pred JOIN truth USING (a_id, b_id)) AS n_tp)
+         |SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_tp AS BIGINT) AS n_tp,
+         |  round(CAST(n_tp AS DOUBLE) / GREATEST(n_pred, 1), 6) AS prec,
+         |  round(CAST(n_tp AS DOUBLE) / GREATEST(n_truth, 1), 6) AS rec,
+         |  round(CAST(2 * n_tp AS DOUBLE) / GREATEST(n_pred + n_truth, 1), 6) AS f1
+         |FROM m""".stripMargin
     },
     "q_aspect_buckets" ->
       """WITH img AS (

@@ -68,6 +68,36 @@ class FunnelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel state survives a checkpointed restart (candidate buffers recovered)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fun_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_fun_out").toString
+    val in = MemoryStream[FunnelEvent]
+    def start() = FunnelStream.funnelReach(in.toDS(), delay = "1000 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // click and purchase arrive BEFORE any view: nothing is emitted
+    // (cascade still Unreached) — the candidates live only in state
+    in.addData(FunnelEvent(1L, "click", ts(20)), FunnelEvent(1L, "purchase", ts(30)))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // the view arriving after restart must retroactively qualify the
+      // RECOVERED click and purchase — if the buffers were lost the
+      // cascade would stop at (view, Unreached, Unreached)
+      in.addData(FunnelEvent(1L, "view", ts(10)))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[FunnelReach].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rs) => u -> (rs.map(_.tv).min, rs.map(_.tc).min, rs.map(_.tp).min) }
+      assert(got == Map(1L -> ((ts(10).getTime, ts(20).getTime, ts(30).getTime))),
+        s"recovered cascade wrong: $got")
+    } finally q2.stop()
+  }
+
   test("streaming funnel == batch cascade on randomized events in random arrival order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

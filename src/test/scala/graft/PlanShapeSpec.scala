@@ -421,6 +421,22 @@ class PlanShapeSpec extends SparkSpec {
       s"sketch inner product must stay on tiny relations:\n${js.take(600)}")
   }
 
+  test("every iterative query keeps a bounded analyzed plan (lineage-growth guard)") {
+    // the k-core lesson generalized: an iterative builder that re-derives
+    // its loop relation each round grows the ANALYZED tree multiplicatively
+    // per iteration (k-core hit 20+ s of pure planning before its
+    // localCheckpoint cut). Node count is stable across session history,
+    // so each iterative query gets a hard cap well below the blow-up
+    // regime but above its steady-state size.
+    for (q <- Seq("q_graph_pagerank", "q_dedup_cc_largestar",
+        "q_dedup_cc_incremental", "q_markov_stationary", "q_pca_power")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val nodes = df.queryExecution.analyzed.collect { case _ => 1 }.sum
+      CacheTracker.releaseAll()
+      assert(nodes < 1500, s"$q analyzed tree has $nodes nodes — iteration lineage is growing")
+    }
+  }
+
   test("at-rest IVF search prunes to the probed cells (PartitionFilters on the cid-keyed index)") {
     // the cell index is written partitionBy("cid") and ivfSearch pushes
     // the probed-cid set as a literal predicate — the serving contract

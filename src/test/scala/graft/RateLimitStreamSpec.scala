@@ -86,6 +86,48 @@ class RateLimitStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("limiter state survives a checkpointed restart (band, pending, aggregates recovered)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rl_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rl_out").toString
+    val in = MemoryStream[ApiCall]
+    def start() = RateLimitStream.limitStats(in.toDS(), limit = 10, delay = "2 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // wm reaches 1500: the ten calls at 100..1000 FINALIZE (n=10,
+    // max=10 — exactly the limit, zero denials) and the trailing-second
+    // ones (500..1000) move into the retained band; 3500 stays pending.
+    // Band, pending, and the finalized aggregates now live only in
+    // state.
+    val b1 = (1 to 10).map(i => ApiCall(1L, ts(100L * i))) :+ ApiCall(1L, ts(3500))
+    in.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // the burst at 1510..1560 (strictly above the recovered wm=1500 —
+      // a row AT the watermark is dropped as late) is deniable ONLY
+      // through the RECOVERED band: the window of the call at 1560
+      // counts the five recovered band calls 600..1000 plus the six new
+      // ones (c=11 > 10) — if the band were lost it would count 6 and
+      // never deny; 3500 must still finalize (recovered pending)
+      val b2 = (1 to 6).map(i => ApiCall(1L, ts(1500L + 10 * i)))
+      in.addData(b2 :+ ApiCall(9L, ts(500000)): _*)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[LimitStats].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rs) =>
+          u -> ((rs.map(_.n_events).max, rs.map(_.max_calls_1s).max, rs.map(_.n_denied_1s).max))
+        }
+      val want = batchTwin(b1 ++ b2) // advancer never finalized
+      assert(got == want, s"recovered limiter stats wrong: $got vs $want")
+      assert(got(1L) == (17L, 11L, 1L),
+        "the burst must see the recovered trailing band (c=11) and the denial must land")
+    } finally q2.stop()
+  }
+
   test("streaming limiter matches the batch window on a randomized out-of-order feed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -42,6 +42,42 @@ class SessionStreamSpec extends AnyFunSuite {
         r.getAs[Long]("duration_s"))).toSet
   }
 
+  test("session state survives a checkpointed restart (open session, pending buffer, index counter)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val in = MemoryStream[Ev]
+    def start() = SessionStream.sessions(in.toDS(), delay = "25 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // wm reaches minute 25: events 0,10 finalize into the OPEN session
+    // (which cannot close yet — the gap horizon is minute 40); the
+    // event at 50 stays pending. Open-session accumulator, pending
+    // buffer, and the session-index counter now live only in state.
+    val b1 = Seq(Ev(1L, ts(0), 1L), Ev(1L, ts(10), 2L), Ev(1L, ts(50), 3L))
+    in.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // after restart: 55 joins the recovered pending 50 (same run),
+      // and the advancer pushes the watermark past every horizon — the
+      // recovered open session {0,10} must close as index 1 and the
+      // recovered-pending run {50,55} as index 2, exactly the batch form
+      val tail = Seq(Ev(1L, ts(55), 4L))
+      in.addData(tail :+ Ev(9L, ts(5000), 99L): _*)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[Session].collect()
+        .map(s => (s.user_id, s.session_idx, s.n_events, s.start_s, s.end_s, s.duration_s)).toSet
+      // the advancer's own event never finalizes (wm never passes it)
+      assert(got == batchSessions(b1 ++ tail),
+        s"recovered sessions wrong: $got")
+      assert(got.exists(_._2 == 2L), "session index counter must survive the restart")
+    } finally q2.stop()
+  }
+
   test("late middle event bridges two runs into one session; equals the batch form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
