@@ -51,6 +51,15 @@ object AtRest {
   /** A parquet write is complete iff Spark's _SUCCESS marker landed. */
   def isBuilt(dir: java.io.File): Boolean = new java.io.File(dir, "_SUCCESS").isFile
 
+  /** A streaming tick tree (`batch_id=<id>` subdirs) is readable iff at
+    * least one completed tick partition exists — or the tree was
+    * compacted (root `_SUCCESS` from the compaction rewrite). */
+  def isBuiltTree(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    d.isDirectory && (isBuilt(d) || Option(d.listFiles()).exists(_.exists(f =>
+      f.isDirectory && isBuilt(f))))
+  }
+
   /** Garbage-collect STALE fingerprints of one index family: every
     * sibling of `keep` under the same `<name>_v<Version>` parent is a
     * build against a corpus/params generation that can no longer be

@@ -470,7 +470,7 @@ object Similarity {
   /** Cosine argmin assignment of every `df` row against a broadcast
     * centroid relation, keeping each row's `n` nearest cells (rounded
     * sim + cid tie-break — deterministic across engines). */
-  private def assignCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
+  private[graft] def assignCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame =
     df.crossJoin(broadcast(cents))
       .withColumn("sim", expr("round(cosine_sim(ce, centroid), 6)"))
       .withColumn("rn", row_number().over(
@@ -632,6 +632,52 @@ object Similarity {
     val centsAtRest = s.read.parquet(centsDir.toString)
     val cellsAtRest = s.read.parquet(cellsDir.toString)
     ivfSearch(cellsAtRest, centsAtRest, e.filter(col("vec_id") % 20 === 0))
+  }
+
+  /** INCREMENTAL maintenance of the at-rest IVF index — the ANN face of
+    * q_dedup_pairs_incremental, completing the vector-store lifecycle
+    * (build → refresh → serve → eval): when NEW vectors arrive (the
+    * deterministic vec_id%10==7 slice, the corpus' standing stand-in
+    * for an ingest batch), a production store does NOT retrain or
+    * re-assign — the coarse quantizer is FROZEN at build time, the
+    * standing cell index stays untouched, and the refresh tick assigns
+    * ONLY the arrivals against the broadcast centroids and appends
+    * their cell rows as a delta generation. Search unions standing +
+    * delta (both cid-partitioned on disk, both pruned by the probed-cid
+    * predicate).
+    *
+    * The oracle is the from-scratch frozen-quantizer pipeline (train on
+    * the HISTORY sample, assign the FULL corpus): hash equality proves
+    * the incremental identity — frozen-quantizer delta refresh loses
+    * nothing vs full re-assignment — which is exactly the claim that
+    * lets a 100 TB store refresh in minutes (cost ∝ |arrivals|, one
+    * map-side broadcast argmin) instead of re-clustering nightly. */
+  def qSimIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = graft.CacheTracker.track(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hist = e.filter(col("vec_id") % 10 =!= 7)
+    val arrivals = e.filter(col("vec_id") % 10 === 7)
+    // quantizer trained on the HISTORY sample only, then frozen
+    val centLit = ivfCentroidsLit(hist, k = 8)
+    val histDir = graft.AtRest.dir(s, d, "ivf_cells_hist", "embeddings",
+      IvfIndexParams + ",split=hist-mod10ne7")
+    val deltaDir = graft.AtRest.dir(s, d, "ivf_cells_delta", "embeddings",
+      IvfIndexParams + ",split=delta-mod10eq7")
+    assignCells(hist, centLit, 1)
+      .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
+      .write.partitionBy("cid").mode("overwrite").parquet(histDir.toString)
+    // —— the refresh tick: arrivals only, cost ∝ |delta| ——
+    assignCells(arrivals, centLit, 1)
+      .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
+      .write.partitionBy("cid").mode("overwrite").parquet(deltaDir.toString)
+    graft.AtRest.gcStale(histDir); graft.AtRest.gcStale(deltaDir)
+    // —— search session over standing ∪ delta, read from disk ——
+    val cells = s.read.parquet(histDir.toString)
+      .unionByName(s.read.parquet(deltaDir.toString))
+      .select("c_id", "cid", "ce")
+    ivfSearch(cells, centLit, e.filter(col("vec_id") % 20 === 0))
   }
 
   /** Every constant the IVF index content/layout depends on — hashed
@@ -1218,6 +1264,7 @@ object Similarity {
     "q_ndcg_eval" -> (qNdcgEval _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_ivf_incremental" -> (qSimIvfIncremental _),
     "q_sim_ivf_at_rest" -> (qSimIvfAtRest _),
     "q_ann_recall_matrix" -> (qAnnRecallMatrix _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
@@ -1625,6 +1672,37 @@ object Similarity {
          |    (acc, x) -> acc + x), 6) AS exact_d2
          |FROM ranked r JOIN e qv ON r.q_id = qv.vec_id JOIN e cv ON r.c_id = cv.vec_id
          |WHERE r.rank <= 5""".stripMargin,
+    // frozen-quantizer identity: train on the HISTORY sample, assign the
+    // FULL corpus — equals Spark's standing-index + delta-refresh union
+    "q_sim_ivf_incremental" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0 AND vec_id % 10 <> 7),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
+         |  FROM (SELECT vec_id, ce FROM s ORDER BY vec_id LIMIT 8)),
+         |${dkLloyd("s", "c0", "a1", "m1", "c1")},
+         |${dkLloyd("s", "c1", "a2", "m2", "c2")},
+         |cells AS (
+         |  SELECT vec_id AS c_id, cid, ce FROM (
+         |    SELECT e.vec_id, c2.cid, e.ce,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, ce AS qe, cid FROM (
+         |    SELECT e.vec_id, c2.cid, e.ce,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+         |    FROM e CROSS JOIN c2 WHERE e.vec_id % 20 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q_id, c_id, ${dkCos2("qe", "ce")} AS cos_r
+         |  FROM cells JOIN probes USING (cid) WHERE q_id <> c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cos_r,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, c_id AS neighbor_id, cos_r AS cosine
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),

@@ -125,28 +125,76 @@ object StreamOps {
     * own directory instead of double-appending (the readers glob the
     * directory tree, and `batch_id` is recovered from the partition
     * path). */
-  def annQuerySink(queries: DataFrame, cellsDir: String, centsDir: String, outDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+  /** `deltaDir`: optional [[ivfDeltaSink]] tree — when present, each
+    * tick serves over standing ∪ delta, so vectors ingested by the
+    * maintenance stream become searchable without an index rebuild
+    * (both trees are cid-partitioned, so both scans prune to the
+    * probed cells). */
+  def annQuerySink(queries: DataFrame, cellsDir: String, centsDir: String, outDir: String,
+      deltaDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-      annQueryTick(batch, id, cellsDir, centsDir, outDir)
+      annQueryTick(batch, id, cellsDir, centsDir, outDir, deltaDir)
     }.start()
 
   /** One ANN-serving tick — the foreachBatch body, exposed so
     * StreamingSpec can re-invoke a batch id verbatim and prove the
     * replay leaves the output tree unchanged. */
   private[graft] def annQueryTick(batch: DataFrame, id: Long,
-      cellsDir: String, centsDir: String, outDir: String): Unit = {
+      cellsDir: String, centsDir: String, outDir: String,
+      deltaDir: Option[String] = None): Unit = {
     val s = batch.sparkSession
     graft.functions.VectorFunctions.register(s)
     val q = batch.select(col("vec_id"), col("ce")).persist()
     try {
       if (!q.isEmpty) {
-        val cells = s.read.parquet(cellsDir)
+        val standing = s.read.parquet(cellsDir).select("c_id", "cid", "ce")
+        val cells = deltaDir.filter(dd => graft.AtRest.isBuiltTree(dd))
+          .map(dd => standing.unionByName(
+            s.read.parquet(dd).select("c_id", "cid", "ce")))
+          .getOrElse(standing)
         val cents = s.read.parquet(centsDir)
         graft.operators.Similarity.ivfSearch(cells, cents, q)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       }
     } finally { q.unpersist(); () }
+  }
+
+  /** STREAMING IVF delta-refresh — the index-MAINTENANCE twin of
+    * [[annQuerySink]] (which serves queries) and the streaming face of
+    * q_sim_ivf_incremental's refresh tick: newly-embedded vectors
+    * arrive as a stream of (vec_id, ce) rows; each micro-batch loads
+    * nothing but the tiny FROZEN centroid table (written once at index
+    * build), assigns the arrivals with the broadcast argmin (map-side,
+    * cost ∝ |batch|), and appends their cell rows to the index's DELTA
+    * tree. The standing index is never touched, nothing is retrained —
+    * the minutes-cadence vector-store ingest shape at 100 TB.
+    *
+    * Layout: each tick writes `batch_id=<id>/cid=<n>/…` — idempotent
+    * per batch (a replay overwrites its own subtree) AND still
+    * cid-partitioned, so a search over standing ∪ delta prunes the
+    * delta tree to the probed cells exactly like the standing one.
+    * [[graft.AtRest.compactTicks]] folds accumulated ticks. */
+  def ivfDeltaSink(vectors: DataFrame, centsDir: String, deltaDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      ivfDeltaTick(batch, id, centsDir, deltaDir)
+    }.start()
+
+  /** One delta-refresh tick — exposed so StreamingSpec can replay a
+    * batch id verbatim and prove the delta tree is unchanged. */
+  private[graft] def ivfDeltaTick(batch: DataFrame, id: Long,
+      centsDir: String, deltaDir: String): Unit = {
+    val s = batch.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    val v = batch.select(col("vec_id"), col("ce")).persist()
+    try {
+      if (!v.isEmpty) {
+        val cents = s.read.parquet(centsDir)
+        graft.operators.Similarity.assignCells(v, cents, 1)
+          .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
+          .write.partitionBy("cid").mode("overwrite").parquet(s"$deltaDir/batch_id=$id")
+      }
+    } finally { v.unpersist(); () }
   }
 
   /** STREAMING mixture-drift monitor — the per-ingest-tick face of
@@ -259,8 +307,12 @@ object StreamOps {
     try {
       if (newSigs.isEmpty) ()
       else {
+        // isBuiltTree (not bare isDirectory): a crash during the very
+        // first tick leaves a directory with no completed partition —
+        // reading it would fail schema inference; the replay must see
+        // "no standing index" exactly as the first attempt did
         val standing =
-          if (new java.io.File(sigsDir).isDirectory)
+          if (graft.AtRest.isBuiltTree(sigsDir))
             Some(s.read.parquet(sigsDir)
               .filter(col("batch_id") =!= id).drop("batch_id"))
           else None

@@ -457,5 +457,15 @@ class PlanShapeSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("cid="))
     assert(cellParts.length >= 2,
       s"cell index must be hive-partitioned by cid, found: ${cellsDir.listFiles().map(_.getName).mkString(",")}")
+    // the incremental form searches standing ∪ delta — BOTH on-disk
+    // relations must prune to the probed cells, or the delta-refresh
+    // economics die at scale exactly like the unpartitioned index did
+    val inc = operators.Similarity.qSimIvfIncremental(spark, sf)
+    val pInc = try inc.queryExecution.executedPlan.toString
+      finally CacheTracker.releaseAll()
+    val pfInc = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(pInc).toList
+      .filter(f => f.contains("cid") && f.contains("IN"))
+    assert(pfInc.size >= 2,
+      s"standing and delta scans must both carry probed-cid PartitionFilters:\n${pfInc.mkString("\n")}")
   }
 }

@@ -468,6 +468,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF delta refresh: ticked arrivals rebuild exactly the batch frozen-centroid assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // frozen centroid table from the at-rest index build
+    operators.Similarity.qSimIvfAtRest(spark, sf).count()
+    CacheTracker.releaseAll()
+    val (cellsF, centsF) = operators.Similarity.ivfIndexDirs(spark, sf)
+    val (cellsDir, centsDir) = (cellsF.toString, centsF.toString)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfdelta").toString
+    val deltaDir = tmp + "/delta"
+    // freshly-embedded NEW vectors (ids outside the standing index —
+    // the real ingest shape)
+    def arrivalsDf = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 5000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("ce"))
+    val arrivals = arrivalsDf.collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toSeq))
+    val (t0, t1) = arrivals.partition(_._1 % 20 < 10)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.ivfDeltaSink(in.toDF().toDF("vec_id", "ce"), centsDir, deltaDir)
+    try {
+      in.addData(t0.toSeq); q.processAllAvailable()
+      in.addData(t1.toSeq); q.processAllAvailable()
+      val streamed = spark.read.parquet(deltaDir).select("c_id", "cid")
+      val batchDelta = operators.Similarity.assignCells(
+          arrivalsDf, spark.read.parquet(centsDir), 1)
+        .select(col("vec_id").as("c_id"), col("cid"))
+      assert(streamed.count() == arrivals.length.toLong, "delta tree row count")
+      assert(streamed.exceptAll(batchDelta).isEmpty && batchDelta.exceptAll(streamed).isEmpty,
+        "delta tree must equal the batch frozen-centroid assignment")
+      // the delta tree must keep the cid partition layout (so a search
+      // over standing ∪ delta prunes the delta too)
+      val tick0 = new java.io.File(deltaDir, "batch_id=0")
+      assert(Option(tick0.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith("cid=")),
+        "tick subtree must be cid-partitioned")
+      // at-least-once replay of tick 1 — the delta tree must not change
+      StreamOps.ivfDeltaTick(t1.toSeq.toDF("vec_id", "ce"), 1L, centsDir, deltaDir)
+      val replayed = spark.read.parquet(deltaDir).select("c_id", "cid")
+      assert(replayed.count() == arrivals.length.toLong, "replayed tick changed the delta tree")
+      // COMPOSE the two streaming faces: a serving tick over standing ∪
+      // delta — the ingested vectors are searchable with NO rebuild,
+      // and the answers equal the batch search over the same union
+      val outDir = tmp + "/serveout"
+      val queriesDf = Tables.embeddings(spark, sf).filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      val qRows = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toSeq))
+      StreamOps.annQueryTick(qRows.toSeq.toDF("vec_id", "ce"), 0L,
+        cellsDir, centsDir, outDir, Some(deltaDir))
+      val served = spark.read.parquet(outDir)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+      val cellsUnion = spark.read.parquet(cellsDir).select("c_id", "cid", "ce")
+        .unionByName(spark.read.parquet(deltaDir).select("c_id", "cid", "ce"))
+      val batchAns = operators.Similarity.ivfSearch(
+          cellsUnion, spark.read.parquet(centsDir), queriesDf)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+      assert(served.exceptAll(batchAns).isEmpty && batchAns.exceptAll(served).isEmpty,
+        "served answers over standing ∪ delta must equal the batch union search")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: a one-source tick scores above a corpus-representative tick") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -542,6 +605,47 @@ class StreamingSpec extends SparkSpec {
           "replayed tick changed the pair index content")
         val sigCount = spark.read.parquet(sigsDir).count()
         assert(sigCount == corpus.length.toLong, "replayed tick duplicated signatures")
+      } finally CacheTracker.releaseAll()
+    } finally q.stop()
+  }
+
+  test("pair-index maintenance survives mid-stream tick compaction (bounded files, equality holds)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pairidx2").toFile
+    val sigsDir = new java.io.File(tmp, "sigs").toString
+    val pairsDir = new java.io.File(tmp, "pairs").toString
+    val corpus = operators.Dedup.corpus(spark, sf).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batches = Seq(corpus.filter(_._1 % 3 == 1),
+      corpus.filter(_._1 % 3 == 2), corpus.filter(_._1 % 3 == 0))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.pairIndexRefreshSink(
+      in.toDF().toDF("doc_id", "text"), sigsDir, pairsDir)
+    try {
+      // two ticks, then the maintenance service compacts BOTH trees
+      // (between ticks — the documented contract), then the stream
+      // resumes with the final tick
+      batches.take(2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      AtRest.compactTicks(spark, sigsDir, Seq("doc_id"), numFiles = 2)
+      AtRest.compactTicks(spark, pairsDir, Seq("a_id", "b_id"), numFiles = 2)
+      def files(dir: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(dir))
+      }
+      assert(files(sigsDir) <= 2 && files(pairsDir) <= 2,
+        "compaction must bound the tick-fragment file count")
+      in.addData(batches(2).toSeq); q.processAllAvailable()
+      val cols = Seq("a_id", "b_id", "n_inter", "n_union", "jaccard")
+      val streamed = spark.read.parquet(pairsDir).select(cols.head, cols.tail: _*)
+      val batch = operators.Dedup.qDedupLshPairs(spark, sf).select(cols.head, cols.tail: _*)
+      try {
+        assert(streamed.count() ==
+          streamed.select("a_id", "b_id").distinct().count(), "duplicate emissions")
+        assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+          "post-compaction stream must still rebuild exactly the batch pair set")
       } finally CacheTracker.releaseAll()
     } finally q.stop()
   }
