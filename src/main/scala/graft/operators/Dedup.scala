@@ -514,6 +514,13 @@ object Dedup {
       .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
       .filter(size(col("sset")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ngramJaccardFromSets(sets)
+  }
+
+  /** The PPJoin tail over an already-derived (doc_id, sset) relation —
+    * shared by the from-scratch form and consumers of the at-rest
+    * signature index (whose `sset` column is this exact derivation). */
+  private[graft] def ngramJaccardFromSets(sets: DataFrame): DataFrame = {
     val cand = ngramCandidates(sets, lengthFilter = true)
     val sa = sets.select(col("doc_id").as("a_id"), col("sset").as("sa"))
     val sb = sets.select(col("doc_id").as("b_id"), col("sset").as("sb"))
@@ -1567,8 +1574,16 @@ object Dedup {
     val pred = graft.CacheTracker.track(
       simhashPairsFrom(sample).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    // truth side reads its shingle sets off the AT-REST signature index
+    // (sset is byte-identical to the from-scratch derivation — the same
+    // consumer contract as the graph/eval family; the oracle stays the
+    // full from-scratch pipeline), halving the eval's explode work
+    val sets = graft.CacheTracker.track(
+      sigsAtRest(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("sset")).filter(size(col("sset")) > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val truth = graft.CacheTracker.track(
-      ngramJaccardFrom(sample).select(col("a_id"), col("b_id"))
+      ngramJaccardFromSets(sets).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     pred.count(); truth.count() // fill both caches before the fan-out
     val tp = pred.join(truth, Seq("a_id", "b_id"))

@@ -471,9 +471,76 @@ object Multimodal {
         expr("round(CAST(2 * n_tp AS DOUBLE) / greatest(n_pred + n_truth, 1), 6)").as("f1"))
   }
 
+  /** VIDEO near-duplicate detection from frame fingerprints — the
+    * video-modality dedup step a training pipeline runs above the
+    * frame-sampling stage (q_multimodal_frames): every sampled frame
+    * contributes a content fingerprint (md5 of its byte window — the
+    * decoded-keyframe hash in a codec-equipped deployment), a pair of
+    * videos becomes a CANDIDATE when any df-capped frame fingerprint is
+    * shared (the inverted frame index — never all-pairs; the ≤50 cap is
+    * the stop-frame guard: intros/black frames shared corpus-wide would
+    * otherwise join quadratically, the q_sparse_cosine rule), and a
+    * candidate verifies by ALIGNED-frame agreement: the fraction of
+    * same-index frames with equal fingerprints, ≥ 0.6 of the longer
+    * video. Alignment makes this order-aware — two videos sharing a
+    * shuffled frame set do not match, matching real re-upload/re-encode
+    * detection semantics.
+    *
+    * Injections mirror the phash family: byte-exact re-uploads
+    * (doc_id%5, +1e6 — every frame matches, sim 1.0) and single-byte
+    * re-encodes (doc_id%7, +2e6 — in-place perturbation inside frame 0,
+    * so exactly one aligned frame differs: sim = (n-1)/n, passing the
+    * gate whenever the video has ≥ 3 sampled frames — the graded-recall
+    * case the threshold exists for).
+    *
+    * Scale shape: frame explode is map-side (≤ 5 per video); candidates
+    * are bounded by the df cap; verification joins on (pair, frame_idx)
+    * — one shuffle each side, never quadratic; the sim gate compares in
+    * exact integers (5·n_match ≥ 3·max(nf)) before any float. */
+  def qVideoDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
+    val vids = base
+      .unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("#"),
+            expr("substring(text, 12, 1000000)")).as("text")))
+    val frames = graft.CacheTracker.track(vids
+      .withColumn("byte_len", octet_length(col("text")))
+      .withColumn("n_frames", lit(1) + least(floor(col("byte_len") / 100), lit(4)).cast("int"))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("p", "frame_idx")))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx").cast("int").as("frame_idx"),
+        expr("md5(substring(text, frame_idx * 100 + 1, 100))").as("frame_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val rare = frames.groupBy("frame_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+    val posts = frames.join(rare.select("frame_hash"), "frame_hash")
+    val cand = posts.select(col("doc_id").as("a_id"), col("frame_hash"))
+      .join(posts.select(col("doc_id").as("b_id"), col("frame_hash")), Seq("frame_hash"))
+      .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
+    val fa = frames.select(col("doc_id").as("a_id"), col("frame_idx"),
+      col("frame_hash").as("ha"), col("n_frames").as("nfa"))
+    val fb = frames.select(col("doc_id").as("b_id"), col("frame_idx"),
+      col("frame_hash").as("hb"), col("n_frames").as("nfb"))
+    cand.join(fa, "a_id").join(fb, Seq("b_id", "frame_idx"))
+      .groupBy("a_id", "b_id", "nfa", "nfb")
+      .agg(sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("long").as("n_match"))
+      .filter(col("n_match") * 5 >= greatest(col("nfa"), col("nfb")).cast("long") * 3)
+      .select(col("a_id"), col("b_id"),
+        col("nfa").cast("int").as("n_frames_a"), col("nfb").cast("int").as("n_frames_b"),
+        col("n_match"),
+        round(col("n_match").cast("double") /
+          greatest(col("nfa"), col("nfb")), 6).as("frame_sim"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_multimodal_phash_eval" -> (qMultimodalPhashEval _),
+    "q_video_dedup" -> (qVideoDedup _),
     "q_aspect_buckets" -> (qAspectBuckets _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_audio_meta" -> (qMultimodalAudioMeta _),
@@ -510,6 +577,33 @@ object Multimodal {
          |  FROM cand JOIN fp fa ON fa.doc_id = cand.a_id JOIN fp fb ON fb.doc_id = cand.b_id)
          |SELECT a_id, b_id, hamming FROM h WHERE hamming <= 3""".stripMargin
     },
+    "q_video_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |vids AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    substring(text, 1, 10) || '#' || substring(text, 12, 1000000)
+        |  FROM base WHERE doc_id % 7 = 0),
+        |v AS (SELECT doc_id, text,
+        |    1 + least(octet_length(encode(text)) // 100, 4) AS n_frames FROM vids),
+        |fr AS (SELECT doc_id, n_frames, CAST(i AS INTEGER) AS frame_idx,
+        |    md5(substring(text, CAST(i * 100 + 1 AS INTEGER), 100)) AS frame_hash
+        |  FROM v, unnest(range(0, n_frames)) AS t(i)),
+        |rare AS (SELECT frame_hash FROM fr GROUP BY 1 HAVING COUNT(*) <= 50),
+        |posts AS (SELECT fr.doc_id, fr.frame_hash FROM fr JOIN rare USING (frame_hash)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM posts a JOIN posts b ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id),
+        |m AS (SELECT cand.a_id, cand.b_id, fa.n_frames AS nfa, fb.n_frames AS nfb,
+        |    CAST(SUM(CASE WHEN fa.frame_hash = fb.frame_hash THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM cand
+        |  JOIN fr fa ON fa.doc_id = cand.a_id
+        |  JOIN fr fb ON fb.doc_id = cand.b_id AND fb.frame_idx = fa.frame_idx
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id, CAST(nfa AS INTEGER) AS n_frames_a,
+        |  CAST(nfb AS INTEGER) AS n_frames_b, n_match,
+        |  round(CAST(n_match AS DOUBLE) / GREATEST(nfa, nfb), 6) AS frame_sim
+        |FROM m WHERE n_match * 5 >= GREATEST(nfa, nfb) * 3""".stripMargin,
     "q_multimodal_phash_eval" -> {
       def bandSql(b: Int): String = (1 to 16).map { i =>
         val j = 16 * b + i

@@ -2136,6 +2136,23 @@ class PipelineSpec extends SparkSpec {
     inc.unpersist(); full.unpersist(); CacheTracker.releaseAll()
   }
 
+  test("video dedup: exact re-uploads score 1.0; single-frame re-encodes score (n-1)/n") {
+    val rows = operators.Multimodal.qVideoDedup(spark, sf).collect()
+    CacheTracker.releaseAll()
+    val exact = rows.filter(r =>
+      r.getLong(0) < 1000000L && r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(exact.nonEmpty, "injected exact re-uploads must be detected")
+    assert(exact.forall(_.getAs[Double]("frame_sim") == 1.0),
+      "a byte-exact re-upload matches every aligned frame")
+    val reenc = rows.filter(r =>
+      r.getLong(0) < 1000000L && r.getLong(1) == r.getLong(0) + 2000000L)
+    assert(reenc.nonEmpty, "injected single-byte re-encodes must be detected")
+    assert(reenc.forall(r =>
+      r.getAs[Long]("n_match") == r.getAs[Int]("n_frames_a") - 1L &&
+      r.getAs[Int]("n_frames_a") >= 3),
+      "a re-encode differs in exactly the perturbed frame and passes only with >= 3 frames")
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
