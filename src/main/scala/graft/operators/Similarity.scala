@@ -617,6 +617,19 @@ object Similarity {
     * O(batch × probed cells) contract the at-rest design exists for.
     * PlanShapeSpec asserts the pruned scan shape. */
   def qSimIvfAtRest(s: SparkSession, d: String): DataFrame = {
+    val e = buildIvfAtRest(s, d)
+    val (cellsDir, centsDir) = ivfIndexDirs(s, d)
+    // ---- search session: everything below reads the index from disk
+    val centsAtRest = s.read.parquet(centsDir.toString)
+    val cellsAtRest = s.read.parquet(cellsDir.toString)
+    ivfSearch(cellsAtRest, centsAtRest, e.filter(col("vec_id") % 20 === 0))
+  }
+
+  /** The IVF index-build job (always rebuilds): train → write centroids
+    * parquet → write cid-partitioned assignments parquet → GC stale
+    * generations. Returns the persisted corpus relation for callers
+    * that go on to search. */
+  private def buildIvfAtRest(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val (cellsDir, centsDir) = ivfIndexDirs(s, d)
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
@@ -628,10 +641,7 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
       .write.partitionBy("cid").mode("overwrite").parquet(cellsDir.toString)
     graft.AtRest.gcStale(cellsDir); graft.AtRest.gcStale(centsDir)
-    // ---- search session: everything below reads the index from disk
-    val centsAtRest = s.read.parquet(centsDir.toString)
-    val cellsAtRest = s.read.parquet(cellsDir.toString)
-    ivfSearch(cellsAtRest, centsAtRest, e.filter(col("vec_id") % 20 === 0))
+    e
   }
 
   /** INCREMENTAL maintenance of the at-rest IVF index — the ANN face of
@@ -678,6 +688,82 @@ object Similarity {
       .unionByName(s.read.parquet(deltaDir.toString))
       .select("c_id", "cid", "ce")
     ivfSearch(cells, centLit, e.filter(col("vec_id") % 20 === 0))
+  }
+
+  /** IVF nprobe COST/RECALL SWEEP — the tuning table an index owner
+    * reads before fixing the serving nprobe (the IVF analogue of
+    * q_lsh_band_sweep's bands×rows knee): for nprobe ∈ {1, 2, 4}, the
+    * scored-candidate count (the per-query serving cost — with k=8
+    * cells, nprobe=4 scans ~half the corpus) against recall@5 vs the
+    * brute-force cosine truth. The knee — where added probes buy
+    * little recall for doubled cost — is the number production serving
+    * pins.
+    *
+    * Scale shape: the cell index builds once (persisted across the
+    * three variants), each variant is one broadcast probe join (probes
+    * are query-batch-sized), and the truth set is the q_sim_topk
+    * relation whose own oracle already proves it. Counts are exact
+    * integers; the only float is the final recall division. */
+  def qIvfProbeSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    graft.functions.VectorFunctions.register(s)
+    val e = graft.CacheTracker.track(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val centLit = ivfCentroidsLit(e, k = 8)
+    val cells = graft.CacheTracker.track(assignCells(e, centLit, 1)
+      .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    cells.count() // one index build shared by the three probe variants
+    val queries = e.filter(col("vec_id") % 20 === 0)
+    val truth = graft.CacheTracker.track(qSimTopK(s, d)
+      .select(col("q_id"), col("neighbor_id")).persist(StorageLevel.MEMORY_AND_DISK))
+    val nq = truth.select("q_id").distinct().count()
+    Seq(1, 2, 4).map { n =>
+      val probes = assignCells(queries, centLit, n)
+        .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
+      val scored = cells.join(broadcast(probes), Seq("cid"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos_r", expr(cosExpr))
+      val ranked = scored.withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id").as("neighbor_id"))
+      scored.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(ranked
+          .join(truth.withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_returned"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits")))
+        .select(lit(n).as("nprobe"), lit(nq).as("n_queries"), col("n_candidates"),
+          col("n_returned"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(5.0 * nq), 6).as("recall_at_5"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** IVF CELL-BALANCE MONITOR — the index-health face next to the drift
+    * monitor: per-cell occupancy of the AT-REST cell index (a bare
+    * index scan — the standing corpus is never re-assigned), with the
+    * imbalance readouts an operator alerts on: occupancy share,
+    * max/mean ratio, and the χ² statistic against uniform. A cell that
+    * captures a disproportionate share makes every probe of it scan
+    * that share of the corpus — the signal that the quantizer needs
+    * retraining after distribution drift. Exact integers until the
+    * final ratios. */
+  def qIvfBalance(s: SparkSession, d: String): DataFrame = {
+    val (cellsDir, centsDir) = ivfIndexDirs(s, d)
+    if (!graft.AtRest.isBuilt(centsDir) || !graft.AtRest.isBuilt(cellsDir))
+      buildIvfAtRest(s, d)
+    val cells = s.read.parquet(cellsDir.toString)
+    val k = s.read.parquet(centsDir.toString).count()
+    val occ = cells.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+    val tot = occ.agg(sum("n_vectors").cast("long").as("n_total"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cid").cast("int").as("cid"), col("n_vectors"), col("n_total"),
+        round(col("n_vectors").cast("double") / col("n_total"), 6).as("share"),
+        round(col("n_vectors").cast("double") * lit(k) / col("n_total"), 6).as("load_ratio"),
+        round(expr(s"pow(n_vectors - CAST(n_total AS DOUBLE) / $k, 2) / (CAST(n_total AS DOUBLE) / $k)"), 6)
+          .as("chi2_term"))
+      .withColumn("overloaded", col("load_ratio") > 2.0)
   }
 
   /** Every constant the IVF index content/layout depends on — hashed
@@ -1265,6 +1351,8 @@ object Similarity {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_incremental" -> (qSimIvfIncremental _),
+    "q_ivf_probe_sweep" -> (qIvfProbeSweep _),
+    "q_ivf_balance" -> (qIvfBalance _),
     "q_sim_ivf_at_rest" -> (qSimIvfAtRest _),
     "q_ann_recall_matrix" -> (qAnnRecallMatrix _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
@@ -1432,6 +1520,59 @@ object Similarity {
     // the at-rest index search must answer byte-identically to the
     // train-inline form — same from-scratch oracle as q_sim_ivf
     ("q_sim_ivf_at_rest" -> oracleBase("q_sim_ivf")) +
+    // per-cell occupancy of the from-scratch cells relation (the Spark
+    // side reads the at-rest index — same consumer contract)
+    ("q_ivf_balance" -> {
+      val ivfCells = oracleBase("q_sim_ivf")
+        .substring(0, oracleBase("q_sim_ivf").indexOf(",\nprobes AS"))
+      s"""$ivfCells,
+         |occ AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total FROM occ)
+         |SELECT CAST(cid AS INTEGER) AS cid, n_vectors, n_total,
+         |  round(n_vectors / CAST(n_total AS DOUBLE), 6) AS share,
+         |  round(n_vectors * 8 / CAST(n_total AS DOUBLE), 6) AS load_ratio,
+         |  round(pow(n_vectors - CAST(n_total AS DOUBLE) / 8, 2)
+         |    / (CAST(n_total AS DOUBLE) / 8), 6) AS chi2_term,
+         |  round(n_vectors * 8 / CAST(n_total AS DOUBLE), 6) > 2.0 AS overloaded
+         |FROM occ CROSS JOIN tot""".stripMargin
+    }) +
+    // three probe widths over ONE trained index, each recall-checked
+    // against the brute-force truth — the band-sweep pattern on IVF
+    ("q_ivf_probe_sweep" -> {
+      val o = oracleBase
+      def variant(n: Int, t: String): String =
+        s"""probes_$t AS (
+           |  SELECT vec_id AS q_id, ce AS qe, cid FROM (
+           |    SELECT e.vec_id, c2.cid, e.ce,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
+           |    FROM e CROSS JOIN c2 WHERE e.vec_id % 20 = 0) WHERE rn <= $n),
+           |scored_$t AS (
+           |  SELECT q_id, c_id, ${dkCos2("qe", "ce")} AS cos_r
+           |  FROM cells JOIN probes_$t USING (cid) WHERE q_id <> c_id),
+           |ranked_$t AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS rank
+           |  FROM scored_$t) WHERE rank <= 5),
+           |res_$t AS (SELECT $n AS nprobe,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM scored_$t) AS n_candidates,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked_$t) AS n_returned,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked_$t r
+           |     JOIN tr ON r.q_id = tr.q_id AND r.c_id = tr.neighbor_id) AS n_hits)""".stripMargin
+      val ivfCells = o("q_sim_ivf")
+        .substring(0, o("q_sim_ivf").indexOf(",\nprobes AS"))
+      s"""$ivfCells,
+         |tr AS (SELECT q_id, neighbor_id FROM (${o("q_sim_topk")})),
+         |nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_q FROM tr),
+         |${variant(1, "a")},
+         |${variant(2, "b")},
+         |${variant(4, "c")}
+         |SELECT CAST(nprobe AS INTEGER) AS nprobe, nq.n_q AS n_queries,
+         |  n_candidates, n_returned, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / (5.0 * nq.n_q), 6) AS recall_at_5
+         |FROM (SELECT * FROM res_a UNION ALL SELECT * FROM res_b
+         |      UNION ALL SELECT * FROM res_c) u CROSS JOIN nq""".stripMargin
+    }) +
     // each method is individually hash-exact vs its oracle, so the
     // recall matrix's oracle is literally those SQLs composed as CTEs
     ("q_ann_recall_matrix" -> {
