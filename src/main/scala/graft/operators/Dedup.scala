@@ -1015,6 +1015,37 @@ object Dedup {
           col("n_pairs_after") === col("n_rebuilt")).as("purge_exact"))
   }
 
+  /** PAIR-PROVENANCE EXPLAIN — the per-pair diagnostic a pipeline owner
+    * pulls when auditing WHY two documents were declared near-dups:
+    * for every verified pair in the at-rest index, (a) how many of the
+    * 4 LSH bands collide (the candidate-generation provenance — ≥ 1 by
+    * construction, more = sketch-level confidence), (b) how many of
+    * the 16 minhash slots agree and the Jaccard ESTIMATE they imply
+    * (agree/16 — the unbiased sketch estimator), and (c) the exact
+    * verified Jaccard with the estimate's signed error. The
+    * estimate-vs-exact column is the per-pair face of
+    * q_minhash_estimate's corpus-level ±3σ audit.
+    *
+    * Scale shape: two at-rest index scans (pairs + signatures) joined
+    * on doc ids — band/slot comparisons are per-pair map-side HOFs
+    * over 16-element arrays; nothing is re-shingled, re-hashed, or
+    * re-banded at any corpus size. */
+  def qDedupExplain(s: SparkSession, d: String): DataFrame = {
+    val sigs = sigsAtRest(s, d).select(col("doc_id"), col("sig"))
+    pairsAtRest(s, d)
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+      .withColumn("n_band_hits", expr(
+        "CAST(size(filter(sequence(0, 3), b -> slice(siga, b * 4 + 1, 4) = slice(sigb, b * 4 + 1, 4))) AS INT)"))
+      .withColumn("n_sig_agree", expr(
+        "CAST(size(filter(sequence(1, 16), k -> element_at(siga, k) = element_at(sigb, k))) AS INT)"))
+      .select(col("a_id"), col("b_id"), col("n_band_hits"), col("n_sig_agree"),
+        round(col("n_sig_agree") / 16.0, 6).as("est_jaccard"),
+        col("jaccard"),
+        // +0.0 normalizes IEEE −0.0 when the rounded error lands on zero
+        (round(col("n_sig_agree") / 16.0 - col("jaccard"), 6) + lit(0.0)).as("est_error"))
+  }
+
   /** Pair-counting evaluation of the duplicate CLUSTERING against the
     * injected ground truth — the Rand-family contingency computation
     * (pair precision / recall / F1) that turns "we clustered" into a
@@ -1671,6 +1702,7 @@ object Dedup {
     "q_lsh_band_sweep" -> (qLshBandSweep _),
     "q_takedown_closure" -> (qTakedownClosure _),
     "q_takedown_purge" -> (qTakedownPurge _),
+    "q_dedup_explain" -> (qDedupExplain _),
     "q_dedup_normalized" -> (qDedupNormalized _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -2108,6 +2140,23 @@ object Dedup {
          |  CASE WHEN a.doc_id % 97 = 0 THEN 'seed' ELSE 'cluster_member' END AS reason,
          |  COALESCE(n, 0) AS n_pair_rows
          |FROM aff a LEFT JOIN deg ON deg.id = a.doc_id""".stripMargin,
+    "q_dedup_explain" ->
+      s"""WITH $lshJChain,
+         |pairs AS (SELECT a_id, b_id, n_inter, n_union FROM j
+         |  WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |x AS (SELECT p.a_id, p.b_id, p.n_inter, p.n_union,
+         |    sa.sig AS siga, sb.sig AS sigb
+         |  FROM pairs p JOIN sg sa ON sa.doc_id = p.a_id
+         |  JOIN sg sb ON sb.doc_id = p.b_id)
+         |SELECT a_id, b_id,
+         |  CAST(len(list_filter(range(0, 4),
+         |    b -> siga[b*4+1:b*4+4] = sigb[b*4+1:b*4+4])) AS INTEGER) AS n_band_hits,
+         |  CAST(len(list_filter(range(1, 17), k -> siga[k] = sigb[k])) AS INTEGER) AS n_sig_agree,
+         |  round(len(list_filter(range(1, 17), k -> siga[k] = sigb[k])) / 16.0, 6) AS est_jaccard,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
+         |  round(len(list_filter(range(1, 17), k -> siga[k] = sigb[k])) / 16.0
+         |    - CAST(n_inter AS DOUBLE) / n_union, 6) + 0.0 AS est_error
+         |FROM x""".stripMargin,
     // the oracle asserts the locality IDENTITY (pairs of the redacted
     // corpus = restriction of the full pair set to surviving endpoints);
     // Spark performs the REAL from-scratch rebuild on the redacted

@@ -53,6 +53,41 @@ class AbStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("A/B monitor state survives a checkpointed restart (open-day partials + cumulative moments)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = 1700006400000L - (1700006400000L % 86400000L)
+    def ts(ms: Long) = new Timestamp(ms)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ab_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ab_out").toString
+    val in = MemoryStream[Ev]
+    def start() = AbStream.dayZ(in.toDS(), delay = "3 days")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // both days still open at shutdown — per-arm moment partials and
+    // the cumulative cursor live only in state
+    in.addData(
+      Ev("purchase", 2L, ts(day0 + 1000), 10.0),
+      Ev("purchase", 3L, ts(day0 + 2000), 20.0),
+      Ev("purchase", 4L, ts(day0 + 86400000L + 1000), 30.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // day 1's cumulative mean_diff (0.0) is reachable only through
+      // day 0's recovered arm partials — cursor recovery, not just
+      // pending recovery
+      in.addData(Ev("zz_advance", 1L, ts(day0 + 10L * 86400000L), 0.0))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[DayZ].collect().sortBy(_.day_idx)
+      val d0 = day0 / 86400000L
+      assert(got.length == 2, got.mkString(";"))
+      assert(got(0) == DayZ(d0, 1L, 1L, Some(-10.0), None, None), got(0).toString)
+      assert(got(1) == DayZ(d0 + 1, 2L, 1L, Some(0.0), None, None), got(1).toString)
+    } finally q2.stop()
+  }
+
   test("a day emits only after its boundary passes, with the cumulative z at that point") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -55,6 +55,39 @@ class CorrelatorV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("correlator state survives a checkpointed restart (in-flight request + its timer recovered)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_corr_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_corr_out").toString
+    val in = MemoryStream[GwEvent]
+    def start() = CorrelatorV2.correlate(in.toDS(), timeoutMs = 30000L, watermarkDelay = "5 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // two in-flight requests — registration (ValueState) and the 30 s
+    // timeout timers live only in state at shutdown
+    in.addData(GwEvent("a", "request", ts(0)), GwEvent("lost", "request", ts(1)))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // after restart: the response must match the RECOVERED in-flight
+      // request (latency from the recovered registration ts), and the
+      // RECOVERED timer must fire "lost"'s timeout as the watermark
+      // passes it — both paths prove full state+timer recovery
+      in.addData(GwEvent("a", "response", ts(2)), GwEvent("flush", "request", ts(120)))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).as[Correlator.Correlated].collect()
+        .map(c => c.sn -> (c.outcome, c.latency_ms)).toMap
+      assert(rows.get("a").contains(("matched", 2000L)),
+        s"recovered in-flight request must match: $rows")
+      assert(rows.get("lost").map(_._1).contains("timeout"),
+        s"recovered timer must fire the timeout: $rows")
+      assert(!rows.contains("flush"))
+    } finally q2.stop()
+  }
+
   test("sn reuse after a match: the first request's timer must not clobber the second") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -120,6 +153,37 @@ class CorrelatorV2Spec extends AnyFunSuite {
       assert(rows(("a", ts(25).getTime)) == ("v3", true))
       assert(rows(("ghost", ts(7).getTime)) == (null, false))
     } finally q.stop()
+  }
+
+  test("temporal-join version history survives a checkpointed restart") {
+    import graft.streaming.TemporalJoin
+    import graft.streaming.TemporalJoin.In
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tmp_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tmp_out").toString
+    val in = MemoryStream[In]
+    def start() = TemporalJoin.enrich(in.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // two dimension versions — the ListState history is the only place
+    // they live at shutdown
+    in.addData(In("k", "dim", ts(10), "v1"), In("k", "dim", ts(20), "v2"))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // post-restart events must enrich from the RECOVERED history:
+      // t=15 resolves to v1 (needs the superseded version, not just the
+      // latest), t=25 to v2
+      in.addData(In("k", "event", ts(15), null), In("k", "event", ts(25), null))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).as[TemporalJoin.Enriched].collect()
+        .map(e => e.ts.getTime -> (e.value, e.matched)).toMap
+      assert(rows(ts(15).getTime) == ("v1", true), rows.toString)
+      assert(rows(ts(25).getTime) == ("v2", true), rows.toString)
+    } finally q2.stop()
   }
 
   test("event-time temporal join applies a late-ARRIVING dim retroactively (watermark-correct)") {

@@ -65,6 +65,41 @@ class CusumStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusum state survives a checkpointed restart (open-day counts + recurrence cursor)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = 1700006400000L - (1700006400000L % 86400000L)
+    def ts(ms: Long) = new Timestamp(ms)
+    val mu = Map("a" -> 1500000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cusum_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cusum_out").toString
+    val in = MemoryStream[Ev]
+    def start() = CusumStream.dayCusum(in.toDS(), mu, delay = "3 days")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // two open days — counts and the (S+, S-) cursor live only in state
+    in.addData(Ev("a", ts(day0 + 1000), 1L), Ev("a", ts(day0 + 5000), 2L),
+      Ev("a", ts(day0 + 86400000L + 2000), 3L))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      // the advancer finalizes BOTH recovered days; day 1's fold runs
+      // through day 0's recovered S+ — proving cursor recovery, not
+      // just pending-count recovery
+      in.addData(Ev("zz", ts(day0 + 10L * 86400000L), 9L))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[DayStat].collect()
+        .map(d => (d.event_type, d.day_idx, d.n_events, d.cusum_pos, d.cusum_neg, d.is_alarm))
+        .toSet
+      val d0 = day0 / 86400000L
+      assert(got == Set(
+        ("a", d0, 2L, 500000L, 0L, false),
+        ("a", d0 + 1, 1L, 0L, 500000L, false)), got.toString)
+    } finally q2.stop()
+  }
+
   test("a late event lands in its own (unfinalized) day before the boundary passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

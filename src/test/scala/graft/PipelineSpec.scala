@@ -2153,6 +2153,19 @@ class PipelineSpec extends SparkSpec {
       "a re-encode differs in exactly the perturbed frame and passes only with >= 3 frames")
   }
 
+  test("dedup explain: every indexed pair traces to >= 1 band collision; estimate error bounded") {
+    val rows = Dedup.qDedupExplain(spark, sf).collect()
+    CacheTracker.releaseAll()
+    assert(rows.nonEmpty)
+    // provenance invariant: a pair can only enter the index through a
+    // full-band signature collision
+    assert(rows.forall(_.getAs[Int]("n_band_hits") >= 1),
+      "indexed pair with zero band collisions — candidate provenance broken")
+    // the 16-slot estimator is coarse (granularity 1/16) but must stay
+    // within the binomial envelope around the exact jaccard
+    assert(rows.forall(r => math.abs(r.getAs[Double]("est_error")) <= 0.5))
+  }
+
   test("builder persists are fully released by CacheTracker (no leaked blocks)") {
     // the three cache-carrying queries in one shared session, harness-style
     CacheTracker.releaseAll() // clean slate (other suites share the session)
