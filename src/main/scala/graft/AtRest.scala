@@ -139,6 +139,36 @@ object AtRest {
     deleteRecursively(bak)
   }
 
+  /** Fold a tombstone tree (takedownSink's `batch_id=<id>` partitions
+    * of doc_id rows) into an index PHYSICALLY: rewrite `indexDir`
+    * without any row whose `keyCols` hit the tombstone set (atomic
+    * swap, same contract as [[compact]]), then clear the tombstone
+    * tree — after this, raw index reads equal the serving view and the
+    * tombstones are spent. Run on the maintenance cadence; serving
+    * correctness never depends on it ([[graft.operators.Dedup
+    * .pairsAtRestServing]] applies tombstones logically until then). */
+  def applyTombstones(s: SparkSession, indexDir: String, tombDir: String,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (!isBuiltTree(tombDir)) return
+    val t = s.read.parquet(tombDir).select("doc_id").distinct()
+    val tmp = indexDir + ".compact-tmp"
+    val old = new java.io.File(indexDir)
+    keyCols.foldLeft(s.read.parquet(indexDir)) { (df, k) =>
+        df.join(broadcast(t.withColumnRenamed("doc_id", k)), Seq(k), "left_anti")
+      }
+      .write.mode("overwrite").parquet(tmp)
+    val bak = new java.io.File(indexDir + ".compact-old")
+    if (!old.renameTo(bak))
+      throw new java.io.IOException(s"applyTombstones: cannot move $indexDir aside")
+    if (!new java.io.File(tmp).renameTo(old)) {
+      bak.renameTo(old)
+      throw new java.io.IOException(s"applyTombstones: cannot swap $tmp into place")
+    }
+    deleteRecursively(bak)
+    deleteRecursively(new java.io.File(tombDir))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()

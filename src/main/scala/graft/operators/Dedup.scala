@@ -132,7 +132,7 @@ object Dedup {
   /** The verified-pair tail of the LSH pipeline over a (persisted)
     * signature relation: banded candidates, exact distinct-shingle
     * Jaccard, near-dup threshold 0.5. */
-  private def lshPairsFrom(sigs: DataFrame): DataFrame =
+  private[graft] def lshPairsFrom(sigs: DataFrame): DataFrame =
     verifiedPairs(bandedCandidates(sigs), sigs)
 
   /** LSH candidate pairs (4 bands × 4 rows) verified with exact distinct
@@ -229,6 +229,27 @@ object Dedup {
     val dir = pairsAtRestDir(s, d)
     if (!graft.AtRest.isBuilt(dir)) buildPairsAtRest(s, d)
     s.read.parquet(dir.toString)
+  }
+
+  /** SERVING view of the pair index under streaming takedowns: the
+    * standing index minus every pair touching a tombstoned document
+    * (broadcast anti-joins — the tombstone set is delete-request-sized,
+    * never corpus-sized). Correct by the pair-locality identity
+    * q_takedown_purge proves: pairs of the redacted corpus ARE the
+    * standing pairs with tombstoned endpoints removed, so this view
+    * equals a from-scratch rebuild on the redacted corpus without
+    * rewriting a byte (StreamingSpec proves exactly that equality);
+    * [[graft.AtRest.applyTombstones]] folds the tombstones in
+    * physically on the maintenance cadence. */
+  private[graft] def pairsAtRestServing(s: SparkSession, d: String, tombDir: String): DataFrame = {
+    val pairs = pairsAtRest(s, d)
+    if (!graft.AtRest.isBuiltTree(tombDir)) pairs
+    else {
+      val t = s.read.parquet(tombDir).select("doc_id").distinct()
+      pairs
+        .join(broadcast(t.withColumnRenamed("doc_id", "a_id")), Seq("a_id"), "left_anti")
+        .join(broadcast(t.withColumnRenamed("doc_id", "b_id")), Seq("b_id"), "left_anti")
+    }
   }
 
   /** The explicit index-build job (always rebuilds — this IS the

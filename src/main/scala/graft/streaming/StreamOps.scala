@@ -197,6 +197,35 @@ object StreamOps {
     } finally { v.unpersist(); () }
   }
 
+  /** STREAMING TAKEDOWN via TOMBSTONES — the delete path that never
+    * rewrites the standing indexes on the ingest cadence: delete
+    * requests arrive as a stream of doc_id rows; each tick appends the
+    * batch's ids as a tombstone partition (`batch_id=<id>`, overwrite —
+    * idempotent under at-least-once replay like the other index sinks).
+    * Serving reads apply the tombstone set as a broadcast anti-join
+    * ([[graft.operators.Dedup.pairsAtRestServing]] — correct by the
+    * pair-locality identity q_takedown_purge proves), and
+    * [[graft.AtRest.applyTombstones]] folds them into the index
+    * physically on the compaction cadence. This is the production
+    * erasure shape at 100 TB: deletes are visible at the next tick, and
+    * the index rewrite cost is paid once per maintenance window, not
+    * per request. */
+  def takedownSink(requests: DataFrame, tombDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      takedownTick(batch, id, tombDir)
+    }.start()
+
+  /** One takedown tick — exposed so StreamingSpec can replay a batch id
+    * verbatim and prove the tombstone tree is unchanged. */
+  private[graft] def takedownTick(batch: DataFrame, id: Long, tombDir: String): Unit = {
+    val t = batch.select(col("doc_id")).distinct().persist()
+    try {
+      if (!t.isEmpty)
+        t.write.mode("overwrite").parquet(s"$tombDir/batch_id=$id")
+    } finally { t.unpersist(); () }
+  }
+
   /** STREAMING mixture-drift monitor — the per-ingest-tick face of
     * q_token_js_drift: each micro-batch of arriving (doc_id, text)
     * documents is scored by the Jensen–Shannon divergence of its

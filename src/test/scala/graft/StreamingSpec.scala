@@ -609,6 +609,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming takedown: tombstoned serving equals a redacted rebuild; applyTombstones folds them in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // isolated at-rest root: this test physically rewrites the index
+    val isoRoot = java.nio.file.Files.createTempDirectory("graft_tomb_root").toString
+    val prevRoot = spark.conf.getOption("graft.atrest.dir")
+    spark.conf.set("graft.atrest.dir", isoRoot)
+    try {
+      val tombDir = isoRoot + "/tombstones"
+      val cols = Seq("a_id", "b_id", "n_inter", "n_union", "jaccard")
+      val ids = operators.Dedup.corpus(spark, sf).select("doc_id")
+        .collect().map(_.getLong(0))
+      val t0 = ids.filter(_ % 97 == 0).toSeq
+      val t1 = ids.filter(_ % 53 == 0).toSeq
+      val in = MemoryStream[Long]
+      val q = StreamOps.takedownSink(in.toDF().toDF("doc_id"), tombDir)
+      try {
+        in.addData(t0); q.processAllAvailable()
+        in.addData(t1); q.processAllAvailable()
+        def served() = operators.Dedup.pairsAtRestServing(spark, sf, tombDir)
+          .select(cols.head, cols.tail: _*)
+        // independent truth: the from-scratch pair pipeline on the
+        // REDACTED corpus (the locality identity, proven end-to-end)
+        val tombs = (t0 ++ t1).distinct
+        val truth = operators.Dedup.lshPairsFrom(operators.Dedup.sigRelation(
+            operators.Dedup.corpus(spark, sf)
+              .filter(!col("doc_id").isin(tombs.map(Long.box): _*))))
+          .select(cols.head, cols.tail: _*)
+        try {
+          assert(served().exceptAll(truth).isEmpty && truth.exceptAll(served()).isEmpty,
+            "tombstoned serving view must equal the redacted rebuild")
+          assert(served().count() < operators.Dedup.pairsAtRest(spark, sf).count(),
+            "tombstones must actually remove pairs (seed set hits the dup graph)")
+          // at-least-once replay of tick 1 — tombstone tree unchanged
+          StreamOps.takedownTick(t1.toDF("doc_id"), 1L, tombDir)
+          assert(served().exceptAll(truth).isEmpty && truth.exceptAll(served()).isEmpty,
+            "replayed takedown tick changed the serving view")
+          // maintenance: fold tombstones into the index physically
+          val pairsDir = AtRest.dir(spark, sf, "lsh_pairs", "documents",
+            operators.Dedup.LshIndexParams)
+          AtRest.applyTombstones(spark, pairsDir.toString, tombDir, Seq("a_id", "b_id"))
+          assert(!AtRest.isBuiltTree(tombDir), "tombstones must be spent after the fold")
+          val raw = spark.read.parquet(pairsDir.toString).select(cols.head, cols.tail: _*)
+          assert(raw.exceptAll(truth).isEmpty && truth.exceptAll(raw).isEmpty,
+            "physically-folded index must equal the redacted rebuild")
+          // serving view over an empty tombstone tree is the raw index
+          assert(served().exceptAll(raw).isEmpty && raw.exceptAll(served()).isEmpty)
+        } finally CacheTracker.releaseAll()
+      } finally q.stop()
+    } finally {
+      prevRoot match {
+        case Some(r) => spark.conf.set("graft.atrest.dir", r)
+        case None => spark.conf.unset("graft.atrest.dir")
+      }
+    }
+  }
+
   test("pair-index maintenance survives mid-stream tick compaction (bounded files, equality holds)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
