@@ -766,6 +766,51 @@ object Similarity {
       .withColumn("overloaded", col("load_ratio") > 2.0)
   }
 
+  /** MATRYOSHKA / truncated-dimension RECALL CURVE — the eval behind
+    * choosing a serving dimensionality (MRL-style nested embeddings:
+    * Kusupati et al. 2022 train embeddings whose PREFIXES are usable
+    * vectors; a store then serves d=8/16/32 prefixes at 8/4/2× less
+    * memory and bandwidth): recall@5 of cosine over the first-d prefix
+    * against the full-64-dim truth, one row per d ∈ {8, 16, 32, 64}.
+    * The d=64 row is the built-in self-check (the variant IS the truth
+    * pipeline — recall exactly 1.0); the d=8/16/32 rows are the
+    * memory-vs-recall trade the dimension decision reads.
+    *
+    * Scale shape: each variant is the brute-force eval shape of
+    * q_sim_topk (query batch broadcast against the corpus — the
+    * CORRECTNESS bar for ANN methods, not the serving path; a serving
+    * deployment pairs the chosen prefix with IVF/LSH exactly as the
+    * other q_sim_* faces do). Prefix slicing is map-side; counts are
+    * exact integers. */
+  def qMatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    graft.functions.VectorFunctions.register(s)
+    val e = graft.CacheTracker.track(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val truth = graft.CacheTracker.track(qSimTopK(s, d)
+      .select(col("q_id"), col("neighbor_id")).persist(StorageLevel.MEMORY_AND_DISK))
+    val nq = truth.select("q_id").distinct().count()
+    Seq(8, 16, 32, 64).map { dim =>
+      val sub = e.select(col("vec_id"), expr(s"slice(ce, 1, $dim)").as("ce"))
+      val qs = sub.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("ce").as("qe"))
+      val ranked = sub.select(col("vec_id").as("c_id"), col("ce"))
+        .crossJoin(broadcast(qs)).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos_r", expr(cosExpr))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("c_id").as("neighbor_id"))
+      ranked.join(truth.withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(lit(dim).as("dims"), lit(nq).as("n_queries"),
+          col("n_returned"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(5.0 * nq), 6).as("recall_at_5"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Every constant the IVF index content/layout depends on — hashed
     * into the AtRest fingerprint so changing any of them (or the
     * on-disk layout) auto-invalidates the index. */
@@ -1353,6 +1398,7 @@ object Similarity {
     "q_sim_ivf_incremental" -> (qSimIvfIncremental _),
     "q_ivf_probe_sweep" -> (qIvfProbeSweep _),
     "q_ivf_balance" -> (qIvfBalance _),
+    "q_matryoshka_recall" -> (qMatryoshkaRecall _),
     "q_sim_ivf_at_rest" -> (qSimIvfAtRest _),
     "q_ann_recall_matrix" -> (qAnnRecallMatrix _),
     "q_sim_neardup_pairs" -> (qSimNearDupPairs _))
@@ -1535,6 +1581,41 @@ object Similarity {
          |    / (CAST(n_total AS DOUBLE) / 8), 6) AS chi2_term,
          |  round(n_vectors * 8 / CAST(n_total AS DOUBLE), 6) > 2.0 AS overloaded
          |FROM occ CROSS JOIN tot""".stripMargin
+    }) +
+    // prefix-cosine brute force per dimension, recall vs the full-dim
+    // truth; d=64 is the built-in self-check (recall exactly 1.0)
+    ("q_matryoshka_recall" -> {
+      val o = oracleBase
+      def cosN(a: String, b: String, n: Int): String =
+        s"""round(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])) /
+           |  (sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $a[i]))) *
+           |   sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $b[i] * $b[i])))), 6)""".stripMargin
+      def variant(dim: Int, t: String): String =
+        s"""sc_$t AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cosN("q.ce", "c.ce", dim)} AS cos_r
+           |  FROM e q JOIN e c ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+           |rk_$t AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS rank
+           |  FROM sc_$t) WHERE rank <= 5),
+           |res_$t AS (SELECT $dim AS dims,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rk_$t) AS n_returned,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rk_$t r
+           |     JOIN tr ON r.q_id = tr.q_id AND r.c_id = tr.neighbor_id) AS n_hits)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |tr0 AS (${o("q_sim_topk")}),
+         |tr AS (SELECT q_id, neighbor_id FROM tr0),
+         |nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_q FROM tr),
+         |${variant(8, "a")},
+         |${variant(16, "b")},
+         |${variant(32, "c")},
+         |${variant(64, "d")}
+         |SELECT CAST(dims AS INTEGER) AS dims, nq.n_q AS n_queries,
+         |  n_returned, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / (5.0 * nq.n_q), 6) AS recall_at_5
+         |FROM (SELECT * FROM res_a UNION ALL SELECT * FROM res_b
+         |      UNION ALL SELECT * FROM res_c UNION ALL SELECT * FROM res_d) u
+         |CROSS JOIN nq""".stripMargin
     }) +
     // three probe widths over ONE trained index, each recall-checked
     // against the brute-force truth — the band-sweep pattern on IVF

@@ -414,6 +414,10 @@ class PlanShapeSpec extends SparkSpec {
     // verify joins hash-partition on the pair ids
     val ph = try plan("q_multimodal_phash") finally graft.CacheTracker.releaseAll()
     assert(!ph.contains("CartesianProduct"), s"phash must stay banded:\n${ph.take(400)}")
+    // video dedup: candidates come from the df-capped frame-hash
+    // equi-join — never an all-pairs product over videos
+    val vd = try plan("q_video_dedup") finally graft.CacheTracker.releaseAll()
+    assert(!vd.contains("CartesianProduct"), s"video dedup must stay frame-indexed:\n${vd.take(400)}")
     // join-size sketch: the estimate side never shuffles a fact table by
     // the join key — only 2048-cell sketch relations join
     val js = plan("q_join_size_sketch")
