@@ -353,6 +353,74 @@ object Curation {
         round(col("n_pairs").cast("double") / col("n_total"), 6).as("pair_share"))
   }
 
+  /** LEAK-FREE SPLIT REPAIR — the execute-and-prove fix for what
+    * q_split_leakage only *measures*: near-dup pairs straddling
+    * train/validation/test leak evaluation signal, and the standard
+    * remedy is CLUSTER-LEVEL assignment — every near-dup cluster moves
+    * wholesale to one split (here: the original split of the cluster's
+    * canonical min-id member — deterministic, and biased toward train
+    * only as much as the hash assignment was). Unclustered documents
+    * keep their hash split. The output is the per-split audit (before /
+    * after counts, docs moved in/out) plus the PROOF column: post-repair
+    * cross-split pair count — structurally zero, because every pair is
+    * intra-cluster by the definition of connectivity, and clusters are
+    * split-atomic after repair.
+    *
+    * Scale shape: the pair stage is the banded LSH pipeline (bounded
+    * candidates), clustering is the O(log²n)-round CC already used by
+    * the dedup family, and the repair itself is two doc-keyed joins +
+    * split-keyed aggregates — no step is quadratic and nothing beyond
+    * cluster labels is ever driver-side. */
+  def qSplitRepair(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = graft.CacheTracker.track(
+      Dedup.withSignature(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .filter(size(col("hashes")) >= 1)
+        .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val pairs = graft.CacheTracker.track(Dedup.bandedCandidates(sigs)
+      .join(sigs.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id")
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val labels = Dedup.clustersFromPairs(pairs).select("doc_id", "cluster_id")
+    val bucket =
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+    val orig = Tables.documents(s, d).select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test").as("split"))
+    // canonical split: the cluster label IS its min member's doc_id
+    val canon = labels.filter(col("doc_id") === col("cluster_id"))
+      .join(orig, "doc_id")
+      .select(col("cluster_id"), col("split").as("cluster_split"))
+    val repaired = graft.CacheTracker.track(orig
+      .join(labels, Seq("doc_id"), "left")
+      .join(canon, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("split").as("old_split"),
+        coalesce(col("cluster_split"), col("split")).as("new_split"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    repaired.count() // one materialization before the 4-way audit fan-out
+    val leaks = pairs
+      .join(repaired.select(col("doc_id").as("a_id"), col("new_split").as("na")), "a_id")
+      .join(repaired.select(col("doc_id").as("b_id"), col("new_split").as("nb")), "b_id")
+      .filter(col("na") =!= col("nb"))
+      .agg(count(lit(1)).as("leaks_after"))
+    val bef = repaired.groupBy(col("old_split").as("split"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("old_split") =!= col("new_split"), 1).otherwise(0))
+          .cast("long").as("n_moved_out"))
+    val aft = repaired.groupBy(col("new_split").as("split"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("old_split") =!= col("new_split"), 1).otherwise(0))
+          .cast("long").as("n_moved_in"))
+    bef.join(aft, "split").crossJoin(broadcast(leaks))
+      .select(col("split"), col("n_before"), col("n_after"),
+        col("n_moved_in"), col("n_moved_out"), col("leaks_after"))
+  }
+
   /** Per-source DATASET CARD — the datasheet a curation run publishes
     * (Gebru et al.'s "Datasheets for Datasets", operationalized): for
     * every source, size (docs/tokens/mean length), exact-duplicate
@@ -886,6 +954,7 @@ object Curation {
     "q_ldiversity" -> (qLDiversity _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_split_repair" -> (qSplitRepair _),
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_shard_layout" -> (qShardLayout _),
@@ -1024,6 +1093,57 @@ object Curation {
          |  CAST(SUM(n_grams) AS BIGINT) AS n_grams_total,
          |  MIN(xent) AS xent_min, MAX(xent) AS xent_max
          |FROM sc GROUP BY 1""".stripMargin,
+    // the leakage pair chain + recursive CC + cluster-atomic reassign;
+    // the leaks_after column is the proof the repair worked
+    "q_split_repair" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Dedup.shinglesSql} AS shingles FROM w),
+         |hs AS (SELECT doc_id, shingles, ${Dedup.hashesSql} AS hashes FROM sh),
+         |sg AS (SELECT doc_id, ${Dedup.sigSql} AS sig, list_distinct(shingles) AS sset
+         |  FROM hs WHERE len(hashes) >= 1),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
+         |  FROM sg, unnest(range(0, 4)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
+         |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
+         |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b
+         |    FROM documents)),
+         |edges AS (
+         |  SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a_id AS id, a_id AS r FROM edges
+         |  UNION
+         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
+         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |canon AS (SELECT l.cluster_id, sp.split AS cluster_split
+         |  FROM labels l JOIN sp ON sp.doc_id = l.id WHERE l.id = l.cluster_id),
+         |rep AS (SELECT sp.doc_id, sp.split AS old_split,
+         |    COALESCE(c.cluster_split, sp.split) AS new_split
+         |  FROM sp LEFT JOIN labels l ON l.id = sp.doc_id
+         |  LEFT JOIN canon c ON c.cluster_id = l.cluster_id),
+         |lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaks_after FROM pairs p
+         |  JOIN rep a ON a.doc_id = p.a_id JOIN rep b ON b.doc_id = p.b_id
+         |  WHERE a.new_split <> b.new_split),
+         |bef AS (SELECT old_split AS split, CAST(COUNT(*) AS BIGINT) AS n_before,
+         |    CAST(SUM(CASE WHEN old_split <> new_split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_out
+         |  FROM rep GROUP BY 1),
+         |aft AS (SELECT new_split AS split, CAST(COUNT(*) AS BIGINT) AS n_after,
+         |    CAST(SUM(CASE WHEN old_split <> new_split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+         |  FROM rep GROUP BY 1)
+         |SELECT split, n_before, n_after, n_moved_in, n_moved_out, leaks_after
+         |FROM bef JOIN aft USING (split) CROSS JOIN lk""".stripMargin,
     "q_split_leakage" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |sh AS (SELECT doc_id, ${Dedup.shinglesSql} AS shingles FROM w),
