@@ -1014,9 +1014,14 @@ object Dedup {
     graft.AtRest.gcStale(dir)
     val purgedAtRest = s.read.parquet(dir.toString)
       .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
-    val redacted = corpus(s, d).join(broadcast(t), Seq("doc_id"), "left_anti")
+    // the rebuild re-runs the PAIR derivation (banding + candidates +
+    // exact-Jaccard verify) from scratch over the redacted population;
+    // its per-document signatures come off the at-rest signature index
+    // (pure per-doc derivations, unchanged by redaction — the standing
+    // index-consumer contract, same as q_dedup_pairs_incremental)
     val redSigs = graft.CacheTracker.track(
-      sigRelation(redacted).persist(StorageLevel.MEMORY_AND_DISK))
+      sigsAtRest(s, d).join(broadcast(t), Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val rebuilt = graft.CacheTracker.track(
       lshPairsFrom(redSigs)
         .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
