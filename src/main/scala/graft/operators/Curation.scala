@@ -495,6 +495,105 @@ object Curation {
           col("top_count").cast("double") / col("n_rows") > 0.8).as("at_risk"))
   }
 
+  /** t-closeness audit — the third rung of the disclosure-control
+    * ladder after [[qKAnon]] and [[qLDiversity]] (Li et al., ICDE
+    * 2007): a cell can be k-anonymous AND l-diverse yet still leak if
+    * its sensitive-value DISTRIBUTION differs sharply from the
+    * global one (e.g. "all values present but 90% mass on one"). Over
+    * the same QI = (event_type, day) and ordered sensitive attribute
+    * `props.k`, t is the earth-mover's distance between the cell's
+    * distribution and the corpus-global one under the ordered-domain
+    * ground metric: t = Σᵢ |cumP_cell(i) − cumP_global(i)| / (m−1).
+    *
+    * The EMD is computed in EXACT integer arithmetic — each term is
+    * |cum_c·N − cum_g·n| over BIGINT cumulative counts (order-
+    * independent, overflow-safe to ~3e9 rows; DECIMAL(38,0) beyond),
+    * with ONE double division at the end — so the result is hash-exact
+    * by construction, not by summation-order luck. The final domain
+    * position contributes exactly 0 (both CDFs reach 1), so the sum
+    * runs over the whole domain and divides by m−1.
+    *
+    * Scale shape: one map-side-combined (cell, value) aggregate is the
+    * only corpus pass; the domain expansion is cells × m (tiny — both
+    * sides are post-aggregate relations), and the cumulative window
+    * partitions by cell over m rows. */
+  def qTCloseness(s: SparkSession, d: String): DataFrame = {
+    val sv = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("from_json(props, 'k INT').k").as("sens"))
+    val vc = sv.groupBy("event_type", "day", "sens")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val glob = sv.groupBy("sens").agg(count(lit(1)).cast("long").as("g"))
+    val tot = sv.agg(count(lit(1)).cast("long").as("n_total"),
+      countDistinct("sens").cast("long").as("m"))
+    val cells = sv.groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val w = Window.partitionBy("event_type", "day").orderBy("sens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(broadcast(glob))
+      .join(vc, Seq("event_type", "day", "sens"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_c", sum("c").over(w))
+      .withColumn("cum_g", sum("g").over(w))
+      .withColumn("term", abs(col("cum_c") * col("n_total") - col("cum_g") * col("n_rows")))
+      .groupBy("event_type", "day")
+      .agg(first("n_rows").as("n_rows"),
+        sum("term").as("t_num"),
+        first(col("n_total") * col("n_rows") * (col("m") - 1)).as("t_den"))
+      .select(col("event_type"), col("day"), col("n_rows"),
+        round(col("t_num").cast("double") / col("t_den"), 6).as("t"),
+        (col("t_num").cast("double") / col("t_den") > 0.1).as("at_risk"))
+  }
+
+  /** Differentially-private histogram release eval — the privacy
+    * ladder's RELEASE face (after scrub → k-anon → l-diversity →
+    * t-closeness tells you what's risky, this is how a protected
+    * aggregate actually ships): per (lang, source) document counts
+    * with Laplace(1/ε) noise via the inverse-CDF transform
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|), swept over
+    * ε ∈ {0.1, 1, 10} and reduced to the utility-vs-privacy curve a
+    * release pipeline pins its ε from: per ε the mean/max absolute
+    * error, error relative to the mean cell, and how many cells stay
+    * within ±10% of truth.
+    *
+    * The noise is SEEDED — u derives from md5(lang|source|ε-label)
+    * (48 bits, offset by ½ so u ∈ (0,1) strictly, never 0.5 exactly)
+    * — so the release is reproducible and the oracle computes the
+    * identical reals; determinism is what makes a DP release
+    * auditable (and testable) without storing the noise.
+    *
+    * Scale shape: one map-side-combined aggregate to cell granularity;
+    * the ε sweep explodes the tiny cell relation 3× and reduces to 3
+    * rows. Noise generation is pure per-row expression — codegen'd,
+    * no UDF, no shuffle beyond the cell aggregate. */
+  def qDpHistogram(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).cast("long").as("true_n"))
+    val eps = s.createDataFrame(Seq(("e01", 0.1), ("e1", 1.0), ("e10", 10.0)))
+      .toDF("eps_label", "eps")
+    cells.crossJoin(broadcast(eps))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(concat_ws('|', lang, source, eps_label)), 1, 12), 16, 10) AS BIGINT)")
+          + lit(0.5)) / lit(281474976710656.0))
+      .withColumn("noise",
+        -(lit(1.0) / col("eps")) * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .groupBy("eps_label")
+      .agg(first("eps").as("eps"),
+        count(lit(1)).as("n_cells"),
+        avg(abs(col("noise"))).as("mae_raw"),
+        max(abs(col("noise"))).as("max_err_raw"),
+        avg("true_n").as("mean_cell_raw"),
+        sum(when(abs(col("noise")) <= lit(0.1) * col("true_n"), 1L)
+          .otherwise(0L)).as("n_within_10pct"))
+      .select(col("eps_label"), col("eps"), col("n_cells"),
+        round(col("mae_raw"), 6).as("mae"),
+        round(col("max_err_raw"), 6).as("max_abs_err"),
+        round(col("mae_raw") / col("mean_cell_raw"), 6).as("rel_mae"),
+        col("n_within_10pct"))
+  }
+
   /** Zone-map pruning audit — the scan-economics number behind layout
     * decisions ([[qZorderLayout]] exists to improve it): simulate two
     * file layouts of lineitem (natural = orderkey-hashed files, i.e.
@@ -952,6 +1051,8 @@ object Curation {
     "q_zonemap_prune" -> (qZonemapPrune _),
     "q_k_anon" -> (qKAnon _),
     "q_ldiversity" -> (qLDiversity _),
+    "q_t_closeness" -> (qTCloseness _),
+    "q_dp_histogram" -> (qDpHistogram _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_split_repair" -> (qSplitRepair _),
@@ -1230,6 +1331,68 @@ object Curation {
         |  round(CAST(top_count AS DOUBLE) / n_rows, 6) AS top_share,
         |  (l_distinct < 3 OR CAST(top_count AS DOUBLE) / n_rows > 0.8) AS at_risk
         |FROM cell""".stripMargin,
+    "q_t_closeness" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(json_extract(props, '$.k') AS INTEGER) AS sens
+        |  FROM events),
+        |vc AS (SELECT event_type, day, sens, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2, 3),
+        |gdist AS (SELECT sens, CAST(COUNT(*) AS BIGINT) AS g FROM s GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(COUNT(DISTINCT sens) AS BIGINT) AS m FROM s),
+        |cells AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM s GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT ce.event_type, ce.day, ce.n_rows, gl.sens, gl.g,
+        |    COALESCE(vc.c, 0) AS c
+        |  FROM cells ce CROSS JOIN gdist gl
+        |  LEFT JOIN vc ON vc.event_type = ce.event_type
+        |    AND vc.day = ce.day AND vc.sens = gl.sens),
+        |cum AS (
+        |  SELECT event_type, day, n_rows, sens,
+        |    CAST(SUM(c) OVER w AS BIGINT) AS cum_c,
+        |    CAST(SUM(g) OVER w AS BIGINT) AS cum_g
+        |  FROM ex
+        |  WINDOW w AS (PARTITION BY event_type, day ORDER BY sens
+        |    ROWS UNBOUNDED PRECEDING)),
+        |agg AS (
+        |  SELECT event_type, day, n_rows,
+        |    CAST(SUM(abs(cum_c * (SELECT n_total FROM tot)
+        |      - cum_g * n_rows)) AS BIGINT) AS t_num
+        |  FROM cum GROUP BY 1, 2, 3)
+        |SELECT event_type, day, n_rows,
+        |  round(CAST(t_num AS DOUBLE) / (n_rows * (SELECT n_total FROM tot)
+        |    * ((SELECT m FROM tot) - 1)), 6) AS t,
+        |  (CAST(t_num AS DOUBLE) / (n_rows * (SELECT n_total FROM tot)
+        |    * ((SELECT m FROM tot) - 1)) > 0.1) AS at_risk
+        |FROM agg""".stripMargin,
+    "q_dp_histogram" ->
+      """WITH h AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS true_n
+        |  FROM documents GROUP BY 1, 2),
+        |eps AS (SELECT eps_label, CAST(eps AS DOUBLE) AS eps
+        |  FROM (VALUES ('e01', 0.1), ('e1', 1.0), ('e10', 10.0)) AS t(eps_label, eps)),
+        |nz AS (
+        |  SELECT eps_label, eps, true_n,
+        |    (CAST('0x' || substring(md5(lang || '|' || source || '|' || eps_label),
+        |       1, 12) AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM h CROSS JOIN eps),
+        |n2 AS (
+        |  SELECT eps_label, eps, true_n,
+        |    -(1.0 / eps) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) AS noise
+        |  FROM nz),
+        |a AS (
+        |  SELECT eps_label, MAX(eps) AS eps, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    AVG(abs(noise)) AS mae_raw, MAX(abs(noise)) AS max_err_raw,
+        |    AVG(true_n) AS mean_cell_raw,
+        |    CAST(SUM(CASE WHEN abs(noise) <= CAST(0.1 AS DOUBLE) * true_n
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct
+        |  FROM n2 GROUP BY 1)
+        |SELECT eps_label, eps, n_cells, round(mae_raw, 6) AS mae,
+        |  round(max_err_raw, 6) AS max_abs_err,
+        |  round(mae_raw / mean_cell_raw, 6) AS rel_mae, n_within_10pct
+        |FROM a""".stripMargin,
     "q_k_anon" ->
       """WITH cells AS (
         |  SELECT lang, source, n_chars // 200 AS len_bucket, COUNT(*) AS k

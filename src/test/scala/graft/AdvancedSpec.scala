@@ -919,6 +919,56 @@ class AdvancedSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("t-closeness: masses reconcile, t bounded, and a driver-side exact-EMD replay matches") {
+    val g = operators.Curation.qTCloseness(spark, sf).cache()
+    assert(g.agg(sum("n_rows")).head.getLong(0) == Tables.events(spark, sf).count())
+    assert(g.filter(col("t") < 0 || col("t") > 1).count() == 0)
+    // replay the exact-integer EMD for every cell on the driver
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        expr("from_json(props, 'k INT').k").as("sens"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val n = ev.length.toLong
+    val domain = ev.map(_._3).distinct.sorted
+    val m = domain.length.toLong
+    val globCount = ev.groupBy(_._3).map { case (v, xs) => v -> xs.length.toLong }
+    val globCum = domain.scanLeft(0L)((a, v) => a + globCount(v)).tail
+    val want = ev.groupBy(e => (e._1, e._2)).map { case (cell, xs) =>
+      val nr = xs.length.toLong
+      val cc = xs.groupBy(_._3).map { case (v, ys) => v -> ys.length.toLong }
+      val cellCum = domain.scanLeft(0L)((a, v) => a + cc.getOrElse(v, 0L)).tail
+      val tNum = cellCum.zip(globCum).map { case (c1, g1) =>
+        math.abs(c1 * n - g1 * nr) }.sum
+      cell -> tNum.toDouble / (n.toDouble * nr * (m - 1))
+    }
+    val got = g.collect().map(r => (r.getString(0), r.get(1).toString) ->
+      (r.getAs[Double]("t"), r.getAs[Boolean]("at_risk"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (cell, t) =>
+      assert(math.abs(got(cell)._1 - t) < 5e-7, s"$cell: ${got(cell)._1} vs $t")
+      assert(got(cell)._2 == (t > 0.1), cell.toString)
+    }
+    g.unpersist()
+  }
+
+  test("dp histogram: seeded noise replays identically and the utility curve orders by epsilon") {
+    def run() = operators.Curation.qDpHistogram(spark, sf).collect()
+      .map(r => r.getAs[String]("eps_label") -> r).sortBy(_._1)
+    val a = run()
+    assert(a.map(_._2.toString).sameElements(run().map(_._2.toString)),
+      "seeded Laplace noise must be reproducible run-to-run")
+    val by = a.toMap
+    assert(by.keySet == Set("e01", "e1", "e10"))
+    // smaller epsilon => strictly more error (the 100x b-scale separation)
+    assert(by("e01").getAs[Double]("mae") > by("e1").getAs[Double]("mae"))
+    assert(by("e1").getAs[Double]("mae") > by("e10").getAs[Double]("mae"))
+    a.foreach { case (_, r) =>
+      assert(r.getAs[Double]("max_abs_err") >= r.getAs[Double]("mae"))
+      assert(r.getAs[Double]("mae") > 0 && r.getAs[Double]("rel_mae") > 0)
+      assert(r.getAs[Long]("n_within_10pct") <= r.getAs[Long]("n_cells"))
+    }
+  }
+
   test("contribution cap: mass conserved, cap binds, and least(c,k) equals the rank-filter form") {
     val g = operators.EventWindows.qContributionCap(spark, sf).cache()
     val ev = Tables.events(spark, sf)
