@@ -594,6 +594,108 @@ object Curation {
         col("n_within_10pct"))
   }
 
+  /** Small-files compaction PLANNER — the `OPTIMIZE`-style planning
+    * face whose execute face is [[graft.AtRest.compact]] (spec-proven
+    * byte-identical) and whose streaming-tick variant is
+    * [[graft.AtRest.compactTicks]]: model the ingest layout as one
+    * fragment per 8-document micro-batch within each of the 16
+    * md5-hash shards (the [[qShardLayout]] layout), then bin-pack each
+    * shard's fragments next-fit-decreasing into 8 KiB target files —
+    * fragments ordered by size descending, cumulative-summed, binned
+    * by `cum_before div target` (the window-expressible form of NFD;
+    * a straddling fragment may overfill a bin, which is why fill_ratio
+    * can exceed 1). Output per shard: fragment/doc/byte totals, bins
+    * after, files saved, and the target-fill ratio — the numbers that
+    * justify (or veto) paying for the rewrite.
+    *
+    * Scale shape: fragment stats are one map-side-combined aggregate
+    * per shard partition; both windows partition BY SHARD (never
+    * global), so the plan parallelizes across shards exactly like the
+    * compaction it schedules. All integers until the final ratio. */
+  def qCompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val target = 8192L
+    val h = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .withColumn("hh", md5(col("doc_id").cast("string")))
+      .withColumn("shard_id", expr("CAST(conv(substring(hh, 1, 4), 16, 10) AS BIGINT) % 16"))
+    val wp = Window.partitionBy("shard_id").orderBy(col("hh"), col("doc_id"))
+    val frags = h.withColumn("pos", row_number().over(wp))
+      .groupBy(col("shard_id"), expr("(pos - 1) div 8").as("frag_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_chars").cast("long").as("bytes"))
+    val wf = Window.partitionBy("shard_id")
+      .orderBy(col("bytes").desc, col("frag_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    frags
+      .withColumn("cum_before", coalesce(sum("bytes").over(wf), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $target"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).cast("long").as("n_frags"),
+        sum("n_docs").cast("long").as("n_docs"),
+        sum("bytes").cast("long").as("bytes_total"),
+        countDistinct("bin_id").cast("long").as("n_bins"))
+      .select(col("shard_id"), col("n_frags"), col("n_docs"),
+        col("bytes_total"), col("n_bins"),
+        (col("n_frags") - col("n_bins")).as("files_saved"),
+        round(col("bytes_total").cast("double") / (col("n_bins") * target), 6)
+          .as("fill_ratio"))
+  }
+
+  /** DP median via the EXPONENTIAL MECHANISM — the second release
+    * mechanism next to [[qDpHistogram]]'s Laplace (McSherry & Talwar
+    * 2007): for the document-length distribution (100-char buckets),
+    * each candidate bucket v scores u(v) = −|2·cum≤(v) − n| (twice the
+    * rank distance from the median, an integer with sensitivity 2),
+    * and the released bucket is sampled ∝ exp(ε·u/4) — realized
+    * deterministically by the Gumbel-max trick with seeded noise
+    * G = −ln(−ln(u)), u from md5(bucket|ε-label). Swept over
+    * ε ∈ {0.001, 0.01, 0.1} (rank utilities grow with n, so the
+    * noise-dominated regime sits at much smaller ε than the
+    * histogram's — accuracy-for-free at large n is exactly the DP
+    * promise) and reduced to the accuracy curve: the chosen
+    * bucket vs the utility-OPTIMAL bucket (argmax u — the value the
+    * mechanism converges to as ε→∞, which can differ from the
+    * first-cum≥n/2 CDF median when a bucket just below it sits closer
+    * to rank n/2) and the bucket error — tight ε lands exact, loose ε
+    * wanders.
+    *
+    * Scale shape: one corpus pass to ~n_chars/100 bucket counts; the
+    * cumulative window, scoring, and argmax all run on the tiny
+    * bucket×ε relation. The only doubles are the Gumbel scores; every
+    * released value is an integer. */
+  def qDpQuantile(s: SparkSession, d: String): DataFrame = {
+    val bc = Tables.documents(s, d)
+      .groupBy(expr("n_chars div 100").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bc.withColumn("cumle", sum("c").over(wc))
+      .crossJoin(broadcast(bc.agg(sum("c").cast("long").as("n"))))
+      .withColumn("u_score", -abs(lit(2) * col("cumle") - col("n")))
+    val eps = s.createDataFrame(Seq(("e0001", 0.001), ("e001", 0.01), ("e01", 0.1)))
+      .toDF("eps_label", "eps")
+    val scored = cum.crossJoin(broadcast(eps))
+      .withColumn("uu",
+        (expr("CAST(conv(substring(md5(concat_ws('|', CAST(bucket AS STRING), eps_label)), 1, 12), 16, 10) AS BIGINT)")
+          + lit(0.5)) / lit(281474976710656.0))
+      .withColumn("score",
+        col("eps") * col("u_score") / lit(4.0) - log(-log(col("uu"))))
+    val wPick = Window.partitionBy("eps_label")
+      .orderBy(col("score").desc, col("bucket"))
+    val wOpt = Window.orderBy(col("u_score").desc, col("bucket"))
+    val opt = cum.withColumn("ork", row_number().over(wOpt))
+      .filter(col("ork") === 1)
+      .select(col("bucket").cast("long").as("opt_bucket"))
+    scored.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .crossJoin(broadcast(opt))
+      .groupBy("eps_label")
+      .agg(first("eps").as("eps"),
+        first(col("bucket").cast("long")).as("chosen_bucket"),
+        first("opt_bucket").as("opt_bucket"),
+        first(abs(col("bucket").cast("long") - col("opt_bucket")))
+          .as("bucket_err"))
+  }
+
   /** Zone-map pruning audit — the scan-economics number behind layout
     * decisions ([[qZorderLayout]] exists to improve it): simulate two
     * file layouts of lineitem (natural = orderkey-hashed files, i.e.
@@ -1053,6 +1155,8 @@ object Curation {
     "q_ldiversity" -> (qLDiversity _),
     "q_t_closeness" -> (qTCloseness _),
     "q_dp_histogram" -> (qDpHistogram _),
+    "q_dp_quantile" -> (qDpQuantile _),
+    "q_compaction_plan" -> (qCompactionPlan _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_split_repair" -> (qSplitRepair _),
@@ -1331,6 +1435,68 @@ object Curation {
         |  round(CAST(top_count AS DOUBLE) / n_rows, 6) AS top_share,
         |  (l_distinct < 3 OR CAST(top_count AS DOUBLE) / n_rows > 0.8) AS at_risk
         |FROM cell""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hh,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 AS shard_id
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY hh, doc_id) AS pos
+        |  FROM h),
+        |f AS (
+        |  SELECT shard_id, (pos - 1) // 8 AS frag_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM p GROUP BY 1, 2),
+        |b AS (
+        |  SELECT shard_id, n_docs, bytes,
+        |    COALESCE(CAST(SUM(bytes) OVER (PARTITION BY shard_id
+        |      ORDER BY bytes DESC, frag_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      // 8192 AS bin_id
+        |  FROM f),
+        |a AS (
+        |  SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_frags,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+        |    CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins
+        |  FROM b GROUP BY 1)
+        |SELECT shard_id, n_frags, n_docs, bytes_total, n_bins,
+        |  n_frags - n_bins AS files_saved,
+        |  round(CAST(bytes_total AS DOUBLE) / (n_bins * 8192), 6) AS fill_ratio
+        |FROM a""".stripMargin,
+    "q_dp_quantile" ->
+      """WITH bc AS (
+        |  SELECT n_chars // 100 AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT bucket, c,
+        |    CAST(SUM(c) OVER (ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumle,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM bc) AS n
+        |  FROM bc),
+        |us AS (SELECT bucket, cumle, n, -abs(2 * cumle - n) AS u_score FROM cum),
+        |eps AS (SELECT eps_label, CAST(eps AS DOUBLE) AS eps
+        |  FROM (VALUES ('e0001', 0.001), ('e001', 0.01), ('e01', 0.1)) AS t(eps_label, eps)),
+        |sc AS (
+        |  SELECT eps_label, eps, bucket, u_score,
+        |    eps * u_score / 4.0 - ln(-ln(
+        |      (CAST('0x' || substring(md5(CAST(bucket AS VARCHAR) || '|' || eps_label),
+        |         1, 12) AS BIGINT) + 0.5) / 281474976710656.0)) AS score
+        |  FROM us CROSS JOIN eps),
+        |pick AS (
+        |  SELECT eps_label, eps, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY eps_label
+        |      ORDER BY score DESC, bucket) AS rk
+        |  FROM sc),
+        |med AS (
+        |  SELECT CAST(bucket AS BIGINT) AS opt_bucket
+        |  FROM us ORDER BY u_score DESC, bucket LIMIT 1)
+        |SELECT eps_label, eps, CAST(bucket AS BIGINT) AS chosen_bucket,
+        |  opt_bucket,
+        |  abs(CAST(bucket AS BIGINT) - opt_bucket) AS bucket_err
+        |FROM pick CROSS JOIN med WHERE rk = 1""".stripMargin,
     "q_t_closeness" ->
       """WITH s AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

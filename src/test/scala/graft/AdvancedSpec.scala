@@ -951,6 +951,59 @@ class AdvancedSpec extends SparkSpec {
     g.unpersist()
   }
 
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("compaction plan: totals reconcile and a driver-side NFD replay matches bins per shard") {
+    val g = operators.Curation.qCompactionPlan(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    assert(g.agg(sum("n_docs")).head.getLong(0) == docs.length)
+    assert(g.agg(sum("bytes_total")).head.getLong(0) == docs.map(_._2).sum)
+    assert(g.filter(col("n_bins") > col("n_frags") ||
+      col("files_saved") =!= col("n_frags") - col("n_bins")).count() == 0)
+    // replay the fragment model + next-fit-decreasing binning per shard
+    val want = docs.map { case (id, nc) => (md5hex(id.toString), id, nc) }
+      .groupBy(t => java.lang.Long.parseLong(t._1.substring(0, 4), 16) % 16)
+      .map { case (sid, xs) =>
+        val frags = xs.sortBy(t => (t._1, t._2)).zipWithIndex
+          .groupBy(_._2 / 8).map { case (fid, ys) => (fid.toLong, ys.map(_._1._3).sum) }
+          .toSeq
+        val ordered = frags.sortBy { case (fid, b) => (-b, fid) }
+        val cumBefore = ordered.scanLeft(0L)(_ + _._2)
+        val bins = ordered.indices.map(i => cumBefore(i) / 8192L).distinct.size.toLong
+        sid -> (frags.size.toLong, bins)
+      }
+    val got = g.collect().map(r => r.getAs[Long]("shard_id") ->
+      (r.getAs[Long]("n_frags"), r.getAs[Long]("n_bins"))).toMap
+    assert(got == want)
+    g.unpersist()
+  }
+
+  test("dp quantile: a driver-side gumbel-max replay picks the same bucket per epsilon") {
+    val g = operators.Curation.qDpQuantile(spark, sf).collect()
+      .map(r => r.getAs[String]("eps_label") -> r).toMap
+    assert(g.keySet == Set("e0001", "e001", "e01"))
+    val docs = Tables.documents(spark, sf).select(col("n_chars")).collect()
+      .map(_.getAs[Number](0).longValue)
+    val n = docs.length.toLong
+    val bc = docs.map(_ / 100).groupBy(identity)
+      .map { case (b, xs) => (b, xs.length.toLong) }.toSeq.sortBy(_._1)
+    val cum = bc.scanLeft(0L)(_ + _._2).tail
+    val u = bc.map(_._1).zip(cum).map { case (b, c) => (b, -math.abs(2 * c - n)) }
+    val opt = u.sortBy { case (b, s) => (-s, b) }.head._1
+    for ((label, eps) <- Seq(("e0001", 0.001), ("e001", 0.01), ("e01", 0.1))) {
+      val chosen = u.map { case (b, s) =>
+        val hx = java.lang.Long.parseLong(md5hex(s"$b|$label").substring(0, 12), 16)
+        val uu = (hx + 0.5) / 281474976710656.0
+        (b, eps * s / 4.0 - math.log(-math.log(uu)))
+      }.sortBy { case (b, sc) => (-sc, b) }.head._1
+      assert(g(label).getAs[Long]("chosen_bucket") == chosen, label)
+      assert(g(label).getAs[Long]("opt_bucket") == opt, label)
+    }
+  }
+
   test("dp histogram: seeded noise replays identically and the utility curve orders by epsilon") {
     def run() = operators.Curation.qDpHistogram(spark, sf).collect()
       .map(r => r.getAs[String]("eps_label") -> r).sortBy(_._1)
