@@ -640,6 +640,48 @@ object Curation {
           .as("fill_ratio"))
   }
 
+  /** DP mean with BOUNDED CONTRIBUTION — the numeric-aggregate release
+    * completing the mechanism trio ([[qDpHistogram]] counts,
+    * [[qDpQuantile]] ranks, this means): per-language mean document
+    * length where each document's contribution is clamped to
+    * [0, 1000] (the sensitivity bound a DP release must enforce
+    * BEFORE aggregation — see also q_contribution_cap for the
+    * event-side face), released as noisy_sum/noisy_count with
+    * independent seeded Laplace draws of scale 1000/ε and 1/ε, swept
+    * over ε ∈ {0.1, 1, 10}. Per (ε, lang): the true clamped mean, the
+    * DP mean, and the relative error — the per-cell utility table
+    * that, unlike [[qDpHistogram]]'s aggregate curve, shows HOW the
+    * error concentrates on small groups (b/n·mean dominates where n
+    * is small: the reason DP releases suppress rare cells).
+    *
+    * Scale shape: one map-side-combined clamped aggregate to language
+    * granularity; noise and the ε sweep are pure expressions over the
+    * tiny cell relation. */
+  def qDpMean(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(least(greatest(col("n_chars"), lit(0)), lit(1000)).cast("long"))
+          .cast("long").as("sum_clamped"))
+    val eps = s.createDataFrame(Seq(("e01", 0.1), ("e1", 1.0), ("e10", 10.0)))
+      .toDF("eps_label", "eps")
+    def lap(seedSuffix: String, scale: org.apache.spark.sql.Column) = {
+      val u = (expr(s"CAST(conv(substring(md5(concat_ws('|', lang, eps_label, '$seedSuffix')), 1, 12), 16, 10) AS BIGINT)")
+        + lit(0.5)) / lit(281474976710656.0)
+      -scale * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    }
+    cells.crossJoin(broadcast(eps))
+      .withColumn("noisy_sum", col("sum_clamped") + lap("sum", lit(1000.0) / col("eps")))
+      .withColumn("noisy_n", greatest(col("n") + lap("cnt", lit(1.0) / col("eps")), lit(1.0)))
+      .withColumn("true_mean_raw", col("sum_clamped").cast("double") / col("n"))
+      .withColumn("dp_mean_raw", col("noisy_sum") / col("noisy_n"))
+      .select(col("eps_label"), col("eps"), col("lang"), col("n"),
+        round(col("true_mean_raw"), 6).as("true_mean"),
+        round(col("dp_mean_raw"), 6).as("dp_mean"),
+        round(abs(col("dp_mean_raw") - col("true_mean_raw")) / col("true_mean_raw"), 6)
+          .as("rel_err"))
+  }
+
   /** DP median via the EXPONENTIAL MECHANISM — the second release
     * mechanism next to [[qDpHistogram]]'s Laplace (McSherry & Talwar
     * 2007): for the document-length distribution (100-char buckets),
@@ -1156,6 +1198,7 @@ object Curation {
     "q_t_closeness" -> (qTCloseness _),
     "q_dp_histogram" -> (qDpHistogram _),
     "q_dp_quantile" -> (qDpQuantile _),
+    "q_dp_mean" -> (qDpMean _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_split_leakage" -> (qSplitLeakage _),
@@ -1466,6 +1509,37 @@ object Curation {
         |  n_frags - n_bins AS files_saved,
         |  round(CAST(bytes_total AS DOUBLE) / (n_bins * 8192), 6) AS fill_ratio
         |FROM a""".stripMargin,
+    "q_dp_mean" ->
+      """WITH cells AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(least(greatest(n_chars, 0), 1000)) AS BIGINT) AS sum_clamped
+        |  FROM documents GROUP BY 1),
+        |eps AS (SELECT eps_label, CAST(eps AS DOUBLE) AS eps
+        |  FROM (VALUES ('e01', 0.1), ('e1', 1.0), ('e10', 10.0)) AS t(eps_label, eps)),
+        |nz AS (
+        |  SELECT eps_label, eps, lang, n, sum_clamped,
+        |    (CAST('0x' || substring(md5(lang || '|' || eps_label || '|' || 'sum'),
+        |       1, 12) AS BIGINT) + 0.5) / 281474976710656.0 AS us,
+        |    (CAST('0x' || substring(md5(lang || '|' || eps_label || '|' || 'cnt'),
+        |       1, 12) AS BIGINT) + 0.5) / 281474976710656.0 AS uc
+        |  FROM cells CROSS JOIN eps),
+        |n2 AS (
+        |  SELECT eps_label, eps, lang, n, sum_clamped,
+        |    sum_clamped + (-(1000.0 / eps) * sign(us - 0.5)
+        |      * ln(1 - 2 * abs(us - 0.5))) AS noisy_sum,
+        |    greatest(n + (-(1.0 / eps) * sign(uc - 0.5)
+        |      * ln(1 - 2 * abs(uc - 0.5))), 1.0) AS noisy_n
+        |  FROM nz),
+        |m AS (
+        |  SELECT eps_label, eps, lang, n,
+        |    CAST(sum_clamped AS DOUBLE) / n AS true_mean_raw,
+        |    noisy_sum / noisy_n AS dp_mean_raw
+        |  FROM n2)
+        |SELECT eps_label, eps, lang, n,
+        |  round(true_mean_raw, 6) AS true_mean,
+        |  round(dp_mean_raw, 6) AS dp_mean,
+        |  round(abs(dp_mean_raw - true_mean_raw) / true_mean_raw, 6) AS rel_err
+        |FROM m""".stripMargin,
     "q_dp_quantile" ->
       """WITH bc AS (
         |  SELECT n_chars // 100 AS bucket, CAST(COUNT(*) AS BIGINT) AS c

@@ -1004,6 +1004,30 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("dp mean: replays identically, true means reconcile, and error decays with epsilon") {
+    def run() = operators.Curation.qDpMean(spark, sf).collect()
+    val a = run()
+    assert(a.map(_.toString).sorted.sameElements(run().map(_.toString).sorted),
+      "seeded noise must replay identically")
+    // clamped true means reconcile with a driver replay, invariant across eps
+    val docs = Tables.documents(spark, sf).select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    val want = docs.groupBy(_._1).map { case (l, xs) =>
+      l -> (xs.length.toLong,
+        xs.map(x => math.min(math.max(x._2, 0L), 1000L)).sum.toDouble / xs.length)
+    }
+    a.foreach { r =>
+      val (n, tm) = want(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("true_mean") - tm) < 5e-7, r.toString)
+    }
+    // summed relative error decays as epsilon grows (100x b separation)
+    val errByEps = a.groupBy(_.getAs[String]("eps_label"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Double]("rel_err")).sum }
+    assert(errByEps("e01") > errByEps("e1") && errByEps("e1") > errByEps("e10"),
+      errByEps.toString)
+  }
+
   test("dp histogram: seeded noise replays identically and the utility curve orders by epsilon") {
     def run() = operators.Curation.qDpHistogram(spark, sf).collect()
       .map(r => r.getAs[String]("eps_label") -> r).sortBy(_._1)
