@@ -738,6 +738,65 @@ object Curation {
           .as("bucket_err"))
   }
 
+  /** DP TOP-K heavy hitters via one-shot Gumbel noise — the set-valued
+    * release completing the mechanism family ([[qDpHistogram]] counts,
+    * [[qDpQuantile]] ranks, [[qDpMean]] means, this SETS): release the
+    * k=10 highest-document-frequency words under ε-DP by adding
+    * independent Gumbel noise to each word's utility and taking the
+    * top k — Durfee & Rogers (NeurIPS 2019) prove this one-shot draw
+    * is identical in distribution to k rounds of exponential-mechanism
+    * peeling, turning a k-pass mechanism into ONE vocabulary pass.
+    * Utility = doc frequency (distinct docs containing the word, so a
+    * single document moves any count by ≤1: sensitivity 1); noisy
+    * score = ε·df/(2k) + G with seeded G = −ln(−ln(u)),
+    * u from md5(word|ε-label) (reproducible ⇒ auditable, same
+    * discipline as the other three releases). Swept over
+    * ε ∈ {0.01, 0.1, 1}, reduced to the utility curve: released∩true
+    * overlap, recall, and the df-mass ratio of released vs true top-k
+    * — at tight ε the mechanism trades true heavy hitters for noise
+    * picks, and the mass ratio shows how much frequency the release
+    * actually surrenders.
+    *
+    * Scale shape: one corpus pass to distinct (doc, word) then a
+    * map-side-combined count to the vocab-sized df relation; the true
+    * top-k is TakeOrderedAndProject (partial per-partition top-k, no
+    * global sort) and the per-ε release filters `row_number ≤ k`
+    * directly so WindowGroupLimit keeps the per-group selection
+    * partial too. Noise is a pure codegen'd expression — no UDF; the
+    * only broadcast is the 3-row ε relation and the 1-row truth mass. */
+  def qDpTopk(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val dfreq = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+      .groupBy("word").agg(count(lit(1)).cast("long").as("df"))
+    val truth = dfreq.orderBy(col("df").desc, col("word")).limit(k)
+    val truthMass = truth.agg(sum("df").cast("long").as("df_true_sum"))
+    val eps = s.createDataFrame(Seq(("e001", 0.01), ("e01", 0.1), ("e1", 1.0)))
+      .toDF("eps_label", "eps")
+    val scored = dfreq.crossJoin(broadcast(eps))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(concat_ws('|', word, eps_label)), 1, 12), 16, 10) AS BIGINT)")
+          + lit(0.5)) / lit(281474976710656.0))
+      .withColumn("score",
+        col("eps") * col("df") / lit(2.0 * k) - log(-log(col("u"))))
+    val wPick = Window.partitionBy("eps_label")
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") <= k)
+      .join(truth.select(col("word"), lit(1L).as("hit")), Seq("word"), "left")
+      .groupBy("eps_label")
+      .agg(first("eps").as("eps"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_overlap"),
+        sum("df").cast("long").as("df_rel_sum"))
+      .crossJoin(broadcast(truthMass))
+      .select(col("eps_label"), col("eps"), lit(k.toLong).as("k"),
+        col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(k.toDouble), 6).as("recall"),
+        round(col("df_rel_sum").cast("double") / col("df_true_sum"), 6)
+          .as("utility_ratio"))
+  }
+
   /** Zone-map pruning audit — the scan-economics number behind layout
     * decisions ([[qZorderLayout]] exists to improve it): simulate two
     * file layouts of lineitem (natural = orderkey-hashed files, i.e.
@@ -1199,6 +1258,7 @@ object Curation {
     "q_dp_histogram" -> (qDpHistogram _),
     "q_dp_quantile" -> (qDpQuantile _),
     "q_dp_mean" -> (qDpMean _),
+    "q_dp_topk" -> (qDpTopk _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_split_leakage" -> (qSplitLeakage _),
@@ -1571,6 +1631,35 @@ object Curation {
         |  opt_bucket,
         |  abs(CAST(bucket AS BIGINT) - opt_bucket) AS bucket_err
         |FROM pick CROSS JOIN med WHERE rk = 1""".stripMargin,
+    "q_dp_topk" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+        |dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM w GROUP BY 1),
+        |tru AS (SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 10),
+        |ts AS (SELECT CAST(SUM(df) AS BIGINT) AS df_true_sum FROM tru),
+        |eps AS (SELECT eps_label, CAST(eps AS DOUBLE) AS eps
+        |  FROM (VALUES ('e001', 0.01), ('e01', 0.1), ('e1', 1.0)) AS t(eps_label, eps)),
+        |sc AS (
+        |  SELECT eps_label, eps, word, df,
+        |    eps * df / 20.0 - ln(-ln(
+        |      (CAST('0x' || substring(md5(word || '|' || eps_label), 1, 12) AS BIGINT)
+        |        + 0.5) / 281474976710656.0)) AS score
+        |  FROM dfreq CROSS JOIN eps),
+        |rel AS (
+        |  SELECT eps_label, eps, word, df,
+        |    ROW_NUMBER() OVER (PARTITION BY eps_label ORDER BY score DESC, word) AS rk
+        |  FROM sc),
+        |agg AS (
+        |  SELECT eps_label, MAX(eps) AS eps,
+        |    CAST(SUM(CASE WHEN tru.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |    CAST(SUM(rel.df) AS BIGINT) AS df_rel_sum
+        |  FROM rel LEFT JOIN tru ON rel.word = tru.word
+        |  WHERE rk <= 10 GROUP BY 1)
+        |SELECT eps_label, eps, CAST(10 AS BIGINT) AS k, n_overlap,
+        |  round(n_overlap / 10.0, 6) AS recall,
+        |  round(CAST(df_rel_sum AS DOUBLE) / df_true_sum, 6) AS utility_ratio
+        |FROM agg CROSS JOIN ts""".stripMargin,
     "q_t_closeness" ->
       """WITH s AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1004,6 +1004,39 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("dp topk: replays identically, converges to the true set at loose epsilon") {
+    def run() = operators.Curation.qDpTopk(spark, sf).collect()
+    val a = run()
+    assert(a.map(_.toString).sorted.sameElements(run().map(_.toString).sorted),
+      "seeded Gumbel noise must replay identically")
+    val by = a.map(r => r.getAs[String]("eps_label") -> r).toMap
+    assert(by.keySet == Set("e001", "e01", "e1"))
+    // driver replay of the full mechanism: df from distinct (doc, word),
+    // one-shot Gumbel top-10, overlap with the true top-10
+    val words = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().flatMap(r => r.getString(1).split(" ", -1)
+        .map(w => (r.getAs[Number](0).longValue, w))).distinct
+    val dfreq = words.groupBy(_._2).map { case (w, xs) => (w, xs.length.toLong) }
+    val tru = dfreq.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+    for ((label, eps) <- Seq(("e001", 0.01), ("e01", 0.1), ("e1", 1.0))) {
+      val rel = dfreq.toSeq.map { case (w, c) =>
+        val hx = java.lang.Long.parseLong(md5hex(s"$w|$label").substring(0, 12), 16)
+        val uu = (hx + 0.5) / 281474976710656.0
+        (w, c, eps * c / 20.0 - math.log(-math.log(uu)))
+      }.sortBy { case (w, _, sc) => (-sc, w) }.take(10)
+      val overlap = rel.count(r => tru.exists(_._1 == r._1)).toLong
+      assert(by(label).getAs[Long]("n_overlap") == overlap, label)
+      val ratio = rel.map(_._2).sum.toDouble / tru.map(_._2).sum
+      assert(math.abs(by(label).getAs[Double]("utility_ratio") -
+        math.rint(ratio * 1e6) / 1e6) < 5e-7, label)
+    }
+    // utility is monotone in epsilon: loose release keeps at least the
+    // df mass of the tight one, and e1 should essentially nail the set
+    assert(by("e1").getAs[Double]("utility_ratio") >=
+      by("e001").getAs[Double]("utility_ratio"), a.mkString("; "))
+    assert(by("e1").getAs[Double]("utility_ratio") > 0.9, by("e1").toString)
+  }
+
   test("dp mean: replays identically, true means reconcile, and error decays with epsilon") {
     def run() = operators.Curation.qDpMean(spark, sf).collect()
     val a = run()
