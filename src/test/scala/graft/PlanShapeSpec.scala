@@ -92,6 +92,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n${p.take(600)}")
   }
 
+  test("dp topk plans partial selections (WindowGroupLimit per release, TakeOrderedAndProject truth)") {
+    // the vocabulary relation is unbounded at scale — both the true
+    // top-k (orderBy+limit) and the per-ε noisy top-k (rank<=k) must
+    // select partially per partition, never sort the full vocab
+    val p = plan("q_dp_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for the truth:\n${p.take(600)}")
+    assert(p.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n${p.take(600)}")
+  }
+
   test("lm perplexity broadcasts the trigram model (the corpus never shuffles for scoring)") {
     // the model is bounded by |alphabet|^3, so the score join must be a
     // broadcast — a sort-merge join here would shuffle the whole corpus
