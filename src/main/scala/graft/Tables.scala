@@ -27,6 +27,11 @@ object Tables {
     "spark.sql.analyzer.failAmbiguousSelfJoin" -> "false",
     // bucketed-table tests/operators need a writable warehouse location
     "spark.sql.warehouse.dir" -> "/tmp/graft_warehouse",
+    // trust the per-bucket sortBy order of bucketed tables (our bucketed
+    // at-rest tables are written one file per bucket — Scale.bucketedTable
+    // — which is the layout this optimization is sound for): the bucketed
+    // fact⋈fact SMJ then needs neither Exchange NOR Sort
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
     // (static conf — takes effect because every entry point sets it on
     // the builder BEFORE getOrCreate) the default 100-entry codegen
     // cache cannot hold one heavy query's fragments, let alone a

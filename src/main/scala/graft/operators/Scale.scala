@@ -141,11 +141,113 @@ object Scale {
         (col("cms_est") >= col("exact_size")).as("never_under"))
   }
 
+  /** Register (building once per corpus fingerprint) a bucketed+sorted
+    * copy of `table` as an EXTERNAL catalog table whose files live under
+    * the [[AtRest]] root. Bucketing is the static co-location contract:
+    * both sides of a fact⋈fact join pre-hashed into the same number of
+    * buckets on the join key join with ZERO Exchange — at 100 TB this is
+    * the difference between re-shuffling two fact tables per query and
+    * scanning co-located files. The bucket layout (Spark's bucket-id file
+    * naming) survives the in-memory catalog: a later session finds the
+    * built files via the fingerprint and re-registers the same DDL over
+    * them instead of rewriting. */
+  def bucketedTable(s: SparkSession, d: String, table: String, key: String,
+      nBuckets: Int = 8): String = synchronized {
+    val dir = AtRest.dir(s, d, s"bkt_$table", table, s"bucketBy=$key/$nBuckets;sortBy=$key")
+    val tname = s"graft_bkt_${table}_${dir.getName}"
+    if (!s.catalog.tableExists(tname)) {
+      if (AtRest.isBuilt(dir)) {
+        val schema = Tables.load(s, d, table).schema.toDDL
+        s.sql(s"CREATE TABLE $tname ($schema) USING PARQUET " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS " +
+          s"LOCATION '${dir.getAbsolutePath}'")
+      } else {
+        // repartition on the SAME hash the bucketizer uses so each task
+        // holds exactly one bucket → ONE file per bucket; Spark only
+        // trusts (and exploits) the per-bucket sort order when a bucket
+        // is a single file, and that is what removes the Sort below the
+        // sort-merge join.
+        Tables.load(s, d, table).repartition(nBuckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(nBuckets, key).sortBy(key)
+          .option("path", dir.getAbsolutePath).saveAsTable(tname)
+        AtRest.gcStale(dir)
+      }
+    }
+    tname
+  }
+
+  /** Fact⋈fact join WITHOUT a shuffle: orders and lineitem live at rest
+    * bucketed INTO the same 8 buckets ON the join key (and sorted within
+    * buckets), so the sort-merge join reads co-located, pre-sorted files —
+    * no Exchange, no Sort on either side (PlanShapeSpec asserts both).
+    * This is the canonical 100 TB layout decision: the two largest tables
+    * in a warehouse join on the same key in every query, so they are
+    * stored pre-partitioned by it. The `merge` hint pins SMJ so the demo
+    * measures the bucketed path, not a broadcast. Result is identical to
+    * the plain join — exactly what the oracle checks. */
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val o = s.table(bucketedTable(s, d, "orders", "o_orderkey"))
+    val l = s.table(bucketedTable(s, d, "lineitem", "l_orderkey"))
+    o.join(l.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+  }
+
+  /** The at-rest MONTH-PARTITIONED lineitem fact (Hive layout,
+    * `ship_month=yyyy-MM/` directories, one file per month via the
+    * pre-write repartition). Partitioning by the dominant filter/join
+    * column is the other half of the 100 TB layout story: a query that
+    * touches 3 of 84 months must read 3/84ths of the bytes. */
+  def monthPartitionedLineitem(s: SparkSession, d: String): String = synchronized {
+    val dir = AtRest.dir(s, d, "lineitem_bymonth", "lineitem",
+      params = "partitionBy=ship_month(yyyy-MM)")
+    if (!AtRest.isBuilt(dir)) {
+      Tables.lineitem(s, d)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("ship_month"))
+        .write.partitionBy("ship_month").mode("overwrite")
+        .parquet(dir.getAbsolutePath)
+      AtRest.gcStale(dir)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** DYNAMIC partition pruning: the months worth reading are not a
+    * literal in the query — they come from ANOTHER table's filter
+    * (urgent-priority orders placed in 1996), so static pruning cannot
+    * help. Catalyst's DPP rule turns the broadcast dim side into a
+    * runtime `dynamicpruningexpression` on the fact scan's
+    * PartitionFilters (PlanShapeSpec asserts it), so the month-partitioned
+    * fact reads ≤12 of its ~84 partitions instead of all of them — the
+    * join-driven analogue of q_zonemap_prune's static skipping. */
+  def qDppPrune(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val fact = s.read.parquet(monthPartitionedLineitem(s, d))
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1996)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .distinct()
+    fact.join(broadcast(dim), Seq("ship_month"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_skew_audit" -> (qSkewAudit _),
     "q_salted_agg" -> (qSaltedAgg _),
-    "q_salted_rate_limit" -> (qSaltedRateLimit _))
+    "q_salted_rate_limit" -> (qSaltedRateLimit _),
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_dpp_prune" -> (qDppPrune _))
+
+  private val disc =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   // The oracle is the UNSALTED aggregate — proving the two-phase plan
   // computes the same answer.
@@ -184,6 +286,22 @@ object Scale {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+    // The bucketed/partitioned layouts must be INVISIBLE in the answer:
+    // both oracles are the plain joins over the unbucketed parquet.
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  CAST(SUM($disc) AS DOUBLE) AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+    "q_dpp_prune" ->
+      s"""WITH m AS (
+         |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+         |  FROM orders
+         |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)
+         |SELECT ship_month, COUNT(*) AS n_items,
+         |  CAST(SUM($disc) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN m ON strftime(l_shipdate, '%Y-%m') = m.ship_month
+         |GROUP BY ship_month""".stripMargin,
     "q_salted_rate_limit" ->
       """WITH b AS (
         |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS c

@@ -481,4 +481,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(pfInc.size >= 2,
       s"standing and delta scans must both carry probed-cid PartitionFilters:\n${pfInc.mkString("\n")}")
   }
+
+  test("q_bucketed_join: co-located bucketed SMJ with zero Exchange and zero Sort") {
+    // both fact tables live at rest bucketed INTO the same 8 buckets ON
+    // the join key and sorted within single-file buckets — the join must
+    // read them co-located: any Exchange re-shuffles a fact table (the
+    // exact cost bucketing exists to eliminate), and any Sort under the
+    // SMJ means the bucket sort order was not trusted (multi-file
+    // buckets would cause this — bucketedTable writes one file per
+    // bucket precisely to avoid it).
+    val df = operators.Scale.qBucketedJoin(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n${p.take(1200)}")
+    // everything BELOW the join must be exchange-free and sort-free (the
+    // one Exchange above it is the 5-group post-aggregation re-agg)
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n${below.take(2000)}")
+    assert(!below.contains("Sort ["),
+      s"bucket sort order not exploited — Sort below the SMJ:\n${below.take(2000)}")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan did not use the bucket layout:\n${p.take(2000)}")
+  }
+
+  test("q_dpp_prune: dim filter reaches the fact scan as a dynamic PartitionFilter") {
+    // the months worth reading come from the orders-side filter at
+    // RUNTIME — the fact scan must carry a dynamicpruningexpression in
+    // its PartitionFilters (static pruning cannot see through the join),
+    // and the fact really is hive-partitioned by ship_month on disk.
+    val df = operators.Scale.qDppPrune(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected DPP on the month-partitioned fact scan:\n${p.take(2000)}")
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findAllIn(p).toList
+    assert(pf.exists(f => f.contains("ship_month") && f.contains("dynamicpruning")),
+      s"ship_month dynamic predicate must be a PartitionFilter:\n${pf.mkString("\n")}")
+    val factDir = new java.io.File(operators.Scale.monthPartitionedLineitem(spark, sf))
+    val monthParts = Option(factDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("ship_month="))
+    assert(monthParts.length >= 12,
+      s"fact must be hive-partitioned by ship_month, found ${monthParts.length} partitions")
+  }
 }
