@@ -1705,7 +1705,36 @@ object Dedup {
           6)))
   }
 
+  /** Exact EDIT-DISTANCE audit over the near-dup pairs — the
+    * character-level complement to the token-level BLEU/Jaccard audits:
+    * Levenshtein distance plus the normalized similarity
+    * 1 − dist/max(len), per at-rest candidate pair. Candidates come from
+    * the banded index (never all-pairs — all-pairs edit distance is the
+    * textbook quadratic scale-killer), and the distance itself runs
+    * Spark's THRESHOLD variant `levenshtein(a, b, k)`: a banded DP that
+    * costs O(k·min(n,m)) instead of O(n·m) and returns −1 past k — at
+    * 100 TB with document-sized strings the full DP matrix is the
+    * difference between an audit and a cluster-week. The oracle computes
+    * the unbounded distance and clamps to −1 past k, proving the banded
+    * early-exit is exact within its band. */
+  def qEditDistance(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val pairs = pairsAtRest(s, d).select("a_id", "b_id")
+    val docs = corpus(s, d)
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        length(col("ta")).cast("long").as("len_a"),
+        length(col("tb")).cast("long").as("len_b"),
+        levenshtein(col("ta"), col("tb"), k).cast("long").as("edit_k64"))
+      .withColumn("similarity", when(col("edit_k64") === -1L, 0.0)
+        .otherwise(round(lit(1.0) - col("edit_k64").cast("double") /
+          greatest(col("len_a"), col("len_b")), 6)))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edit_distance" -> (qEditDistance _),
     "q_bleu_pairs" -> (qBleuPairs _),
     "q_dedup_eval" -> (qDedupEval _),
     "q_dedup_canonical" -> (qDedupCanonical _),
@@ -1789,6 +1818,22 @@ object Dedup {
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_edit_distance" ->
+      s"""WITH $lshJChain,
+         |pairs AS (
+         |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |t AS (SELECT p.a_id, p.b_id, da.text AS ta, db.text AS tb
+         |  FROM pairs p JOIN corpus da ON da.doc_id = p.a_id
+         |  JOIN corpus db ON db.doc_id = p.b_id),
+         |e AS (SELECT a_id, b_id,
+         |    CAST(len(ta) AS BIGINT) AS len_a, CAST(len(tb) AS BIGINT) AS len_b,
+         |    CAST(levenshtein(ta, tb) AS BIGINT) AS ed FROM t)
+         |SELECT a_id, b_id, len_a, len_b,
+         |  CASE WHEN ed > 64 THEN CAST(-1 AS BIGINT) ELSE ed END AS edit_k64,
+         |  CASE WHEN ed > 64 THEN 0.0
+         |    ELSE round(1.0 - CAST(ed AS DOUBLE) / greatest(len_a, len_b), 6)
+         |  END AS similarity
+         |FROM e""".stripMargin,
     "q_bleu_pairs" ->
       s"""WITH $lshJChain,
          |pairs AS (
