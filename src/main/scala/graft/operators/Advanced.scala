@@ -358,6 +358,44 @@ object Advanced {
     * dim-side joins are map-side; AQE's skew split covers hot keys. The
     * closed/opened rows are O(batch), so incremental maintenance cost
     * is proportional to the change set, not the dimension. */
+  /** Three-clause MERGE INTO semantics (ANSI SQL:2003 / the warehouse
+    * upsert contract) expressed as ONE full-outer join — Spark's
+    * row-level MERGE needs a v2 table; on immutable columnar storage the
+    * same semantics are a snapshot rewrite, which is exactly how
+    * copy-on-write table formats execute it:
+    *   WHEN MATCHED AND new_bal < 0 THEN DELETE
+    *   WHEN MATCHED            THEN UPDATE SET acctbal = new_bal
+    *   WHEN NOT MATCHED        THEN INSERT
+    * The change set is derived deterministically from the dimension
+    * (updates for custkey%4=0 — shifted so some go negative and take the
+    * DELETE branch — inserts keyed above the existing id space). One
+    * shuffle on the merge key; at 100 TB both sides would be bucketed on
+    * it (q_bucketed_join's layout) and the merge would run
+    * exchange-free. An `action` provenance column keeps all four
+    * outcomes (kept/updated/inserted + implicit deletes as absent rows)
+    * auditable — the oracle reproduces the clause logic in SQL. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val target = Tables.customer(s, d).select(
+      col("c_custkey").as("key"), col("c_mktsegment").as("segment"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)").as("acctbal"))
+    val source = Tables.customer(s, d).filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("key"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) - 3000 AS DOUBLE)").as("new_bal"))
+      .unionByName(Tables.customer(s, d).filter(col("c_custkey") % 10 === 7)
+        .select((col("c_custkey") + 10000000L).as("key"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) / 2 AS DOUBLE)").as("new_bal")))
+    target.join(source, Seq("key"), "full_outer")
+      .filter(
+        // WHEN MATCHED AND new_bal < 0 THEN DELETE — drop the row
+        !(col("acctbal").isNotNull && col("new_bal").isNotNull && col("new_bal") < 0))
+      .select(col("key"),
+        coalesce(col("segment"), lit("NEW")).as("segment"),
+        when(col("new_bal").isNotNull, col("new_bal")).otherwise(col("acctbal")).as("acctbal"),
+        when(col("acctbal").isNull, "inserted")
+          .when(col("new_bal").isNotNull, "updated")
+          .otherwise("kept").as("action"))
+  }
+
   def qScd2Merge(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.customer(s, d).select(
       col("c_custkey"), col("c_mktsegment").as("segment"),
@@ -1017,6 +1055,7 @@ object Advanced {
     "q_skyline" -> (qSkyline _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_scd2_merge" -> (qScd2Merge _),
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_kll_quantile_merge" -> (qKllQuantileMerge _),
     "q_approx_top_k" -> (qApproxTopK _),
@@ -1356,6 +1395,27 @@ object Advanced {
         |  DATE '1998-06-01', CAST(NULL AS DATE), TRUE,
         |  CASE WHEN d.c_custkey IS NOT NULL THEN 2 ELSE 1 END
         |FROM batch b LEFT JOIN dim d ON b.c_custkey = d.c_custkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS segment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |  FROM customer),
+        |source AS (
+        |  SELECT c_custkey AS key,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) - 3000 AS DOUBLE) AS new_bal
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000 AS key,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) / 2 AS DOUBLE) AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 7)
+        |SELECT COALESCE(t.key, s.key) AS key,
+        |  COALESCE(t.segment, 'NEW') AS segment,
+        |  CASE WHEN s.new_bal IS NOT NULL THEN s.new_bal ELSE t.acctbal END AS acctbal,
+        |  CASE WHEN t.acctbal IS NULL THEN 'inserted'
+        |    WHEN s.new_bal IS NOT NULL THEN 'updated'
+        |    ELSE 'kept' END AS action
+        |FROM target t FULL OUTER JOIN source s ON t.key = s.key
+        |WHERE NOT (t.acctbal IS NOT NULL AND s.new_bal IS NOT NULL AND s.new_bal < 0)""".stripMargin,
     "q_stats_moments" ->
       s"""WITH l AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
          |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS p

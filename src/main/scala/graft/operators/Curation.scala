@@ -1240,7 +1240,51 @@ object Curation {
           " / (CAST(n_total AS DOUBLE) * n_dup_margin * n_pass_margin), 6)").as("contrib"))
   }
 
+  /** URL CANONICALIZATION dedup — the first stage of every web-crawl
+    * pipeline: the same page arrives under scheme/case/tracking-param/
+    * fragment variants, and canonicalizing before fetch/dedup is what
+    * keeps a 100 TB crawl from storing the same page five times. The
+    * corpus has no URL column, so the raw URLs are DERIVED
+    * deterministically from (source, doc_id) — two variants per third
+    * document (mixed-case www host + utm_* tracking params + fragment vs
+    * a clean http form) that must collapse to ONE canonical URL.
+    * Canonicalization: drop fragment, drop scheme, lowercase host, strip
+    * `www.`, drop `utm_*`/`fbclid`/`gclid` tracking params, sort the
+    * surviving params. Pure per-row string/HOF work (codegen, no
+    * shuffle) followed by one groupBy on the canonical key — the same
+    * plan shape as exact dedup, and the oracle proves both engines agree
+    * on every canonical form. */
+  def qUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d).select(expr(
+        "concat('https://WWW.Crawl-', source, '.Example.COM/doc/', doc_id, " +
+        "'?utm_source=rss&ref=', doc_id % 7, '&utm_medium=feed#sec-', doc_id % 3)")
+        .as("raw_url"))
+      .unionByName(Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(expr(
+          "concat('http://crawl-', source, '.example.com/doc/', doc_id, '?ref=', doc_id % 7)")
+          .as("raw_url")))
+    raw
+      .withColumn("nosch", expr(
+        "regexp_replace(split_part(raw_url, '#', 1), '^https?://', '')"))
+      .withColumn("host", expr("split_part(nosch, '/', 1)"))
+      .withColumn("rest", expr("substring(nosch, length(host) + 1)"))
+      .withColumn("path", expr("split_part(rest, '?', 1)"))
+      .withColumn("query", expr(
+        "CASE WHEN instr(rest, '?') > 0 THEN substring(rest, instr(rest, '?') + 1) ELSE '' END"))
+      .withColumn("all_params", expr("filter(split(query, '&'), p -> p != '')"))
+      .withColumn("kept", expr(
+        "filter(all_params, p -> NOT (startswith(p, 'utm_') OR startswith(p, 'fbclid=') OR startswith(p, 'gclid=')))"))
+      .withColumn("canonical_url", expr(
+        "concat(regexp_replace(lower(host), '^www\\\\.', ''), path, " +
+        "CASE WHEN size(kept) > 0 THEN concat('?', array_join(array_sort(kept), '&')) ELSE '' END)"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).cast("long").as("n_raw"),
+        min(col("raw_url")).as("keep_url"),
+        sum(expr("size(all_params) - size(kept)")).cast("long").as("n_tracking_dropped"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canonical" -> (qUrlCanonical _),
     "q_quality_dup_contingency" -> (qQualityDupContingency _),
     "q_mix_greedy_quality" -> (qMixGreedyQuality _),
     "q_filter_attribution" -> (qFilterAttribution _),
@@ -1273,6 +1317,48 @@ object Curation {
     "q_curation_pipeline" -> (qCurationPipeline _))
 
   val oracle: Map[String, String] = Map(
+    "q_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT concat('https://WWW.Crawl-', source, '.Example.COM/doc/', doc_id,
+        |    '?utm_source=rss&ref=', doc_id % 7, '&utm_medium=feed#sec-', doc_id % 3) AS raw_url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT concat('http://crawl-', source, '.example.com/doc/', doc_id,
+        |    '?ref=', doc_id % 7) AS raw_url
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |p1 AS (
+        |  SELECT raw_url,
+        |    regexp_replace(split_part(raw_url, '#', 1), '^https?://', '') AS nosch
+        |  FROM raw),
+        |p2 AS (
+        |  SELECT raw_url, nosch, split_part(nosch, '/', 1) AS host,
+        |    substring(nosch, length(split_part(nosch, '/', 1)) + 1) AS rest
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT raw_url, host, split_part(rest, '?', 1) AS path,
+        |    CASE WHEN instr(rest, '?') > 0 THEN substring(rest, instr(rest, '?') + 1)
+        |      ELSE '' END AS query
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT raw_url, host, path,
+        |    list_filter(string_split(query, '&'), p -> p != '') AS all_params
+        |  FROM p3),
+        |p5 AS (
+        |  SELECT raw_url, host, path, all_params,
+        |    list_filter(all_params, p -> NOT (starts_with(p, 'utm_')
+        |      OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid='))) AS kept
+        |  FROM p4),
+        |c AS (
+        |  SELECT raw_url,
+        |    concat(regexp_replace(lower(host), '^www\.', ''), path,
+        |      CASE WHEN len(kept) > 0
+        |        THEN concat('?', array_to_string(list_sort(kept), '&')) ELSE '' END)
+        |      AS canonical_url,
+        |    len(all_params) - len(kept) AS dropped
+        |  FROM p5)
+        |SELECT canonical_url, COUNT(*) AS n_raw, MIN(raw_url) AS keep_url,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_tracking_dropped
+        |FROM c GROUP BY canonical_url""".stripMargin,
     "q_quality_dup_contingency" -> {
       val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
       s"""WITH ${Dedup.lshJChain},
