@@ -1539,7 +1539,52 @@ object TextAnalysis {
           (col("n_tokens").cast("double") * col("n_tokens")), 6).as("yule_k"))
   }
 
+  /** BOILERPLATE LINE REMOVAL (the CCNet/RefinedWeb cleaning stage): a
+    * line that repeats across many documents of the SAME source —
+    * subscribe banners, copyright footers, cookie notices — is template
+    * chrome, not content, and a crawl pipeline strips it by per-source
+    * line frequency before any content-level dedup. The corpus has no
+    * line structure, so template lines are INJECTED deterministically
+    * (a per-source subscribe header on every even doc, a rights footer
+    * on every third doc, newline-joined with the body); the detector
+    * does NOT know the injection — it rediscovers it purely from
+    * frequency: a line is boilerplate iff it occurs in ≥20% of its
+    * source's docs AND ≥3 docs. Body lines occur once and survive.
+    * Scale shape: explode lines → one groupBy on (source, line-hash) —
+    * the paragraph-hash dedup plan — then a tiny per-source rollup;
+    * the full line text never leaves the first aggregate at scale
+    * (md5 keys would replace raw lines; kept raw here so the oracle is
+    * readable). */
+  def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .withColumn("lined", concat(
+        when(col("doc_id") % 2 === 0,
+          concat(lit("subscribe to "), col("source"), lit(" newsletter today\n")))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\nall rights reserved "), col("source"))).otherwise(lit(""))))
+    val perSourceDocs = docs.groupBy("source").agg(countDistinct("doc_id").as("n_docs"))
+    val lines = docs
+      .select(col("doc_id"), col("source"), explode(split(col("lined"), "\n")).as("line"))
+    val freq = lines.groupBy("source", "line")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("n_occ"))
+    freq.join(broadcast(perSourceDocs), "source")
+      .withColumn("is_boiler",
+        col("df") >= 3 && col("df").cast("double") >= lit(0.2) * col("n_docs"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler_lines"),
+        sum(when(col("is_boiler"), col("n_occ")).otherwise(0L)).cast("long").as("n_boiler_occ"),
+        sum(when(col("is_boiler"), col("n_occ") * (length(col("line")) + 1))
+          .otherwise(0L)).cast("long").as("chars_removed"),
+        sum(col("n_occ") * (length(col("line")) + 1)).cast("long").as("chars_total"))
+      .withColumn("pct_removed",
+        round(col("chars_removed").cast("double") / col("chars_total"), 6))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate" -> (qBoilerplate _),
     "q_label_noise" -> (qLabelNoise _),
     "q_wilson_rank" -> (qWilsonRank _),
     "q_bpe_encode" -> (qBpeEncode _),
@@ -1663,6 +1708,39 @@ object TextAnalysis {
        |FROM sc""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_boilerplate" ->
+      """WITH lined AS (
+        |  SELECT doc_id, source,
+        |    concat(
+        |      CASE WHEN doc_id % 2 = 0
+        |        THEN concat('subscribe to ', source, ' newsletter today', chr(10))
+        |        ELSE '' END,
+        |      text,
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN concat(chr(10), 'all rights reserved ', source)
+        |        ELSE '' END) AS lined
+        |  FROM documents),
+        |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM lined GROUP BY 1),
+        |lines AS (
+        |  SELECT doc_id, source, unnest(string_split(lined, chr(10))) AS line
+        |  FROM lined),
+        |freq AS (
+        |  SELECT source, line, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_occ
+        |  FROM lines GROUP BY 1, 2),
+        |j AS (
+        |  SELECT f.source, f.line, f.df, f.n_occ,
+        |    (f.df >= 3 AND CAST(f.df AS DOUBLE) >= 0.2 * nd.n_docs) AS is_boiler
+        |  FROM freq f JOIN nd ON f.source = nd.source)
+        |SELECT source,
+        |  COUNT(*) AS n_distinct_lines,
+        |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+        |  CAST(SUM(CASE WHEN is_boiler THEN n_occ ELSE 0 END) AS BIGINT) AS n_boiler_occ,
+        |  CAST(SUM(CASE WHEN is_boiler THEN n_occ * (len(line) + 1) ELSE 0 END) AS BIGINT)
+        |    AS chars_removed,
+        |  CAST(SUM(n_occ * (len(line) + 1)) AS BIGINT) AS chars_total,
+        |  round(CAST(SUM(CASE WHEN is_boiler THEN n_occ * (len(line) + 1) ELSE 0 END) AS DOUBLE)
+        |    / SUM(n_occ * (len(line) + 1)), 6) AS pct_removed
+        |FROM j GROUP BY source""".stripMargin,
     "q_label_noise" ->
       s"""$nbChainSql,
          |p AS (SELECT lang, c AS pred_lang FROM rk WHERE rn = 1),
