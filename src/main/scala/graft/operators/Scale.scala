@@ -172,6 +172,13 @@ object Scale {
           .bucketBy(nBuckets, key).sortBy(key)
           .option("path", dir.getAbsolutePath).saveAsTable(tname)
         AtRest.gcStale(dir)
+        // the file GC above orphans any PREVIOUS generation's catalog
+        // entry (same family prefix, different fingerprint) — drop them
+        // so the metastore never accumulates tables over deleted paths
+        s.catalog.listTables().collect()
+          .map(_.name)
+          .filter(n => n.startsWith(s"graft_bkt_${table}_") && n != tname)
+          .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
       }
     }
     tname

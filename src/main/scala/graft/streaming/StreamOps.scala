@@ -362,4 +362,97 @@ object StreamOps {
       }
     } finally { newSigs.unpersist(); () }
   }
+
+  /** CDC UPSERT sink — the STREAMING face of `q_merge_upsert`: each
+    * micro-batch of keyed changes `(key, new_bal, seq)` produces a NEW
+    * complete snapshot generation `gen=<batchId>` by merging the
+    * previous generation with the batch under the same three-clause
+    * MERGE semantics (last change per key wins within a batch by `seq`;
+    * matched + negative balance = DELETE; unmatched key = INSERT;
+    * matched = UPDATE). Generations are COPY-ON-WRITE, the way
+    * production table formats execute MERGE on immutable storage:
+    *  - readers take the highest completed generation ([[snapshot]]);
+    *  - a replayed batch id rewrites ITS OWN generation from the same
+    *    base (deterministic: the largest completed gen < id), so
+    *    foreachBatch's at-least-once delivery cannot fork or corrupt
+    *    the chain;
+    *  - superseded generations remain as TIME-TRAVEL points until
+    *    retention trims to `retain` newest (retain ≥ 2 always, so a
+    *    replay's base generation survives its own tick's cleanup).
+    * Scale shape per tick: one full-outer join of snapshot × batch on
+    * the key — at 100 TB both sides bucketed on it (q_bucketed_join's
+    * layout) makes the rewrite exchange-free, and the rewrite cost is
+    * the snapshot size, which is why production formats add file-level
+    * pruning on the key; the generation chain is the part this sink
+    * demonstrates. */
+  def upsertSink(changes: DataFrame, snapDir: String, retain: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      upsertTick(batch, id, snapDir, retain)
+    }.start()
+
+  /** Completed snapshot generations under `snapDir` (those with a
+    * _SUCCESS marker), ascending. */
+  private[graft] def completedGens(snapDir: String): Seq[Long] = {
+    val d = new java.io.File(snapDir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.getName.startsWith("gen=") && graft.AtRest.isBuilt(f))
+      .map(_.getName.stripPrefix("gen=").toLong).sorted
+  }
+
+  /** Latest completed snapshot (empty two-column relation if none). */
+  def snapshot(s: org.apache.spark.sql.SparkSession, snapDir: String): DataFrame =
+    completedGens(snapDir).lastOption match {
+      case Some(g) => s.read.parquet(s"$snapDir/gen=$g")
+      case None =>
+        import org.apache.spark.sql.types._
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("key", LongType), StructField("bal", DoubleType))))
+    }
+
+  /** One upsert tick — exposed so the spec can replay a batch id
+    * verbatim and prove the generation chain is unchanged. */
+  private[graft] def upsertTick(batch: DataFrame, id: Long, snapDir: String,
+      retain: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    // last change per key within the batch (ties broken by value for
+    // full determinism even under duplicate seq)
+    val changes = batch
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("seq").desc, col("new_bal").desc)))
+      .filter(col("_rn") === 1).select("key", "new_bal").persist()
+    try {
+      if (changes.isEmpty) ()
+      else {
+        // base = largest completed generation BELOW this id — identical
+        // on a replay because retention never trims the replay window
+        val base = completedGens(snapDir).filter(_ < id).lastOption
+          .map(g => s.read.parquet(s"$snapDir/gen=$g"))
+        val merged = base match {
+          case None =>
+            changes.select(col("key"), col("new_bal").as("bal"))
+          case Some(t) =>
+            t.join(changes, Seq("key"), "full_outer")
+              .filter(!(col("bal").isNotNull && col("new_bal").isNotNull &&
+                col("new_bal") < 0))
+              .select(col("key"),
+                coalesce(col("new_bal"), col("bal")).as("bal"))
+        }
+        merged.write.mode("overwrite").parquet(s"$snapDir/gen=$id")
+        // retention: keep the newest `retain` (min 2) completed gens —
+        // time-travel points, bounded
+        val keep = completedGens(snapDir).takeRight(math.max(retain, 2)).toSet
+        Option(new java.io.File(snapDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("gen=") &&
+            !keep.contains(f.getName.stripPrefix("gen=").toLong))
+          .foreach(del)
+      }
+    } finally { changes.unpersist(); () }
+  }
+
+  private def del(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+    f.delete(); ()
+  }
 }

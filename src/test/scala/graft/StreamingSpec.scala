@@ -706,4 +706,49 @@ class StreamingSpec extends SparkSpec {
       } finally CacheTracker.releaseAll()
     } finally q.stop()
   }
+
+  test("streaming CDC upsert: generation chain equals the sequential fold, replay-safe, time-travelable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    // three ticks of (key, new_bal, seq): inserts, then updates + a
+    // delete (negative balance) + a fresh insert, then re-insert of the
+    // deleted key and an in-batch overwrite (two changes to key 6 —
+    // the higher seq must win)
+    val t1 = (1L to 10L).map(k => (k, k * 10.0, k))
+    val t2 = Seq((2L, 25.0, 100L), (3L, -1.0, 101L), (11L, 110.0, 102L))
+    val t3 = Seq((3L, 33.0, 200L), (6L, 61.0, 201L), (6L, 66.0, 202L))
+    val in = MemoryStream[(Long, Double, Long)]
+    val q = StreamOps.upsertSink(in.toDF().toDF("key", "new_bal", "seq"), snapDir)
+    try {
+      Seq(t1, t2, t3).foreach { b => in.addData(b); q.processAllAvailable() }
+      // expected = driver-side sequential fold of every change in seq order
+      var m = Map.empty[Long, Double]
+      (t1 ++ t2 ++ t3).sortBy(_._3).foreach { case (k, v, _) =>
+        m = if (v < 0 && m.contains(k)) m - k else m + (k -> v) }
+      val got = StreamOps.snapshot(spark, snapDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == m, s"snapshot diverged from the sequential fold:\n$got\nvs\n$m")
+      assert(got(6L) == 66.0, "in-batch last-writer-wins (by seq) violated")
+      assert(!got.contains(3L) == false && got(3L) == 33.0,
+        "delete-then-reinsert must resurrect the key with the new value")
+      // TIME TRAVEL: the retained previous generation is exactly the
+      // fold of the ticks up to it
+      val gens = StreamOps.completedGens(snapDir)
+      assert(gens.size >= 2 && gens.size <= 3, s"retention out of bounds: $gens")
+      var m2 = Map.empty[Long, Double]
+      (t1 ++ t2).sortBy(_._3).foreach { case (k, v, _) =>
+        m2 = if (v < 0 && m2.contains(k)) m2 - k else m2 + (k -> v) }
+      val prev = spark.read.parquet(s"$snapDir/gen=${gens(gens.size - 2)}").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(prev == m2, "previous generation is not the as-of snapshot")
+      // REPLAY: re-invoke the last tick verbatim (at-least-once retry) —
+      // the chain must be byte-equal afterwards
+      StreamOps.upsertTick(t3.toDF("key", "new_bal", "seq"), gens.last, snapDir, 3)
+      val replayed = StreamOps.snapshot(spark, snapDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(replayed == m, "replayed tick changed the snapshot")
+      assert(StreamOps.completedGens(snapDir) == gens, "replay altered the generation chain")
+    } finally q.stop()
+  }
 }
