@@ -99,6 +99,72 @@ class ScaleSpec extends SparkSpec {
     assert(j.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("backfill via dynamic partition overwrite: one month recomputed, every other partition untouched") {
+    // the 100 TB BACKFILL primitive: recomputing one bad day/month of a
+    // partitioned fact must replace exactly that partition — static
+    // overwrite would truncate the whole table, and append would
+    // double-count. partitionOverwriteMode=dynamic scopes the overwrite
+    // to the partitions present in the written data.
+    val keep = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_backfill").toString + "/fact"
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // private copy of the month-partitioned fact (never mutate the
+      // shared at-rest index: its fingerprint covers the SOURCE, not
+      // index content, so an in-place edit would serve silently wrong)
+      spark.read.parquet(Scale.monthPartitionedLineitem(spark, sf))
+        .write.partitionBy("ship_month").parquet(tmp)
+      val month = "1996-03"
+      val othersBefore = spark.read.parquet(tmp)
+        .filter(col("ship_month") =!= month).persist()
+      val nOthers = othersBefore.count()
+      val nMonth = spark.read.parquet(tmp).filter(col("ship_month") === month).count()
+      assert(nMonth > 0, "backfill month empty — test corpus changed?")
+      // the recompute: zero the discount for the bad month only
+      spark.read.parquet(tmp).filter(col("ship_month") === month)
+        .withColumn("l_discount", lit(0.0))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(tmp)
+      val after = spark.read.parquet(tmp).persist()
+      try {
+        val othersAfter = after.filter(col("ship_month") =!= month)
+        assert(othersAfter.exceptAll(othersBefore).isEmpty &&
+          othersBefore.exceptAll(othersAfter).isEmpty,
+          "untouched partitions changed under dynamic overwrite")
+        val m = after.filter(col("ship_month") === month)
+        assert(m.count() == nMonth, "backfilled partition lost rows")
+        assert(m.filter(col("l_discount") =!= 0.0).isEmpty, "recompute not applied")
+        assert(after.count() == nOthers + nMonth)
+      } finally { after.unpersist(); othersBefore.unpersist(); () }
+    } finally keep match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("ANALYZE TABLE feeds exact row and column stats to the optimizer's cost model") {
+    // the planner-quality face of the at-rest layout: CBO join ordering
+    // and broadcast decisions are only as good as catalog statistics, so
+    // the warehouse tables must actually carry them after ANALYZE.
+    val keep = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val t = Scale.bucketedTable(spark, sf, "orders", "o_orderkey")
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderpriority")
+      val stats = spark.table(t).queryExecution.optimizedPlan.stats
+      val exact = Tables.orders(spark, sf).count()
+      assert(stats.rowCount.contains(BigInt(exact)),
+        s"catalog rowCount ${stats.rowCount} != exact $exact")
+      assert(stats.attributeStats.nonEmpty, "column-level stats missing after ANALYZE")
+      val ndv = stats.attributeStats.find(_._1.name == "o_orderkey")
+        .flatMap(_._2.distinctCount)
+      assert(ndv.exists(n => n.toLong >= exact * 9 / 10),
+        s"o_orderkey NDV $ndv implausible for a key column of $exact rows")
+    } finally keep match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("memory-constrained windowed aggregation spills to disk and stays correct") {
     // The 100 TB story must survive memory pressure, not just have the
     // right shuffle shapes: force WindowExec's row buffer (the same
