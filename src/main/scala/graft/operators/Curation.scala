@@ -119,8 +119,11 @@ object Curation {
     * aggregate. */
   def qCurriculumSchedule(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // scores come off the at-rest LM index (built once per corpus
+    // fingerprint) — the curriculum planner never re-trains the LM; the
+    // oracle stays the from-scratch pipeline, proving the index path
     val px = graft.CacheTracker.track(
-      TextAnalysis.qLmPerplexity(s, d).select(col("doc_id"), col("n_grams"), col("xent"))
+      TextAnalysis.lmXentAtRest(s, d).select(col("doc_id"), col("n_grams"), col("xent"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = px.count()
     val targets = (1 to 3).map(k => k * n / 4 - 1).toSet

@@ -705,6 +705,28 @@ object TextAnalysis {
       .withColumn("quality_pass", col("xent") < lit(8.0))
   }
 
+  /** The at-rest PER-DOC LM-SCORE index (doc_id, n_grams, xent): a
+    * production pipeline scores the corpus with its quality LM once and
+    * every curriculum/mixing/filtering consumer reads the scores from
+    * columnar storage instead of re-running the explode→train→score
+    * pipeline (the same contract as the dedup signature index).
+    * [[qLmPerplexity]] itself stays the definitional from-scratch
+    * builder — its oracle proves the computation; consumers keep
+    * from-scratch oracles, so their hash equality proves the index
+    * read path loses nothing. */
+  private def lmXentDir(s: SparkSession, d: String): java.io.File =
+    graft.AtRest.dir(s, d, "lm_xent", "documents",
+      params = "char-trigram;mle;asc-count-fold;round6")
+  private[graft] def lmXentAtRest(s: SparkSession, d: String): DataFrame = {
+    val dir = lmXentDir(s, d)
+    if (!graft.AtRest.isBuilt(dir)) {
+      qLmPerplexity(s, d).select(col("doc_id"), col("n_grams"), col("xent"))
+        .write.mode("overwrite").parquet(dir.toString)
+      graft.AtRest.gcStale(dir)
+    }
+    s.read.parquet(dir.toString)
+  }
+
   /** Gopher-style document quality rules (public heuristics from the
     * Gopher/MassiveText filtering literature): mean word length bounds,
     * top-2-gram repetition ratio, document size bound, and the overall

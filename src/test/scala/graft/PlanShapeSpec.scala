@@ -61,6 +61,18 @@ class PlanShapeSpec extends SparkSpec {
     } finally CacheTracker.releaseAll()
   }
 
+  test("curriculum planner scans the at-rest LM-score index, never re-trains the LM") {
+    // q_curriculum_schedule must read (doc_id, n_grams, xent) off the
+    // lm_xent index — its analyzed plan may contain the index parquet
+    // scan and the rank machinery, but none of the trigram pipeline
+    // (substring explode / model-count aggregation fingerprints)
+    val df = operators.Curation.qCurriculumSchedule(spark, sf)
+    val p = try df.queryExecution.executedPlan.toString
+      finally CacheTracker.releaseAll()
+    assert(!p.contains("substring(text") && !p.contains("sequence(1, (length("),
+      s"curriculum re-runs the LM scoring pipeline:\n${p.take(1200)}")
+  }
+
   test("native as-of join plans through AsOfJoinExec (custom strategy fires)") {
     val p = plan("q_asof_join_native")
     assert(p.contains("AsOfJoin"), s"custom exec missing from plan:\n${p.take(600)}")
