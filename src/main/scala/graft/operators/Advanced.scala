@@ -955,9 +955,19 @@ object Advanced {
       col("o_orderkey"))
     val base = rows.groupBy("grp")
       .agg(count(lit(1)).as("n_orders"), sum("cents").cast("long").as("sc"))
-    val reps = rows.withColumn("b", explode(expr("sequence(0, 31)")))
+    // TWO-LEVEL fan-out so each digest is computed once per (row, j)
+    // and only its 32-char string rides into the 8-lane explode —
+    // 4 md5 calls per source row total, never 1 per replica (8× less
+    // hashing than a single 32-way explode computing md5(b div 8)
+    // per output row; bucket values identical: b = j*8 + lane)
+    val reps = rows
+      .withColumn("j", explode(expr("sequence(0, 3)")))
+      .withColumn("digest", expr(
+        "md5(concat(CAST(o_orderkey AS STRING), '_', CAST(j AS STRING)))"))
+      .withColumn("lane", explode(expr("sequence(0, 7)")))
+      .withColumn("b", expr("j * 8 + lane"))
       .withColumn("bucket", expr(
-        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_', CAST(b div 8 AS STRING))), (b % 8) * 4 + 1, 4), 16, 10) AS BIGINT)"))
+        "CAST(conv(substring(digest, lane * 4 + 1, 4), 16, 10) AS BIGINT)"))
       .withColumn("w", expr(thresholds.map(t => s"CAST(bucket >= $t AS INT)").mkString(" + ")))
       .groupBy("grp", "b")
       .agg(sum(expr("CAST(w AS BIGINT) * cents")).cast("long").as("swc"),
