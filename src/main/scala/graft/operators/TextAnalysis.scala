@@ -1605,7 +1605,90 @@ object TextAnalysis {
         round(col("chars_removed").cast("double") / col("chars_total"), 6))
   }
 
+  /** DEGENERATE-LOOP detection — the model-generated-text artifact gate
+    * (synthetic/LLM-produced training data fails by repeating a short
+    * phrase until the length cap; Holtzman et al. 2020's neural
+    * degeneration): the per-doc MAXIMUM CONSECUTIVE RUN of an identical
+    * word trigram, found with the gaps-and-islands trick (pos − rank
+    * within (doc, gram) is constant exactly on a consecutive run — the
+    * q_streaks pattern at token granularity). Gopher's top-2-gram RATIO
+    * (q_gopher_quality) misses loops in long docs — a 30-token loop in
+    * a 10k-token doc is 0.3% by ratio but an unmistakable 28-run here.
+    * Loops are INJECTED (every 13th doc gets a 30× repeated token tail);
+    * the detector rediscovers them from positions alone. Scale shape:
+    * posexplode → one (doc, gram)-keyed window + groupBy — everything
+    * partitions by doc; output only flagged docs. */
+  def qRepetitionLoops(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" "),
+            array_join(array_repeat(lit("spam"), 30), " ")))
+          .otherwise(col("text")).as("text"))
+    val grams = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+          .as(Seq("pos", "g")))
+    val wRun = Window.partitionBy("doc_id", "g").orderBy("pos")
+    val runs = grams
+      .withColumn("island", col("pos") - row_number().over(wRun))
+      .groupBy("doc_id", "source", "g", "island")
+      .agg(count(lit(1)).as("run"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("run").desc, col("g").asc, col("island").asc)
+    runs.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1 && col("run") >= 10)
+      .select(col("doc_id"), col("source"), col("g").as("loop_gram"),
+        col("run").cast("long").as("max_run"))
+  }
+
+  /** SECRET/CREDENTIAL scanning — the leaked-API-key gate every
+    * pretraining pipeline runs beside PII scrubbing (q_pii_scrub covers
+    * emails/phones; keys need a different detector because they are not
+    * pattern-shaped, they are ENTROPY-shaped): long tokens (≥20 chars)
+    * whose character Shannon entropy crosses a threshold are flagged and
+    * reported MASKED (a secret scanner that prints the secret is itself
+    * a leak). Keys are injected ('sk-' + md5 hex on every 11th doc);
+    * natural dictionary words never reach candidate length, so the gate
+    * demonstrates zero false positives on the corpus. Entropy is folded
+    * over the char-ascending count list (the pinned-order float-fold
+    * discipline) so both engines produce bit-identical doubles. Scale
+    * shape: token explode with a length prefilter (candidates are rare),
+    * char-level work only on candidates. */
+  def qSecretScan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" sk-"), md5(col("doc_id").cast("string"))))
+        .otherwise(col("text")).as("text"))
+    val cand = docs
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 20)
+    cand
+      .select(col("doc_id"), col("source"), col("tok"),
+        explode(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")).as("ch"))
+      .groupBy("doc_id", "source", "tok", "ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source", "tok")
+      .agg(sum("c").cast("long").as("token_len"),
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("cc"),
+        sum(expr("CASE WHEN (ch >= '0' AND ch <= '9') OR (ch >= 'a' AND ch <= 'f') " +
+          "OR ch = '-' THEN c ELSE 0 END")).cast("long").as("n_hexish"))
+      .select(col("doc_id"), col("source"),
+        concat(substring(col("tok"), 1, 6), lit("***")).as("token_masked"),
+        col("token_len"),
+        round(expr("aggregate(cc, CAST(0 AS DOUBLE), (a, x) -> " +
+          "a - (CAST(x.c AS DOUBLE) / token_len) * ln(CAST(x.c AS DOUBLE) / token_len))"), 6)
+          .as("entropy"),
+        round(col("n_hexish").cast("double") / col("token_len"), 6).as("hexish_frac"))
+      .filter(col("entropy") >= 2.0)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_secret_scan" -> (qSecretScan _),
+    "q_repetition_loops" -> (qRepetitionLoops _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_label_noise" -> (qLabelNoise _),
     "q_wilson_rank" -> (qWilsonRank _),
@@ -1730,6 +1813,69 @@ object TextAnalysis {
        |FROM sc""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_secret_scan" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN concat(text, ' sk-', md5(CAST(doc_id AS VARCHAR)))
+        |      ELSE text END AS text
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id, source, tok
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM docs)
+        |  WHERE len(tok) >= 20),
+        |chars AS (
+        |  SELECT doc_id, source, tok, substring(tok, i, 1) AS ch
+        |  FROM cand, unnest(range(1, len(tok) + 1)) AS u(i)),
+        |cc AS (
+        |  SELECT doc_id, source, tok, ch, COUNT(*) AS c
+        |  FROM chars GROUP BY doc_id, source, tok, ch),
+        |t AS (
+        |  SELECT doc_id, source, tok,
+        |    CAST(SUM(c) AS BIGINT) AS token_len,
+        |    list_sort(list(struct_pack(ch := ch, c := c))) AS ccs,
+        |    CAST(SUM(CASE WHEN (ch >= '0' AND ch <= '9') OR (ch >= 'a' AND ch <= 'f')
+        |      OR ch = '-' THEN c ELSE 0 END) AS BIGINT) AS n_hexish
+        |  FROM cc GROUP BY doc_id, source, tok)
+        |SELECT doc_id, source,
+        |  concat(substring(tok, 1, 6), '***') AS token_masked, token_len,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(ccs, x ->
+        |      -(CAST(x.c AS DOUBLE) / token_len) * ln(CAST(x.c AS DOUBLE) / token_len))),
+        |    (a, x) -> a + x), 6) AS entropy,
+        |  round(CAST(n_hexish AS DOUBLE) / token_len, 6) AS hexish_frac
+        |FROM t
+        |WHERE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(ccs, x ->
+        |      -(CAST(x.c AS DOUBLE) / token_len) * ln(CAST(x.c AS DOUBLE) / token_len))),
+        |    (a, x) -> a + x), 6) >= 2.0""".stripMargin,
+    "q_repetition_loops" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN concat(text, ' ',
+        |        array_to_string(list_transform(range(30), x -> 'spam'), ' '))
+        |      ELSE text END AS text
+        |  FROM documents),
+        |ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM docs),
+        |g AS (
+        |  SELECT doc_id, source, i AS pos,
+        |    w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
+        |  FROM ws, unnest(range(0, len(w) - 2)) AS u(i)
+        |  WHERE len(w) >= 3),
+        |runs AS (
+        |  SELECT doc_id, source, g,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id, g ORDER BY pos) AS island
+        |  FROM g),
+        |agg AS (
+        |  SELECT doc_id, source, g, island, COUNT(*) AS run
+        |  FROM runs GROUP BY doc_id, source, g, island),
+        |best AS (
+        |  SELECT doc_id, source, g, run,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY run DESC, g, island) AS rk
+        |  FROM agg)
+        |SELECT doc_id, source, g AS loop_gram, CAST(run AS BIGINT) AS max_run
+        |FROM best WHERE rk = 1 AND run >= 10""".stripMargin,
     "q_boilerplate" ->
       """WITH lined AS (
         |  SELECT doc_id, source,
