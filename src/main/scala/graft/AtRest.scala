@@ -51,6 +51,18 @@ object AtRest {
   /** A parquet write is complete iff Spark's _SUCCESS marker landed. */
   def isBuilt(dir: java.io.File): Boolean = new java.io.File(dir, "_SUCCESS").isFile
 
+  /** Hive-partitioned write that stays READABLE when the relation is
+    * EMPTY: `partitionBy` of zero rows emits no data files at all, and a
+    * later read of the directory fails schema inference — so an empty
+    * corpus (a fresh tenant, a filtered-out day) would break every index
+    * consumer. Fall back to a plain empty write (one schema-carrying
+    * part file, the partition column kept as an ordinary column);
+    * pruning is meaningless at zero rows and correctness is identical. */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, partCol: String,
+      dir: String): Unit =
+    if (df.isEmpty) df.write.mode("overwrite").parquet(dir)
+    else df.write.partitionBy(partCol).mode("overwrite").parquet(dir)
+
   /** A streaming tick tree (`batch_id=<id>` subdirs) is readable iff at
     * least one completed tick partition exists — or the tree was
     * compacted (root `_SUCCESS` from the compaction rewrite). */

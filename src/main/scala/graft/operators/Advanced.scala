@@ -228,7 +228,7 @@ object Advanced {
         expr("CAST(shiftleft(1, x.lg_k) AS BIGINT)").as("m"),
         col("exact_n"),
         round(expr(boundExpr), 6).as("rse_bound"),
-        (abs(col("x.est") - col("exact_n")).cast("double") / col("exact_n") <=
+        (abs(col("x.est") - col("exact_n")).cast("double") / expr("nullif(exact_n, 0)") <=
           expr(boundExpr)).as("hll_ok"))
   }
 
@@ -771,11 +771,11 @@ object Advanced {
         max(expr("CAST(s AS DOUBLE) / n / 100.0")).as("mean_price"),
         sort_array(collect_list(struct(col("bucket"), col("loo_mean")))).as("xs"))
       .withColumn("mean_dot", expr(
-        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.loo_mean) / n_groups"))
+        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.loo_mean) / nullif(n_groups, 0)"))
       .withColumn("jk_var", expr(
         """aggregate(xs, CAST(0.0 AS DOUBLE),
           | (a, e) -> a + (e.loo_mean - mean_dot) * (e.loo_mean - mean_dot))
-          | * (n_groups - 1) / n_groups""".stripMargin.replace("\n", "")))
+          | * (n_groups - 1) / nullif(n_groups, 0)""".stripMargin.replace("\n", "")))
       .select(col("n"), col("n_groups"), round(col("mean_price"), 4).as("mean_price"),
         round(col("mean_dot"), 4).as("jk_mean"),
         round(expr("sqrt(jk_var)"), 6).as("jk_se"))

@@ -869,8 +869,8 @@ object Dedup {
     // the contiguous doc_id range (no pre-count jobs — the adaptive-LSH
     // pattern); the oracle derives the identical integers from COUNT(*)
     val n = Tables.parquetRowCount(s, d, "documents")
-    val nExact = (n + 4) / 5
-    val nNear = (n + 6) / 7
+    val nExact = math.max((n + 4) / 5, 1L) // max guards the empty corpus
+    val nNear = math.max((n + 6) / 7, 1L)
     // Every candidate threshold MUST emit a row even when the cutoff
     // sheds every pair (a silent missing row would read as "sweep never
     // ran 0.9"): the literal threshold list left-joins the filtered
@@ -912,8 +912,8 @@ object Dedup {
   def qLshBandSweep(s: SparkSession, d: String): DataFrame = {
     val sigs = sigsAtRest(s, d)
     val n = Tables.parquetRowCount(s, d, "documents")
-    val nExact = (n + 4) / 5
-    val nNear = (n + 6) / 7
+    val nExact = math.max((n + 4) / 5, 1L) // max guards the empty corpus
+    val nNear = math.max((n + 6) / 7, 1L)
     Seq((2, 8), (4, 4), (8, 2)).map { case (bn, r) =>
       val bands = sigs.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bn - 1}), b -> array_join(" +

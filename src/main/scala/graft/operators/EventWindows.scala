@@ -43,6 +43,7 @@ object EventWindows {
     rows.withColumn("prev", lag("n_users", 1).over(Window.orderBy("stage")))
       .withColumn("conversion",
         when(col("prev").isNull, 1.0)
+          .when(col("prev") === 0, 0.0) // empty corpus: a zero-user stage converts nobody
           .otherwise(round(col("n_users").cast("double") / col("prev"), 6)))
       .select("stage", "n_users", "conversion")
   }

@@ -213,11 +213,11 @@ object Scale {
     val dir = AtRest.dir(s, d, "lineitem_bymonth", "lineitem",
       params = "partitionBy=ship_month(yyyy-MM)")
     if (!AtRest.isBuilt(dir)) {
-      Tables.lineitem(s, d)
-        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-        .repartition(col("ship_month"))
-        .write.partitionBy("ship_month").mode("overwrite")
-        .parquet(dir.getAbsolutePath)
+      AtRest.writePartitioned(
+        Tables.lineitem(s, d)
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .repartition(col("ship_month")),
+        "ship_month", dir.getAbsolutePath)
       AtRest.gcStale(dir)
     }
     dir.getAbsolutePath

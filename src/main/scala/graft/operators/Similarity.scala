@@ -637,9 +637,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val centLit = ivfCentroidsLit(e, k = 8)
     centLit.write.mode("overwrite").parquet(centsDir.toString)
-    assignCells(e, centLit, 1)
-      .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
-      .write.partitionBy("cid").mode("overwrite").parquet(cellsDir.toString)
+    graft.AtRest.writePartitioned(assignCells(e, centLit, 1)
+      .select(col("vec_id").as("c_id"), col("cid"), col("ce")), "cid", cellsDir.toString)
     graft.AtRest.gcStale(cellsDir); graft.AtRest.gcStale(centsDir)
     e
   }
@@ -675,13 +674,11 @@ object Similarity {
       IvfIndexParams + ",split=hist-mod10ne7")
     val deltaDir = graft.AtRest.dir(s, d, "ivf_cells_delta", "embeddings",
       IvfIndexParams + ",split=delta-mod10eq7")
-    assignCells(hist, centLit, 1)
-      .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
-      .write.partitionBy("cid").mode("overwrite").parquet(histDir.toString)
+    graft.AtRest.writePartitioned(assignCells(hist, centLit, 1)
+      .select(col("vec_id").as("c_id"), col("cid"), col("ce")), "cid", histDir.toString)
     // —— the refresh tick: arrivals only, cost ∝ |delta| ——
-    assignCells(arrivals, centLit, 1)
-      .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
-      .write.partitionBy("cid").mode("overwrite").parquet(deltaDir.toString)
+    graft.AtRest.writePartitioned(assignCells(arrivals, centLit, 1)
+      .select(col("vec_id").as("c_id"), col("cid"), col("ce")), "cid", deltaDir.toString)
     graft.AtRest.gcStale(histDir); graft.AtRest.gcStale(deltaDir)
     // —— search session over standing ∪ delta, read from disk ——
     val cells = s.read.parquet(histDir.toString)
@@ -1235,7 +1232,7 @@ object Similarity {
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var rem = pool.map { case (cid, ce, rel) => (cid, ce, rel, None: Option[Double]) }
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Option[Double], Double)]()
-    for (k <- 1 to 5) {
+    for (k <- 1 to 5 if rem.nonEmpty) { // guard: empty corpus has no pool
       val scored = rem.map { case (cid, ce, rel, ms) =>
         val mmr = if (k == 1) rel else r6(0.7 * rel - 0.3 * ms.get)
         (cid, ce, rel, ms, mmr)
@@ -1318,6 +1315,9 @@ object Similarity {
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(count(lit(1)).as("cnt"), sum(expr("CAST(t.p AS DECIMAL(38,0))")).as("sp"))
       .collect()
+    import s.implicits._
+    if (cells.isEmpty) // empty corpus: no moments, no component
+      return Seq.empty[(Int, Long, Long)].toDF("i", "v", "lambda")
     val n = BigInt(cells.head.getAs[Long]("cnt"))
     def big(r: org.apache.spark.sql.Row) = BigInt(r.getDecimal(3).toBigInteger)
     val sx = Array.fill(8)(BigInt(0))
@@ -1339,7 +1339,6 @@ object Similarity {
     val mv = matvec(v)
     val lambda = sdiv((0 until 8).map(i => v(i) * mv(i)).sum,
       (0 until 8).map(i => v(i) * v(i)).sum)
-    import s.implicits._
     (0 until 8).map(i => (i, v(i).toLong, lambda.toLong)).toDF("i", "v", "lambda")
   }
 

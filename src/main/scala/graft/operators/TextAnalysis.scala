@@ -337,7 +337,8 @@ object TextAnalysis {
     * more than once, at any size. */
   def qHeapsLaw(s: SparkSession, d: String): DataFrame = {
     graft.functions.Shingles3.register(s)
-    val n = Tables.parquetRowCount(s, d, "documents")
+    // max(…, 1) guards the empty corpus (identical for any real one)
+    val n = math.max(Tables.parquetRowCount(s, d, "documents"), 1L)
     // the TYPE unit is the word 3-gram: this corpus' word vocabulary is
     // tiny and saturates in the first checkpoint (a flat, degenerate
     // curve), while its gram vocabulary keeps growing — the regime the
@@ -376,10 +377,10 @@ object TextAnalysis {
           .stripMargin.replace("\n", "")).as("sm"))
       .select( // + 0.0 collapses IEEE -0.0 to +0.0 (hash-stable when a fold
         // lands exactly on zero from below; DuckDB does the same)
-        (round(expr("(nf * sm.sxy - sm.sx * sm.sy) / (nf * sm.sxx - sm.sx * sm.sx)"), 6)
+        (round(expr("(nf * sm.sxy - sm.sx * sm.sy) / nullif(nf * sm.sxx - sm.sx * sm.sx, 0D)"), 6)
           + lit(0.0)).as("heaps_beta"),
         (round(expr(
-          "(sm.sy - (nf * sm.sxy - sm.sx * sm.sy) / (nf * sm.sxx - sm.sx * sm.sx) * sm.sx) / nf"), 6)
+          "(sm.sy - (nf * sm.sxy - sm.sx * sm.sy) / nullif(nf * sm.sxx - sm.sx * sm.sx, 0D) * sm.sx) / nullif(nf, 0)"), 6)
           + lit(0.0)).as("heaps_lnk"))
     pts.crossJoin(broadcast(fit))
       .select(col("k"), col("n_tokens"), col("vocab"),
@@ -648,15 +649,20 @@ object TextAnalysis {
         .select(explode(expr(grams5("slice(words, 4, 25)"))).as("gram")).distinct()
         .persist())
     // eval-sized action: benchmarks are thousands of items at any corpus scale
-    val nEval = math.max(evalGrams.count(), 1L)
-    // broadcast released by the harness after materialization, like the cache
-    val bloomB = graft.CacheTracker.trackBroadcast(
-      s.sparkContext.broadcast(evalGrams.stat.bloomFilter("gram", nEval, 0.01)))
-    val mightContain = udf((g: String) => bloomB.value.mightContainString(g))
-    val train = docs
+    val nEvalRaw = evalGrams.count()
+    val train0 = docs
       .select(col("doc_id"), array_distinct(expr(grams5("words"))).as("grams"))
       .select(col("doc_id"), size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
-      .filter(mightContain(col("gram"))) // map-side gate: ~1% of corpus grams survive
+    // an EMPTY eval set means nothing can be contaminated — and a Bloom
+    // filter built over zero rows has no bit array to probe, so gate the
+    // stream shut instead of probing it
+    val train = if (nEvalRaw == 0) train0.filter(lit(false)) else {
+      // broadcast released by the harness after materialization, like the cache
+      val bloomB = graft.CacheTracker.trackBroadcast(
+        s.sparkContext.broadcast(evalGrams.stat.bloomFilter("gram", nEvalRaw, 0.01)))
+      val mightContain = udf((g: String) => bloomB.value.mightContainString(g))
+      train0.filter(mightContain(col("gram"))) // map-side gate: ~1% of corpus grams survive
+    }
     train.join(broadcast(evalGrams), "gram") // exact confirm — removes Bloom FPs
       .groupBy("doc_id", "n_grams")
       .agg(count(lit(1)).as("n_overlap"))
@@ -1206,15 +1212,20 @@ object TextAnalysis {
       .persist()
     var cur = sample.toDF()
     val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
-    for (step <- 1 to 5) {
-      val top = cur.select(explode(expr(
+    var exhausted = false // empty corpus / no bigrams left: stop merging
+    for (step <- 1 to 5 if !exhausted) {
+      val tops = cur.select(explode(expr(
           "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> struct(a AS l, b AS r))")).as("p"))
         .groupBy("p.l", "p.r").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()(0)
-      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      cur = cur.select(bpeMergePass(col("toks"), l, r).as("toks"))
-      val tokAfter = cur.agg(sum(size(col("toks"))).cast("long")).collect()(0).getLong(0)
-      rules += ((step, l, r, n, tokAfter))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (tops.isEmpty) exhausted = true
+      else {
+        val top = tops(0)
+        val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        cur = cur.select(bpeMergePass(col("toks"), l, r).as("toks"))
+        val tokAfter = cur.agg(sum(size(col("toks"))).cast("long")).collect()(0).getLong(0)
+        rules += ((step, l, r, n, tokAfter))
+      }
     }
     sample.unpersist()
     rules.toSeq
@@ -1525,9 +1536,9 @@ object TextAnalysis {
           |   'sxx', a.sxx + q.xx, 'sxy', a.sxy + q.xy))"""
           .stripMargin.replace("\n", "")).as("s"))
       .select(col("n_fit"),
-        round(expr("(n_fit * s.sxy - s.sx * s.sy) / (n_fit * s.sxx - s.sx * s.sx)"), 6)
+        round(expr("(n_fit * s.sxy - s.sx * s.sy) / nullif(n_fit * s.sxx - s.sx * s.sx, 0D)"), 6)
           .as("slope"),
-        round(expr("(s.sy - (n_fit * s.sxy - s.sx * s.sy) / (n_fit * s.sxx - s.sx * s.sx) * s.sx) / n_fit"), 6)
+        round(expr("(s.sy - (n_fit * s.sxy - s.sx * s.sy) / nullif(n_fit * s.sxx - s.sx * s.sx, 0D) * s.sx) / nullif(n_fit, 0)"), 6)
           .as("intercept"))
     totals.crossJoin(fit)
       .select(col("n_types"), col("n_tokens"), col("n_fit"),
