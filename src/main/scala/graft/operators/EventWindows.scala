@@ -1206,7 +1206,39 @@ object EventWindows {
         (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
   }
 
+  /** GRID RESAMPLE + FORWARD FILL — pandas' `resample('1h').ffill()` as a
+    * distributed operator: irregular per-entity event streams become a
+    * REGULAR hourly grid (every hour between the entity's first and last
+    * event, gap hours included with n_events = 0) carrying the last
+    * observed hourly mean forward across gaps. Every feature/monitoring
+    * pipeline needs this before joining signals sampled at different
+    * cadences. Scale shape: the grid is generated per entity from its
+    * own (min, max) span — `explode(sequence(...))`, no cross join with
+    * a global calendar — the gap join partitions by (entity, hour), and
+    * the fill is one per-entity ordered window; one shuffle end to end.
+    * The hourly mean is rounded BEFORE the fill so both engines
+    * propagate bit-identical doubles through the window. */
+  def qResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+    val hourly = ev.groupBy("user_id", "hour")
+      .agg(count(lit(1)).as("n"),
+        round(expr("CAST(sum(v) AS DOUBLE)") / count(lit(1)), 6).as("hv"))
+    val grid = ev.groupBy("user_id").agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+        last(col("hv"), ignoreNulls = true).over(w).as("v_ffill"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample_ffill" -> (qResampleFfill _),
     "q_event_gaps" -> (qEventGaps _),
     "q_sessionize" -> (qSessionize _),
     "q_contribution_cap" -> (qContributionCap _),
@@ -1273,6 +1305,24 @@ object EventWindows {
       |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id % 10 = 0),
+        |hourly AS (
+        |  SELECT user_id, hour, COUNT(*) AS n,
+        |    round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS hv
+        |  FROM ev GROUP BY user_id, hour),
+        |span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM span)
+        |SELECT g.user_id, g.hour,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+        |  last_value(h.hv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin,
     "q_event_gaps" ->
       """WITH dys AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
         |l AS (SELECT event_type, day,
