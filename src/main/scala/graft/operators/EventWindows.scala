@@ -1237,7 +1237,39 @@ object EventWindows {
         last(col("hv"), ignoreNulls = true).over(w).as("v_ffill"))
   }
 
+  /** TIME-WEIGHTED AVERAGE — the irregular-sampling companion of
+    * [[qResampleFfill]] (finance TWAP / monitoring's proper mean for
+    * state signals): a value observed at t holds until the NEXT
+    * observation, so the honest per-entity mean weights each value by
+    * its holding duration, not its sample count — a sensor that reports
+    * rarely while high and often while low has a plain mean far below
+    * its TWA. Exactness discipline: value in cents (×100 BIGINT),
+    * duration in exact epoch micros via `lead`, products summed as
+    * DECIMAL(38,0) (cents×micros reaches ~1e18 per entity — past safe
+    * BIGINT headroom), ONE double division at the end. Scale shape: one
+    * shuffle to (entity)-partitioned windows, then a per-entity
+    * aggregate; the final relation is |entities| rows. */
+  def qTimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("dt_us", expr("unix_micros(lead(ts, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts)"))
+      .filter(col("dt_us").isNotNull) // the last observation holds for 0 time
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_held"),
+        sum("dt_us").cast("long").as("held_us"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * dt_us")).as("swc"),
+        sum("cents").cast("long").as("sc"))
+      .select(col("user_id"), col("n_held"), col("held_us"),
+        round(expr("CAST(swc AS DOUBLE) / held_us / 100.0"), 6).as("twa"),
+        round(expr("CAST(sc AS DOUBLE) / n_held / 100.0"), 6).as("plain_mean"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_weighted_avg" -> (qTimeWeightedAvg _),
     "q_resample_ffill" -> (qResampleFfill _),
     "q_event_gaps" -> (qEventGaps _),
     "q_sessionize" -> (qSessionize _),
@@ -1305,6 +1337,24 @@ object EventWindows {
       |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_time_weighted_avg" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 10 = 0),
+        |held AS (
+        |  SELECT user_id, cents,
+        |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dt_us
+        |  FROM ev),
+        |h AS (SELECT * FROM held WHERE dt_us IS NOT NULL)
+        |SELECT user_id,
+        |  COUNT(*) AS n_held,
+        |  CAST(SUM(dt_us) AS BIGINT) AS held_us,
+        |  round(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dt_us) AS DOUBLE)
+        |    / CAST(SUM(dt_us) AS BIGINT) / 100.0, 6) AS twa,
+        |  round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 6) AS plain_mean
+        |FROM h GROUP BY user_id""".stripMargin,
     "q_resample_ffill" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hour,
