@@ -245,8 +245,52 @@ object Scale {
           .cast("double").as("revenue"))
   }
 
+  /** The rollup MATERIALIZED-VIEW definition behind q_mv_rewrite: per
+    * (returnflag, linestatus) counts and exact-decimal sums — associative
+    * partials only (no averages), so the stored summary could also serve
+    * any coarser re-aggregation. One map-side-combined pass over the
+    * fact; |groups| rows at rest. */
+  private[graft] def mvLineitemRollup(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"))
+  }
+
+  private val MvParams = "rollup(l_returnflag,l_linestatus);partials=count,sum_qty,sum_price,sum_disc_price"
+
+  /** Transparent materialized-view serving (see [[graft.plans.MvRewrite]]):
+    * build the rollup MV at rest once per corpus fingerprint, register the
+    * rewrite rule, then run the ORIGINAL aggregate over the fact table —
+    * the optimizer replaces the whole Aggregate subtree with a scan of the
+    * |groups|-row MV parquet (PlanShapeSpec asserts the optimized plan
+    * reads the MV and never touches lineitem). The oracle is the plain
+    * fact-table aggregate, so hash equality is the transparency proof: a
+    * user cannot tell their query was answered from the summary. */
+  def qMvRewrite(s: SparkSession, d: String): DataFrame = {
+    val dir = AtRest.dir(s, d, "mv_lineitem_rollup", "lineitem", params = MvParams)
+    if (!AtRest.isBuilt(dir)) synchronized {
+      if (!AtRest.isBuilt(dir)) {
+        mvLineitemRollup(s, d).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        AtRest.gcStale(dir)
+      }
+    }
+    // Derive the match target with the view's rule absent, so the target
+    // is the definition's own optimized form, not a self-rewritten scan.
+    graft.plans.MvRewrite.uninstall(s, "mv_lineitem_rollup")
+    val target = mvLineitemRollup(s, d).queryExecution.optimizedPlan
+    graft.plans.MvRewrite.install(s,
+      graft.plans.MvRewrite(s, "mv_lineitem_rollup", target, dir.getAbsolutePath))
+    mvLineitemRollup(s, d)
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_size_sketch" -> (qJoinSizeSketch _),
+    "q_mv_rewrite" -> (qMvRewrite _),
     "q_skew_audit" -> (qSkewAudit _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_rate_limit" -> (qSaltedRateLimit _),
@@ -293,6 +337,14 @@ object Scale {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+    // The MV must be INVISIBLE in the answer: the oracle is the plain
+    // fact-table aggregate the consumer actually wrote.
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     // The bucketed/partitioned layouts must be INVISIBLE in the answer:
     // both oracles are the plain joins over the unbucketed parquet.
     "q_bucketed_join" ->

@@ -494,6 +494,31 @@ class PlanShapeSpec extends SparkSpec {
       s"standing and delta scans must both carry probed-cid PartitionFilters:\n${pfInc.mkString("\n")}")
   }
 
+  test("q_mv_rewrite: the aggregate is answered from the materialized view, not the fact") {
+    // with the rule installed the consumer's whole Aggregate subtree is
+    // replaced by a scan of the |groups|-row MV parquet: no lineitem
+    // scan, no aggregate at all in the executed plan
+    val rewritten = plan("q_mv_rewrite")
+    assert(rewritten.contains("mv_lineitem_rollup"),
+      "consumer must read the at-rest MV")
+    assert(!rewritten.contains("lineitem.parquet"),
+      "consumer must not touch the fact table")
+    assert(!rewritten.contains("HashAggregate"),
+      "the MV holds final values — nothing left to aggregate")
+    // the same definition WITHOUT the rule scans the fact (the rewrite,
+    // not the builder, is what redirects it) — and both answers agree
+    plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+    try {
+      val direct = operators.Scale.mvLineitemRollup(spark, sf)
+      assert(direct.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+      val served = spark.read.parquet(
+        AtRest.dir(spark, sf, "mv_lineitem_rollup", "lineitem",
+          params = "rollup(l_returnflag,l_linestatus);partials=count,sum_qty,sum_price,sum_disc_price").getAbsolutePath)
+      assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty,
+        "MV content must equal the from-scratch aggregate")
+    } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+  }
+
   test("q_bucketed_join: co-located bucketed SMJ with zero Exchange and zero Sort") {
     // both fact tables live at rest bucketed INTO the same 8 buckets ON
     // the join key and sorted within single-file buckets — the join must
