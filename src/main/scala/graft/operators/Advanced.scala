@@ -1049,7 +1049,83 @@ object Advanced {
         expr("abs(round(CAST(n_orders AS DOUBLE) / n_total, 6) - round(ln(1.0 + 1.0 / digit) / ln(10.0), 6)) < 0.02")
           .as("within_2pct"))
 
+  /** Threshold-free classifier evaluation — ROC AUC via the Mann–Whitney
+    * rank identity with full tie correction ("does the event's value
+    * predict a purchase?"). AUC = (R⁺ − p(p+1)/2)/(p·q) where R⁺ is the
+    * positives' rank sum with AVERAGE ranks on ties; doubling every rank
+    * keeps the whole computation in exact BIGINT arithmetic — a tie
+    * group at cumulative offset c with n members contributes
+    * p_g·(2c + n + 1) to 2R⁺ — so the one double division at the end is
+    * the only float op (the q_mutual_info fixed-point discipline).
+    *
+    * Scale shape: scores discretize to integer cents (floor — identical
+    * IEEE op both engines), so the ranking runs over the DISTINCT-SCORE
+    * relation, which is bounded by the score domain (≤ ~10⁴ rows here,
+    * ≤ |score domain| always), never over the fact; the global
+    * cumulative window is post-aggregation on that bounded relation —
+    * the q_price_histogram bounded-domain contract. One
+    * map-side-combined aggregate per (score) + one windowed pass +
+    * one final fold. AUC ≈ 0.5 on this corpus (value is independent of
+    * type by construction) — the audit's point is proving "no signal"
+    * exactly, the same way q_benford reports legitimate deviation. */
+  def qRocAuc(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(
+      expr("CAST(floor(value * 100) AS BIGINT)").as("sc"),
+      expr("CAST(event_type = 'purchase' AS INT)").as("y"))
+    val g = e.groupBy("sc").agg(count(lit(1)).as("n_s"), sum("y").as("p_s"))
+    val w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum", coalesce(sum("n_s").over(w), lit(0L)))
+      .agg(sum(expr("p_s * (2 * cum + n_s + 1)")).as("r2"),
+        sum("p_s").as("p"), sum(expr("n_s - p_s")).as("q"))
+      .select(col("p").cast("long").as("n_pos"), col("q").cast("long").as("n_neg"),
+        round(expr("CAST(r2 - p * (p + 1) AS DOUBLE) / nullif(2.0 * p * q, 0.0)"), 6).as("auc"),
+        round(expr("CAST(r2 - p * (p + 1) AS DOUBLE) / nullif(CAST(p * q AS DOUBLE), 0.0) - 1.0"), 6)
+          .as("gini_rank"))
+  }
+
+  /** Empirical-Bayes rate shrinkage (beta-binomial, method-of-moments) —
+    * the small-sample stabilizer behind every per-segment rate a
+    * dashboard ships: raw per-brand return rates x/n are noisy for small
+    * n, so each is shrunk toward the cross-brand prior mean with
+    * strength α+β learned FROM the rates themselves
+    * (α+β = m(1−m)/v − 1). Exactly the q_target_encode problem, solved
+    * with a learned prior instead of an ad-hoc smoothing constant.
+    *
+    * Determinism: per-brand (x, n) are exact integers off one counted
+    * aggregate; the cross-brand moment sums run as pinned-order left
+    * folds over the brand-sorted rate list (the q_jackknife pattern), so
+    * the doubles m, v — and every per-brand shrunken rate derived from
+    * them — are bit-identical in both engines.
+    *
+    * Scale shape: one broadcast dim join (part) + one map-side-combined
+    * aggregate to |brands| rows; all EB arithmetic runs on that bounded
+    * relation. */
+  def qEbShrinkage(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_returnflag"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val g = li.groupBy("p_brand").agg(count(lit(1)).as("n"),
+      sum(expr("CAST(l_returnflag = 'R' AS INT)")).as("x"))
+    val prior = g
+      .agg(count(lit(1)).as("g_n"),
+        sort_array(collect_list(struct(col("p_brand"), expr("CAST(x AS DOUBLE) / n").as("r"))))
+          .as("xs"))
+      .withColumn("m", expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.r) / nullif(g_n, 0)"))
+      .withColumn("v", expr(
+        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + (e.r - m) * (e.r - m)) / nullif(g_n - 1, 0)"))
+      .select(col("g_n"), col("m"), col("v"),
+        expr("m * (1.0 - m) / nullif(v, 0.0) - 1.0").as("ab"))
+    g.crossJoin(broadcast(prior))
+      .select(col("p_brand"), col("n").cast("long").as("n"), col("x").cast("long").as("x"),
+        round(expr("CAST(x AS DOUBLE) / n"), 6).as("raw_rate"),
+        round(col("m"), 6).as("prior_mean"),
+        round(col("ab"), 4).as("prior_strength"),
+        round(expr("(x + m * ab) / (n + ab)"), 6).as("shrunk_rate"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_roc_auc" -> (qRocAuc _),
+    "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_decile_lift" -> (qDecileLift _),
     "q_poisson_bootstrap" -> (qPoissonBootstrap _),
     "q_benford" -> (qBenford _),
@@ -1097,6 +1173,38 @@ object Advanced {
         |FROM j WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_roc_auc" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS sc,
+        |    CAST(event_type = 'purchase' AS INT) AS y FROM events),
+        |g AS (SELECT sc, COUNT(*) AS n_s, CAST(SUM(y) AS BIGINT) AS p_s FROM e GROUP BY 1),
+        |r AS (SELECT *, COALESCE(CAST(SUM(n_s) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum FROM g),
+        |a AS (SELECT CAST(SUM(p_s * (2 * cum + n_s + 1)) AS BIGINT) AS r2,
+        |    CAST(SUM(p_s) AS BIGINT) AS p, CAST(SUM(n_s - p_s) AS BIGINT) AS q FROM r)
+        |SELECT p AS n_pos, q AS n_neg,
+        |  round(CAST(r2 - p * (p + 1) AS DOUBLE) / (2.0 * p * q), 6) AS auc,
+        |  round(CAST(r2 - p * (p + 1) AS DOUBLE) / CAST(p * q AS DOUBLE) - 1.0, 6) AS gini_rank
+        |FROM a""".stripMargin,
+    "q_eb_shrinkage" ->
+      """WITH li AS (SELECT p_brand, l_returnflag
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT p_brand, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_returnflag = 'R' AS INT)) AS BIGINT) AS x
+        |  FROM li GROUP BY 1),
+        |pl AS (SELECT COUNT(*) AS g_n,
+        |    list(CAST(x AS DOUBLE) / n ORDER BY p_brand) AS xs FROM g),
+        |pm AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+        |    (a2, e) -> a2 + e) / g_n AS m FROM pl),
+        |pv AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(xs, e -> (e - m) * (e - m))),
+        |      (a2, e) -> a2 + e) / (g_n - 1) AS v FROM pm),
+        |pr AS (SELECT m, v, m * (1.0 - m) / v - 1.0 AS ab FROM pv)
+        |SELECT p_brand, n, x,
+        |  round(CAST(x AS DOUBLE) / n, 6) AS raw_rate,
+        |  round(m, 6) AS prior_mean,
+        |  round(ab, 4) AS prior_strength,
+        |  round((x + m * ab) / (n + ab), 6) AS shrunk_rate
+        |FROM g CROSS JOIN pr""".stripMargin,
     "q_poisson_bootstrap" ->
       """WITH o AS (SELECT o_orderpriority AS grp,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,

