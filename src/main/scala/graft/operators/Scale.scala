@@ -245,12 +245,56 @@ object Scale {
           .cast("double").as("revenue"))
   }
 
-  /** The rollup MATERIALIZED-VIEW definition behind q_mv_rewrite: per
-    * (returnflag, linestatus) counts and exact-decimal sums — associative
-    * partials only (no averages), so the stored summary could also serve
-    * any coarser re-aggregation. One map-side-combined pass over the
-    * fact; |groups| rows at rest. */
-  private[graft] def mvLineitemRollup(s: SparkSession, d: String): DataFrame = {
+  /** The rollup MATERIALIZED-VIEW definition behind q_mv_rewrite /
+    * q_mv_rollup_serve: per-(returnflag, linestatus) EXACT associative
+    * partials — a BIGINT count and DECIMAL sums, no casts, no averages —
+    * so the stored summary serves not just its own grain but every
+    * coarser re-aggregation bit-identically (re-summing exact decimals
+    * loses nothing; re-summing rounded doubles would). One
+    * map-side-combined pass over the fact; |groups| rows at rest. */
+  private[graft] def mvStoredRollup(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(dec)).as("sum_qty_p"),
+        sum(col("l_extendedprice").cast(dec)).as("sum_price_p"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .as("sum_disc_price_p"))
+  }
+
+  private[graft] val MvParams =
+    "rollup(l_returnflag,l_linestatus);partials=count,sum_qty,sum_price,sum_disc_price;store=exact_decimal_v2"
+
+  /** Build the rollup MV at rest once per corpus fingerprint and
+    * (re-)register the rewrite rule. The match target is derived with the
+    * view's own rule absent, so the target is the definition's optimized
+    * form, not a self-rewritten scan. */
+  private[graft] def installMv(s: SparkSession, d: String): Unit = {
+    val dir = AtRest.dir(s, d, "mv_lineitem_rollup", "lineitem", params = MvParams)
+    if (!AtRest.isBuilt(dir)) synchronized {
+      if (!AtRest.isBuilt(dir)) {
+        graft.plans.MvRewrite.uninstall(s, "mv_lineitem_rollup")
+        mvStoredRollup(s, d).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        AtRest.gcStale(dir)
+      }
+    }
+    graft.plans.MvRewrite.uninstall(s, "mv_lineitem_rollup")
+    val target = mvStoredRollup(s, d).queryExecution.optimizedPlan
+    graft.plans.MvRewrite.install(s,
+      graft.plans.MvRewrite(s, "mv_lineitem_rollup", target, dir.getAbsolutePath))
+  }
+
+  /** Transparent materialized-view serving at the VIEW'S OWN grain (see
+    * [[graft.plans.MvRewrite]]): install the rule, then run the ORIGINAL
+    * aggregate over the fact table — the optimizer redirects the whole
+    * Aggregate subtree onto the |groups|-row MV parquet (PlanShapeSpec
+    * asserts the plan reads the MV and never touches lineitem). The
+    * oracle is the plain fact-table aggregate, so hash equality is the
+    * transparency proof: a user cannot tell their query was answered
+    * from the summary. */
+  def qMvRewrite(s: SparkSession, d: String): DataFrame = {
+    installMv(s, d)
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -261,36 +305,34 @@ object Scale {
           .cast("double").as("sum_disc_price"))
   }
 
-  private val MvParams = "rollup(l_returnflag,l_linestatus);partials=count,sum_qty,sum_price,sum_disc_price"
-
-  /** Transparent materialized-view serving (see [[graft.plans.MvRewrite]]):
-    * build the rollup MV at rest once per corpus fingerprint, register the
-    * rewrite rule, then run the ORIGINAL aggregate over the fact table —
-    * the optimizer replaces the whole Aggregate subtree with a scan of the
-    * |groups|-row MV parquet (PlanShapeSpec asserts the optimized plan
-    * reads the MV and never touches lineitem). The oracle is the plain
-    * fact-table aggregate, so hash equality is the transparency proof: a
-    * user cannot tell their query was answered from the summary. */
-  def qMvRewrite(s: SparkSession, d: String): DataFrame = {
-    val dir = AtRest.dir(s, d, "mv_lineitem_rollup", "lineitem", params = MvParams)
-    if (!AtRest.isBuilt(dir)) synchronized {
-      if (!AtRest.isBuilt(dir)) {
-        mvLineitemRollup(s, d).write.mode("overwrite").parquet(dir.getAbsolutePath)
-        AtRest.gcStale(dir)
-      }
-    }
-    // Derive the match target with the view's rule absent, so the target
-    // is the definition's own optimized form, not a self-rewritten scan.
-    graft.plans.MvRewrite.uninstall(s, "mv_lineitem_rollup")
-    val target = mvLineitemRollup(s, d).queryExecution.optimizedPlan
-    graft.plans.MvRewrite.install(s,
-      graft.plans.MvRewrite(s, "mv_lineitem_rollup", target, dir.getAbsolutePath))
-    mvLineitemRollup(s, d)
+  /** Rollup DERIVABILITY (Gupta & Mumick's summary-table navigation):
+    * the consumer groups by a strict SUBSET of the view's keys and adds
+    * a post-aggregation average — a question the view never precomputed —
+    * yet the rule serves it by re-aggregating the |groups|-row MV scan
+    * (`count(*) → sum(n)`, `sum(x) → sum(sum_x)`, avg carried over as
+    * the collapsed sum/count arithmetic). The oracle is the plain
+    * fact-table aggregate; hash equality holds because the stored
+    * partials are exact decimals, so re-aggregation is bit-identical.
+    * Scale shape: the fact is never scanned — the answer costs
+    * O(|view groups|), at 100 TB the difference between a full fact
+    * pass and a metadata-sized read. */
+  def qMvRollupServe(s: SparkSession, d: String): DataFrame = {
+    installMv(s, d)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_items"))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_mv_rewrite" -> (qMvRewrite _),
+    "q_mv_rollup_serve" -> (qMvRollupServe _),
     "q_skew_audit" -> (qSkewAudit _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_rate_limit" -> (qSaltedRateLimit _),
@@ -345,6 +387,16 @@ object Scale {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // Coarser than the view's grain + an avg the view never stored —
+    // still the plain fact-table aggregate as oracle (derivability must
+    // be invisible too).
+    "q_mv_rollup_serve" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // The bucketed/partitioned layouts must be INVISIBLE in the answer:
     // both oracles are the plain joins over the unbucketed parquet.
     "q_bucketed_join" ->

@@ -1,64 +1,165 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Transparent MATERIALIZED-VIEW rewrite — the warehouse feature that turns
-  * an at-rest rollup into an automatic answer for every query that asks the
-  * same question. The view definition holds only ASSOCIATIVE partials
-  * (counts and sums, never averages), the classic summary-table contract,
-  * and its content lives under [[graft.AtRest]] keyed by the source
-  * corpus fingerprint + the view's derivation params, so a regenerated
-  * corpus can never serve a stale view.
+/** Transparent MATERIALIZED-VIEW serving — the warehouse feature that
+  * turns an at-rest rollup into an automatic answer for every query it
+  * can derive. The view stores only ASSOCIATIVE partials (exact BIGINT
+  * counts and exact DECIMAL sums, never averages) at its grain, so the
+  * matcher serves not just the view's own aggregate but every COARSER
+  * roll-up of it: a consumer grouping by a subset of the view's keys
+  * whose aggregates are counts/sums over the view's stored inputs is
+  * rewritten to re-aggregate the |groups|-row view scan —
+  * `count(*) → sum(n)`, `sum(e) → sum(sum_e)` — the classic
+  * summary-table navigation rule (Gupta & Mumick's rollup-derivability
+  * condition). Because the partials are exact (decimal, not float),
+  * re-aggregation is bit-identical to aggregating the fact directly,
+  * which is precisely what the DuckDB oracle checks.
   *
-  * Matching is EXACT-SUBTREE: a consumer's `Aggregate` subtree is replaced
-  * by a scan of the view's parquet iff `sameResult` holds against the
-  * registered definition's optimized plan — the canonical-plan
-  * short-circuit every production MV matcher runs before attempting
-  * structural containment (and the only rung we need: both the definition
-  * and its consumers are built by the same builder, so they canonicalize
-  * identically). Two cheap guards (grouping arity, output arity) keep the
-  * canonicalization cost off every unrelated Aggregate in the session.
+  * Matching is conservative and cheap: the consumer's Aggregate child
+  * must unwrap (through attribute-only Projects — what column pruning
+  * inserts) to a relation that `sameResult`s the view's base relation;
+  * every grouping expression must semantically equal one of the view's
+  * (rebased onto the consumer's attribute ids); every aggregate must be
+  * an undistinct, unfiltered Count/Sum over a stored partial's input
+  * (optionally Cast-wrapped, e.g. the final to-double projection).
+  * Anything else bails out to the original plan — a filtered consumer,
+  * a finer grain, an average, a distinct count are all left untouched.
   *
-  * The rewrite preserves the consumer's attribute ids by position-aliasing
-  * the scan's columns onto `agg.output` (definition and consumer come from
-  * one builder, so outputs are position-aligned), which keeps every parent
-  * operator's references resolved. After one application the subtree is a
-  * Project over a parquet relation — no longer an Aggregate — so the rule
-  * is idempotent under the optimizer's fixed-point batch.
+  * The rewrite preserves the consumer's attribute ids (every output is
+  * re-aliased under its original exprId) so parent operators stay
+  * resolved, and inserts a Cast wherever re-aggregation widens a type
+  * (sum-of-decimal-sums gains precision). After one application the
+  * subtree aggregates the view's parquet relation, which can never
+  * match the base relation again — idempotent under the fixed-point
+  * batch.
   *
-  * Scale shape: at 100 TB the rollup MV is built once per corpus
-  * generation (one map-side-combined aggregate pass) and every matching
-  * dashboard query thereafter reads a |groups|-row parquet instead of the
-  * fact table — the difference between a full fact scan per query and a
-  * metadata-sized read. Installed per-session via
-  * `spark.experimental.extraOptimizations` (Spark's sanctioned extension
-  * point for session-scoped optimizer rules, applied as a late batch after
-  * operator optimization — by which point the consumer subtree is in the
-  * same normalized shape as the stored definition).
+  * Scale shape: at 100 TB the rollup builds once per corpus generation
+  * (one map-side-combined pass) and every derivable dashboard query
+  * thereafter reads |groups| rows instead of the fact — partition
+  * pruning's algebraic cousin. Installed per-session via
+  * `spark.experimental.extraOptimizations` (Spark's sanctioned hook for
+  * session-scoped optimizer rules, run as a late batch when consumer
+  * subtrees are in the same normalized shape as the stored definition).
   */
 case class MvRewrite(spark: SparkSession, viewName: String,
     target: LogicalPlan, location: String) extends Rule[LogicalPlan] {
 
-  private val nGroup = target match {
-    case a: Aggregate => a.groupingExpressions.length
-    case _ => -1
+  /** Unwrap attribute-only Projects (column pruning) down to the base. */
+  private def unwrap(p: LogicalPlan): LogicalPlan = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(child)
+    case other => other
   }
-  private val nOut = target.output.length
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate
-        if agg.groupingExpressions.length == nGroup &&
-          agg.output.length == nOut && agg.sameResult(target) =>
-      // A fresh analyzed scan per rewrite site: reusing one relation plan
-      // across sites would alias expression ids between them.
-      val scan = spark.read.parquet(location).queryExecution.analyzed
-      Project(agg.output.zip(scan.output).map { case (o, n) =>
-        Alias(n, o.name)(exprId = o.exprId)
-      }, scan)
+  // Decompose the view definition once: base relation, grouping
+  // expressions, and stored partials (position in the view's output →
+  // aggregate kind + input expression over the base's attributes).
+  private val (mvBase, mvGroups, mvPartials): (LogicalPlan,
+      Seq[(Expression, Int)], Seq[(String, Option[Expression], Int)]) = target match {
+    case Aggregate(ge, ae, child, _) =>
+      val base = unwrap(child)
+      val parts = ae.zipWithIndex.flatMap {
+        case (Alias(AggregateExpression(Sum(e, _), _, false, None, _), _), i) =>
+          Some(("sum", Some(e), i))
+        case (Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _), i) =>
+          Some(("count", None, i))
+        case _ => None
+      }
+      val groups = ae.zipWithIndex.collect {
+        case (a: AttributeReference, i) if ge.exists(_.semanticEquals(a)) => (a: Expression, i)
+        case (Alias(e, _), i) if ge.exists(_.semanticEquals(e)) => (e, i)
+      }
+      (base, groups, parts)
+    case other => (other, Nil, Nil)
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (mvGroups.isEmpty && mvPartials.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** Attempt the rollup-derivability rewrite; None = not derivable. */
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val base = unwrap(agg.child)
+    // cheap leaf guard first, then the canonical-plan check — never
+    // rewrite anything already served (the MV scan is a different leaf)
+    if (base.children.nonEmpty || !base.sameResult(mvBase)) return None
+    // rebase the view's expressions onto the consumer's attribute ids
+    val idMap: Map[Long, Attribute] =
+      mvBase.output.zip(base.output).map { case (m, c) => m.exprId.id -> c }.toMap
+    def rebase(e: Expression): Expression = e.transform {
+      case a: AttributeReference if idMap.contains(a.exprId.id) => idMap(a.exprId.id)
+    }
+    val groups = mvGroups.map { case (e, i) => (rebase(e), i) }
+    val partials = mvPartials.map { case (k, e, i) => (k, e.map(rebase), i) }
+
+    // a fresh analyzed scan per rewrite site (sharing one relation plan
+    // across sites would alias expression ids between them)
+    lazy val scan = spark.read.parquet(location).queryExecution.analyzed
+    def scanCol(i: Int): Attribute = scan.output(i)
+
+    // An aggregate call maps iff it is an undistinct, unfiltered
+    // count(*) / sum over EXACTLY a stored partial's input: count
+    // re-aggregates as sum(n), sum as sum(sum_x) — both exact because
+    // the partials are exact (BIGINT / DECIMAL).
+    def mapAggFn(ae: AggregateExpression): Option[Expression] = ae match {
+      case AggregateExpression(Sum(in, _), _, false, None, _) =>
+        partials.collectFirst { case ("sum", Some(pin), i) if pin.semanticEquals(in) =>
+          Sum(scanCol(i)).toAggregateExpression()
+        }
+      case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+        partials.collectFirst { case ("count", _, i) =>
+          Sum(scanCol(i)).toAggregateExpression()
+        }
+      case _ => None
+    }
+
+    // Generic tree mapping: aggregate calls via mapAggFn, view-key
+    // attributes onto the scan's key columns, and any surrounding
+    // scalar arithmetic (casts, divides — e.g. a collapsed
+    // avg = sum/count projection) carried over node-for-node. Any
+    // leaf that is neither a literal nor a view key bails the rewrite.
+    def mapExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAggFn(ae)
+      case a: AttributeReference =>
+        groups.collectFirst { case (g, i) if g.semanticEquals(a) => scanCol(i): Expression }
+      case l: Literal => Some(l)
+      case other if other.children.nonEmpty =>
+        traverse(other.children.map(mapExpr)).map(cs => other.withNewChildren(cs))
+      case _ => None
+    }
+
+    // Every consumer grouping expression must be computable from the
+    // view's keys alone (grouping by a FUNCTION of a key — a coarser
+    // partition — is still derivable: sums are associative under any
+    // regrouping of the view's groups).
+    val mappedGroups: Option[Seq[Expression]] =
+      traverse(agg.groupingExpressions.map(mapExpr))
+    if (mappedGroups.isEmpty) return None
+
+    val mappedAggs: Option[Seq[NamedExpression]] = traverse(agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        groups.collectFirst { case (g, i) if g.semanticEquals(a) =>
+          Alias(scanCol(i), a.name)(exprId = a.exprId): NamedExpression
+        }
+      case al @ Alias(child, name) =>
+        mapExpr(child).map { n =>
+          val e = if (n.dataType == al.dataType) n else Cast(n, al.dataType)
+          Alias(e, name)(exprId = al.exprId): NamedExpression
+        }
+      case _ => None
+    })
+
+    mappedAggs.map(ae => Aggregate(mappedGroups.get, ae, scan))
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 }
 
 object MvRewrite {

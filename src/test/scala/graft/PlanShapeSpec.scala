@@ -496,26 +496,53 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_mv_rewrite: the aggregate is answered from the materialized view, not the fact") {
     // with the rule installed the consumer's whole Aggregate subtree is
-    // replaced by a scan of the |groups|-row MV parquet: no lineitem
-    // scan, no aggregate at all in the executed plan
+    // redirected onto the |groups|-row MV parquet: the only scan in the
+    // plan is the MV — the fact table is never touched
     val rewritten = plan("q_mv_rewrite")
     assert(rewritten.contains("mv_lineitem_rollup"),
       "consumer must read the at-rest MV")
     assert(!rewritten.contains("lineitem.parquet"),
       "consumer must not touch the fact table")
-    assert(!rewritten.contains("HashAggregate"),
-      "the MV holds final values — nothing left to aggregate")
-    // the same definition WITHOUT the rule scans the fact (the rewrite,
+    // the same consumer WITHOUT the rule scans the fact (the rewrite,
     // not the builder, is what redirects it) — and both answers agree
     plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
     try {
-      val direct = operators.Scale.mvLineitemRollup(spark, sf)
+      val direct = operators.Scale.mvStoredRollup(spark, sf)
       assert(direct.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
       val served = spark.read.parquet(
         AtRest.dir(spark, sf, "mv_lineitem_rollup", "lineitem",
-          params = "rollup(l_returnflag,l_linestatus);partials=count,sum_qty,sum_price,sum_disc_price").getAbsolutePath)
+          params = operators.Scale.MvParams).getAbsolutePath)
       assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty,
         "MV content must equal the from-scratch aggregate")
+    } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+  }
+
+  test("q_mv_rollup_serve: a coarser grain + an avg are DERIVED from the view") {
+    // the consumer's grouping is a strict subset of the view's keys and
+    // its avg was never stored — the rule must still serve it from the
+    // MV (count→sum(n), sum→sum(sum_x)), never scanning the fact
+    val p = plan("q_mv_rollup_serve")
+    assert(p.contains("mv_lineitem_rollup"),
+      "derivable consumer must read the at-rest MV")
+    assert(!p.contains("lineitem.parquet"),
+      "derivable consumer must not touch the fact table")
+    assert(p.contains("HashAggregate"),
+      "a coarser grain re-aggregates the |groups|-row MV scan")
+    // served answer ≡ the from-scratch fact aggregate, bit-identical.
+    // Materialize the served rows WHILE the rule is installed (optimization
+    // happens at action time — collecting after uninstall would silently
+    // compare the fact path against itself).
+    val servedRows = SparkEntry.queries("q_mv_rollup_serve")(spark, sf)
+      .collect().toSeq.sortBy(_.getString(0))
+    plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+    try {
+      val directDf = operators.Scale.qMvRollupServe(spark, sf)
+      plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup") // installMv re-adds
+      assert(directDf.queryExecution.executedPlan.toString.contains("lineitem.parquet"),
+        "control run must scan the fact")
+      val directRows = directDf.collect().toSeq.sortBy(_.getString(0))
+      assert(servedRows == directRows,
+        s"derived answer must equal the from-scratch aggregate exactly:\n$servedRows\n$directRows")
     } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
   }
 
