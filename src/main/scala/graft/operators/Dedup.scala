@@ -1257,6 +1257,54 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** ExactSubstr-style OVERLAPPING duplication coverage (Lee et al. '22,
+    * "Deduplicating Training Data Makes Language Models Better" — their
+    * suffix-array ExactSubstr pass, re-expressed relationally): every
+    * SLIDING 10-word window is hashed, windows whose text occurs more
+    * than once anywhere in the corpus mark all 10 covered positions, and
+    * overlapping marks merge into MAXIMAL duplicated runs per document
+    * (gaps-and-islands on window starts: a break iff the next start
+    * exceeds the previous by more than the window width). Reports per
+    * doc the duplicated-token count, longest run, and coverage fraction.
+    * Catches SHIFTED duplication the block-based [[qDedupSpan]] misses
+    * by construction (a copy offset by one word shares zero 10-word
+    * blocks but all interior sliding windows).
+    *
+    * Scale shape: one shuffle on the window hash (uniform md5 keys,
+    * map-side combine), one doc-keyed shuffle for the islands pass —
+    * every window after that is partitioned by doc_id, never global.
+    * Window count = token count, so the sliding form costs ~10× the
+    * block form's rows — the price of shift invariance; at 100 TB both
+    * shuffles remain linear and AQE absorbs the Zipf skew on hot
+    * windows' postings. */
+  def qDedupSubstr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 10
+    val wins = corpus(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .filter(col("n_words") >= W)
+      .select(col("doc_id"), col("n_words"),
+        posexplode(expr(
+          s"transform(sequence(0, size(words) - $W), i -> md5(concat_ws(' ', slice(words, i + 1, $W))))"))
+          .as(Seq("w_start", "h")))
+    val occ = wins.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    val dup = wins.join(occ, "h").filter(col("n_occ") > 1)
+    val byDoc = Window.partitionBy("doc_id").orderBy("w_start")
+    val runs = dup
+      .withColumn("prev", lag(col("w_start"), 1).over(byDoc))
+      .withColumn("new_run",
+        when(col("prev").isNull || col("w_start") - col("prev") > W, 1).otherwise(0))
+      .withColumn("run_id", sum(col("new_run")).over(byDoc))
+    runs.groupBy(col("doc_id"), col("n_words"), col("run_id"))
+      .agg((max(col("w_start")) - min(col("w_start")) + W).as("run_tokens"))
+      .groupBy(col("doc_id"), col("n_words"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("run_tokens")).cast("long").as("dup_tokens"),
+        max(col("run_tokens")).cast("long").as("longest_run"))
+      .withColumn("dup_fraction", col("dup_tokens").cast("double") / col("n_words"))
+  }
+
   /** Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS algorithm): each document keeps only the MIN
     * shingle hash in every sliding window of 4 consecutive shingles
@@ -1745,6 +1793,7 @@ object Dedup {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_dedup_span" -> (qDedupSpan _),
+    "q_dedup_substr" -> (qDedupSubstr _),
     "q_dedup_winnow" -> (qDedupWinnow _),
     "q_dedup_cdc_chunks" -> (qDedupCdcChunks _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -2049,6 +2098,31 @@ object Dedup {
          |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction,
          |  coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE n_occ <= 1), '') AS clean_text
          |FROM j GROUP BY doc_id""".stripMargin,
+    "q_dedup_substr" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+         |d AS (SELECT doc_id, len(words) AS n_words, words FROM w
+         |  WHERE len(words) >= 10),
+         |win AS (
+         |  SELECT doc_id, n_words, CAST(i AS INTEGER) AS w_start,
+         |    md5(array_to_string(words[i+1 : i+10], ' ')) AS h
+         |  FROM d, unnest(range(0, len(words) - 9)) AS t(i)),
+         |occ AS (SELECT h, COUNT(*) AS n_occ FROM win GROUP BY 1),
+         |dup AS (SELECT doc_id, n_words, w_start
+         |  FROM win JOIN occ USING (h) WHERE n_occ > 1),
+         |r AS (SELECT doc_id, n_words, w_start,
+         |    CASE WHEN LAG(w_start) OVER (PARTITION BY doc_id ORDER BY w_start) IS NULL
+         |      OR w_start - LAG(w_start) OVER (PARTITION BY doc_id ORDER BY w_start) > 10
+         |      THEN 1 ELSE 0 END AS new_run FROM dup),
+         |rr AS (SELECT doc_id, n_words, w_start,
+         |    SUM(new_run) OVER (PARTITION BY doc_id ORDER BY w_start) AS run_id FROM r),
+         |pr AS (SELECT doc_id, n_words, run_id,
+         |    MAX(w_start) - MIN(w_start) + 10 AS run_tokens FROM rr GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_words, COUNT(*) AS n_runs,
+         |  CAST(SUM(run_tokens) AS BIGINT) AS dup_tokens,
+         |  CAST(MAX(run_tokens) AS BIGINT) AS longest_run,
+         |  CAST(SUM(run_tokens) AS DOUBLE) / n_words AS dup_fraction
+         |FROM pr GROUP BY doc_id, n_words""".stripMargin,
     "q_dedup_winnow" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
