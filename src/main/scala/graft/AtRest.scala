@@ -48,8 +48,13 @@ object AtRest {
     new java.io.File(root(s), s"${name}_v$Version/$fp")
   }
 
-  /** A parquet write is complete iff Spark's _SUCCESS marker landed. */
-  def isBuilt(dir: java.io.File): Boolean = new java.io.File(dir, "_SUCCESS").isFile
+  /** A parquet write is complete iff Spark's _SUCCESS marker landed.
+    * (Also the crash-recovery read barrier: a maintenance swap that died
+    * between its two renames is healed before the check.) */
+  def isBuilt(dir: java.io.File): Boolean = {
+    restoreCrashedSwap(dir)
+    new java.io.File(dir, "_SUCCESS").isFile
+  }
 
   /** Hive-partitioned write that stays READABLE when the relation is
     * EMPTY: `partitionBy` of zero rows emits no data files at all, and a
@@ -68,8 +73,47 @@ object AtRest {
     * compacted (root `_SUCCESS` from the compaction rewrite). */
   def isBuiltTree(dir: String): Boolean = {
     val d = new java.io.File(dir)
-    d.isDirectory && (isBuilt(d) || Option(d.listFiles()).exists(_.exists(f =>
-      f.isDirectory && isBuilt(f))))
+    restoreCrashedSwap(d)
+    d.isDirectory && (new java.io.File(d, "_SUCCESS").isFile ||
+      Option(d.listFiles()).exists(_.exists(f =>
+        f.isDirectory && new java.io.File(f, "_SUCCESS").isFile)))
+  }
+
+  /** Crash recovery for the maintenance swap: the two-rename sequence
+    * (`dir → dir.compact-old`, then `dir.compact-tmp → dir`) is not
+    * atomic — a process death between the renames leaves NO live index
+    * directory, only the `.compact-old` backup (and possibly a completed
+    * `.compact-tmp`). Every read/maintenance entry point calls this
+    * first: if the live dir is absent but the backup exists, prefer the
+    * finished rewrite (tmp with its _SUCCESS marker — the compaction DID
+    * complete, only the swap died), else restore the backup. Idempotent
+    * and a no-op in the common path (one existence check). */
+  private[graft] def restoreCrashedSwap(dir: java.io.File): Unit = {
+    if (dir.exists()) return
+    val bak = new java.io.File(dir.getPath + ".compact-old")
+    if (!bak.exists()) return
+    val tmp = new java.io.File(dir.getPath + ".compact-tmp")
+    if (new java.io.File(tmp, "_SUCCESS").isFile && tmp.renameTo(dir)) {
+      deleteRecursively(bak)
+    } else {
+      if (!bak.renameTo(dir))
+        throw new java.io.IOException(s"restoreCrashedSwap: cannot restore $dir")
+      deleteRecursively(tmp)
+    }
+  }
+
+  /** The shared two-rename swap with rollback on a failed second rename;
+    * crashes between the renames are healed by [[restoreCrashedSwap]]. */
+  private def swapInPlace(dirPath: String, tmpPath: String, op: String): Unit = {
+    val old = new java.io.File(dirPath)
+    val bak = new java.io.File(dirPath + ".compact-old")
+    if (!old.renameTo(bak))
+      throw new java.io.IOException(s"$op: cannot move $dirPath aside")
+    if (!new java.io.File(tmpPath).renameTo(old)) {
+      bak.renameTo(old) // roll back — leave the index serving
+      throw new java.io.IOException(s"$op: cannot swap $tmpPath into place")
+    }
+    deleteRecursively(bak)
   }
 
   /** Garbage-collect STALE fingerprints of one index family: every
@@ -102,21 +146,14 @@ object AtRest {
     * rename, and leaves content byte-identical (AtRestSpec proves
     * exceptAll-equality both ways and the bounded file count). */
   def compact(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit = {
+    restoreCrashedSwap(new java.io.File(dir))
     val tmp = dir + ".compact-tmp"
-    val old = new java.io.File(dir)
     import org.apache.spark.sql.functions.col
     s.read.parquet(dir)
       .repartition(numFiles)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp)
-    val bak = new java.io.File(dir + ".compact-old")
-    if (!old.renameTo(bak))
-      throw new java.io.IOException(s"compact: cannot move $dir aside")
-    if (!new java.io.File(tmp).renameTo(old)) {
-      bak.renameTo(old) // roll back — leave the index serving
-      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
-    }
-    deleteRecursively(bak)
+    swapInPlace(dir, tmp, "compact")
   }
 
   /** Compaction for the STREAMING tick trees (`batch_id=<id>` Hive
@@ -125,30 +162,44 @@ object AtRest {
     * `batch_id=-1` history partition of `numFiles` key-sorted files,
     * preserving the Hive layout so later ticks keep appending their own
     * positive-id subdirectories and readers see one consistent
-    * partitioned relation throughout. Run between ticks (or on the
-    * maintenance cadence a production table service schedules) — the
-    * per-tick rewrite-own-subdir idempotency contract applies only to
-    * the in-flight batch, never to compacted history. Data columns are
-    * byte-identical before/after; only the batch_id provenance of
-    * compacted history collapses to -1 (AtRestSpec proves both). */
+    * partitioned relation throughout. Data columns are byte-identical
+    * before/after; only the batch_id provenance of compacted history
+    * collapses to -1 (AtRestSpec proves both).
+    *
+    * REPLAY FENCE: the HIGHEST positive batch_id is never folded — the
+    * refresh sinks' at-least-once idempotency excludes the in-flight
+    * batch from the standing index via `batch_id =!= id`, which only
+    * works while a possibly-uncommitted tick's rows still live under
+    * their own partition. Folding them into -1 between the tick's write
+    * and its checkpoint commit would make a replay re-derive them as
+    * duplicates — so compaction structurally cannot touch the newest
+    * tick, no scheduling discipline required. The fenced tick folds on
+    * the NEXT maintenance pass, by which time its checkpoint committed
+    * (or its replay rewrote the same partition in place). */
   def compactTicks(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
-    val tmp = dir + ".compact-tmp"
+    restoreCrashedSwap(new java.io.File(dir))
     val old = new java.io.File(dir)
-    s.read.parquet(dir)
+    val tickIds = Option(old.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    val positive = tickIds.filter(_ >= 0).sorted
+    val foldable = positive.dropRight(1) // fence: keep the newest tick
+    if (foldable.isEmpty) return
+    val tmp = dir + ".compact-tmp"
+    // the rewrite is SELF-CONTAINED (folded history + the fenced tick
+    // under its own id, re-copied): tmp alone is always a complete
+    // index, so the only dangerous window is the two-rename swap —
+    // which restoreCrashedSwap heals from either side
+    val all = s.read.parquet(dir).withColumn("batch_id", col("batch_id").cast("long"))
+    val hist = all.filter(col("batch_id").isin((foldable :+ -1L).map(Long.box): _*))
       .drop("batch_id")
       .repartition(numFiles)
       .sortWithinPartitions(sortCols.map(col): _*)
       .withColumn("batch_id", lit(-1L))
+    hist.unionByName(all.filter(col("batch_id") === positive.last))
       .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
-    val bak = new java.io.File(dir + ".compact-old")
-    if (!old.renameTo(bak))
-      throw new java.io.IOException(s"compactTicks: cannot move $dir aside")
-    if (!new java.io.File(tmp).renameTo(old)) {
-      bak.renameTo(old)
-      throw new java.io.IOException(s"compactTicks: cannot swap $tmp into place")
-    }
-    deleteRecursively(bak)
+    swapInPlace(dir, tmp, "compactTicks")
   }
 
   /** Fold a tombstone tree (takedownSink's `batch_id=<id>` partitions
@@ -163,21 +214,14 @@ object AtRest {
       keyCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (!isBuiltTree(tombDir)) return
+    restoreCrashedSwap(new java.io.File(indexDir))
     val t = s.read.parquet(tombDir).select("doc_id").distinct()
     val tmp = indexDir + ".compact-tmp"
-    val old = new java.io.File(indexDir)
     keyCols.foldLeft(s.read.parquet(indexDir)) { (df, k) =>
         df.join(broadcast(t.withColumnRenamed("doc_id", k)), Seq(k), "left_anti")
       }
       .write.mode("overwrite").parquet(tmp)
-    val bak = new java.io.File(indexDir + ".compact-old")
-    if (!old.renameTo(bak))
-      throw new java.io.IOException(s"applyTombstones: cannot move $indexDir aside")
-    if (!new java.io.File(tmp).renameTo(old)) {
-      bak.renameTo(old)
-      throw new java.io.IOException(s"applyTombstones: cannot swap $tmp into place")
-    }
-    deleteRecursively(bak)
+    swapInPlace(indexDir, tmp, "applyTombstones")
     deleteRecursively(new java.io.File(tombDir))
   }
 

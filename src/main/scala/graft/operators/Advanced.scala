@@ -381,8 +381,12 @@ object Advanced {
     val source = Tables.customer(s, d).filter(col("c_custkey") % 4 === 0)
       .select(col("c_custkey").as("key"),
         expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) - 3000 AS DOUBLE)").as("new_bal"))
+      // inserts live in the NEGATIVE key space: an additive offset
+      // collides with real customer keys once 150000·SF crosses it
+      // (SF ≥ 67), silently turning inserts into updates — and the
+      // oracle, applying the same arithmetic, could never catch it
       .unionByName(Tables.customer(s, d).filter(col("c_custkey") % 10 === 7)
-        .select((col("c_custkey") + 10000000L).as("key"),
+        .select((-col("c_custkey")).as("key"),
           expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) / 2 AS DOUBLE)").as("new_bal")))
     target.join(source, Seq("key"), "full_outer")
       .filter(
@@ -404,7 +408,8 @@ object Advanced {
       .select(col("c_custkey"), concat(col("segment"), lit("_V2")).as("segment"),
         (col("acctbal") + 100.0).as("acctbal"))
     val inserts = dim.filter(col("c_custkey") % 100 === 7)
-      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+      // negative key space — collision-free with real keys at any SF
+      .select((-col("c_custkey")).as("c_custkey"),
         lit("ONBOARD").as("segment"), lit(0.0).as("acctbal"))
     val batch = changed.unionByName(inserts)
     val keys = batch.select("c_custkey")
@@ -680,8 +685,9 @@ object Advanced {
         when(upd, concat(col("seg"), lit("_V2"))).otherwise(col("seg")).as("seg"),
         when(upd, col("bal") + lit(BigDecimal(100)).cast(DecimalType(18, 2)))
           .otherwise(col("bal")).as("bal"))
+      // negative key space — collision-free with real keys at any SF
       .unionAll(v1.filter(col("k") % 100 === 7)
-        .select((col("k") + lit(10000000L)).as("k"),
+        .select((-col("k")).as("k"),
           lit("ONBOARD").as("seg"),
           lit(BigDecimal(0)).cast(DecimalType(18, 2)).as("bal")))
     v1.select(col("k"), col("seg").as("seg1"), col("bal").as("bal1"))
@@ -1400,7 +1406,7 @@ object Advanced {
         |    CASE WHEN k % 10 = 3 THEN bal + 100 ELSE bal END AS bal
         |  FROM v1 WHERE NOT (k % 13 = 5)
         |  UNION ALL
-        |  SELECT k + 10000000, 'ONBOARD', CAST(0 AS DECIMAL(18,2))
+        |  SELECT -k, 'ONBOARD', CAST(0 AS DECIMAL(18,2))
         |  FROM v1 WHERE k % 100 = 7),
         |j AS (
         |  SELECT coalesce(a.k, b.k) AS k, a.seg AS seg1, a.bal AS bal1,
@@ -1497,7 +1503,7 @@ object Advanced {
         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal FROM customer),
         |chg AS (SELECT c_custkey, segment || '_V2' AS segment, acctbal + 100.0 AS acctbal
         |        FROM dim WHERE c_custkey % 10 = 3),
-        |ins AS (SELECT c_custkey + 10000000 AS c_custkey, 'ONBOARD' AS segment,
+        |ins AS (SELECT -c_custkey AS c_custkey, 'ONBOARD' AS segment,
         |        0.0 AS acctbal FROM dim WHERE c_custkey % 100 = 7),
         |batch AS (SELECT * FROM chg UNION ALL SELECT * FROM ins)
         |SELECT d.c_custkey, d.segment, d.acctbal,
@@ -1523,7 +1529,7 @@ object Advanced {
         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) - 3000 AS DOUBLE) AS new_bal
         |  FROM customer WHERE c_custkey % 4 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 10000000 AS key,
+        |  SELECT -c_custkey AS key,
         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) / 2 AS DOUBLE) AS new_bal
         |  FROM customer WHERE c_custkey % 10 = 7)
         |SELECT COALESCE(t.key, s.key) AS key,

@@ -552,10 +552,18 @@ object Similarity {
   private[graft] def ivfSearch(cells: DataFrame, centLit: DataFrame, queries: DataFrame): DataFrame = {
     val probes = assignCells(queries, centLit, 2)
       .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("cid"))
-    val probedCids = probes.select("cid").distinct().collect()
+    val probedCids = probes.select(col("cid").cast("int")).distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
+    // the at-rest path's cid is a Hive partition column whose type comes
+    // from directory inference — with inference disabled it arrives as
+    // STRING, so normalize to int before keying (filter + join) on it;
+    // the int-inferred layout keeps its column untouched so the probed-cid
+    // predicate stays a storage-layer PartitionFilter
+    val cellsTyped =
+      if (cells.schema("cid").dataType == org.apache.spark.sql.types.IntegerType) cells
+      else cells.withColumn("cid", col("cid").cast("int"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
-    cells.filter(col("cid").isin(probedCids.map(Int.box): _*))
+    cellsTyped.filter(col("cid").isin(probedCids.map(Int.box): _*))
       .join(broadcast(probes), Seq("cid")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos_r", expr(cosExpr))
       .withColumn("rank", row_number().over(w))

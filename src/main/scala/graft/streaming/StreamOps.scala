@@ -318,7 +318,11 @@ object StreamOps {
     * A restart/retry between the two writes therefore cannot
     * double-append (StreamingSpec replays a batch mid-stream to prove
     * it). Index readers glob the tree; [[graft.AtRest.compactTicks]]
-    * folds accumulated tick fragments into a bounded file count. */
+    * folds accumulated tick fragments into a bounded file count — and
+    * structurally NEVER folds the newest tick (its replay fence), so a
+    * maintenance pass racing an uncommitted tick cannot move that
+    * tick's rows into history where the `batch_id =!= id` replay
+    * exclusion would no longer see them. */
   def pairIndexRefreshSink(docs: DataFrame, sigsDir: String, pairsDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>

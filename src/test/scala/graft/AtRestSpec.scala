@@ -33,7 +33,7 @@ class AtRestSpec extends SparkSpec {
       !new java.io.File(dir + ".compact-old").exists, "temp dirs must be cleaned up")
   }
 
-  test("compactTicks: folds batch_id tick partitions into history; later ticks keep appending") {
+  test("compactTicks: folds all but the newest tick into history (replay fence); later ticks keep appending") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cticks").toString + "/pairs"
     // simulate three maintenance ticks of a streaming index
@@ -43,20 +43,50 @@ class AtRestSpec extends SparkSpec {
     val before = spark.read.parquet(dir).select("a_id", "b_id").collect().toSet
     assert(parquetFiles(new java.io.File(dir)).size >= 6, "precondition: one fragment set per tick")
     AtRest.compactTicks(spark, dir, Seq("a_id", "b_id"), numFiles = 2)
-    assert(parquetFiles(new java.io.File(dir)).size <= 2, "tick fragments not folded")
     val compacted = spark.read.parquet(dir)
     assert(compacted.select("a_id", "b_id").collect().toSet == before,
       "compaction changed data columns")
-    // (partition-type inference reads batch_id=-1 back as int)
+    // the REPLAY FENCE: ticks 0-1 fold to the -1 history sentinel, but
+    // the newest tick (2) — whose checkpoint may not have committed —
+    // stays under its own partition so an at-least-once replay can
+    // still exclude/rewrite exactly its own rows
     assert(compacted.select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq == Seq(-1L),
-      "compacted history must carry the batch_id=-1 sentinel")
-    // the stream resumes: a new tick appends its own subdirectory and
-    // readers see one consistent partitioned relation
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 2L),
+      "history must fold to -1 while the newest tick stays fenced")
+    assert(parquetFiles(new java.io.File(s"$dir/batch_id=-1")).size <= 2,
+      "folded history file count not bounded")
+    // the stream resumes; the NEXT maintenance pass folds the
+    // previously-fenced tick and fences the new one
     Seq((9001L, 3L)).toDF("a_id", "b_id").write.parquet(s"$dir/batch_id=3")
+    AtRest.compactTicks(spark, dir, Seq("a_id", "b_id"), numFiles = 2)
     val resumed = spark.read.parquet(dir)
+    assert(resumed.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L, 3L),
+      "second pass must fold the previously-fenced tick")
     assert(resumed.count() == before.size + 1L, "post-compaction tick append lost rows")
     assert(resumed.filter(col("batch_id") === 3L).count() == 1L)
+  }
+
+  test("crash between the swap renames: the next reader heals the index (backup or finished rewrite)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/idx"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    val live = new java.io.File(dir)
+    // death after `dir → dir.compact-old`, before `tmp → dir`, with no
+    // finished rewrite: only the backup survives — restore it
+    assert(live.renameTo(new java.io.File(dir + ".compact-old")), "precondition: simulate crash")
+    assert(!live.exists)
+    assert(AtRest.isBuilt(live), "read barrier must restore the backup")
+    assert(spark.read.parquet(dir).count() == 2L)
+    assert(!new java.io.File(dir + ".compact-old").exists, "backup must be consumed")
+    // death in the same window but the rewrite COMPLETED (_SUCCESS in
+    // tmp): prefer the finished compaction over the fragmented backup
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(dir + ".compact-tmp")
+    assert(live.renameTo(new java.io.File(dir + ".compact-old")), "precondition: simulate crash")
+    assert(AtRest.isBuilt(live), "read barrier must promote the finished rewrite")
+    assert(spark.read.parquet(dir).count() == 3L, "the finished rewrite must win")
+    assert(!new java.io.File(dir + ".compact-old").exists &&
+      !new java.io.File(dir + ".compact-tmp").exists, "temp dirs must be cleaned up")
   }
 
   test("gcStale: removes dead fingerprint generations, keeps the live one") {

@@ -692,8 +692,13 @@ class StreamingSpec extends SparkSpec {
           else if (f.getName.endsWith(".parquet")) 1 else 0
         walk(new java.io.File(dir))
       }
-      assert(files(sigsDir) <= 2 && files(pairsDir) <= 2,
-        "compaction must bound the tick-fragment file count")
+      // the folded history is bounded; the newest tick stays fenced
+      // under its own partition (replay safety — see AtRest.compactTicks)
+      assert(files(s"$sigsDir/batch_id=-1") <= 2 && files(s"$pairsDir/batch_id=-1") <= 2,
+        "compaction must bound the folded-history file count")
+      assert(new java.io.File(s"$sigsDir/batch_id=1").isDirectory &&
+        new java.io.File(s"$pairsDir/batch_id=1").isDirectory,
+        "the newest tick must survive compaction under its own batch_id")
       in.addData(batches(2).toSeq); q.processAllAvailable()
       val cols = Seq("a_id", "b_id", "n_inter", "n_union", "jaccard")
       val streamed = spark.read.parquet(pairsDir).select(cols.head, cols.tail: _*)
