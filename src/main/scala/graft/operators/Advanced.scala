@@ -1066,21 +1066,43 @@ object Advanced {
     *
     * Scale shape: scores discretize to integer cents (floor — identical
     * IEEE op both engines), so the ranking runs over the DISTINCT-SCORE
-    * relation, which is bounded by the score domain (≤ ~10⁴ rows here,
-    * ≤ |score domain| always), never over the fact; the global
-    * cumulative window is post-aggregation on that bounded relation —
-    * the q_price_histogram bounded-domain contract. One
-    * map-side-combined aggregate per (score) + one windowed pass +
-    * one final fold. AUC ≈ 0.5 on this corpus (value is independent of
-    * type by construction) — the audit's point is proving "no signal"
-    * exactly, the same way q_benford reports legitimate deviation. */
+    * relation (≤ |score domain| rows) — but that relation GROWS with
+    * the corpus' score range, so the cumulative count uses the repo's
+    * TWO-LEVEL pattern (the q_ks_test ECDF shape), never a
+    * single-partition window: a per-1024-score-bucket window computes
+    * the local prefix in parallel across buckets, and the per-bucket
+    * totals — a ≤ ⌈domain/1024⌉-row relation — collect to the driver
+    * for an exact exclusive prefix fold that broadcast-joins back as
+    * bucket offsets (the bounded train→broadcast idiom). One
+    * map-side-combined aggregate per score + a bucket-parallel window
+    * + one final fold; PlanShapeSpec asserts no SinglePartition window
+    * survives in the plan. AUC ≈ 0.5 on this corpus (value is
+    * independent of type by construction) — the audit's point is
+    * proving "no signal" exactly, the same way q_benford reports
+    * legitimate deviation. */
   def qRocAuc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = Tables.events(s, d).select(
       expr("CAST(floor(value * 100) AS BIGINT)").as("sc"),
       expr("CAST(event_type = 'purchase' AS INT)").as("y"))
-    val g = e.groupBy("sc").agg(count(lit(1)).as("n_s"), sum("y").as("p_s"))
-    val w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("cum", coalesce(sum("n_s").over(w), lit(0L)))
+    // distinct-score grain; persisted because the bucket-total pass and
+    // the main pass both read it (released by the harness)
+    val g = graft.CacheTracker.track(
+      e.groupBy("sc").agg(count(lit(1)).as("n_s"), sum("y").as("p_s"))
+        .withColumn("bucket", expr("CAST(floor(sc / 1024.0) AS BIGINT)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // level 2: per-bucket totals → exact exclusive prefix on the driver
+    val bucketTotals = g.groupBy("bucket").agg(sum("n_s").as("bn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = bucketTotals.toSeq.map { case (b, n) => val o = acc; acc += n; (b, o) }
+      .toDF("bucket", "off")
+    // level 1: exclusive prefix WITHIN each bucket, parallel across buckets
+    val wLocal = Window.partitionBy("bucket").orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("la", coalesce(sum("n_s").over(wLocal), lit(0L)))
+      .join(broadcast(offs), Seq("bucket"))
+      .withColumn("cum", col("off") + col("la"))
       .agg(sum(expr("p_s * (2 * cum + n_s + 1)")).as("r2"),
         sum("p_s").as("p"), sum(expr("n_s - p_s")).as("q"))
       .select(col("p").cast("long").as("n_pos"), col("q").cast("long").as("n_neg"),

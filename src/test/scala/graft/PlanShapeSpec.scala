@@ -232,6 +232,28 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheTracker.releaseAll() // builder persists the freq relation
   }
 
+  test("q_roc_auc: the rank cumulative sum is the two-level pattern — every window is partitioned") {
+    // the distinct-score relation grows with the corpus' score range,
+    // so the Mann-Whitney cumulative count must never run as a
+    // single-partition global window (the one-task-sorts-everything
+    // anti-pattern): the local prefix windows partition by the score
+    // bucket, and the bucket offsets arrive via a bounded broadcast
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_roc_auc")(spark, sf)
+    try {
+      val winSpecs = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w.partitionSpec
+      }
+      assert(winSpecs.nonEmpty, "expected the bucket-local prefix window in the plan")
+      winSpecs.foreach(ps => assert(ps.nonEmpty,
+        "q_roc_auc regressed to a single-partition (unpartitioned) window"))
+      // and the bucket offsets ride a broadcast join, not a shuffle
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"bucket offsets must broadcast-join back:\n${p.take(600)}")
+    } finally graft.CacheTracker.releaseAll()
+  }
+
   test("vocab rank is range-partitioned — no global window, no single-partition exchange") {
     val df = operators.TextAnalysis.qVocabEncode(spark, sf)
     try {
