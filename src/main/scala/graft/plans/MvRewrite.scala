@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Transparent MATERIALIZED-VIEW serving — the warehouse feature that
@@ -22,13 +22,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Matching is conservative and cheap: the consumer's Aggregate child
   * must unwrap (through attribute-only Projects — what column pruning
-  * inserts) to a relation that `sameResult`s the view's base relation;
-  * every grouping expression must semantically equal one of the view's
-  * (rebased onto the consumer's attribute ids); every aggregate must be
-  * an undistinct, unfiltered Count/Sum over a stored partial's input
+  * inserts — and Filters, collected on the way down) to a relation that
+  * `sameResult`s the view's base relation; every grouping expression
+  * must semantically equal one of the view's (rebased onto the
+  * consumer's attribute ids); every aggregate must be an undistinct,
+  * unfiltered Count/Sum/Min/Max over a stored partial's input
   * (optionally Cast-wrapped, e.g. the final to-double projection).
-  * Anything else bails out to the original plan — a filtered consumer,
-  * a finer grain, an average, a distinct count are all left untouched.
+  * A consumer FILTER is derivable iff its predicate references only
+  * view group keys (Gupta & Mumick's selection condition — every fact
+  * row of a group shares the keys, so filtering groups ≡ filtering
+  * rows): it is rebased onto the MV scan's key columns and applied
+  * BELOW the re-aggregation, the shape every dashboard query has
+  * (`WHERE key = … GROUP BY other_key`). Anything else bails out to
+  * the original plan — a predicate on a non-key column, a finer
+  * grain, an average, a distinct count are all left untouched.
   *
   * The rewrite preserves the consumer's attribute ids (every output is
   * re-aliased under its original exprId) so parent operators stay
@@ -55,6 +62,19 @@ case class MvRewrite(spark: SparkSession, viewName: String,
     case other => other
   }
 
+  /** Unwrap like [[unwrap]] but COLLECT Filter conditions on the way
+    * down (by optimization time consumer predicates sit pushed-down,
+    * directly above the relation) — the matcher then decides whether
+    * each condition is expressible over the view's group keys. */
+  private def unwrapCollectingFilters(p: LogicalPlan): (Seq[Expression], LogicalPlan) = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrapCollectingFilters(child)
+    case Filter(cond, child) =>
+      val (fs, base) = unwrapCollectingFilters(child)
+      (cond +: fs, base)
+    case other => (Nil, other)
+  }
+
   // Decompose the view definition once: base relation, grouping
   // expressions, and stored partials (position in the view's output →
   // aggregate kind + input expression over the base's attributes).
@@ -67,6 +87,10 @@ case class MvRewrite(spark: SparkSession, viewName: String,
           Some(("sum", Some(e), i))
         case (Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _), i) =>
           Some(("count", None, i))
+        case (Alias(AggregateExpression(Min(e), _, false, None, _), _), i) =>
+          Some(("min", Some(e), i))
+        case (Alias(AggregateExpression(Max(e), _, false, None, _), _), i) =>
+          Some(("max", Some(e), i))
         case _ => None
       }
       val groups = ae.zipWithIndex.collect {
@@ -85,7 +109,7 @@ case class MvRewrite(spark: SparkSession, viewName: String,
 
   /** Attempt the rollup-derivability rewrite; None = not derivable. */
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val base = unwrap(agg.child)
+    val (conds, base) = unwrapCollectingFilters(agg.child)
     // cheap leaf guard first, then the canonical-plan check — never
     // rewrite anything already served (the MV scan is a different leaf)
     if (base.children.nonEmpty || !base.sameResult(mvBase)) return None
@@ -104,9 +128,14 @@ case class MvRewrite(spark: SparkSession, viewName: String,
     def scanCol(i: Int): Attribute = scan.output(i)
 
     // An aggregate call maps iff it is an undistinct, unfiltered
-    // count(*) / sum over EXACTLY a stored partial's input: count
-    // re-aggregates as sum(n), sum as sum(sum_x) — both exact because
-    // the partials are exact (BIGINT / DECIMAL).
+    // count(*) / sum / min / max over EXACTLY a stored partial's input:
+    // count re-aggregates as sum(n), sum as sum(sum_x), min/max as
+    // min(min_x)/max(max_x) — all exact because the partials are exact
+    // (BIGINT / DECIMAL) and min/max are idempotent-associative. The
+    // count mapping coalesces to 0: count(*) over an EMPTY relation is
+    // 0, but sum(n) over the correspondingly empty MV scan is NULL — a
+    // global (groupless) consumer would otherwise silently change its
+    // answer, the one thing a transparent rewrite must never do.
     def mapAggFn(ae: AggregateExpression): Option[Expression] = ae match {
       case AggregateExpression(Sum(in, _), _, false, None, _) =>
         partials.collectFirst { case ("sum", Some(pin), i) if pin.semanticEquals(in) =>
@@ -114,7 +143,15 @@ case class MvRewrite(spark: SparkSession, viewName: String,
         }
       case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
         partials.collectFirst { case ("count", _, i) =>
-          Sum(scanCol(i)).toAggregateExpression()
+          Coalesce(Seq(Sum(scanCol(i)).toAggregateExpression(), Literal(0L)))
+        }
+      case AggregateExpression(Min(in), _, false, None, _) =>
+        partials.collectFirst { case ("min", Some(pin), i) if pin.semanticEquals(in) =>
+          Min(scanCol(i)).toAggregateExpression()
+        }
+      case AggregateExpression(Max(in), _, false, None, _) =>
+        partials.collectFirst { case ("max", Some(pin), i) if pin.semanticEquals(in) =>
+          Max(scanCol(i)).toAggregateExpression()
         }
       case _ => None
     }
