@@ -86,19 +86,36 @@ object AtRest {
     * `.compact-tmp`). Every read/maintenance entry point calls this
     * first: if the live dir is absent but the backup exists, prefer the
     * finished rewrite (tmp with its _SUCCESS marker — the compaction DID
-    * complete, only the swap died), else restore the backup. Idempotent
-    * and a no-op in the common path (one existence check). */
-  private[graft] def restoreCrashedSwap(dir: java.io.File): Unit = {
-    if (dir.exists()) return
+    * complete, only the swap died), else restore the backup.
+    *
+    * A crash in the OTHER window — after the second rename succeeded
+    * but before the backup cleanup — leaves a stale `.compact-old`
+    * BESIDE a live dir; that backup is provably dead (the live dir is
+    * the newer generation) and is removed here, or the next swap's
+    * rename-aside would land on a non-empty directory and wedge every
+    * maintenance op with IOException until manual cleanup.
+    *
+    * Same-JVM healers are serialized (`synchronized` — read predicates
+    * like [[isBuilt]] may race from concurrent query threads), and a
+    * lost cross-process rename race is treated as success as long as
+    * SOMEONE restored the live dir. Idempotent and a no-op in the
+    * common path (one existence check). */
+  private[graft] def restoreCrashedSwap(dir: java.io.File): Unit = synchronized {
     val bak = new java.io.File(dir.getPath + ".compact-old")
+    if (dir.exists()) {
+      if (bak.exists()) deleteRecursively(bak) // stale post-swap backup
+      return
+    }
     if (!bak.exists()) return
     val tmp = new java.io.File(dir.getPath + ".compact-tmp")
     if (new java.io.File(tmp, "_SUCCESS").isFile && tmp.renameTo(dir)) {
       deleteRecursively(bak)
-    } else {
-      if (!bak.renameTo(dir))
-        throw new java.io.IOException(s"restoreCrashedSwap: cannot restore $dir")
+    } else if (bak.renameTo(dir) || dir.exists()) {
+      // restored the backup — or a concurrent healer beat us to either
+      // rename, which is equally a healthy outcome
       deleteRecursively(tmp)
+    } else {
+      throw new java.io.IOException(s"restoreCrashedSwap: cannot restore $dir")
     }
   }
 
@@ -107,6 +124,10 @@ object AtRest {
   private def swapInPlace(dirPath: String, tmpPath: String, op: String): Unit = {
     val old = new java.io.File(dirPath)
     val bak = new java.io.File(dirPath + ".compact-old")
+    // defense in depth for the post-swap crash window (see
+    // restoreCrashedSwap): a stale backup beside a live dir would make
+    // the rename-aside below fail onto a non-empty directory
+    if (old.exists() && bak.exists()) deleteRecursively(bak)
     if (!old.renameTo(bak))
       throw new java.io.IOException(s"$op: cannot move $dirPath aside")
     if (!new java.io.File(tmpPath).renameTo(old)) {
@@ -172,10 +193,18 @@ object AtRest {
     * works while a possibly-uncommitted tick's rows still live under
     * their own partition. Folding them into -1 between the tick's write
     * and its checkpoint commit would make a replay re-derive them as
-    * duplicates — so compaction structurally cannot touch the newest
-    * tick, no scheduling discipline required. The fenced tick folds on
-    * the NEXT maintenance pass, by which time its checkpoint committed
-    * (or its replay rewrote the same partition in place). */
+    * duplicates — so compaction structurally cannot REPLAY-corrupt the
+    * newest tick it saw. The fenced tick folds on the NEXT maintenance
+    * pass, by which time its checkpoint committed (or its replay rewrote
+    * the same partition in place).
+    *
+    * SCHEDULING CAVEAT — the fence addresses replay, NOT write
+    * concurrency: run this between ticks, never concurrent with an
+    * in-flight foreachBatch write to the same tree. A brand-new tick
+    * landing during the rewrite/swap window is invisible to the initial
+    * listing — it is either read into the rewrite and filtered out of
+    * tmp, or written into the renamed-away directory and deleted with
+    * the backup: lost data either way. */
   def compactTicks(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     restoreCrashedSwap(new java.io.File(dir))

@@ -27,6 +27,12 @@ import java.util.concurrent.atomic.AtomicLong
   * map, slowest first) so the driver's bounded output-tail capture always
   * holds the complete line; `value` still totals ALL queries, and any
   * entries dropped from the map are counted in `omitted`.
+  *
+  * The COMPLETE per-query attribution — secs, shuffle/spill KB, GC ms,
+  * janino compilations for EVERY row, not just the slowest 10 — is
+  * written to `bench_attr.json` beside the build (committed per round),
+  * so a mid-pack regression self-explains without a builder re-time;
+  * the stdout line stays bounded and carries a pointer to it.
   */
 object Bench {
   private val REPS = 3
@@ -165,7 +171,16 @@ object Bench {
     val diag = sorted.take(10)
       .map { case (k, _, _, _, gc, cn) => "\"" + k + "\":[" + gc + "," + cn + "]" }
       .mkString(",")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"n_queries":${results.size},"omitted":$omitted,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfDir"}"""
+    // full attribution for EVERY row (slowest first), one object per
+    // query: [secs, shuffle_kb, spill_kb, gc_ms, compiles]
+    val attr = sorted.map { case (k, v, sh, sp, gc, cn) =>
+      "\"" + k + "\":[" + fmt(v) + "," + sh / 1024 + "," + sp / 1024 + "," + gc + "," + cn + "]"
+    }.mkString(",")
+    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"n_queries":${results.size},"sf":"$sfDir","columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles"],"queries":{$attr}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_attr.json"),
+      (attrLine + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => System.err.println(s"bench_attr.json write failed: $t") }
     spark.stop()
     println(line)
   }

@@ -1082,7 +1082,12 @@ object Advanced {
     * legitimate deviation. */
   def qRocAuc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.events(s, d).select(
+    // NULL scores are unrankable (the standard rank-sum convention drops
+    // them) — and without the guard a null sc would flow a null bucket
+    // into the driver-side prefix fold's getLong. Identity on this
+    // corpus (value is non-null by generation), asserted by the oracle's
+    // matching WHERE.
+    val e = Tables.events(s, d).where(col("value").isNotNull).select(
       expr("CAST(floor(value * 100) AS BIGINT)").as("sc"),
       expr("CAST(event_type = 'purchase' AS INT)").as("y"))
     // distinct-score grain; persisted because the bucket-total pass and
@@ -1203,7 +1208,8 @@ object Advanced {
   val oracle: Map[String, String] = Map(
     "q_roc_auc" ->
       """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS sc,
-        |    CAST(event_type = 'purchase' AS INT) AS y FROM events),
+        |    CAST(event_type = 'purchase' AS INT) AS y FROM events
+        |  WHERE value IS NOT NULL),
         |g AS (SELECT sc, COUNT(*) AS n_s, CAST(SUM(y) AS BIGINT) AS p_s FROM e GROUP BY 1),
         |r AS (SELECT *, COALESCE(CAST(SUM(n_s) OVER (ORDER BY sc
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum FROM g),

@@ -260,11 +260,13 @@ object Scale {
         sum(col("l_quantity").cast(dec)).as("sum_qty_p"),
         sum(col("l_extendedprice").cast(dec)).as("sum_price_p"),
         sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
-          .as("sum_disc_price_p"))
+          .as("sum_disc_price_p"),
+        min(col("l_quantity").cast(dec)).as("min_qty_p"),
+        max(col("l_quantity").cast(dec)).as("max_qty_p"))
   }
 
   private[graft] val MvParams =
-    "rollup(l_returnflag,l_linestatus);partials=count,sum_qty,sum_price,sum_disc_price;store=exact_decimal_v2"
+    "rollup(l_returnflag,l_linestatus);partials=count,sum_qty,sum_price,sum_disc_price,min_qty,max_qty;store=exact_decimal_v3"
 
   /** Build the rollup MV at rest once per corpus fingerprint and
     * (re-)register the rewrite rule. The match target is derived with the
@@ -329,10 +331,52 @@ object Scale {
       .withColumn("avg_qty", col("sum_qty") / col("n_items"))
   }
 
+  /** FILTERED-consumer derivability — the most common dashboard shape
+    * (`WHERE key = … GROUP BY other_key`): the predicate references only
+    * view group keys, so every fact row of a group shares its truth
+    * value and filtering the |groups|-row MV scan is exactly equivalent
+    * (Gupta & Mumick's selection condition). The rule rebases the
+    * predicate onto the MV's key columns and applies it BELOW the
+    * re-aggregation; the oracle is the plain filtered fact aggregate, so
+    * hash equality proves the predicate was carried, not dropped.
+    * A predicate on a NON-key column must bail to the fact scan —
+    * PlanShapeSpec asserts both directions.
+    * Scale shape: the fact is never scanned for the derivable shape —
+    * O(|view groups|) per dashboard refresh instead of a fact pass. */
+  def qMvRewriteFiltered(s: SparkSession, d: String): DataFrame = {
+    installMv(s, d)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .where(col("l_returnflag") =!= "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"))
+  }
+
+  /** MIN/MAX derivability: min and max are idempotent-associative, so
+    * the view's per-group extrema re-aggregate exactly under any coarser
+    * regrouping (`min(x) → min(min_x)`, `max(x) → max(max_x)`) — no
+    * exactness caveat at all, unlike sums which need the decimal-partial
+    * discipline. The consumer asks a grain the view never stored
+    * (per-returnflag) and the oracle is the plain fact aggregate. */
+  def qMvMinmaxServe(s: SparkSession, d: String): DataFrame = {
+    installMv(s, d)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        min(col("l_quantity").cast(dec)).cast("double").as("min_qty"),
+        max(col("l_quantity").cast(dec)).cast("double").as("max_qty"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup_serve" -> (qMvRollupServe _),
+    "q_mv_rewrite_filtered" -> (qMvRewriteFiltered _),
+    "q_mv_minmax_serve" -> (qMvMinmaxServe _),
     "q_skew_audit" -> (qSkewAudit _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_rate_limit" -> (qSaltedRateLimit _),
@@ -396,6 +440,18 @@ object Scale {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // The filtered consumer's oracle keeps the WHERE on the fact — hash
+    // equality proves the rewrite carried the predicate, not dropped it.
+    "q_mv_rewrite_filtered" ->
+      """SELECT l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_linestatus""".stripMargin,
+    "q_mv_minmax_serve" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // The bucketed/partitioned layouts must be INVISIBLE in the answer:
     // both oracles are the plain joins over the unbucketed parquet.

@@ -171,6 +171,21 @@ case class MvRewrite(spark: SparkSession, viewName: String,
       case _ => None
     }
 
+    // The collected consumer FILTER conditions are derivable iff each is
+    // deterministic and maps (via mapExpr) onto the view's KEY columns
+    // alone — Gupta & Mumick's selection condition: every fact row of a
+    // group shares the keys, so filtering groups on the MV scan selects
+    // exactly the fact rows the consumer's WHERE selects. The mapped
+    // predicate is applied BELOW the re-aggregation. A predicate
+    // touching any non-key column is finer than the view's grain and
+    // bails the whole rewrite (mapExpr returns None for it).
+    if (conds.exists(c => !c.deterministic)) return None
+    val mappedConds: Option[Seq[Expression]] = traverse(conds.map(mapExpr))
+    if (mappedConds.isEmpty) return None
+    lazy val rewriteChild: LogicalPlan =
+      if (mappedConds.get.isEmpty) scan
+      else Filter(mappedConds.get.reduce(And), scan)
+
     // Every consumer grouping expression must be computable from the
     // view's keys alone (grouping by a FUNCTION of a key — a coarser
     // partition — is still derivable: sums are associative under any
@@ -192,7 +207,7 @@ case class MvRewrite(spark: SparkSession, viewName: String,
       case _ => None
     })
 
-    mappedAggs.map(ae => Aggregate(mappedGroups.get, ae, scan))
+    mappedAggs.map(ae => Aggregate(mappedGroups.get, ae, rewriteChild))
   }
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =

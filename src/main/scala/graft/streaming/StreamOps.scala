@@ -322,7 +322,12 @@ object StreamOps {
     * structurally NEVER folds the newest tick (its replay fence), so a
     * maintenance pass racing an uncommitted tick cannot move that
     * tick's rows into history where the `batch_id =!= id` replay
-    * exclusion would no longer see them. */
+    * exclusion would no longer see them. The fence covers replay ONLY:
+    * compaction must still run BETWEEN ticks, never concurrent with an
+    * in-flight foreachBatch write — a tick landing inside the
+    * rewrite/swap window is invisible to the compaction's initial
+    * listing and is lost either way (see [[graft.AtRest.compactTicks]]'s
+    * scheduling caveat). */
   def pairIndexRefreshSink(docs: DataFrame, sigsDir: String, pairsDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>

@@ -89,6 +89,32 @@ class AtRestSpec extends SparkSpec {
       !new java.io.File(dir + ".compact-tmp").exists, "temp dirs must be cleaned up")
   }
 
+  test("crash AFTER the swap completed: a stale backup beside the live dir cannot wedge the next swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash2").toString + "/idx"
+    (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4).write.parquet(dir)
+    // death after `tmp → dir` succeeded but before the backup cleanup:
+    // live dir AND a (stale, non-empty) .compact-old coexist — without
+    // healing, the NEXT swap's rename-aside lands on a non-empty
+    // directory and every maintenance op throws until manual cleanup
+    Seq((99L, "stale")).toDF("id", "v").write.parquet(dir + ".compact-old")
+    val live = new java.io.File(dir)
+    assert(live.exists && new java.io.File(dir + ".compact-old").exists,
+      "precondition: live dir + stale backup")
+    // a read heals it (the backup is provably dead once the live dir exists)
+    assert(AtRest.isBuilt(live), "live index must stay readable")
+    assert(!new java.io.File(dir + ".compact-old").exists,
+      "stale post-swap backup must be removed by the read barrier")
+    assert(spark.read.parquet(dir).count() == 50L, "live content untouched")
+    // and the next maintenance swap proceeds even if the read-barrier
+    // healing was skipped (defense in depth inside swapInPlace)
+    Seq((100L, "again")).toDF("id", "v").write.parquet(dir + ".compact-old")
+    AtRest.compact(spark, dir, Seq("id"), numFiles = 2)
+    assert(spark.read.parquet(dir).count() == 50L, "compaction must survive a stale backup")
+    assert(!new java.io.File(dir + ".compact-old").exists &&
+      !new java.io.File(dir + ".compact-tmp").exists, "temp dirs must be cleaned up")
+  }
+
   test("gcStale: removes dead fingerprint generations, keeps the live one") {
     import spark.implicits._
     val fam = new java.io.File(

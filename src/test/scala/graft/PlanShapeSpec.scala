@@ -568,6 +568,58 @@ class PlanShapeSpec extends SparkSpec {
     } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
   }
 
+  test("q_mv_rewrite_filtered: keyed predicate is CARRIED onto the MV scan") {
+    // the dashboard shape (WHERE key GROUP BY other_key): the plan must
+    // read the MV, never the fact, and the rebased predicate must
+    // survive as a filter on the MV scan — a rewrite that served the MV
+    // but dropped the WHERE would be silently wrong, the exact r10
+    // regression this guards against
+    val p = plan("q_mv_rewrite_filtered")
+    assert(p.contains("mv_lineitem_rollup"),
+      "filtered derivable consumer must read the at-rest MV")
+    assert(!p.contains("lineitem.parquet"),
+      "filtered derivable consumer must not touch the fact table")
+    assert(p.contains("l_returnflag"),
+      s"the rebased key predicate must survive in the MV plan:\n${p.take(1500)}")
+    // answer equality: served (rule installed) ≡ from-scratch fact scan
+    val served = SparkEntry.queries("q_mv_rewrite_filtered")(spark, sf)
+      .collect().toSeq.sortBy(_.getString(0))
+    plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+    try {
+      val directDf = operators.Scale.qMvRewriteFiltered(spark, sf)
+      plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup") // installMv re-adds
+      assert(directDf.queryExecution.executedPlan.toString.contains("lineitem.parquet"),
+        "control run must scan the fact")
+      assert(served == directDf.collect().toSeq.sortBy(_.getString(0)),
+        "filtered derived answer must equal the from-scratch aggregate exactly")
+    } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+  }
+
+  test("mv rewrite: a predicate on a NON-key column bails to the fact scan") {
+    // l_shipdate is finer than the view's grain — group members disagree
+    // on it, so no MV filter can express the WHERE; the rewrite must
+    // leave the plan untouched (and therefore correct), never serve the
+    // MV with the predicate dropped or half-applied
+    operators.Scale.installMv(spark, sf)
+    try {
+      val neg = Tables.lineitem(spark, sf)
+        .where(col("l_shipdate") > "1995-06-01")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"))
+      val pn = neg.queryExecution.executedPlan.toString
+      assert(pn.contains("lineitem.parquet") && !pn.contains("mv_lineitem_rollup"),
+        s"non-key predicate must bail to the fact scan:\n${pn.take(1500)}")
+    } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+  }
+
+  test("q_mv_minmax_serve: min/max partials re-aggregate from the view") {
+    val p = plan("q_mv_minmax_serve")
+    assert(p.contains("mv_lineitem_rollup"),
+      "min/max consumer must read the at-rest MV")
+    assert(!p.contains("lineitem.parquet"),
+      "min/max consumer must not touch the fact table")
+  }
+
   test("q_bucketed_join: co-located bucketed SMJ with zero Exchange and zero Sort") {
     // both fact tables live at rest bucketed INTO the same 8 buckets ON
     // the join key and sorted within single-file buckets — the join must
