@@ -325,20 +325,10 @@ object Curation {
     * all-pairs); the split coin is map-side md5; the matrix is a ≤9-cell
     * aggregate. */
   def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val sigs = graft.CacheTracker.track(
-      Dedup.withSignature(Tables.documents(s, d).select(col("doc_id"), col("text")))
-        .filter(size(col("hashes")) >= 1)
-        .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val pairs = Dedup.bandedCandidates(sigs)
-      .join(sigs.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id")
+    // pair side: the AT-REST index restricted to real doc ids (the
+    // restriction identity documented at Dedup.realPairsAtRest) — a
+    // bare parquet scan instead of re-running signature+banding+verify
+    val pairs = Dedup.realPairsAtRest(s, d)
     val bucket =
       expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
     val split = Tables.documents(s, d).select(col("doc_id"),
@@ -369,27 +359,15 @@ object Curation {
     * intra-cluster by the definition of connectivity, and clusters are
     * split-atomic after repair.
     *
-    * Scale shape: the pair stage is the banded LSH pipeline (bounded
-    * candidates), clustering is the O(log²n)-round CC already used by
-    * the dedup family, and the repair itself is two doc-keyed joins +
-    * split-keyed aggregates — no step is quadratic and nothing beyond
-    * cluster labels is ever driver-side. */
+    * Scale shape: the pair stage is a bare scan of the at-rest pair
+    * index (restricted to real ids — Dedup.realPairsAtRest's
+    * restriction identity), clustering is the O(log²n)-round CC already
+    * used by the dedup family, and the repair itself is two doc-keyed
+    * joins + split-keyed aggregates — no step is quadratic and nothing
+    * beyond cluster labels is ever driver-side. */
   def qSplitRepair(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sigs = graft.CacheTracker.track(
-      Dedup.withSignature(Tables.documents(s, d).select(col("doc_id"), col("text")))
-        .filter(size(col("hashes")) >= 1)
-        .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val pairs = graft.CacheTracker.track(Dedup.bandedCandidates(sigs)
-      .join(sigs.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select("a_id", "b_id")
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val pairs = Dedup.realPairsAtRest(s, d)
     val labels = Dedup.clustersFromPairs(pairs).select("doc_id", "cluster_id")
     val bucket =
       expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")

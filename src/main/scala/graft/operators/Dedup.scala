@@ -231,6 +231,20 @@ object Dedup {
     s.read.parquet(dir.toString)
   }
 
+  /** The at-rest pair index restricted to REAL documents (the injected
+    * near-dup ids live at +1M/+2M): banding is per-document and
+    * verification pairwise, so the corpus-built index restricted to
+    * real ids IS the from-scratch pair set over `documents` — a pair of
+    * real docs band-collides and verifies identically whether or not
+    * injected docs exist beside it. The split-hygiene consumers
+    * (q_split_leakage / q_split_repair) read this instead of re-running
+    * the signature pipeline; their oracles stay from-scratch over
+    * `documents`, so hash equality proves the restriction identity. */
+  private[graft] def realPairsAtRest(s: SparkSession, d: String): DataFrame =
+    pairsAtRest(s, d)
+      .filter(col("a_id") < 1000000L && col("b_id") < 1000000L)
+      .select("a_id", "b_id")
+
   /** SERVING view of the pair index under streaming takedowns: the
     * standing index minus every pair touching a tombstoned document
     * (broadcast anti-joins — the tombstone set is delete-request-sized,

@@ -371,8 +371,76 @@ object Scale {
         max(col("l_quantity").cast(dec)).cast("double").as("max_qty"))
   }
 
+  /** Second catalog view — per-(priority, order-month) EXACT partials
+    * over ORDERS, same storage discipline as the lineitem rollup. Two
+    * installed views make the rewrite a CATALOG: each consumer
+    * Aggregate is matched independently against every registered view
+    * (extraOptimizations runs each rule; a rule only fires on its own
+    * base relation via sameResult), so one session transparently serves
+    * dashboards over two different facts. */
+  private[graft] def mvOrdersRollup(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).as("sum_price_p"),
+        min(col("o_totalprice").cast(dec)).as("min_price_p"),
+        max(col("o_totalprice").cast(dec)).as("max_price_p"))
+  }
+
+  private[graft] val MvOrdersParams =
+    "rollup(o_orderpriority,month);partials=count,sum_price,min_price,max_price;store=exact_decimal_v1"
+
+  private[graft] def installMvOrders(s: SparkSession, d: String): Unit = {
+    val dir = AtRest.dir(s, d, "mv_orders_rollup", "orders", params = MvOrdersParams)
+    if (!AtRest.isBuilt(dir)) synchronized {
+      if (!AtRest.isBuilt(dir)) {
+        graft.plans.MvRewrite.uninstall(s, "mv_orders_rollup")
+        mvOrdersRollup(s, d).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        AtRest.gcStale(dir)
+      }
+    }
+    graft.plans.MvRewrite.uninstall(s, "mv_orders_rollup")
+    val target = mvOrdersRollup(s, d).queryExecution.optimizedPlan
+    graft.plans.MvRewrite.install(s,
+      graft.plans.MvRewrite(s, "mv_orders_rollup", target, dir.getAbsolutePath))
+  }
+
+  /** MV CATALOG serving — BOTH views installed in one session, one
+    * consumer per fact in the same query: the lineitem consumer rolls
+    * up to per-returnflag revenue (served by mv_lineitem_rollup), the
+    * orders consumer to per-priority totals across months (served by
+    * mv_orders_rollup — a coarser grain than the view's (priority,
+    * month), so its counts/sums re-aggregate and min/max fold), and the
+    * two broadcast-join on the row count just to land in one relation.
+    * PlanShapeSpec asserts the plan reads BOTH MV directories and
+    * NEITHER fact; the oracle computes both aggregates from the raw
+    * tables. At 100 TB this is two dashboard panels answered for the
+    * price of two metadata-sized scans. */
+  def qMvCatalogServe(s: SparkSession, d: String): DataFrame = {
+    installMv(s, d)
+    installMvOrders(s, d)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+        min(col("o_totalprice").cast(dec)).cast("double").as("min_price"),
+        max(col("o_totalprice").cast(dec)).cast("double").as("max_price"))
+    li.crossJoin(broadcast(ord))
+      .select(col("l_returnflag"), col("n_items"), col("revenue"),
+        col("o_orderpriority"), col("n_orders"), col("sum_price"),
+        col("min_price"), col("max_price"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_size_sketch" -> (qJoinSizeSketch _),
+    "q_mv_catalog_serve" -> (qMvCatalogServe _),
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup_serve" -> (qMvRollupServe _),
     "q_mv_rewrite_filtered" -> (qMvRewriteFiltered _),
@@ -441,6 +509,19 @@ object Scale {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Both catalog consumers' oracles are the plain raw-table aggregates.
+    "q_mv_catalog_serve" ->
+      """WITH li AS (SELECT l_returnflag, COUNT(*) AS n_items,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |ord AS (SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT l_returnflag, n_items, revenue, o_orderpriority, n_orders,
+        |  sum_price, min_price, max_price
+        |FROM li CROSS JOIN ord""".stripMargin,
     // The filtered consumer's oracle keeps the WHERE on the fact — hash
     // equality proves the rewrite carried the predicate, not dropped it.
     "q_mv_rewrite_filtered" ->

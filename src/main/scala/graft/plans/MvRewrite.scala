@@ -56,23 +56,53 @@ import org.apache.spark.sql.catalyst.rules.Rule
 case class MvRewrite(spark: SparkSession, viewName: String,
     target: LogicalPlan, location: String) extends Rule[LogicalPlan] {
 
-  /** Unwrap attribute-only Projects (column pruning) down to the base. */
-  private def unwrap(p: LogicalPlan): LogicalPlan = p match {
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) => unwrap(child)
-    case other => other
+  /** A Project is transparent to the matcher iff every entry is a bare
+    * attribute (column pruning) or a DETERMINISTIC alias — the shape
+    * `PullOutGroupingExpressions` inserts below any Aggregate whose
+    * group keys are complex (`expr AS _groupingexpression#n`). */
+  private def transparentProject(pl: Seq[NamedExpression]): Boolean = pl.forall {
+    case _: AttributeReference => true
+    case Alias(e, _) => e.deterministic
+    case _ => false
   }
 
-  /** Unwrap like [[unwrap]] but COLLECT Filter conditions on the way
-    * down (by optimization time consumer predicates sit pushed-down,
-    * directly above the relation) — the matcher then decides whether
-    * each condition is expressible over the view's group keys. */
-  private def unwrapCollectingFilters(p: LogicalPlan): (Seq[Expression], LogicalPlan) = p match {
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      unwrapCollectingFilters(child)
+  /** Unwrap transparent Projects down to the base, collecting an
+    * alias-substitution map (alias exprId → defining expression, itself
+    * fully inlined over the base's attributes) so callers can re-express
+    * pulled-out grouping expressions over the base relation. */
+  private def unwrap(p: LogicalPlan): (Map[Long, Expression], LogicalPlan) = p match {
+    case Project(pl, child) if transparentProject(pl) =>
+      val (m, base) = unwrap(child)
+      val here = pl.collect { case a @ Alias(e, _) =>
+        a.exprId.id -> e.transform {
+          case ar: AttributeReference if m.contains(ar.exprId.id) => m(ar.exprId.id)
+        }
+      }
+      (m ++ here, base)
+    case other => (Map.empty, other)
+  }
+
+  /** Unwrap like [[unwrap]] but additionally COLLECT Filter conditions
+    * on the way down (by optimization time consumer predicates sit
+    * pushed-down, directly above the relation) — the matcher then
+    * decides whether each condition is expressible over the view's
+    * group keys. Conditions are returned RAW; the caller inlines them
+    * through the alias map (an alias can only be referenced above the
+    * Project that defines it, so the final map always covers them). */
+  private def unwrapCollectingFilters(p: LogicalPlan)
+      : (Seq[Expression], Map[Long, Expression], LogicalPlan) = p match {
+    case Project(pl, child) if transparentProject(pl) =>
+      val (fs, m, base) = unwrapCollectingFilters(child)
+      val here = pl.collect { case a @ Alias(e, _) =>
+        a.exprId.id -> e.transform {
+          case ar: AttributeReference if m.contains(ar.exprId.id) => m(ar.exprId.id)
+        }
+      }
+      (fs, m ++ here, base)
     case Filter(cond, child) =>
-      val (fs, base) = unwrapCollectingFilters(child)
-      (cond +: fs, base)
-    case other => (Nil, other)
+      val (fs, m, base) = unwrapCollectingFilters(child)
+      (cond +: fs, m, base)
+    case other => (Nil, Map.empty, other)
   }
 
   // Decompose the view definition once: base relation, grouping
@@ -81,21 +111,30 @@ case class MvRewrite(spark: SparkSession, viewName: String,
   private val (mvBase, mvGroups, mvPartials): (LogicalPlan,
       Seq[(Expression, Int)], Seq[(String, Option[Expression], Int)]) = target match {
     case Aggregate(ge, ae, child, _) =>
-      val base = unwrap(child)
+      val (am, base) = unwrap(child)
+      // every stored shape is re-expressed over the BASE relation's
+      // attributes (pulled-out `_groupingexpression` aliases inlined)
+      def inline(e: Expression): Expression = e.transform {
+        case ar: AttributeReference if am.contains(ar.exprId.id) => am(ar.exprId.id)
+      }
+      val geI = ge.map(inline)
       val parts = ae.zipWithIndex.flatMap {
         case (Alias(AggregateExpression(Sum(e, _), _, false, None, _), _), i) =>
-          Some(("sum", Some(e), i))
+          Some(("sum", Some(inline(e)), i))
         case (Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _), i) =>
           Some(("count", None, i))
         case (Alias(AggregateExpression(Min(e), _, false, None, _), _), i) =>
-          Some(("min", Some(e), i))
+          Some(("min", Some(inline(e)), i))
         case (Alias(AggregateExpression(Max(e), _, false, None, _), _), i) =>
-          Some(("max", Some(e), i))
+          Some(("max", Some(inline(e)), i))
         case _ => None
       }
-      val groups = ae.zipWithIndex.collect {
-        case (a: AttributeReference, i) if ge.exists(_.semanticEquals(a)) => (a: Expression, i)
-        case (Alias(e, _), i) if ge.exists(_.semanticEquals(e)) => (e, i)
+      val groups = ae.zipWithIndex.flatMap {
+        case (a: AttributeReference, i) if geI.exists(_.semanticEquals(inline(a))) =>
+          Some((inline(a), i))
+        case (Alias(e, _), i) if geI.exists(_.semanticEquals(inline(e))) =>
+          Some((inline(e), i))
+        case _ => None
       }
       (base, groups, parts)
     case other => (other, Nil, Nil)
@@ -109,10 +148,16 @@ case class MvRewrite(spark: SparkSession, viewName: String,
 
   /** Attempt the rollup-derivability rewrite; None = not derivable. */
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (conds, base) = unwrapCollectingFilters(agg.child)
+    val (rawConds, cam, base) = unwrapCollectingFilters(agg.child)
     // cheap leaf guard first, then the canonical-plan check — never
     // rewrite anything already served (the MV scan is a different leaf)
     if (base.children.nonEmpty || !base.sameResult(mvBase)) return None
+    // the consumer's own pulled-out grouping aliases, inlined so every
+    // consumer expression is over the base relation's attributes too
+    def inlineC(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if cam.contains(ar.exprId.id) => cam(ar.exprId.id)
+    }
+    val conds = rawConds.map(inlineC)
     // rebase the view's expressions onto the consumer's attribute ids
     val idMap: Map[Long, Attribute] =
       mvBase.output.zip(base.output).map { case (m, c) => m.exprId.id -> c }.toMap
@@ -191,16 +236,16 @@ case class MvRewrite(spark: SparkSession, viewName: String,
     // partition — is still derivable: sums are associative under any
     // regrouping of the view's groups).
     val mappedGroups: Option[Seq[Expression]] =
-      traverse(agg.groupingExpressions.map(mapExpr))
+      traverse(agg.groupingExpressions.map(e => mapExpr(inlineC(e))))
     if (mappedGroups.isEmpty) return None
 
     val mappedAggs: Option[Seq[NamedExpression]] = traverse(agg.aggregateExpressions.map {
       case a: AttributeReference =>
-        groups.collectFirst { case (g, i) if g.semanticEquals(a) =>
+        groups.collectFirst { case (g, i) if g.semanticEquals(inlineC(a)) =>
           Alias(scanCol(i), a.name)(exprId = a.exprId): NamedExpression
         }
       case al @ Alias(child, name) =>
-        mapExpr(child).map { n =>
+        mapExpr(inlineC(child)).map { n =>
           val e = if (n.dataType == al.dataType) n else Cast(n, al.dataType)
           Alias(e, name)(exprId = al.exprId): NamedExpression
         }

@@ -612,6 +612,25 @@ class PlanShapeSpec extends SparkSpec {
     } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
   }
 
+  test("q_mv_catalog_serve: two installed views serve two facts in one query") {
+    // the rewrite is a CATALOG: both rules coexist in one session, each
+    // firing only on its own base relation — the lineitem panel reads
+    // mv_lineitem_rollup, the orders panel mv_orders_rollup, and
+    // NEITHER fact table is scanned
+    try {
+      val p = plan("q_mv_catalog_serve")
+      assert(p.contains("mv_lineitem_rollup"),
+        "lineitem consumer must read its view")
+      assert(p.contains("mv_orders_rollup"),
+        "orders consumer must read its view")
+      assert(!p.contains("lineitem.parquet") && !p.contains("orders.parquet"),
+        "neither fact may be scanned")
+    } finally {
+      plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+      plans.MvRewrite.uninstall(spark, "mv_orders_rollup")
+    }
+  }
+
   test("q_mv_minmax_serve: min/max partials re-aggregate from the view") {
     val p = plan("q_mv_minmax_serve")
     assert(p.contains("mv_lineitem_rollup"),
