@@ -384,23 +384,49 @@ object Multimodal {
             expr("substring(text, 12, 1000000)")).as("text")))
   }
 
-  def qMultimodalPhash(s: SparkSession, d: String): DataFrame =
-    phashPairsFrom(mediaRelation(s, d))
-
-  /** Banded-Hamming phash pairing over a (doc_id, text) media relation —
-    * shared by q_multimodal_phash (full corpus) and the eval (half). */
-  private def phashPairsFrom(media: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+  def qMultimodalPhash(s: SparkSession, d: String): DataFrame = {
+    // standalone path: the fused md5(substring(text, …)) parity bits
+    // stay whole-stage-codegen'd — cells materialization only pays off
+    // when a SECOND pipeline reuses the array (the eval)
     def bandExpr(b: Int): String = (1 to 16).map { i =>
       val j = 16 * b + i
       val pos = s"((${j - 1} * length(text)) div 64) + 1"
       val width = "(length(text) + 63) div 64"
       s"(CASE WHEN CAST(conv(substring(md5(substring(text, $pos, $width)), 1, 1), 16, 10) AS INT) % 2 = 1 THEN CAST(${1L << (16 - i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
-    val sigs = graft.CacheTracker.track(
-      media
-        .select(col("doc_id") +: (0 to 3).map(b => expr(bandExpr(b)).as(s"b$b")): _*)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    pairsFromSigs(mediaRelation(s, d)
+      .select(col("doc_id") +: (0 to 3).map(b => expr(bandExpr(b)).as(s"b$b")): _*))
+  }
+
+  /** (doc_id, cells) — the 64 grid-cell substrings materialized ONCE
+    * per payload, for consumers that read the cells MORE THAN ONCE
+    * (the eval: pred parity bits + truth band keys + exact per-pair
+    * diff). Without this, the eval's exact filter re-ran 128
+    * interpreted substring calls on full payloads per candidate pair
+    * (lambda HOFs never codegen), the measured hot loop. The
+    * single-pipeline q_multimodal_phash deliberately does NOT use it:
+    * with no reuse, the interpreted transform costs more than the
+    * fused codegen substrings it replaces (measured 1.8 → 2.9 s). */
+  private def cellsRelation(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), expr(
+      "transform(sequence(1, 64), j -> substring(text, ((j - 1) * length(text)) div 64 + 1, (length(text) + 63) div 64))")
+      .as("cells"))
+
+  /** Parity-bit signatures off a (doc_id, cells) relation — the eval's
+    * pred side; md5(cells[j]) ≡ md5(substring(text, …)) bit-for-bit. */
+  private def sigsFromCells(cellsRel: DataFrame): DataFrame = {
+    def bandExpr(b: Int): String = (1 to 16).map { i =>
+      val j = 16 * b + i
+      s"(CASE WHEN CAST(conv(substring(md5(cells[${j - 1}]), 1, 1), 16, 10) AS INT) % 2 = 1 THEN CAST(${1L << (16 - i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    cellsRel.select(col("doc_id") +: (0 to 3).map(b => expr(bandExpr(b)).as(s"b$b")): _*)
+  }
+
+  /** Banded-Hamming candidate join + exact verify over a 4×16-bit
+    * signature relation — shared tail of both phash faces. */
+  private def pairsFromSigs(sigsIn: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = graft.CacheTracker.track(sigsIn.persist(StorageLevel.MEMORY_AND_DISK))
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 to 3).map(b => col(s"b$b")): _*)).as(Seq("band", "bits")))
     val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("bits"))
@@ -441,23 +467,32 @@ object Multimodal {
     * count/join fan-out; candidates stay band-bounded on both sides. */
   def qMultimodalPhashEval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val media = mediaRelation(s, d, half = true)
+    // one cell materialization feeds BOTH pipelines (pred parity bits,
+    // truth band keys, exact per-pair diff) — serialized cache, the
+    // array-of-strings form is memory-hungry deserialized
+    val cellsRel = graft.CacheTracker.track(
+      cellsRelation(mediaRelation(s, d, half = true))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER))
     val pred = graft.CacheTracker.track(
-      phashPairsFrom(media).select("a_id", "b_id").persist(StorageLevel.MEMORY_AND_DISK))
-    def cellExpr(j: String, t: String): String =
-      s"substring($t, (($j - 1) * length($t)) div 64 + 1, (length($t) + 63) div 64)"
+      pairsFromSigs(sigsFromCells(cellsRel)).select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // truth band key: the 16 cells of a band, concatenated — a pair
+    // differing in ≤ 3 cells leaves ≥ 1 of the 4 disjoint bands fully
+    // equal (pigeonhole), so the equi-join's candidates are COMPLETE
+    // for the exact filter below; the key encoding itself cannot change
+    // the truth set (false collisions only add candidates, which the
+    // exact diff filter removes)
     def bandKey(b: Int): String =
-      "md5(concat(" + (1 to 16).map(i => cellExpr(s"${16 * b + i}", "text")).mkString(", ") + "))"
-    val keyed = media.select(col("doc_id"),
+      s"md5(concat_ws('', slice(cells, ${16 * b + 1}, 16)))"
+    val keyed = cellsRel.select(col("doc_id"),
       posexplode(array((0 to 3).map(b => expr(bandKey(b))): _*)).as(Seq("band", "bkey")))
     val cand = keyed.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
       .join(keyed.select(col("doc_id").as("b_id"), col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
-    val nDiff = "size(filter(sequence(1, 64), j -> " +
-      cellExpr("j", "ta") + " != " + cellExpr("j", "tb") + "))"
+    val nDiff = "size(filter(zip_with(ca, cb, (x, y) -> x != y), b -> b))"
     val truth = graft.CacheTracker.track(cand
-      .join(media.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
-      .join(media.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .join(cellsRel.select(col("doc_id").as("a_id"), col("cells").as("ca")), "a_id")
+      .join(cellsRel.select(col("doc_id").as("b_id"), col("cells").as("cb")), "b_id")
       .filter(expr(nDiff) <= 3)
       .select("a_id", "b_id").persist(StorageLevel.MEMORY_AND_DISK))
     pred.count(); truth.count() // fill both caches before the fan-out

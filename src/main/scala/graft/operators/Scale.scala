@@ -438,9 +438,59 @@ object Scale {
         col("min_price"), col("max_price"))
   }
 
+  /** INCREMENTAL MV REFRESH — the missing lifecycle face between build
+    * and serve: a 100 TB rollup is never rebuilt from scratch per
+    * ingest; the stored partials absorb the delta's partials by one
+    * re-aggregation (count/sum are associative, min/max
+    * idempotent-associative — the same algebra the serving rewrite
+    * relies on, now exercised for maintenance). History = shipments
+    * before the cutoff, stored AT REST as a partials generation
+    * (cutoff folded into the fingerprint params); the delta is
+    * everything after. Refresh = unionByName(stored partials, delta
+    * partials) → one |groups|-keyed aggregate → the new generation.
+    * The output finalizes the REFRESHED generation at the view's grain
+    * and the oracle is the plain FULL-fact aggregate, so hash equality
+    * proves stored ⊕ delta ≡ full rebuild bit-exactly (exact decimal
+    * partials — the q_incr_agg IVM contract applied to the MV family).
+    *
+    * Scale shape: the refresh pays one delta scan + a |groups|-row
+    * fold — never a history re-scan; generations are
+    * fingerprint-invalidated and gcStale'd like every at-rest index. */
+  def qMvIncrRefresh(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cutoff = "1996-01-01"
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).as("sum_qty_p"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+            .as("sum_disc_price_p"),
+          min(col("l_quantity").cast(dec)).as("min_qty_p"),
+          max(col("l_quantity").cast(dec)).as("max_qty_p"))
+    val histDir = AtRest.dir(s, d, "mv_lineitem_rollup_hist", "lineitem",
+      params = s"$MvParams;hist<$cutoff")
+    if (!AtRest.isBuilt(histDir)) synchronized {
+      if (!AtRest.isBuilt(histDir)) {
+        partials(Tables.lineitem(s, d).where(col("l_shipdate") < cutoff))
+          .write.mode("overwrite").parquet(histDir.getAbsolutePath)
+        AtRest.gcStale(histDir)
+      }
+    }
+    val stored = s.read.parquet(histDir.getAbsolutePath)
+    val delta = partials(Tables.lineitem(s, d).where(col("l_shipdate") >= cutoff))
+    stored.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("n_items").cast("long").as("n_items"),
+        sum("sum_qty_p").cast("double").as("sum_qty"),
+        sum("sum_disc_price_p").cast("double").as("sum_disc_price"),
+        min("min_qty_p").cast("double").as("min_qty"),
+        max("max_qty_p").cast("double").as("max_qty"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_mv_catalog_serve" -> (qMvCatalogServe _),
+    "q_mv_incr_refresh" -> (qMvIncrRefresh _),
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup_serve" -> (qMvRollupServe _),
     "q_mv_rewrite_filtered" -> (qMvRewriteFiltered _),
@@ -509,6 +559,15 @@ object Scale {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // The refresh identity's oracle is the plain FULL-fact aggregate:
+    // hash equality proves stored-history ⊕ delta ≡ full rebuild.
+    "q_mv_incr_refresh" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     // Both catalog consumers' oracles are the plain raw-table aggregates.
     "q_mv_catalog_serve" ->
       """WITH li AS (SELECT l_returnflag, COUNT(*) AS n_items,
