@@ -25,6 +25,20 @@ object AtRest {
     * pipeline change not captured by an index's own params string. */
   val Version = 1
 
+  /** BUILD-EVENT log: every at-rest build job calls [[gcStale]] after a
+    * successful write, so recording the index family there gives an
+    * exact "was any index BUILT (vs read) in this window" signal. Bench
+    * drains it per timed rep — a query whose slow rep coincides with a
+    * build event is paying index construction, not its own plan (the
+    * q_dedup_eval-oscillation diagnosis from round 11). */
+  private val buildLog = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private[graft] def drainBuildEvents(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var e = buildLog.poll()
+    while (e != null) { out += e; e = buildLog.poll() }
+    out.toSeq
+  }
+
   def root(s: SparkSession): String =
     s.conf.getOption("graft.atrest.dir").getOrElse(
       new java.io.File(sys.props.getOrElse("user.dir", "."), "target/graft-atrest")
@@ -120,19 +134,38 @@ object AtRest {
   }
 
   /** The shared two-rename swap with rollback on a failed second rename;
-    * crashes between the renames are healed by [[restoreCrashedSwap]]. */
-  private def swapInPlace(dirPath: String, tmpPath: String, op: String): Unit = {
+    * crashes between the renames are healed by [[restoreCrashedSwap]].
+    *
+    * Runs under the SAME monitor as [[restoreCrashedSwap]] — without it,
+    * a reader's isBuilt between the two renames could complete the swap
+    * itself (tmp carries _SUCCESS), making the writer's second rename
+    * AND its rollback both fail on an already-healthy index (the
+    * round-11 ADVICE race). The Spark rewrite stays outside the lock;
+    * only the cheap renames serialize. Cross-PROCESS healers can still
+    * interleave, so a failed rollback with the live dir present is
+    * treated as success: SOMEONE restored a serving index (either our
+    * tmp promoted — the compaction took effect — or the backup
+    * restored — the pre-compaction index serves and the idempotent
+    * maintenance pass simply re-runs later). */
+  private[graft] def swapInPlace(dirPath: String, tmpPath: String, op: String): Unit = synchronized {
     val old = new java.io.File(dirPath)
     val bak = new java.io.File(dirPath + ".compact-old")
+    val tmp = new java.io.File(tmpPath)
     // defense in depth for the post-swap crash window (see
     // restoreCrashedSwap): a stale backup beside a live dir would make
     // the rename-aside below fail onto a non-empty directory
     if (old.exists() && bak.exists()) deleteRecursively(bak)
     if (!old.renameTo(bak))
       throw new java.io.IOException(s"$op: cannot move $dirPath aside")
-    if (!new java.io.File(tmpPath).renameTo(old)) {
-      bak.renameTo(old) // roll back — leave the index serving
-      throw new java.io.IOException(s"$op: cannot swap $tmpPath into place")
+    if (!tmp.renameTo(old)) {
+      if (!bak.renameTo(old) && !old.exists())
+        throw new java.io.IOException(s"$op: cannot swap $tmpPath into place")
+      // the live dir exists (rolled back here, or a cross-process healer
+      // restored it) — healthy either way; drop whichever of tmp/bak
+      // remains so the next maintenance pass starts clean
+      if (tmp.exists()) deleteRecursively(tmp)
+      if (bak.exists()) deleteRecursively(bak)
+      return
     }
     deleteRecursively(bak)
   }
@@ -148,6 +181,7 @@ object AtRest {
     * is "at most one live generation per index family + the one just
     * built". */
   def gcStale(keep: java.io.File): Int = {
+    buildLog.add(keep.getParentFile.getName)
     val parent = keep.getParentFile
     val stale = Option(parent.listFiles())
       .map(_.toSeq.filter(f => f.isDirectory && f.getName != keep.getName))

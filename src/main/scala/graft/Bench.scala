@@ -79,9 +79,17 @@ object Bench {
     // cache-churning queries read high in-session).
     def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // The release point also UNSCOPES any MV rewrite rules the query
+    // installed — without it, every query after a q_mv_* in this shared
+    // session would stay a rewrite candidate (a derivable aggregate
+    // would silently bench as an MV scan).
+    def release(): Unit = {
+      CacheTracker.releaseAll()
+      graft.plans.MvRewrite.uninstallAll(spark)
+    }
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try materialize(fn)
-      finally CacheTracker.releaseAll()
+      finally release()
     // Warm up session machinery (codegen, parquet reader, shuffle paths)
     // so the first timed query isn't charged for JVM/session init.
     SparkEntry.queries.get("q1_pricing_summary").foreach(run)
@@ -121,6 +129,7 @@ object Bench {
         org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
       val runs = (1 to REPS).map { rep =>
         waitQuiesce()
+        AtRest.drainBuildEvents() // clear residue from the previous rep
         val sh0 = shuffleBytes.get; val sp0 = spillBytes.get
         val gc0 = gcMs; val cn0 = compileN
         val t0 = System.nanoTime()
@@ -132,19 +141,26 @@ object Bench {
               -1.0
           }
           // clock stopped — now release builder-persisted intermediates
-          // (and pay any blocking-unpersist cost) outside the measurement
-          finally CacheTracker.releaseAll()
+          // and MV rule scope (blocking-unpersist cost stays outside
+          // the measurement)
+          finally release()
+        // at-rest indexes BUILT inside this timed rep (vs merely read):
+        // a rep that paid an index build is environment-inflated — the
+        // round-11 q_dedup_eval oscillation suspect this flag closes.
+        val built = AtRest.drainBuildEvents()
         val gcD = gcMs - gc0; val cnD = compileN - cn0
         if (debug) System.err.println(
-          f"BENCHDBG $name rep$rep ${secs}%.3fs gc=${gcD}ms compiles=$cnD")
+          f"BENCHDBG $name rep$rep ${secs}%.3fs gc=${gcD}ms compiles=$cnD built=${built.mkString("+")}")
         waitQuiesce()
-        (secs, shuffleBytes.get - sh0, spillBytes.get - sp0, gcD, cnD)
+        (secs, shuffleBytes.get - sh0, spillBytes.get - sp0, gcD, cnD, built)
       }
       def medianD(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
       def medianL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
-      if (runs.exists(_._1 < 0)) (name, -1.0, 0L, 0L, 0L, 0L)
+      val repSecs = runs.map(_._1)
+      val builds = runs.flatMap(_._6).distinct
+      if (runs.exists(_._1 < 0)) (name, -1.0, 0L, 0L, 0L, 0L, repSecs, builds)
       else (name, medianD(runs.map(_._1)), medianL(runs.map(_._2)), medianL(runs.map(_._3)),
-        runs.map(_._4).sum, runs.map(_._5).sum)
+        runs.map(_._4).sum, runs.map(_._5).sum, repSecs, builds)
     }.toSeq
     val total = results.map(_._2).filter(_ >= 0).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
@@ -154,7 +170,7 @@ object Bench {
     val sorted = results.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
-    sorted.foreach { case (k, v, _, _, _, _) =>
+    sorted.foreach { case (k, v, _, _, _, _, _, _) =>
       val piece = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
       if (sb.length + piece.length <= 1150) { sb.append(piece); kept += 1 }
     }
@@ -162,22 +178,30 @@ object Bench {
     // scale signature of the slowest queries: [shuffle_kb, spill_kb]
     // (KB keeps the line comfortably under the driver's tail capture)
     val shuf = sorted.take(10)
-      .map { case (k, _, sh, sp, _, _) => "\"" + k + "\":[" + sh / 1024 + "," + sp / 1024 + "]" }
+      .map { case (k, _, sh, sp, _, _, _, _) => "\"" + k + "\":[" + sh / 1024 + "," + sp / 1024 + "]" }
       .mkString(",")
     // environment attribution for the slowest queries: [gc_ms, janino
     // compilations] summed over the reps — a row that is slow WITH high
     // gc/compile counts is environment-inflated (collector pressure /
     // codegen-cache eviction), one without them is intrinsically slow.
     val diag = sorted.take(10)
-      .map { case (k, _, _, _, gc, cn) => "\"" + k + "\":[" + gc + "," + cn + "]" }
+      .map { case (k, _, _, _, gc, cn, _, _) => "\"" + k + "\":[" + gc + "," + cn + "]" }
       .mkString(",")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfDir"}"""
+    // The per-rep seconds and at-rest build flags live in
+    // bench_attr.json ONLY — the stdout line sits near the driver's
+    // ~2 KB tail-capture cap, and truncating its head would invalidate
+    // the whole round's bench. Here just the COUNT of rows that built
+    // an index inside a timed rep (0 on a warm at-rest tree).
+    val builtCount = sorted.count(_._8.nonEmpty)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"built_in_rep":$builtCount,"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfDir"}"""
     // full attribution for EVERY row (slowest first), one object per
-    // query: [secs, shuffle_kb, spill_kb, gc_ms, compiles]
-    val attr = sorted.map { case (k, v, sh, sp, gc, cn) =>
-      "\"" + k + "\":[" + fmt(v) + "," + sh / 1024 + "," + sp / 1024 + "," + gc + "," + cn + "]"
+    // query: [secs, shuffle_kb, spill_kb, gc_ms, compiles, [rep secs...],
+    // "built index families"]
+    val attr = sorted.map { case (k, v, sh, sp, gc, cn, rs, b) =>
+      "\"" + k + "\":[" + fmt(v) + "," + sh / 1024 + "," + sp / 1024 + "," + gc + "," + cn +
+        ",[" + rs.map(fmt).mkString(",") + "],\"" + b.mkString("+") + "\"]"
     }.mkString(",")
-    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"n_queries":${results.size},"sf":"$sfDir","columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles"],"queries":{$attr}}"""
+    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"n_queries":${results.size},"sf":"$sfDir","columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built"],"queries":{$attr}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_attr.json"),
       (attrLine + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"bench_attr.json write failed: $t") }

@@ -26,7 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally CacheTracker.releaseAll() // builder-persisted intermediates
+      finally {
+        CacheTracker.releaseAll() // builder-persisted intermediates
+        // MV rule scope ends with the query that installed it — later
+        // queries in this shared session must never be rewrite candidates
+        plans.MvRewrite.uninstallAll(spark)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1690,9 +1690,14 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     graft.functions.Shingles3.register(s)
     val sample = corpus(s, d).filter(col("doc_id") % 2 === 0)
+    // SER levels throughout: the round-11 bench oscillation's prime
+    // suspect was cross-query executor-memory pressure evicting these
+    // persists between the count() fill and the three-way fan-out —
+    // serialized storage is ~4× smaller for the array-heavy sset rows,
+    // so the blocks survive pressure that would evict deserialized ones
     val pred = graft.CacheTracker.track(
       simhashPairsFrom(sample).select(col("a_id"), col("b_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER))
     // truth side reads its shingle sets off the AT-REST signature index
     // (sset is byte-identical to the from-scratch derivation — the same
     // consumer contract as the graph/eval family; the oracle stays the
@@ -1700,11 +1705,14 @@ object Dedup {
     val sets = graft.CacheTracker.track(
       sigsAtRest(s, d).filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("sset")).filter(size(col("sset")) > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER))
     val truth = graft.CacheTracker.track(
       ngramJaccardFromSets(sets).select(col("a_id"), col("b_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER))
     pred.count(); truth.count() // fill both caches before the fan-out
+    // the fan-out below touches only pred/truth — release the big sset
+    // cache NOW so it cannot crowd them out of storage memory
+    sets.unpersist(blocking = true)
     val tp = pred.join(truth, Seq("a_id", "b_id"))
     pred.agg(count(lit(1)).as("n_pred"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

@@ -201,15 +201,18 @@ case class MvRewrite(spark: SparkSession, viewName: String,
       case _ => None
     }
 
-    // Generic tree mapping: aggregate calls via mapAggFn, view-key
-    // attributes onto the scan's key columns, and any surrounding
-    // scalar arithmetic (casts, divides — e.g. a collapsed
+    // Generic tree mapping: aggregate calls via mapAggFn, view keys
+    // onto the scan's key columns — matched as WHOLE EXPRESSIONS first,
+    // so an expression-valued key (the orders view's date_trunc month)
+    // maps at the view's own grain instead of descending into the
+    // expression and bailing at its non-key base attribute — and any
+    // surrounding scalar arithmetic (casts, divides — e.g. a collapsed
     // avg = sum/count projection) carried over node-for-node. Any
     // leaf that is neither a literal nor a view key bails the rewrite.
     def mapExpr(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => mapAggFn(ae)
-      case a: AttributeReference =>
-        groups.collectFirst { case (g, i) if g.semanticEquals(a) => scanCol(i): Expression }
+      case k if groups.exists(_._1.semanticEquals(k)) =>
+        groups.collectFirst { case (g, i) if g.semanticEquals(k) => scanCol(i): Expression }
       case l: Literal => Some(l)
       case other if other.children.nonEmpty =>
         traverse(other.children.map(mapExpr)).map(cs => other.withNewChildren(cs))
@@ -277,5 +280,20 @@ object MvRewrite {
         case m: MvRewrite => m.viewName == viewName
         case _ => false
       }
+  }
+
+  /** Remove EVERY MvRewrite rule — the per-query scope boundary.
+    * Installed rules live in `spark.experimental.extraOptimizations`
+    * for the rest of the session, so in a shared Verify/Bench JVM any
+    * query AFTER a q_mv_* would silently remain a rewrite candidate (a
+    * future derivable aggregate would bench as an MV scan without its
+    * author ever installing a view). The harness calls this at each
+    * query's release point — alongside CacheTracker.releaseAll, after
+    * the result is materialized — so a view serves exactly the query
+    * that installed it. Non-MvRewrite extra optimizations (none today)
+    * are left untouched. */
+  def uninstallAll(s: SparkSession): Unit = synchronized {
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations.filterNot(_.isInstanceOf[MvRewrite])
   }
 }

@@ -372,6 +372,113 @@ object StreamOps {
     } finally { newSigs.unpersist(); () }
   }
 
+  /** STREAMING MV MAINTENANCE sink — the foreachBatch face of the MV
+    * family's incremental refresh, in exact symmetry with
+    * [[pairIndexRefreshSink]] and [[ivfDeltaSink]]: newly-ingested
+    * lineitem-shaped rows arrive as a stream; each micro-batch computes
+    * its EXACT associative partials at the view's grain (one map-side-
+    * combined aggregate over the batch — Scale.mvPartialsOf, the same
+    * builder every at-rest generation uses) and appends them as one
+    * |batch groups|-row tick under `batch_id=<id>`. The serving
+    * generation is never touched on the ingest cadence; [[mvFoldTicks]]
+    * folds accumulated ticks into the next serving generation on the
+    * maintenance cadence, and [[mvStanding]] serves a fresh view
+    * (generation ⊕ unfolded ticks) in between — at 100 TB each tick
+    * costs O(batch), the fold O(|groups| · ticks).
+    *
+    * Delivery: foreachBatch is at-least-once, so the tick write is
+    * idempotent — a replayed batch OVERWRITES its own `batch_id=<id>`
+    * subdirectory. Because MV partials are ADDITIVE (unlike the pair
+    * index's set semantics), a tick folded into the serving generation
+    * must never be re-read: the fold records its high-water mark in a
+    * `_FOLDED_THROUGH` file written into the NEW generation before the
+    * atomic swap (so mark and fold commit together), and — like
+    * [[graft.AtRest.compactTicks]]'s replay fence — never folds the
+    * NEWEST tick, whose checkpoint may not have committed yet. A tick
+    * with a successor tick can no longer replay (its checkpoint
+    * committed before the successor started), so every folded tick is
+    * replay-dead by construction. */
+  def mvDeltaSink(rows: DataFrame, deltaDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      mvDeltaTick(batch, id, deltaDir)
+    }.start()
+
+  /** One MV-maintenance tick — exposed so StreamingSpec can replay a
+    * batch id verbatim and prove the delta tree is unchanged. */
+  private[graft] def mvDeltaTick(batch: DataFrame, id: Long, deltaDir: String): Unit = {
+    val p = graft.operators.Scale.mvPartialsOf(batch).persist()
+    try {
+      if (!p.isEmpty)
+        p.write.mode("overwrite").parquet(s"$deltaDir/batch_id=$id")
+    } finally { p.unpersist(); () }
+  }
+
+  /** Completed (committed `_SUCCESS`) tick ids under a delta tree. */
+  private[graft] def completedTicks(deltaDir: String): Seq[Long] = {
+    val d = new java.io.File(deltaDir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+  }
+
+  /** The fold high-water mark: highest batch_id already folded into the
+    * serving generation (−1 before any fold). */
+  private[graft] def foldedThrough(servingDir: String): Long = {
+    val f = new java.io.File(servingDir, "_FOLDED_THROUGH")
+    if (f.isFile) new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  /** MAINTENANCE fold: serving generation ⊕ every completed, unfolded,
+    * non-newest tick → the NEXT serving generation (atomic two-rename
+    * swap, same contract as AtRest.compact), with the new high-water
+    * mark committed inside the swapped directory. Idempotent: a re-run
+    * sees the advanced mark and folds nothing; a crash before the swap
+    * leaves the old generation serving; a crash after the swap cannot
+    * double-fold (the mark moved with it). Folded ticks are then GC'd —
+    * best-effort, since the mark already excludes them. */
+  private[graft] def mvFoldTicks(s: org.apache.spark.sql.SparkSession,
+      servingDir: String, deltaDir: String): Unit = {
+    graft.AtRest.restoreCrashedSwap(new java.io.File(servingDir))
+    val hwm = foldedThrough(servingDir)
+    val foldable = completedTicks(deltaDir).filter(_ > hwm).dropRight(1)
+    if (foldable.isEmpty) return
+    val ticks = s.read.parquet(deltaDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id").isin(foldable.map(Long.box): _*))
+      .drop("batch_id")
+    val serving = s.read.parquet(servingDir)
+    val tmp = servingDir + ".compact-tmp"
+    graft.operators.Scale.mvFoldPartials(Seq(serving, ticks))
+      .write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "_FOLDED_THROUGH"),
+      (foldable.max.toString + "\n").getBytes("UTF-8"))
+    graft.AtRest.swapInPlace(servingDir, tmp, "mvFoldTicks")
+    Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("batch_id=") &&
+        f.getName.stripPrefix("batch_id=").toLong <= foldable.max)
+      .foreach(del)
+  }
+
+  /** The CURRENT standing view at partials grain: serving generation ⊕
+    * completed unfolded ticks — what a dashboard reads between folds
+    * (freshness without waiting for maintenance). */
+  private[graft] def mvStanding(s: org.apache.spark.sql.SparkSession,
+      servingDir: String, deltaDir: String): DataFrame = {
+    val hwm = foldedThrough(servingDir)
+    val fresh = completedTicks(deltaDir).filter(_ > hwm)
+    val serving = s.read.parquet(servingDir)
+    if (fresh.isEmpty) serving
+    else graft.operators.Scale.mvFoldPartials(Seq(serving,
+      s.read.parquet(deltaDir)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .filter(col("batch_id").isin(fresh.map(Long.box): _*))
+        .drop("batch_id")))
+  }
+
   /** CDC UPSERT sink — the STREAMING face of `q_merge_upsert`: each
     * micro-batch of keyed changes `(key, new_bal, seq)` produces a NEW
     * complete snapshot generation `gen=<batchId>` by merging the

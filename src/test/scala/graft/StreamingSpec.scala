@@ -712,6 +712,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MV maintenance: tick-union equals the batch rollup, replay-safe, fold advances the generation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvdelta").toFile
+    val servingDir = new java.io.File(tmp, "serving").toString
+    val deltaDir = new java.io.File(tmp, "delta").toString
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("double"), col("l_extendedprice").cast("double"),
+        col("l_discount").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // base corpus → the initial serving generation; three ingest ticks
+    def rows(p: Long) = li.filter(_._1 % 4 == p).map(t => (t._2, t._3, t._4, t._5, t._6))
+    val base = rows(0)
+    operators.Scale.mvPartialsOf(base.toSeq.toDF(cols: _*))
+      .write.mode("overwrite").parquet(servingDir)
+    // full truth: partials over base ∪ all ticks (= the whole fact)
+    val full = operators.Scale.mvPartialsOf(
+      li.map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq.toDF(cols: _*))
+    def standing() = StreamOps.mvStanding(spark, servingDir, deltaDir)
+    val in = MemoryStream[(String, String, Double, Double, Double)]
+    val q = StreamOps.mvDeltaSink(in.toDF().toDF(cols: _*), deltaDir)
+    try {
+      Seq(rows(1), rows(2), rows(3)).foreach { b =>
+        in.addData(b.toSeq); q.processAllAvailable() }
+      // (a) tick-union ≡ the batch rollup, exactly
+      assert(standing().exceptAll(full).isEmpty && full.exceptAll(standing()).isEmpty,
+        "serving ⊕ ticks must equal the from-scratch batch rollup")
+      // (b) at-least-once REPLAY of the newest (unfolded) tick — its
+      // overwrite-own-subdir idempotency must leave the view unchanged
+      StreamOps.mvDeltaTick(rows(3).toSeq.toDF(cols: _*), 2L, deltaDir)
+      assert(standing().exceptAll(full).isEmpty && full.exceptAll(standing()).isEmpty,
+        "replayed tick changed the standing view")
+      // (c) maintenance fold: ticks 0,1 fold into the next serving
+      // generation; the newest tick (2) stays fenced; the high-water
+      // mark commits atomically with the swap
+      StreamOps.mvFoldTicks(spark, servingDir, deltaDir)
+      assert(StreamOps.foldedThrough(servingDir) == 1L,
+        "fold must record its high-water mark inside the new generation")
+      assert(StreamOps.completedTicks(deltaDir) == Seq(2L),
+        "folded ticks must be GC'd; the fenced newest tick must survive")
+      val gen = spark.read.parquet(servingDir)
+      val expectGen = operators.Scale.mvPartialsOf(
+        (base ++ rows(1) ++ rows(2)).toSeq.toDF(cols: _*))
+      assert(gen.exceptAll(expectGen).isEmpty && expectGen.exceptAll(gen).isEmpty,
+        "folded generation must equal partials over base ∪ folded ticks")
+      assert(standing().exceptAll(full).isEmpty && full.exceptAll(standing()).isEmpty,
+        "standing view must still equal the batch rollup after the fold")
+      // (d) fold idempotence: a re-run sees the advanced mark, folds
+      // nothing, and the view is unchanged
+      StreamOps.mvFoldTicks(spark, servingDir, deltaDir)
+      assert(StreamOps.foldedThrough(servingDir) == 1L)
+      assert(standing().exceptAll(full).isEmpty && full.exceptAll(standing()).isEmpty,
+        "re-run fold changed the standing view")
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert: generation chain equals the sequential fold, replay-safe, time-travelable") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
