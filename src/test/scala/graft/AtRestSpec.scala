@@ -115,6 +115,21 @@ class AtRestSpec extends SparkSpec {
       !new java.io.File(dir + ".compact-tmp").exists, "temp dirs must be cleaned up")
   }
 
+  test("swap rollback with the live dir restored is success, not an exception") {
+    import spark.implicits._
+    // the round-11 ADVICE race shape: the second rename fails (here: the
+    // tmp vanished — e.g. a concurrent healer consumed it) and the
+    // rollback restores the live dir. The index ends up healthy, so the
+    // maintenance call must RETURN (idempotent maintenance re-runs
+    // later), not throw a spurious 'cannot swap'; no backup may linger.
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash3").toString + "/idx"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    AtRest.swapInPlace(dir, dir + ".compact-tmp", "test") // tmp does not exist
+    assert(spark.read.parquet(dir).count() == 2L, "live index must keep serving")
+    assert(!new java.io.File(dir + ".compact-old").exists &&
+      !new java.io.File(dir + ".compact-tmp").exists, "temp dirs must be cleaned up")
+  }
+
   test("gcStale: removes dead fingerprint generations, keeps the live one") {
     import spark.implicits._
     val fam = new java.io.File(
