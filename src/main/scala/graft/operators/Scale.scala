@@ -506,6 +506,57 @@ object Scale {
         col("min_price"), col("max_price"))
   }
 
+  /** STANDING-serve install: the rule serves generation ∪ FRESH TICKS —
+    * the between-folds freshness face. The "generation" here is the
+    * at-rest HISTORY partials (shipments before [[MvCutoff]]) and the
+    * post-cutoff rows arrive as one streaming maintenance tick written
+    * by the REAL tick writer (`StreamOps.mvDeltaTick` — the exact
+    * foreachBatch body the sink runs), so the served relation is
+    * generation ⊕ an unfolded `batch_id=0` tick, exactly what a
+    * dashboard sees between an ingest tick's commit and the next
+    * maintenance fold. No pre-fold happens anywhere: the consumer's own
+    * re-aggregation absorbs the duplicate group rows (sum/count
+    * associative over any row partition, min/max idempotent). */
+  private[graft] def installMvStanding(s: SparkSession, d: String): Unit = {
+    val histDir = mvHistAtRest(s, d)
+    val tickDir = AtRest.dir(s, d, "mv_lineitem_rollup_ticks", "lineitem",
+      params = s"$MvParams;ticks>=$MvCutoff")
+    if (!AtRest.isBuiltTree(tickDir.getAbsolutePath)) synchronized {
+      if (!AtRest.isBuiltTree(tickDir.getAbsolutePath)) {
+        graft.streaming.StreamOps.mvDeltaTick(
+          Tables.lineitem(s, d).where(col("l_shipdate") >= MvCutoff),
+          0L, tickDir.getAbsolutePath)
+        if (AtRest.isBuiltTree(tickDir.getAbsolutePath)) AtRest.gcStale(tickDir)
+      }
+    }
+    graft.plans.MvRewrite.uninstall(s, "mv_lineitem_rollup")
+    val target = mvStoredRollup(s, d).queryExecution.optimizedPlan
+    graft.plans.MvRewrite.install(s,
+      graft.plans.MvRewrite(s, "mv_lineitem_rollup", target, histDir,
+        deltaLocation = Some(tickDir.getAbsolutePath)))
+  }
+
+  /** BETWEEN-FOLDS freshness proof: the consumer below is an ordinary
+    * FULL-fact aggregate, but the rule serves it from the history
+    * generation ∪ one unfolded streaming tick (see
+    * [[installMvStanding]]) — the fact is never scanned and the unfolded
+    * tick's rows are visible WITHOUT any fold having run (PlanShapeSpec
+    * asserts both relations are read and lineitem is absent). The
+    * oracle is the plain full-fact aggregate, so hash equality proves
+    * the no-pre-fold serving algebra: re-aggregating generation ∪ tick
+    * partials ≡ aggregating the fact. */
+  def qMvStandingServe(s: SparkSession, d: String): DataFrame = {
+    installMvStanding(s, d)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        min(col("l_quantity").cast(dec)).cast("double").as("min_qty"))
+  }
+
   /** EXPRESSION-VALUED view key served at the view's own grain — the
     * round-11 ADVICE gap: a consumer grouping by the orders view's
     * month EXPRESSION (`date_trunc('month', o_orderdate)`), not by a
@@ -587,6 +638,7 @@ object Scale {
     "q_mv_rollup_serve" -> (qMvRollupServe _),
     "q_mv_refresh_serve" -> (qMvRefreshServe _),
     "q_mv_expr_key_serve" -> (qMvExprKeyServe _),
+    "q_mv_standing_serve" -> (qMvStandingServe _),
     "q_mv_rewrite_filtered" -> (qMvRewriteFiltered _),
     "q_mv_minmax_serve" -> (qMvMinmaxServe _),
     "q_skew_audit" -> (qSkewAudit _),
@@ -692,6 +744,15 @@ object Scale {
         |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
         |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    // Served from generation ∪ an UNFOLDED streaming tick with no
+    // pre-fold anywhere — the oracle stays the plain full-fact
+    // aggregate, so hash equality proves the serving algebra.
+    "q_mv_standing_serve" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     // The consumer groups by the view's month EXPRESSION — the oracle
     // is the plain fact aggregate over the same expression.
     "q_mv_expr_key_serve" ->

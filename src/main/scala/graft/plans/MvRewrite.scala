@@ -54,7 +54,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * subtrees are in the same normalized shape as the stored definition).
   */
 case class MvRewrite(spark: SparkSession, viewName: String,
-    target: LogicalPlan, location: String) extends Rule[LogicalPlan] {
+    target: LogicalPlan, location: String,
+    deltaLocation: Option[String] = None) extends Rule[LogicalPlan] {
 
   /** A Project is transparent to the matcher iff every entry is a bare
     * attribute (column pruning) or a DETERMINISTIC alias — the shape
@@ -168,8 +169,40 @@ case class MvRewrite(spark: SparkSession, viewName: String,
     val partials = mvPartials.map { case (k, e, i) => (k, e.map(rebase), i) }
 
     // a fresh analyzed scan per rewrite site (sharing one relation plan
-    // across sites would alias expression ids between them)
-    lazy val scan = spark.read.parquet(location).queryExecution.analyzed
+    // across sites would alias expression ids between them).
+    //
+    // SERVING FRESHNESS: with a `deltaLocation` (a streaming
+    // maintenance tick tree — StreamOps.mvDeltaSink's layout), the scan
+    // is generation ∪ completed-unfolded ticks, UNFOLDED: no
+    // pre-aggregation is needed because the consumer's re-aggregation
+    // algebra already absorbs multiple partial rows per view group —
+    // sum-of-sums and count-as-sum are associative over ANY partition
+    // of the rows, min/max idempotent — so a dashboard sees ingest
+    // ticks the moment their write commits, without waiting for the
+    // maintenance fold (the vector-store standing ∪ delta serving
+    // pattern, q_sim_ivf_incremental's, applied to MVs). Folded ticks
+    // are excluded via the generation's own high-water mark, so a tick
+    // is never counted twice.
+    lazy val scan = {
+      val base = spark.read.parquet(location)
+      val withDelta = deltaLocation
+        .filter(dd => graft.AtRest.isBuiltTree(dd))
+        .map { dd =>
+          val hwm = graft.streaming.StreamOps.foldedThrough(location)
+          val fresh = graft.streaming.StreamOps.completedTicks(dd).filter(_ > hwm)
+          if (fresh.isEmpty) base
+          else base.unionByName(
+            spark.read.parquet(dd)
+              .withColumn("batch_id",
+                org.apache.spark.sql.functions.col("batch_id").cast("long"))
+              .filter(org.apache.spark.sql.functions.col("batch_id")
+                .isin(fresh.map(Long.box): _*))
+              .drop("batch_id")
+              .select(base.columns.map(org.apache.spark.sql.functions.col): _*))
+        }
+        .getOrElse(base)
+      withDelta.queryExecution.analyzed
+    }
     def scanCol(i: Int): Attribute = scan.output(i)
 
     // An aggregate call maps iff it is an undistinct, unfiltered

@@ -567,6 +567,34 @@ class PlanShapeSpec extends SparkSpec {
     } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
   }
 
+  test("q_mv_standing_serve: generation plus an UNFOLDED tick serve the consumer, no fold, no fact") {
+    // between-folds freshness: the rule's scan is history-generation ∪
+    // the fresh tick tree, unioned RAW (no pre-aggregation anywhere —
+    // the consumer's re-aggregation algebra absorbs duplicate group
+    // rows); both relations must appear in the plan and the fact never
+    val p = plan("q_mv_standing_serve")
+    try {
+      assert(p.contains("mv_lineitem_rollup_hist"),
+        s"standing consumer must read the history generation:\n${p.take(1500)}")
+      assert(p.contains("mv_lineitem_rollup_ticks"),
+        s"standing consumer must read the unfolded tick tree:\n${p.take(1500)}")
+      assert(!p.contains("lineitem.parquet"),
+        "standing consumer must not touch the fact table")
+      assert(p.contains("Union"),
+        "the two partial relations union below the re-aggregation")
+      // served ≡ from-scratch fact aggregate (materialize while installed)
+      val served = SparkEntry.queries("q_mv_standing_serve")(spark, sf)
+        .collect().toSeq.sortBy(r => (r.getString(0), r.getString(1)))
+      plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+      val directDf = operators.Scale.qMvStandingServe(spark, sf)
+      plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup") // install re-adds
+      assert(directDf.queryExecution.executedPlan.toString.contains("lineitem.parquet"),
+        "control run must scan the fact")
+      assert(served == directDf.collect().toSeq.sortBy(r => (r.getString(0), r.getString(1))),
+        "standing-served answer must equal the from-scratch aggregate exactly")
+    } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+  }
+
   test("q_mv_expr_key_serve: an expression-valued view key matches at the view's grain") {
     // the consumer groups by the orders view's month EXPRESSION
     // (date_trunc), not a bare column — the matcher must recognize the
