@@ -446,25 +446,57 @@ object Scale {
     * (extraOptimizations runs each rule; a rule only fires on its own
     * base relation via sameResult), so one session transparently serves
     * dashboards over two different facts. */
-  private[graft] def mvOrdersRollup(s: SparkSession, d: String): DataFrame = {
+  private[graft] def mvOrdersRollup(s: SparkSession, d: String): DataFrame =
+    mvOrdersPartialsOf(Tables.orders(s, d))
+
+  private[graft] val MvOrdersParams =
+    "rollup(o_orderpriority,month);partials=count,sum_price,min_price,max_price;store=exact_decimal_v2"
+
+  /** Orders-view partials over any orders-shaped relation — the same
+    * lifecycle contract as [[mvPartialsOf]], for the catalog's second
+    * view. */
+  private[graft] def mvOrdersPartialsOf(ord: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    Tables.orders(s, d)
-      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("o_month"))
+    ord.groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("o_month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(dec)).as("sum_price_p"),
         min(col("o_totalprice").cast(dec)).as("min_price_p"),
         max(col("o_totalprice").cast(dec)).as("max_price_p"))
   }
 
-  private[graft] val MvOrdersParams =
-    "rollup(o_orderpriority,month);partials=count,sum_price,min_price,max_price;store=exact_decimal_v1"
-
+  /** Every serving generation in the catalog is REFRESH-BUILT — the
+    * orders view follows the same lifecycle as the lineitem rollup:
+    * at-rest history partials (orders placed before [[MvCutoff]]) ⊕
+    * delta partials, folded once at the view grain and cast back onto
+    * the definition's schema. A full-fact rebuild never happens after
+    * the history generation exists. */
   private[graft] def installMvOrders(s: SparkSession, d: String): Unit = {
-    val dir = AtRest.dir(s, d, "mv_orders_rollup", "orders", params = MvOrdersParams)
+    val histDir = AtRest.dir(s, d, "mv_orders_rollup_hist", "orders",
+      params = s"$MvOrdersParams;hist<$MvCutoff")
+    if (!AtRest.isBuilt(histDir)) synchronized {
+      if (!AtRest.isBuilt(histDir)) {
+        mvOrdersPartialsOf(Tables.orders(s, d).where(col("o_orderdate") < MvCutoff))
+          .write.mode("overwrite").parquet(histDir.getAbsolutePath)
+        AtRest.gcStale(histDir)
+      }
+    }
+    val dir = AtRest.dir(s, d, "mv_orders_rollup", "orders",
+      params = s"$MvOrdersParams;built=hist+delta")
     if (!AtRest.isBuilt(dir)) synchronized {
       if (!AtRest.isBuilt(dir)) {
         graft.plans.MvRewrite.uninstall(s, "mv_orders_rollup")
-        mvOrdersRollup(s, d).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        val stored = s.read.parquet(histDir.getAbsolutePath)
+        val delta = mvOrdersPartialsOf(
+          Tables.orders(s, d).where(col("o_orderdate") >= MvCutoff))
+        val folded = stored.unionByName(delta)
+          .groupBy(col("o_orderpriority"), col("o_month"))
+          .agg(sum("n_orders").as("n_orders"),
+            sum("sum_price_p").as("sum_price_p"),
+            min("min_price_p").as("min_price_p"),
+            max("max_price_p").as("max_price_p"))
+        val schema = mvOrdersRollup(s, d).schema
+        folded.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+          .write.mode("overwrite").parquet(dir.getAbsolutePath)
         AtRest.gcStale(dir)
       }
     }

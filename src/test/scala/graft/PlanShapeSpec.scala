@@ -730,6 +730,13 @@ class PlanShapeSpec extends SparkSpec {
         "orders consumer must read its view")
       assert(!p.contains("lineitem.parquet") && !p.contains("orders.parquet"),
         "neither fact may be scanned")
+      // the whole catalog is refresh-built: BOTH views' history
+      // generations exist at rest (serving gens are hist ⊕ delta folds)
+      assert(AtRest.isBuilt(new java.io.File(operators.Scale.mvHistAtRest(spark, sf))),
+        "lineitem history generation must exist")
+      assert(AtRest.isBuilt(AtRest.dir(spark, sf, "mv_orders_rollup_hist", "orders",
+        params = s"${operators.Scale.MvOrdersParams};hist<${operators.Scale.MvCutoff}")),
+        "orders history generation must exist")
     } finally {
       plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
       plans.MvRewrite.uninstall(spark, "mv_orders_rollup")
