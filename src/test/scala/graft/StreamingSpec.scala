@@ -770,6 +770,19 @@ class StreamingSpec extends SparkSpec {
       assert(StreamOps.foldedThrough(servingDir) == 1L)
       assert(standing().exceptAll(full).isEmpty && full.exceptAll(standing()).isEmpty,
         "re-run fold changed the standing view")
+      // (e) crash between the generation swap and the tick GC: a folded
+      // tick's directory reappears on disk — the high-water mark (which
+      // committed WITH the swap) must exclude it from both the standing
+      // view and the next fold, or its partials would double-count
+      operators.Scale.mvPartialsOf(rows(1).toSeq.toDF(cols: _*))
+        .write.mode("overwrite").parquet(s"$deltaDir/batch_id=1")
+      assert(standing().exceptAll(full).isEmpty && full.exceptAll(standing()).isEmpty,
+        "a resurrected folded tick must not double-count in the standing view")
+      StreamOps.mvFoldTicks(spark, servingDir, deltaDir)
+      assert(StreamOps.foldedThrough(servingDir) == 1L,
+        "the fold must not re-fold a tick at or below the mark")
+      assert(standing().exceptAll(full).isEmpty && full.exceptAll(standing()).isEmpty,
+        "a fold run with a resurrected tick present must leave the view exact")
     } finally q.stop()
   }
 
