@@ -47,7 +47,17 @@ object AtRest {
   /** Index directory for (source dir, index name, source table,
     * derivation params). `params` names every constant the index content
     * depends on — it is hashed into the directory fingerprint, so two
-    * indexes derived differently can never alias. */
+    * indexes derived differently can never alias.
+    *
+    * The generation name is `<srcTag>_<fp>`: an 8-hex tag of the SOURCE
+    * DIRECTORY alone, then the full content fingerprint. [[gcStale]]
+    * scopes its "one live generation per family" invariant to the
+    * srcTag, so indexes of DIFFERENT corpora coexist — without this, a
+    * verify pass at one scale factor GC'd the bench tier's generations
+    * and the first bench query per family paid a rebuild inside a timed
+    * rep (the round-9..11 bench-oscillation mechanism, caught by the
+    * round-12 built-in-rep flags). In production (one corpus) the
+    * behavior is unchanged. */
   def dir(s: SparkSession, d: String, name: String, srcTable: String,
           params: String = ""): java.io.File = {
     val src = new java.io.File(d, s"$srcTable.parquet")
@@ -56,10 +66,12 @@ object AtRest {
         Option(src.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
       else Seq(src)
     val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val fp = md.digest(s"$d|$sig|$params".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    new java.io.File(root(s), s"${name}_v$Version/$fp")
+    def md5hex(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val srcTag = md5hex(d).take(8)
+    val fp = md5hex(s"$d|$sig|$params").take(16)
+    new java.io.File(root(s), s"${name}_v$Version/${srcTag}_$fp")
   }
 
   /** A parquet write is complete iff Spark's _SUCCESS marker landed.
@@ -170,21 +182,26 @@ object AtRest {
     deleteRecursively(bak)
   }
 
-  /** Garbage-collect STALE fingerprints of one index family: every
-    * sibling of `keep` under the same `<name>_v<Version>` parent is a
-    * build against a corpus/params generation that can no longer be
-    * requested (the fingerprint embeds source mtimes + params, and
-    * [[dir]] always resolves to the current generation), so it is dead
-    * weight — at 100 TB an un-GC'd index tree grows by a full index per
-    * corpus refresh. Returns the number of stale generations removed.
-    * Called by the build jobs after a successful write, so the invariant
-    * is "at most one live generation per index family + the one just
-    * built". */
+  /** Garbage-collect STALE fingerprints of one index family: a sibling
+    * of `keep` under the same `<name>_v<Version>` parent that shares
+    * `keep`'s SOURCE TAG is a build against a prior corpus-content or
+    * params generation that can no longer be requested (the fingerprint
+    * embeds source mtimes + params, and [[dir]] always resolves to the
+    * current generation), so it is dead weight — at 100 TB an un-GC'd
+    * index tree grows by a full index per corpus refresh. Generations
+    * of OTHER sources (different srcTag — e.g. another scale factor in
+    * the dev loop) are live for their own consumers and are KEPT;
+    * legacy-format names (no `_` separator) are always stale. Returns
+    * the number of stale generations removed. Called by the build jobs
+    * after a successful write, so the invariant is "at most one live
+    * generation per (index family, source)". */
   def gcStale(keep: java.io.File): Int = {
     buildLog.add(keep.getParentFile.getName)
     val parent = keep.getParentFile
+    val tag = keep.getName.takeWhile(_ != '_')
     val stale = Option(parent.listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName != keep.getName))
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName != keep.getName &&
+        (f.getName.startsWith(tag + "_") || !f.getName.contains("_"))))
       .getOrElse(Nil)
     stale.foreach(deleteRecursively)
     stale.size

@@ -147,6 +147,41 @@ class AtRestSpec extends SparkSpec {
     assert(spark.read.parquet(live.toString).count() == 1L, "live generation must survive intact")
   }
 
+  test("gcStale is scoped per source: another corpus' generation survives the GC") {
+    // the round-12 finding behind the bench oscillation: a verify pass
+    // at one scale factor used to GC the bench tier's generations, so
+    // the first bench query per family rebuilt inside a timed rep. Now
+    // a generation's name carries a source tag and gcStale only removes
+    // same-source (or legacy-format) siblings.
+    val isoRoot = java.nio.file.Files.createTempDirectory("graft_gc_scope").toString
+    val prevRoot = spark.conf.getOption("graft.atrest.dir")
+    spark.conf.set("graft.atrest.dir", isoRoot)
+    try {
+      val a = AtRest.dir(spark, "/root/testdata/sf0.001", "spec_gc", "documents", "p=1")
+      val b = AtRest.dir(spark, "/root/testdata/sf0.01", "spec_gc", "documents", "p=1")
+      assert(a.getParentFile == b.getParentFile && a.getName != b.getName)
+      assert(a.getName.takeWhile(_ != '_') != b.getName.takeWhile(_ != '_'),
+        "different source dirs must carry different source tags")
+      a.mkdirs(); b.mkdirs()
+      // a dead generation of a's OWN source (same tag, old fingerprint)
+      // and a legacy-format generation (pre-tag naming) — both stale
+      val deadSameSrc = new java.io.File(a.getParentFile,
+        a.getName.takeWhile(_ != '_') + "_00000000deadbeef")
+      val legacy = new java.io.File(a.getParentFile, "0123456789abcdef")
+      deadSameSrc.mkdirs(); legacy.mkdirs()
+      assert(AtRest.gcStale(a) == 2,
+        "same-source dead generation + legacy generation must be GC'd")
+      val left = a.getParentFile.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      assert(left == Set(a.getName, b.getName),
+        s"the other corpus' generation must survive: $left")
+    } finally {
+      prevRoot match {
+        case Some(r) => spark.conf.set("graft.atrest.dir", r)
+        case None => spark.conf.unset("graft.atrest.dir")
+      }
+    }
+  }
+
   test("derivation params are part of the fingerprint: changed params resolve to a fresh dir") {
     val a = AtRest.dir(spark, sf, "spec_idx", "documents", "shingle=3,jaccard>=0.5")
     val b = AtRest.dir(spark, sf, "spec_idx", "documents", "shingle=3,jaccard>=0.6")
