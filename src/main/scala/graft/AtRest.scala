@@ -71,7 +71,46 @@ object AtRest {
         .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val srcTag = md5hex(d).take(8)
     val fp = md5hex(s"$d|$sig|$params").take(16)
-    new java.io.File(root(s), s"${name}_v$Version/${srcTag}_$fp")
+    val rootDir = new java.io.File(root(s))
+    recordSource(rootDir, srcTag, d)
+    new java.io.File(rootDir, s"${name}_v$Version/${srcTag}_$fp")
+  }
+
+  /** tag → source-directory registry under `<root>/_srcmap/<tag>`, so
+    * [[gcStale]] can also collect generations of DEAD sources (a source
+    * directory that no longer exists can never be requested again — the
+    * same can-never-alias logic as the content fingerprint). Written
+    * once per (root, tag) via atomic tmp+rename: a concurrent reader
+    * sees either no mapping (conservative keep) or the full path, never
+    * a torn write that could make a LIVE source look dead. An 8-hex tag
+    * collision between two live sources only merges their GC scopes —
+    * worst case an over-eager GC forces a rebuild, never a wrong read,
+    * because resolution always goes through the full fingerprint. */
+  private val srcMapSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def recordSource(rootDir: java.io.File, tag: String, srcPath: String): Unit =
+    if (srcMapSeen.add(s"${rootDir.getPath}/$tag")) {
+      val mapDir = new java.io.File(rootDir, "_srcmap")
+      val f = new java.io.File(mapDir, tag)
+      if (!f.isFile) {
+        mapDir.mkdirs()
+        val tmp = new java.io.File(mapDir, s"$tag.tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp.toPath, srcPath.getBytes("UTF-8"))
+        if (!tmp.renameTo(f) && !f.isFile)
+          throw new java.io.IOException(s"cannot record source mapping for $tag")
+        tmp.delete()
+      }
+    }
+
+  /** True iff generation-dir name `n` carries a source tag whose
+    * registered source directory is gone. Unmapped tags are treated as
+    * LIVE (conservative — the mapping write is part of [[dir]], so every
+    * resolvable generation has one). */
+  private def sourceDead(rootDir: java.io.File, n: String): Boolean = {
+    val m = new java.io.File(new java.io.File(rootDir, "_srcmap"), n.takeWhile(_ != '_'))
+    m.isFile && {
+      val p = new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+      !new java.io.File(p).exists()
+    }
   }
 
   /** A parquet write is complete iff Spark's _SUCCESS marker landed.
@@ -190,18 +229,24 @@ object AtRest {
     * current generation), so it is dead weight — at 100 TB an un-GC'd
     * index tree grows by a full index per corpus refresh. Generations
     * of OTHER sources (different srcTag — e.g. another scale factor in
-    * the dev loop) are live for their own consumers and are KEPT;
-    * legacy-format names (no `_` separator) are always stale. Returns
-    * the number of stale generations removed. Called by the build jobs
-    * after a successful write, so the invariant is "at most one live
-    * generation per (index family, source)". */
+    * the dev loop) are live for their own consumers and are KEPT —
+    * unless the `_srcmap` registry shows their source directory is GONE
+    * (a deleted temp corpus, a retired tenant): those can never be
+    * requested again and would otherwise accumulate one dead generation
+    * set per vanished source. Legacy-format names (no `_` separator)
+    * are always stale. Returns the number of stale generations removed.
+    * Called by the build jobs after a successful write, so the
+    * invariant is "at most one live generation per (index family,
+    * EXISTING source)". */
   def gcStale(keep: java.io.File): Int = {
     buildLog.add(keep.getParentFile.getName)
     val parent = keep.getParentFile
+    val rootDir = parent.getParentFile
     val tag = keep.getName.takeWhile(_ != '_')
     val stale = Option(parent.listFiles())
       .map(_.toSeq.filter(f => f.isDirectory && f.getName != keep.getName &&
-        (f.getName.startsWith(tag + "_") || !f.getName.contains("_"))))
+        (f.getName.startsWith(tag + "_") || !f.getName.contains("_") ||
+          sourceDead(rootDir, f.getName))))
       .getOrElse(Nil)
     stale.foreach(deleteRecursively)
     stale.size

@@ -174,6 +174,19 @@ class AtRestSpec extends SparkSpec {
       val left = a.getParentFile.listFiles().filter(_.isDirectory).map(_.getName).toSet
       assert(left == Set(a.getName, b.getName),
         s"the other corpus' generation must survive: $left")
+
+      // a DEAD source (its directory deleted — e.g. a temp-dir test
+      // corpus) can never be requested again: its generations are GC'd
+      // even though the tag differs, via the _srcmap registry
+      val deadCorpus = java.nio.file.Files.createTempDirectory("graft_gc_deadsrc")
+      val c = AtRest.dir(spark, deadCorpus.toString, "spec_gc", "documents", "p=1")
+      c.mkdirs()
+      assert(AtRest.gcStale(a) == 0,
+        "an existing source's generation must survive while its dir exists")
+      java.nio.file.Files.delete(deadCorpus)
+      assert(AtRest.gcStale(a) == 1, "dead-source generation must be GC'd")
+      val left2 = a.getParentFile.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      assert(left2 == Set(a.getName, b.getName), s"only live sources remain: $left2")
     } finally {
       prevRoot match {
         case Some(r) => spark.conf.set("graft.atrest.dir", r)
