@@ -85,26 +85,40 @@ object AtRest {
     * a torn write that could make a LIVE source look dead. An 8-hex tag
     * collision between two live sources only merges their GC scopes —
     * worst case an over-eager GC forces a rebuild, never a wrong read,
-    * because resolution always goes through the full fingerprint. */
+    * because resolution always goes through the full fingerprint.
+    *
+    * BEST-EFFORT: [[dir]] is otherwise a pure path resolver, and a
+    * serve-only consumer may resolve against a read-only index tree —
+    * a failed mapping write is swallowed (the tag stays unmapped, which
+    * [[sourceDead]] treats as live, i.e. conservative keep; gcStale
+    * could not run on such a tree anyway, since builds can't either). */
   private val srcMapSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def recordSource(rootDir: java.io.File, tag: String, srcPath: String): Unit =
-    if (srcMapSeen.add(s"${rootDir.getPath}/$tag")) {
-      val mapDir = new java.io.File(rootDir, "_srcmap")
-      val f = new java.io.File(mapDir, tag)
-      if (!f.isFile) {
-        mapDir.mkdirs()
-        val tmp = new java.io.File(mapDir, s"$tag.tmp-${java.util.UUID.randomUUID()}")
-        java.nio.file.Files.write(tmp.toPath, srcPath.getBytes("UTF-8"))
-        if (!tmp.renameTo(f) && !f.isFile)
-          throw new java.io.IOException(s"cannot record source mapping for $tag")
-        tmp.delete()
-      }
-    }
+    if (srcMapSeen.add(s"${rootDir.getPath}/$tag"))
+      try {
+        val mapDir = new java.io.File(rootDir, "_srcmap")
+        val f = new java.io.File(mapDir, tag)
+        if (!f.isFile) {
+          mapDir.mkdirs()
+          val tmp = new java.io.File(mapDir, s"$tag.tmp-${java.util.UUID.randomUUID()}")
+          java.nio.file.Files.write(tmp.toPath, srcPath.getBytes("UTF-8"))
+          // a lost rename race means another writer landed the identical
+          // content — either way drop the leftover tmp
+          tmp.renameTo(f)
+          tmp.delete()
+        }
+      } catch { case _: java.io.IOException => () }
 
   /** True iff generation-dir name `n` carries a source tag whose
     * registered source directory is gone. Unmapped tags are treated as
     * LIVE (conservative — the mapping write is part of [[dir]], so every
-    * resolvable generation has one). */
+    * resolvable generation has one). A source that is merely TEMPORARILY
+    * unreachable (an unmounted remote tree) is indistinguishable from a
+    * deleted one and its generations would be GC'd by a build running
+    * during the outage — an accepted tradeoff: the cost is a rebuild on
+    * the source's return (fingerprint resolution makes a wrong read
+    * impossible), and the alternative (never collecting dead sources)
+    * leaks a full generation set per vanished corpus forever. */
   private def sourceDead(rootDir: java.io.File, n: String): Boolean = {
     val m = new java.io.File(new java.io.File(rootDir, "_srcmap"), n.takeWhile(_ != '_'))
     m.isFile && {
@@ -197,8 +211,20 @@ object AtRest {
     * treated as success: SOMEONE restored a serving index (either our
     * tmp promoted — the compaction took effect — or the backup
     * restored — the pre-compaction index serves and the idempotent
-    * maintenance pass simply re-runs later). */
-  private[graft] def swapInPlace(dirPath: String, tmpPath: String, op: String): Unit = synchronized {
+    * maintenance pass simply re-runs later).
+    *
+    * Returns TRUE iff the new content (tmp) is known to be the live
+    * directory. A rollback — or the ambiguous lost-race outcome where a
+    * cross-process healer restored SOMETHING — returns FALSE, and
+    * callers with a destructive post-swap step (deleting the inputs the
+    * rewrite consumed: [[applyTombstones]]'s tombstone tree,
+    * StreamOps.mvFoldTicks' folded ticks) MUST skip it on FALSE — the
+    * old content is (or may be) still serving, so those inputs are
+    * still needed by the next maintenance pass. FALSE when the fold
+    * actually landed is safe for both callers: tombstones re-apply as
+    * an idempotent anti-join, and folded-but-unGC'd ticks are excluded
+    * by the generation's own high-water mark. */
+  private[graft] def swapInPlace(dirPath: String, tmpPath: String, op: String): Boolean = synchronized {
     val old = new java.io.File(dirPath)
     val bak = new java.io.File(dirPath + ".compact-old")
     val tmp = new java.io.File(tmpPath)
@@ -216,9 +242,11 @@ object AtRest {
       // remains so the next maintenance pass starts clean
       if (tmp.exists()) deleteRecursively(tmp)
       if (bak.exists()) deleteRecursively(bak)
-      return
+      false
+    } else {
+      deleteRecursively(bak)
+      true
     }
-    deleteRecursively(bak)
   }
 
   /** Garbage-collect STALE fingerprints of one index family: a sibling
@@ -270,7 +298,8 @@ object AtRest {
       .repartition(numFiles)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp)
-    swapInPlace(dir, tmp, "compact")
+    swapInPlace(dir, tmp, "compact") // rollback needs no cleanup: old content serves
+    ()
   }
 
   /** Compaction for the STREAMING tick trees (`batch_id=<id>` Hive
@@ -324,7 +353,8 @@ object AtRest {
       .withColumn("batch_id", lit(-1L))
     hist.unionByName(all.filter(col("batch_id") === positive.last))
       .write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
-    swapInPlace(dir, tmp, "compactTicks")
+    swapInPlace(dir, tmp, "compactTicks") // rollback-safe: tmp was self-contained
+    ()
   }
 
   /** Fold a tombstone tree (takedownSink's `batch_id=<id>` partitions
@@ -346,8 +376,12 @@ object AtRest {
         df.join(broadcast(t.withColumnRenamed("doc_id", k)), Seq(k), "left_anti")
       }
       .write.mode("overwrite").parquet(tmp)
-    swapInPlace(indexDir, tmp, "applyTombstones")
-    deleteRecursively(new java.io.File(tombDir))
+    // the tombstone tree is the rewrite's INPUT: clear it only if the
+    // purged index actually went live — on a rollback the un-purged
+    // index still serves and the tombstones must survive for the
+    // logical serving path and the next maintenance pass
+    if (swapInPlace(indexDir, tmp, "applyTombstones"))
+      deleteRecursively(new java.io.File(tombDir))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -270,29 +270,44 @@ object Scale {
   private[graft] def mvStoredRollup(s: SparkSession, d: String): DataFrame =
     mvPartialsOf(Tables.lineitem(s, d))
 
-  /** FOLD of partials generations (stored ⊕ delta → next generation):
-    * counts/sums re-sum, min/max re-fold — the same associative algebra
-    * the serving rewrite relies on, used here for maintenance. The
-    * output is cast back onto the definition's exact schema (re-summing
-    * DECIMAL(28,2) widens to DECIMAL(38,2); the values fit the stored
-    * type exactly, so the cast is lossless) so a refreshed generation
-    * is byte-compatible with a from-scratch build. */
-  private[graft] def mvFoldPartials(gens: Seq[DataFrame]): DataFrame = {
-    val folded = gens.reduce(_.unionByName(_))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum("n_items").as("n_items"),
-        sum("sum_qty_p").as("sum_qty_p"),
-        sum("sum_price_p").as("sum_price_p"),
-        sum("sum_disc_price_p").as("sum_disc_price_p"),
-        min("min_qty_p").as("min_qty_p"),
-        max("max_qty_p").as("max_qty_p"))
-    // align onto the STORED generation's schema (gens.head — every
-    // generation is written from mvPartialsOf, whose schema is fixed):
-    // re-summing DECIMAL(28,2) widens to DECIMAL(38,2); the values fit
-    // the stored type exactly, so the cast is lossless
+  /** FOLD of partials generations (stored ⊕ delta → next generation),
+    * shared by EVERY view in the catalog: counts/sums re-sum, min/max
+    * re-fold — the same associative algebra the serving rewrite relies
+    * on, used here for maintenance. Partial columns fold by the naming
+    * convention every `*PartialsOf` builder follows (`min_*`/`max_*`
+    * fold idempotently, everything else re-sums), so one fold serves
+    * all views and a future partial kind cannot silently diverge
+    * between them. The output is cast back onto the stored generation's
+    * exact schema (gens.head — re-summing DECIMAL(28,2) widens to
+    * DECIMAL(38,2); the values fit the stored type exactly, so the cast
+    * is lossless) so a refreshed generation is byte-compatible with a
+    * from-scratch build. */
+  private[graft] def mvFoldPartials(gens: Seq[DataFrame],
+      keys: Seq[String] = Seq("l_returnflag", "l_linestatus")): DataFrame = {
     val target = gens.head.schema
+    val aggs = target.filterNot(f => keys.contains(f.name)).map { f =>
+      val c =
+        if (f.name.startsWith("min_")) min(col(f.name))
+        else if (f.name.startsWith("max_")) max(col(f.name))
+        else sum(col(f.name))
+      c.as(f.name)
+    }
+    val folded = gens.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
     folded.select(target.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
+
+  /** Double-checked build-once for an at-rest generation: first caller
+    * writes + GCs, everyone else sees the completed `_SUCCESS`. */
+  private[graft] def buildOnce(dir: java.io.File)(write: => Unit): Unit =
+    if (!AtRest.isBuilt(dir)) synchronized {
+      if (!AtRest.isBuilt(dir)) {
+        write
+        AtRest.gcStale(dir)
+        ()
+      }
+    }
 
   /** Ingest cutoff for the MV refresh lifecycle: rows shipped before it
     * are the stored HISTORY generation, rows at/after it the delta. */
@@ -309,15 +324,19 @@ object Scale {
   private[graft] def mvHistAtRest(s: SparkSession, d: String): String = {
     val histDir = AtRest.dir(s, d, "mv_lineitem_rollup_hist", "lineitem",
       params = s"$MvParams;hist<$MvCutoff")
-    if (!AtRest.isBuilt(histDir)) synchronized {
-      if (!AtRest.isBuilt(histDir)) {
-        mvPartialsOf(Tables.lineitem(s, d).where(col("l_shipdate") < MvCutoff))
-          .write.mode("overwrite").parquet(histDir.getAbsolutePath)
-        AtRest.gcStale(histDir)
-      }
+    buildOnce(histDir) {
+      mvPartialsOf(Tables.lineitem(s, d).where(col("l_shipdate") < MvCutoff))
+        .write.mode("overwrite").parquet(histDir.getAbsolutePath)
     }
     histDir.getAbsolutePath
   }
+
+  /** The serving generation's location (fingerprint-keyed; the params
+    * record that the generation is refresh-built) — exposed so the plan
+    * guards can assert a consumer scans exactly this directory. */
+  private[graft] def mvServingDir(s: SparkSession, d: String): java.io.File =
+    AtRest.dir(s, d, "mv_lineitem_rollup", "lineitem",
+      params = s"$MvParams;built=hist+delta")
 
   /** Build the serving MV generation once per corpus fingerprint — VIA
     * INCREMENTAL REFRESH, not full rebuild: stored history partials ⊕
@@ -329,25 +348,15 @@ object Scale {
     * refreshed generation. The match target is derived with the view's
     * own rule absent, so the target is the definition's optimized form,
     * not a self-rewritten scan. */
-  /** The serving generation's location (fingerprint-keyed; the params
-    * record that the generation is refresh-built) — exposed so the plan
-    * guards can assert a consumer scans exactly this directory. */
-  private[graft] def mvServingDir(s: SparkSession, d: String): java.io.File =
-    AtRest.dir(s, d, "mv_lineitem_rollup", "lineitem",
-      params = s"$MvParams;built=hist+delta")
-
   private[graft] def installMv(s: SparkSession, d: String): Unit = {
     val dir = mvServingDir(s, d)
-    if (!AtRest.isBuilt(dir)) synchronized {
-      if (!AtRest.isBuilt(dir)) {
-        graft.plans.MvRewrite.uninstall(s, "mv_lineitem_rollup")
-        val stored = s.read.parquet(mvHistAtRest(s, d))
-        val delta = mvPartialsOf(
-          Tables.lineitem(s, d).where(col("l_shipdate") >= MvCutoff))
-        mvFoldPartials(Seq(stored, delta))
-          .write.mode("overwrite").parquet(dir.getAbsolutePath)
-        AtRest.gcStale(dir)
-      }
+    buildOnce(dir) {
+      graft.plans.MvRewrite.uninstall(s, "mv_lineitem_rollup")
+      val stored = s.read.parquet(mvHistAtRest(s, d))
+      val delta = mvPartialsOf(
+        Tables.lineitem(s, d).where(col("l_shipdate") >= MvCutoff))
+      mvFoldPartials(Seq(stored, delta))
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
     }
     graft.plans.MvRewrite.uninstall(s, "mv_lineitem_rollup")
     val target = mvStoredRollup(s, d).queryExecution.optimizedPlan
@@ -473,32 +482,19 @@ object Scale {
   private[graft] def installMvOrders(s: SparkSession, d: String): Unit = {
     val histDir = AtRest.dir(s, d, "mv_orders_rollup_hist", "orders",
       params = s"$MvOrdersParams;hist<$MvCutoff")
-    if (!AtRest.isBuilt(histDir)) synchronized {
-      if (!AtRest.isBuilt(histDir)) {
-        mvOrdersPartialsOf(Tables.orders(s, d).where(col("o_orderdate") < MvCutoff))
-          .write.mode("overwrite").parquet(histDir.getAbsolutePath)
-        AtRest.gcStale(histDir)
-      }
+    buildOnce(histDir) {
+      mvOrdersPartialsOf(Tables.orders(s, d).where(col("o_orderdate") < MvCutoff))
+        .write.mode("overwrite").parquet(histDir.getAbsolutePath)
     }
     val dir = AtRest.dir(s, d, "mv_orders_rollup", "orders",
       params = s"$MvOrdersParams;built=hist+delta")
-    if (!AtRest.isBuilt(dir)) synchronized {
-      if (!AtRest.isBuilt(dir)) {
-        graft.plans.MvRewrite.uninstall(s, "mv_orders_rollup")
-        val stored = s.read.parquet(histDir.getAbsolutePath)
-        val delta = mvOrdersPartialsOf(
-          Tables.orders(s, d).where(col("o_orderdate") >= MvCutoff))
-        val folded = stored.unionByName(delta)
-          .groupBy(col("o_orderpriority"), col("o_month"))
-          .agg(sum("n_orders").as("n_orders"),
-            sum("sum_price_p").as("sum_price_p"),
-            min("min_price_p").as("min_price_p"),
-            max("max_price_p").as("max_price_p"))
-        val schema = mvOrdersRollup(s, d).schema
-        folded.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-          .write.mode("overwrite").parquet(dir.getAbsolutePath)
-        AtRest.gcStale(dir)
-      }
+    buildOnce(dir) {
+      graft.plans.MvRewrite.uninstall(s, "mv_orders_rollup")
+      val stored = s.read.parquet(histDir.getAbsolutePath)
+      val delta = mvOrdersPartialsOf(
+        Tables.orders(s, d).where(col("o_orderdate") >= MvCutoff))
+      mvFoldPartials(Seq(stored, delta), keys = Seq("o_orderpriority", "o_month"))
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
     }
     graft.plans.MvRewrite.uninstall(s, "mv_orders_rollup")
     val target = mvOrdersRollup(s, d).queryExecution.optimizedPlan

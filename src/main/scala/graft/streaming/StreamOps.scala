@@ -438,7 +438,9 @@ object StreamOps {
     * sees the advanced mark and folds nothing; a crash before the swap
     * leaves the old generation serving; a crash after the swap cannot
     * double-fold (the mark moved with it). Folded ticks are then GC'd —
-    * best-effort, since the mark already excludes them. */
+    * best-effort, since the mark already excludes them — but ONLY when
+    * the swap reports the new generation live: after a rollback the old
+    * mark still serves and the unabsorbed ticks must survive. */
   private[graft] def mvFoldTicks(s: org.apache.spark.sql.SparkSession,
       servingDir: String, deltaDir: String): Unit = {
     graft.AtRest.restoreCrashedSwap(new java.io.File(servingDir))
@@ -456,11 +458,17 @@ object StreamOps {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(tmp, "_FOLDED_THROUGH"),
       (foldable.max.toString + "\n").getBytes("UTF-8"))
-    graft.AtRest.swapInPlace(servingDir, tmp, "mvFoldTicks")
-    Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("batch_id=") &&
-        f.getName.stripPrefix("batch_id=").toLong <= foldable.max)
-      .foreach(del)
+    // GC the folded ticks only if the new generation actually went
+    // live: on a rollback the OLD generation (old high-water mark)
+    // still serves, and deleting the ticks it has not absorbed would
+    // lose their additive partials permanently — the mark-based
+    // exclusion makes retained ticks harmless, deletion is the only
+    // unrecoverable branch
+    if (graft.AtRest.swapInPlace(servingDir, tmp, "mvFoldTicks"))
+      Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("batch_id=") &&
+          f.getName.stripPrefix("batch_id=").toLong <= foldable.max)
+        .foreach(del)
   }
 
   /** The CURRENT standing view at partials grain: serving generation ⊕

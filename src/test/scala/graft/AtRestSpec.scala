@@ -124,10 +124,38 @@ class AtRestSpec extends SparkSpec {
     // later), not throw a spurious 'cannot swap'; no backup may linger.
     val dir = java.nio.file.Files.createTempDirectory("graft_crash3").toString + "/idx"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
-    AtRest.swapInPlace(dir, dir + ".compact-tmp", "test") // tmp does not exist
+    // a rollback must ALSO report the new content did NOT go live —
+    // callers with destructive post-swap cleanup (tombstone tree,
+    // folded ticks) key off this: deleting the rewrite's inputs after
+    // a rollback would lose them while the OLD content still serves
+    assert(!AtRest.swapInPlace(dir, dir + ".compact-tmp", "test"), // tmp does not exist
+      "a rolled-back swap must report the new content is not live")
     assert(spark.read.parquet(dir).count() == 2L, "live index must keep serving")
     assert(!new java.io.File(dir + ".compact-old").exists &&
       !new java.io.File(dir + ".compact-tmp").exists, "temp dirs must be cleaned up")
+    // and a clean swap reports promotion
+    import org.apache.spark.sql.SaveMode
+    Seq((3L, "c")).toDF("id", "v").write.mode(SaveMode.Overwrite)
+      .parquet(dir + ".compact-tmp")
+    assert(AtRest.swapInPlace(dir, dir + ".compact-tmp", "test"),
+      "a completed swap must report the new content live")
+    assert(spark.read.parquet(dir).count() == 1L, "promoted content must serve")
+  }
+
+  test("applyTombstones spends the tombstone tree exactly when the purged index is live") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tomb").toString
+    val idx = s"$base/idx"
+    val tomb = s"$base/tomb"
+    Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id").write.parquet(idx)
+    Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$tomb/batch_id=0")
+    // the rollback side is pinned by the Boolean-return spec above
+    // (tombstone clearing is gated on promotion); this pins the happy
+    // path: the tree is spent exactly when the purged index went live
+    AtRest.applyTombstones(spark, idx, tomb, Seq("a_id", "b_id"))
+    assert(spark.read.parquet(idx).count() == 1L, "tombstoned row purged")
+    assert(!new java.io.File(tomb).exists,
+      "spent tombstones are cleared after a PROMOTED swap")
   }
 
   test("gcStale: removes dead fingerprint generations, keeps the live one") {

@@ -550,9 +550,14 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_mv_refresh_serve")
     val servingDir = operators.Scale.mvServingDir(spark, sf)
     try {
-      // the plan's InMemoryFileIndex display truncates long paths, so
-      // match a prefix of the generation fingerprint
-      assert(p.contains("mv_lineitem_rollup") && p.contains(servingDir.getName.take(8)),
+      // the plan's InMemoryFileIndex display truncates the path ~12
+      // chars into the generation name, so match the FAMILY DIR WITH
+      // ITS SLASH (which alone rules out mv_lineitem_rollup_hist_v1 —
+      // a bare "mv_lineitem_rollup" substring would not) plus as much
+      // of the name as survives: the full source tag and the leading
+      // fingerprint hex (the tag alone is shared by every same-corpus
+      // generation and would not pin WHICH generation is read)
+      assert(p.contains(s"${servingDir.getParentFile.getName}/${servingDir.getName.take(12)}"),
         s"consumer must read the refresh-built serving generation:\n${p.take(1200)}")
       assert(!p.contains("lineitem.parquet"),
         "served consumer must not touch the fact table")
