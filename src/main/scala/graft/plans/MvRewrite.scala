@@ -184,23 +184,24 @@ case class MvRewrite(spark: SparkSession, viewName: String,
     // are excluded via the generation's own high-water mark, so a tick
     // is never counted twice.
     lazy val scan = {
-      val base = spark.read.parquet(location)
+      // fresh-tick resolution BEFORE the generation read, through the
+      // fold-validated snapshot (StreamOps.freshTicks): a concurrent
+      // maintenance fold between the mark read and the tick listing
+      // would otherwise pair a stale mark with the post-fold generation
+      // and double-count (or, in the other order, silently exclude
+      // unfolded ticks); the residual post-validation race fails safe
+      // on the swapped generation's replaced files
       val withDelta = deltaLocation
         .filter(dd => graft.AtRest.isBuiltTree(dd))
         .map { dd =>
-          val hwm = graft.streaming.StreamOps.foldedThrough(location)
-          val fresh = graft.streaming.StreamOps.completedTicks(dd).filter(_ > hwm)
+          val (_, fresh) = graft.streaming.StreamOps.freshTicks(location, dd)
+          val base = spark.read.parquet(location)
           if (fresh.isEmpty) base
           else base.unionByName(
-            spark.read.parquet(dd)
-              .withColumn("batch_id",
-                org.apache.spark.sql.functions.col("batch_id").cast("long"))
-              .filter(org.apache.spark.sql.functions.col("batch_id")
-                .isin(fresh.map(Long.box): _*))
-              .drop("batch_id")
+            graft.streaming.StreamOps.ticksRelation(spark, dd, fresh)
               .select(base.columns.map(org.apache.spark.sql.functions.col): _*))
         }
-        .getOrElse(base)
+        .getOrElse(spark.read.parquet(location))
       withDelta.queryExecution.analyzed
     }
     def scanCol(i: Int): Attribute = scan.output(i)

@@ -50,10 +50,16 @@ object Correlator {
             state.remove()
             Iterator.single(Correlated(sn, "timeout", -1L))
           } else {
-            // Requests before responses within a batch (arrival order in a
+            // Event-TIME order within a batch (arrival order in a
             // micro-batch is not meaningful; the reference's single event
-            // loop would have seen the request first).
-            val evs = it.toSeq.sortBy(e => (if (e.kind == "request") 0 else 1, e.ts.getTime))
+            // loop processed in wall order, and event time is its proxy),
+            // requests first only at EQUAL timestamps (a same-instant
+            // request/response pair must pair up). Kind-major ordering
+            // would be wrong under sn reuse: a response landing in the
+            // same batch as a LATER reused-sn request would match the new
+            // request (negative latency), steal its state, and silently
+            // lose both the real match and the new request's timeout.
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, if (e.kind == "request") 0 else 1))
             val out = Seq.newBuilder[Correlated]
             evs.foreach { e =>
               if (e.kind == "request") {

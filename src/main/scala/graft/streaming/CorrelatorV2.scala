@@ -26,7 +26,10 @@ object CorrelatorV2 {
 
     override def handleInputRows(sn: String, rows: Iterator[GwEvent],
         timers: TimerValues): Iterator[Correlated] = {
-      val evs = rows.toSeq.sortBy(e => (if (e.kind == "request") 0 else 1, e.ts.getTime))
+      // event-TIME order, requests first only at equal timestamps — see
+      // Correlator.correlate: kind-major ordering mis-pairs a response
+      // with a LATER reused-sn request arriving in the same micro-batch
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, if (e.kind == "request") 0 else 1))
       val out = Seq.newBuilder[Correlated]
       evs.foreach { e =>
         if (e.kind == "request") {

@@ -47,11 +47,21 @@ object RateLimitStream {
   // (de)serialization on every access. `pending` holds calls not yet
   // finalized; `band` retains already-finalized calls of the trailing
   // watermark second, because a later call's window may still count them
-  // (the split is what keeps finalization exactly-once). `timerTs` is
-  // the armed event-time timer (0 = none), tracked to re-arm cleanly.
+  // (the split is what keeps finalization exactly-once). Call times are
+  // kept in MICROSECONDS — the batch twin's window is
+  // `unix_micros RANGE BETWEEN -1000000 AND 0`, and a millisecond
+  // truncation would diverge from it exactly at the window boundary for
+  // sub-millisecond timestamps. `timerTs` is the armed event-time timer
+  // in ms, the runtime's timer domain (0 = none), tracked to re-arm
+  // cleanly.
   private[graft] case class LimitState(
       band: Seq[Long], pending: Seq[Long], timerTs: Long,
       nEvents: Long, maxC: Long, nDenied: Long)
+
+  /** Microseconds since epoch, full sub-ms precision (getTime alone
+    * truncates to ms; the sub-second field carries the rest). */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   class LimitProcessor(limit: Int) extends StatefulProcessor[Long, ApiCall, LimitStats] {
 
@@ -64,26 +74,29 @@ object RateLimitStream {
     /** Finalize every pending call strictly below the watermark, prune
       * the retained band to the trailing second, re-arm the timer, and
       * emit a snapshot if the finalized aggregate advanced. */
-    private def finalizeBelow(uid: Long, merged: LimitState, wm: Long): Iterator[LimitStats] = {
+    private def finalizeBelow(uid: Long, merged: LimitState, wmMs: Long): Iterator[LimitStats] = {
+      val wm = wmMs * 1000L // state domain is µs; the runtime's watermark is ms
       val (done, open) = merged.pending.partition(_ < wm)
       val all = (merged.band ++ merged.pending).sorted
       var (n, maxC, denied) = (merged.nEvents, merged.maxC, merged.nDenied)
       done.foreach { t =>
         // exact trailing-window count: band+pending still hold everything
         // in [t−1s, t] (the band is pruned below wm−1s only AFTER this)
-        val c = all.count(x => x >= t - 1000L && x <= t)
+        val c = all.count(x => x >= t - 1000000L && x <= t)
         n += 1; maxC = math.max(maxC, c); if (c > limit) denied += 1
       }
       // a later call's window reaches 1s back, so keep that trailing band
-      val band = (merged.band ++ done).filter(_ >= wm - 1000L).sorted
-      // +1 so the timer is strictly above the newest pending call: it
+      val band = (merged.band ++ done).filter(_ >= wm - 1000000L).sorted
+      // timer (ms domain) strictly above the newest pending call: it
       // fires once the watermark PASSES it, and finalization is strict
-      // (< wm) — at exactly max(pending) the call would stay open forever
-      val newTimer = if (open.nonEmpty) open.max + 1L else 0L
+      // (< wm µs) — once wmMs exceeds the call's ms, wm µs exceeds the
+      // call's µs, so nothing can stay open forever
+      val newTimer = if (open.nonEmpty) Math.floorDiv(open.max, 1000L) + 1L else 0L
       if (newTimer != merged.timerTs) {
         // only delete an armed timer that hasn't fired yet (a fired one
-        // no longer exists — it IS merged.timerTs <= wm)
-        if (merged.timerTs > wm) getHandle.deleteTimer(merged.timerTs)
+        // no longer exists — it IS merged.timerTs <= wmMs); timers live
+        // in the runtime's ms domain
+        if (merged.timerTs > wmMs) getHandle.deleteTimer(merged.timerTs)
         if (newTimer > 0L) getHandle.registerTimer(newTimer)
       }
       st.update(LimitState(band, open, newTimer, n, maxC, denied))
@@ -94,7 +107,7 @@ object RateLimitStream {
     override def handleInputRows(uid: Long, rows: Iterator[ApiCall],
         timers: TimerValues): Iterator[LimitStats] = {
       val prev = if (st.exists()) st.get() else LimitState(Nil, Nil, 0L, 0L, 0L, 0L)
-      val merged = prev.copy(pending = (prev.pending ++ rows.map(_.ts.getTime)).sorted)
+      val merged = prev.copy(pending = (prev.pending ++ rows.map(r => micros(r.ts))).sorted)
       finalizeBelow(uid, merged, timers.getCurrentWatermarkInMs())
     }
 

@@ -88,21 +88,33 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("term"), col("n"))
 
   /** G4/G11 routed sink: foreachBatch demultiplex by module — each
-    * micro-batch is split by `mod_name` and appended to that module's
+    * micro-batch is split by `mod_name` and written to that module's
     * directory (the batch analogue of the per-module nanomsg socket,
     * gateway.ts:292/324). The batch is persisted once so the per-module
     * writes don't recompute the source; connection-style setup would
     * live once per foreachBatch invocation (the standard pooling
-    * pattern). */
+    * pattern). Each module write lands under its own `batch_id=<id>`
+    * subdirectory in OVERWRITE mode — the same replay-idempotency
+    * contract as every other maintenance sink here: foreachBatch is
+    * at-least-once, so a bare append would double the batch's rows on
+    * a crash-replay (and a crash mid-loop would duplicate only the
+    * modules written before it — per-batch overwrite heals both). */
   def routedSink(events: DataFrame, baseDir: String, mods: Seq[String])
       : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-      val cached = batch.persist()
-      try mods.foreach { m =>
-        cached.filter(col("mod_name") === m)
-          .write.mode("append").parquet(s"$baseDir/$m")
-      } finally { cached.unpersist(); () }
+    events.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+      routedTick(batch, id, baseDir, mods)
     }.start()
+
+  /** One routed tick — exposed so the spec can replay a batch id
+    * verbatim and prove the per-module trees are unchanged. */
+  private[graft] def routedTick(batch: DataFrame, id: Long, baseDir: String,
+      mods: Seq[String]): Unit = {
+    val cached = batch.persist()
+    try mods.foreach { m =>
+      cached.filter(col("mod_name") === m)
+        .write.mode("overwrite").parquet(s"$baseDir/$m/batch_id=$id")
+    } finally { cached.unpersist(); () }
+  }
 
   /** STREAMING ANN query serving over the AT-REST IVF index — the
     * vector-store serving shape: queries arrive as a stream of
@@ -431,6 +443,38 @@ object StreamOps {
     else -1L
   }
 
+  /** The delta tree restricted to `ids`, at partials grain (batch_id
+    * provenance dropped) — the ONE reading of the tick layout shared by
+    * the fold, the standing view, and the MV rewrite's serving scan. */
+  private[graft] def ticksRelation(s: org.apache.spark.sql.SparkSession,
+      deltaDir: String, ids: Seq[Long]): DataFrame =
+    s.read.parquet(deltaDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id").isin(ids.map(Long.box): _*))
+      .drop("batch_id")
+
+  /** Snapshot-consistent (hwm, fresh ticks) pair for a standing read:
+    * the mark, the tick listing, and the generation are three separate
+    * filesystem reads, so a concurrent [[mvFoldTicks]] swap between
+    * them would pair a STALE mark with the POST-fold generation and
+    * count the just-folded ticks twice (additive partials — silent).
+    * Optimistic validation closes that window: re-read the mark after
+    * listing; if it moved, retry. The residual race (a fold completing
+    * after validation but before the query's action) fails SAFE — the
+    * swap replaces the generation's files, so the stale plan hits
+    * missing files and errors rather than double-counting. */
+  private[graft] def freshTicks(servingDir: String, deltaDir: String): (Long, Seq[Long]) = {
+    var hwm = foldedThrough(servingDir)
+    var fresh = completedTicks(deltaDir).filter(_ > hwm)
+    var check = foldedThrough(servingDir)
+    while (check != hwm) {
+      hwm = check
+      fresh = completedTicks(deltaDir).filter(_ > hwm)
+      check = foldedThrough(servingDir)
+    }
+    (hwm, fresh)
+  }
+
   /** MAINTENANCE fold: serving generation ⊕ every completed, unfolded,
     * non-newest tick → the NEXT serving generation (atomic two-rename
     * swap, same contract as AtRest.compact), with the new high-water
@@ -447,10 +491,7 @@ object StreamOps {
     val hwm = foldedThrough(servingDir)
     val foldable = completedTicks(deltaDir).filter(_ > hwm).dropRight(1)
     if (foldable.isEmpty) return
-    val ticks = s.read.parquet(deltaDir)
-      .withColumn("batch_id", col("batch_id").cast("long"))
-      .filter(col("batch_id").isin(foldable.map(Long.box): _*))
-      .drop("batch_id")
+    val ticks = ticksRelation(s, deltaDir, foldable)
     val serving = s.read.parquet(servingDir)
     val tmp = servingDir + ".compact-tmp"
     graft.operators.Scale.mvFoldPartials(Seq(serving, ticks))
@@ -468,23 +509,21 @@ object StreamOps {
       Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("batch_id=") &&
           f.getName.stripPrefix("batch_id=").toLong <= foldable.max)
-        .foreach(del)
+        .foreach(graft.AtRest.deleteRecursively)
   }
 
   /** The CURRENT standing view at partials grain: serving generation ⊕
     * completed unfolded ticks — what a dashboard reads between folds
-    * (freshness without waiting for maintenance). */
+    * (freshness without waiting for maintenance). Uses the validated
+    * [[freshTicks]] snapshot so a concurrent fold cannot pair a stale
+    * mark with the post-fold generation (silent double-count). */
   private[graft] def mvStanding(s: org.apache.spark.sql.SparkSession,
       servingDir: String, deltaDir: String): DataFrame = {
-    val hwm = foldedThrough(servingDir)
-    val fresh = completedTicks(deltaDir).filter(_ > hwm)
+    val (_, fresh) = freshTicks(servingDir, deltaDir)
     val serving = s.read.parquet(servingDir)
     if (fresh.isEmpty) serving
     else graft.operators.Scale.mvFoldPartials(Seq(serving,
-      s.read.parquet(deltaDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id").isin(fresh.map(Long.box): _*))
-        .drop("batch_id")))
+      ticksRelation(s, deltaDir, fresh)))
   }
 
   /** CDC UPSERT sink — the STREAMING face of `q_merge_upsert`: each
@@ -570,13 +609,9 @@ object StreamOps {
         Option(new java.io.File(snapDir).listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("gen=") &&
             !keep.contains(f.getName.stripPrefix("gen=").toLong))
-          .foreach(del)
+          .foreach(graft.AtRest.deleteRecursively)
       }
     } finally { changes.unpersist(); () }
   }
 
-  private def del(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-    f.delete(); ()
-  }
 }

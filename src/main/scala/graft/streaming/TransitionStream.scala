@@ -39,8 +39,17 @@ object TransitionStream {
   // private[graft] for the encoder-codegen reason documented on
   // FunnelStream.FunnelState. `hasLast` flags a live cursor (encoders
   // round-trip None poorly across codegen; a flag + fields is flat and
-  // fast). `pending` holds events the watermark has not passed.
+  // fast). `pending` holds events the watermark has not passed. Event
+  // times are kept in MICROSECONDS: the batch lead() orders by the
+  // full-precision timestamp, so a millisecond truncation would
+  // tie-break same-ms/different-µs neighbors by event_id where the
+  // batch twin orders them by time — an inverted (from, to) pair.
   private[graft] case class PendEv(ts: Long, id: Long, tp: String)
+
+  /** Microseconds since epoch, full sub-ms precision (getTime alone
+    * truncates to ms; the sub-second field carries the rest). */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   private[graft] case class TransState(
       hasLast: Boolean, lastTs: Long, lastId: Long, lastType: String,
       pending: Seq[PendEv], timerTs: Long)
@@ -55,7 +64,8 @@ object TransitionStream {
 
     /** Finalize every pending event strictly below the watermark in
       * (ts, id) order, pairing each against the advancing cursor. */
-    private def finalizeBelow(uid: Long, merged: TransState, wm: Long): Iterator[Transition] = {
+    private def finalizeBelow(uid: Long, merged: TransState, wmMs: Long): Iterator[Transition] = {
+      val wm = wmMs * 1000L // state domain is µs; the runtime's watermark is ms
       val (done, open) = merged.pending.partition(_.ts < wm)
       val out = Seq.newBuilder[Transition]
       var (hasLast, lTs, lId, lTp) =
@@ -64,11 +74,13 @@ object TransitionStream {
         if (hasLast) out += Transition(uid, lTp, e.tp, e.id)
         hasLast = true; lTs = e.ts; lId = e.id; lTp = e.tp
       }
-      // strictly-above timer, same contract as RateLimitStream: it fires
-      // once the watermark PASSES the newest open event
-      val newTimer = if (open.nonEmpty) open.map(_.ts).max + 1L else 0L
+      // strictly-above timer (ms — the runtime's timer domain), same
+      // contract as RateLimitStream: it fires once the watermark PASSES
+      // the newest open event
+      val newTimer =
+        if (open.nonEmpty) Math.floorDiv(open.map(_.ts).max, 1000L) + 1L else 0L
       if (newTimer != merged.timerTs) {
-        if (merged.timerTs > wm) getHandle.deleteTimer(merged.timerTs)
+        if (merged.timerTs > wmMs) getHandle.deleteTimer(merged.timerTs)
         if (newTimer > 0L) getHandle.registerTimer(newTimer)
       }
       st.update(TransState(hasLast, lTs, lId, lTp, open, newTimer))
@@ -79,7 +91,7 @@ object TransitionStream {
         timers: TimerValues): Iterator[Transition] = {
       val prev = if (st.exists()) st.get() else TransState(hasLast = false, 0L, 0L, "", Nil, 0L)
       val merged = prev.copy(pending =
-        prev.pending ++ rows.map(e => PendEv(e.ts.getTime, e.event_id, e.event_type)))
+        prev.pending ++ rows.map(e => PendEv(micros(e.ts), e.event_id, e.event_type)))
       finalizeBelow(uid, merged, timers.getCurrentWatermarkInMs())
     }
 

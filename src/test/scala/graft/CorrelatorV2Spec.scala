@@ -121,6 +121,37 @@ class CorrelatorV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("same-batch response + reused-sn request pair in event-time order, not kind-major") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[GwEvent]
+    val q = CorrelatorV2.correlate(in.toDS(), timeoutMs = 30000L, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("corrv2batchorder").outputMode("append").start()
+    try {
+      // a standing in-flight request from an earlier batch...
+      in.addData(GwEvent("s", "request", ts(0)))
+      q.processAllAvailable()
+      // ...then ONE batch carrying its response (t=2) AND a reused-sn
+      // request (t=5). A kind-major within-batch sort would process the
+      // t=5 request first: the response then "matches" it with latency
+      // 2000-5000 = -3000, the t=0 request never resolves, and the t=5
+      // request's state is consumed so IT can never match or time out.
+      // Event-time order pairs the response with the STANDING request
+      // (+2000) and leaves the new request in flight.
+      in.addData(GwEvent("s", "response", ts(2)), GwEvent("s", "request", ts(5)))
+      q.processAllAvailable()
+      // the reused request must still be live: its response matches
+      in.addData(GwEvent("s", "response", ts(8)))
+      q.processAllAvailable()
+      in.addData(GwEvent("flush", "request", ts(300)))
+      q.processAllAvailable()
+      val rows = spark.table("corrv2batchorder").as[Correlator.Correlated].collect()
+        .filter(_.sn == "s").map(c => (c.outcome, c.latency_ms)).sorted
+      assert(rows.toSeq == Seq(("matched", 2000L), ("matched", 3000L)),
+        s"event-time pairing must yield the two real matches: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("temporal enrich join: events pick the latest dim version at-or-before their time") {
     import graft.streaming.TemporalJoin
     import graft.streaming.TemporalJoin.In

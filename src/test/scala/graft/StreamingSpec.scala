@@ -279,6 +279,15 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/click").count() == 2)
       assert(spark.read.parquet(s"$dir/purchase").count() == 2)
       assert(!new java.io.File(s"$dir/unknown").exists()) // unroutable dropped
+      // at-least-once replay: re-running a batch id verbatim must leave
+      // every module tree unchanged (per-batch overwrite, not append)
+      graft.streaming.StreamOps.routedTick(
+        Seq(("purchase", 5L)).toDF("mod_name", "payload"), 1L, dir,
+        Seq("click", "purchase"))
+      assert(spark.read.parquet(s"$dir/click").count() == 2,
+        "replayed batch must not duplicate click rows")
+      assert(spark.read.parquet(s"$dir/purchase").count() == 2,
+        "replayed batch must not duplicate purchase rows")
     } finally q.stop()
   }
 
