@@ -64,10 +64,16 @@ object Codecs {
   def isZlibDeflated(b: Array[Byte]): Boolean =
     b != null && b.length >= 2 && b(0) == 0x78.toByte && b(1) == 0x9c.toByte
 
-  val deflate: Column => Column = udf(deflateBytes _).apply(_)
-  val inflate: Column => Column = udf(inflateBytes _).apply(_)
-  val gzip: Column => Column = udf(gzipBytes _).apply(_)
-  val gunzip: Column => Column = udf(gunzipBytes _).apply(_)
+  // NULL propagates as NULL, the builtin-function contract — Array[Byte]
+  // is a reference type, so Spark hands the UDF a null for a NULL input
+  // row and an unguarded codec would NPE the whole task
+  private def nullSafe(f: Array[Byte] => Array[Byte]): Array[Byte] => Array[Byte] =
+    b => if (b == null) null else f(b)
+
+  val deflate: Column => Column = udf(nullSafe(deflateBytes)).apply(_)
+  val inflate: Column => Column = udf(nullSafe(inflateBytes)).apply(_)
+  val gzip: Column => Column = udf(nullSafe(gzipBytes)).apply(_)
+  val gunzip: Column => Column = udf(nullSafe(gunzipBytes)).apply(_)
   val zlibMagic: Column => Column = udf(isZlibDeflated _).apply(_)
 
   // Direct byte-level API for tests / non-Spark callers.

@@ -110,8 +110,15 @@ object Msgpack {
   private def readBin(buf: ByteBuffer, n: Int): Array[Byte] = {
     val b = new Array[Byte](n); buf.get(b); b
   }
-  private def readArr(buf: ByteBuffer, n: Int): Seq[Any] =
+  // negative 32-bit lengths are malformed input and must ERROR (so the
+  // envelope decoder nulls the row) — `0 until -1` is empty, which would
+  // silently decode garbage as an empty collection instead
+  private def readArr(buf: ByteBuffer, n: Int): Seq[Any] = {
+    require(n >= 0, s"malformed msgpack: negative array length $n")
     (0 until n).map(_ => read(buf))
-  private def readMap(buf: ByteBuffer, n: Int): Map[Any, Any] =
+  }
+  private def readMap(buf: ByteBuffer, n: Int): Map[Any, Any] = {
+    require(n >= 0, s"malformed msgpack: negative map length $n")
     (0 until n).map(_ => (read(buf), read(buf))).toMap
+  }
 }

@@ -39,7 +39,15 @@ case class ShinglesN(child: Expression, n: Int) extends UnaryExpression {
       var i = 0
       while (i < m - n + 1) {
         var j = 0
-        while (j < n) { parts(j) = ws.getUTF8String(i + j); j += 1 }
+        // null slots must be passed as null (concatWs SKIPS them — the
+        // replaced concat_ws HOF's semantics); an unguarded
+        // getUTF8String on an UnsafeArrayData null slot reads the zeroed
+        // offset as an EMPTY string, silently diverging between array
+        // implementations and from the HOF oracle form
+        while (j < n) {
+          parts(j) = if (ws.isNullAt(i + j)) null else ws.getUTF8String(i + j)
+          j += 1
+        }
         out(i) = UTF8String.concatWs(ShinglesN.SEP, parts: _*)
         i += 1
       }
@@ -60,7 +68,8 @@ case class ShinglesN(child: Expression, n: Int) extends UnaryExpression {
          |$u[] $arr = new $u[$m < $n ? 0 : $m - $n + 1];
          |$u[] $parts = new $u[$n];
          |for (int $i = 0; $i < $arr.length; $i++) {
-         |  for (int $j = 0; $j < $n; $j++) $parts[$j] = $c.getUTF8String($i + $j);
+         |  for (int $j = 0; $j < $n; $j++)
+         |    $parts[$j] = $c.isNullAt($i + $j) ? null : $c.getUTF8String($i + $j);
          |  $arr[$i] = $u.concatWs($sep, $parts);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);

@@ -85,8 +85,17 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // The LEFT ordering includes the probe time, not just the key: the
+  // spillable right buffer serves backward reads by replaying its spill
+  // file from the start, so the whole spill design rests on probes
+  // moving monotonically forward within a key group. Key-only ordering
+  // would let a non-monotonic probe expression (a per-row cutoff)
+  // degrade every spilled skewed key to quadratic spill replay. The
+  // result set is per-left-row and order-insensitive, so requiring the
+  // extra sort column is free where the data is already time-sorted and
+  // a plain sort key otherwise.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending)),
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
       SortOrder(rightTie, Ascending)))
 

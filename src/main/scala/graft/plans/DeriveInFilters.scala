@@ -85,7 +85,12 @@ object DeriveInFilters extends Rule[LogicalPlan] {
         .flatMap { a =>
           val values = perDisjunct.flatMap(
             _.collectFirst { case (k, ls) if k.exprId == a.exprId => ls }.getOrElse(Nil))
-          val distinct = values.groupBy(_.value).map(_._2.head).toSeq
+          // dedupe via Literal's own equals/hashCode (value-based even
+          // for BinaryType arrays) — grouping on the raw `.value` would
+          // keep equal binary literals (reference equality), derive a
+          // duplicate-value IN, and oscillate against OptimizeIn's
+          // 1-value collapse forever instead of reaching the fixpoint
+          val distinct = values.distinct
           if (distinct.size >= 2 && distinct.size <= MaxValues)
             Some(In(a, distinct)) else None
         }

@@ -70,17 +70,13 @@ case class MvRewrite(spark: SparkSession, viewName: String,
   /** Unwrap transparent Projects down to the base, collecting an
     * alias-substitution map (alias exprId → defining expression, itself
     * fully inlined over the base's attributes) so callers can re-express
-    * pulled-out grouping expressions over the base relation. */
-  private def unwrap(p: LogicalPlan): (Map[Long, Expression], LogicalPlan) = p match {
-    case Project(pl, child) if transparentProject(pl) =>
-      val (m, base) = unwrap(child)
-      val here = pl.collect { case a @ Alias(e, _) =>
-        a.exprId.id -> e.transform {
-          case ar: AttributeReference if m.contains(ar.exprId.id) => m(ar.exprId.id)
-        }
-      }
-      (m ++ here, base)
-    case other => (Map.empty, other)
+    * pulled-out grouping expressions over the base relation. The VIEW
+    * side: a Filter in the definition is not a transparent wrapper (the
+    * stored rollup is over exactly the definition's rows), so anything
+    * [[unwrapCollectingFilters]] collected stops the unwrap here. */
+  private def unwrap(p: LogicalPlan): (Map[Long, Expression], LogicalPlan) = {
+    val (fs, m, base) = unwrapCollectingFilters(p)
+    if (fs.isEmpty) (m, base) else (Map.empty, p)
   }
 
   /** Unwrap like [[unwrap]] but additionally COLLECT Filter conditions
@@ -122,7 +118,11 @@ case class MvRewrite(spark: SparkSession, viewName: String,
       val parts = ae.zipWithIndex.flatMap {
         case (Alias(AggregateExpression(Sum(e, _), _, false, None, _), _), i) =>
           Some(("sum", Some(inline(e)), i))
-        case (Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _), i) =>
+        // the literal must be NON-NULL: count(NULL) is always 0, not the
+        // row count, so it is neither a row-count partial nor derivable
+        // from one
+        case (Alias(AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _), _), i)
+            if v != null =>
           Some(("count", None, i))
         case (Alias(AggregateExpression(Min(e), _, false, None, _), _), i) =>
           Some(("min", Some(inline(e)), i))
@@ -220,7 +220,10 @@ case class MvRewrite(spark: SparkSession, viewName: String,
         partials.collectFirst { case ("sum", Some(pin), i) if pin.semanticEquals(in) =>
           Sum(scanCol(i)).toAggregateExpression()
         }
-      case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+      // non-null literal only: count(NULL) is the constant 0 — serving
+      // it sum(n) would silently replace 0 with the group's row count,
+      // the one thing a transparent rewrite must never do
+      case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _) if v != null =>
         partials.collectFirst { case ("count", _, i) =>
           Coalesce(Seq(Sum(scanCol(i)).toAggregateExpression(), Literal(0L)))
         }

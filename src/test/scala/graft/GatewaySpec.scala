@@ -147,5 +147,32 @@ class GatewaySpec extends SparkSpec {
     Seq("nonmap", "garbage", "trunc").foreach { k =>
       assert(rows(k).isNullAt(1), s"$k should decode to NULL")
     }
+    // a negative 32-bit collection length is malformed — it must NULL
+    // the envelope, not silently decode as an empty map/array
+    val negMap = Array[Byte](0xdf.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    val negArr = Array[Byte](0xdd.toByte, 0x80.toByte, 0, 0, 0)
+    val negRows = Seq("negmap" -> negMap, "negarr" -> negArr).toDF("k", "b")
+      .selectExpr("k", "msgpack_envelope(b) AS env")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(negRows("negmap").isNullAt(1), "map32 with negative length must NULL")
+    assert(negRows("negarr").isNullAt(1), "array32 with negative length must NULL")
+  }
+
+  test("codec UDFs propagate NULL instead of NPEing the task") {
+    import graft.functions.Codecs
+    import spark.implicits._
+    val df = Seq(("a", "payload".getBytes("UTF-8")), ("b", null))
+      .toDF("k", "b")
+    val out = df.select(col("k"),
+        Codecs.deflate(col("b")).as("d"), Codecs.gzip(col("b")).as("g"))
+      .withColumn("i", Codecs.inflate(col("d")))
+      .withColumn("u", Codecs.gunzip(col("g")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(new String(out("a").getAs[Array[Byte]]("i"), "UTF-8") == "payload")
+    assert(new String(out("a").getAs[Array[Byte]]("u"), "UTF-8") == "payload")
+    Seq("d", "g", "i", "u").foreach { c =>
+      assert(out("b").isNullAt(out("b").fieldIndex(c)),
+        s"NULL input must propagate through $c")
+    }
   }
 }

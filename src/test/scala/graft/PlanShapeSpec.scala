@@ -722,6 +722,31 @@ class PlanShapeSpec extends SparkSpec {
     } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
   }
 
+  test("mv rewrite: count(NULL) stays 0 per group, never the row-count partial") {
+    // count(NULL) matches the Count(literal) SHAPE but not its meaning:
+    // mapping it to sum(n) would silently replace 0 with the group's
+    // row count — the transparency property's worst violation, guarded
+    // by the non-null-literal requirement in mapAggFn. In practice
+    // Spark's own optimizer folds count(NULL) to literal 0 BEFORE the
+    // rewrite runs, leaving a keys-only aggregate that IS derivable
+    // (the MV's key set equals the fact's distinct keys — the view is
+    // an unfiltered full-fact rollup), so assert the ANSWER: every
+    // group's n_null is exactly 0 through whichever path serves it.
+    operators.Scale.installMv(spark, sf)
+    try {
+      val q = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(null)).as("n_null"))
+      val rows = q.collect()
+      assert(rows.nonEmpty && rows.forall(_.getLong(2) == 0L),
+        "count(NULL) must stay 0 per group under the installed rewrite")
+      val direct = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"), col("l_linestatus")).count().count()
+      assert(rows.length == direct.toInt,
+        "the served group set must equal the fact's distinct key set")
+    } finally plans.MvRewrite.uninstall(spark, "mv_lineitem_rollup")
+  }
+
   test("q_mv_catalog_serve: two installed views serve two facts in one query") {
     // the rewrite is a CATALOG: both rules coexist in one session, each
     // firing only on its own base relation — the lineitem panel reads
