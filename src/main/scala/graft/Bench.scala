@@ -80,19 +80,22 @@ object Bench {
     def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // The release point also UNSCOPES any MV rewrite rules the query
-    // installed — without it, every query after a q_mv_* in this shared
-    // session would stay a rewrite candidate (a derivable aggregate
-    // would silently bench as an MV scan).
-    def release(): Unit = {
-      CacheTracker.releaseAll()
-      graft.plans.MvRewrite.uninstallAll(spark)
-    }
+    // installed (shared helper — the pairing must stay in lockstep with
+    // Verify's release point).
+    def release(): Unit = CacheTracker.releaseQueryScope(spark)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try materialize(fn)
       finally release()
     // Warm up session machinery (codegen, parquet reader, shuffle paths)
-    // so the first timed query isn't charged for JVM/session init.
-    SparkEntry.queries.get("q1_pricing_summary").foreach(run)
+    // so the first timed query isn't charged for JVM/session init — and
+    // never skip it silently: a renamed warmup key would otherwise
+    // charge init to whichever query times first.
+    SparkEntry.queries.get("q1_pricing_summary") match {
+      case Some(fn) => run(fn)
+      case None =>
+        System.err.println("BENCH WARN: warmup query q1_pricing_summary missing; using first registered")
+        SparkEntry.queries.values.headOption.foreach(run)
+    }
 
     // Dev-loop filter: SPARK_GRAFT_ONLY="q_a,q_b" times just those
     // queries (fresh-session solo medians for gap diagnosis). The driver
@@ -166,13 +169,20 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // slowest first; stop adding entries once the line would exceed the cap
-    val sorted = results.sortBy(-_._2)
+    // FAILURES first (a crashed query is the line's most important
+    // signal — sorted to the tail it would be silently capped out and
+    // the shrunken total would read as a perf win), then slowest first;
+    // stop at the first entry that would exceed the cap so the map is a
+    // true prefix of that order.
+    val sorted = results.sortBy(r => -(if (r._2 < 0) Double.MaxValue else r._2))
+    val failed = results.count(_._2 < 0)
     val sb = new StringBuilder
     var kept = 0
+    var full = false
     sorted.foreach { case (k, v, _, _, _, _, _, _) =>
       val piece = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
-      if (sb.length + piece.length <= 1150) { sb.append(piece); kept += 1 }
+      if (!full && sb.length + piece.length <= 1150) { sb.append(piece); kept += 1 }
+      else full = true
     }
     val omitted = results.size - kept
     // scale signature of the slowest queries: [shuffle_kb, spill_kb]
@@ -193,7 +203,16 @@ object Bench {
     // the whole round's bench. Here just the COUNT of rows that built
     // an index inside a timed rep (0 on a warm at-rest tree).
     val builtCount = sorted.count(_._8.nonEmpty)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"built_in_rep":$builtCount,"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfDir"}"""
+    // escape env-controlled text before interpolating into JSON — a
+    // quote or backslash in the path would invalidate the whole line
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val sfJ = esc(sfDir)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"built_in_rep":$builtCount,"failed":$failed,"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfJ"}"""
     // full attribution for EVERY row (slowest first), one object per
     // query: [secs, shuffle_kb, spill_kb, gc_ms, compiles, [rep secs...],
     // "built index families"]
@@ -201,11 +220,14 @@ object Bench {
       "\"" + k + "\":[" + fmt(v) + "," + sh / 1024 + "," + sp / 1024 + "," + gc + "," + cn +
         ",[" + rs.map(fmt).mkString(",") + "],\"" + b.mkString("+") + "\"]"
     }.mkString(",")
-    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"n_queries":${results.size},"sf":"$sfDir","columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built"],"queries":{$attr}}"""
+    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"n_queries":${results.size},"sf":"$sfJ","columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built"],"queries":{$attr}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_attr.json"),
       (attrLine + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"bench_attr.json write failed: $t") }
-    spark.stop()
+    // the result line goes out BEFORE session shutdown: a throw or hang
+    // in spark.stop() must not discard a fully completed measurement
     println(line)
+    System.out.flush()
+    spark.stop()
   }
 }

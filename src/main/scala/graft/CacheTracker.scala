@@ -28,11 +28,30 @@ object CacheTracker {
     synchronized { broadcasts += b; b }
 
   /** Unpersist every tracked dataset (blocking), destroy every tracked
-    * broadcast, and clear the registry. */
+    * broadcast, and clear the registry. Each release is individually
+    * guarded: this runs from the harness's `finally` AFTER a query
+    * already failed (dead executors, torn RPC), and one entry's
+    * unpersist error must neither abort the whole Verify/Bench run nor
+    * leave the registry holding the failing entry forever. */
   def releaseAll(): Unit = synchronized {
-    tracked.foreach(_.unpersist(blocking = true))
+    def guarded(what: String)(f: => Unit): Unit =
+      try f catch {
+        case t: Throwable => System.err.println(s"[release] $what failed: $t")
+      }
+    tracked.foreach(d => guarded("unpersist")(d.unpersist(blocking = true)))
     tracked.clear()
-    broadcasts.foreach(_.destroy())
+    broadcasts.foreach(b => guarded("broadcast destroy")(b.destroy()))
     broadcasts.clear()
+  }
+
+  /** The harness's per-query release point, shared by Verify and Bench
+    * so the pairing can never drift between them: builder-persisted
+    * intermediates are released AND any MV rewrite rules the query
+    * installed are unscoped — without the latter, every query after a
+    * q_mv_* in a shared session stays a rewrite candidate and a
+    * derivable aggregate would silently verify/bench as an MV scan. */
+  def releaseQueryScope(spark: org.apache.spark.sql.SparkSession): Unit = {
+    releaseAll()
+    graft.plans.MvRewrite.uninstallAll(spark)
   }
 }

@@ -29,12 +29,29 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+  /** One entry per implemented operator from SURVEY.md §2. The merge is
+    * duplicate-checked: `++` would silently let a later module's key
+    * override an earlier one, dropping a query from BOTH the bench and
+    * the correctness dump with nothing failing. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.map(_._1).reduce(_ ++ _)
+    require(merged.size == modules.map(_._1.size).sum,
+      s"duplicate query keys across modules: ${
+        modules.flatMap(_._1.keys).groupBy(identity).collect {
+          case (k, ks) if ks.size > 1 => k
+        }.mkString(", ")}")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.map(_._2).reduce(_ ++ _)
+  lazy val oracleSql: Map[String, String] = {
+    val merged = modules.map(_._2).reduce(_ ++ _)
+    require(merged.size == modules.map(_._2.size).sum,
+      s"duplicate oracle keys across modules: ${
+        modules.flatMap(_._2.keys).groupBy(identity).collect {
+          case (k, ks) if ks.size > 1 => k
+        }.mkString(", ")}")
+    merged
+  }
 }

@@ -13,8 +13,7 @@ object Verify {
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")) // UTC timezone via Tables.sessionConfs
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -25,13 +24,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure must not alias a PRIOR run's dump in a reused
+        // outDir: a stale parquet here would make the oracle compare a
+        // pre-edit result and report a false pass
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+          f.delete(); ()
+        }
+        del(new java.io.File(s"$outDir/$name"))
       }
-      finally {
-        CacheTracker.releaseAll() // builder-persisted intermediates
-        // MV rule scope ends with the query that installed it — later
-        // queries in this shared session must never be rewrite candidates
-        plans.MvRewrite.uninstallAll(spark)
-      }
+      // builder-persisted intermediates + MV rule scope (shared helper —
+      // the pairing must stay in lockstep with Bench's release point)
+      finally CacheTracker.releaseQueryScope(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
