@@ -325,17 +325,28 @@ object Gateway {
 
   val oracle: Map[String, String] = Map(
     "q_gw_msgpack_roundtrip" ->
+      // int width mirrors Msgpack.write exactly, incl. NEGATIVE ids
+      // (neg fixint 1 B, int8 2 B): latent-parity hardening should a
+      // future corpus emit them
       """SELECT event_id, event_type AS mod_name,
         |  CAST(60 + length(event_type) +
-        |    CASE WHEN user_id <= 127 THEN 1 WHEN user_id <= 32767 THEN 3
-        |         WHEN user_id <= 2147483647 THEN 5 ELSE 9 END AS INTEGER) AS packet_len,
+        |    CASE WHEN user_id BETWEEN -32 AND 127 THEN 1
+        |         WHEN user_id BETWEEN -128 AND -33 THEN 2
+        |         WHEN user_id BETWEEN -32768 AND 32767 THEN 3
+        |         WHEN user_id BETWEEN -2147483648 AND 2147483647 THEN 5
+        |         ELSE 9 END AS INTEGER) AS packet_len,
         |  TRUE AS roundtrip_ok
         |FROM events""".stripMargin,
     "q_gw_codec_roundtrip" ->
+      // NULL-text aware: the codec UDFs null-propagate (flags/delta
+      // NULL) while zlibMagic of a NULL payload is FALSE — the oracle
+      // mirrors both so a future corpus with NULL text stays hash-equal
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS orig_len,
-        |  TRUE AS has_zlib_magic, TRUE AS deflate_roundtrip_ok,
-        |  TRUE AS gzip_roundtrip_ok, TRUE AS deflate_bounded,
-        |  12 AS gzip_wrap_delta
+        |  text IS NOT NULL AS has_zlib_magic,
+        |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS deflate_roundtrip_ok,
+        |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS gzip_roundtrip_ok,
+        |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS deflate_bounded,
+        |  CASE WHEN text IS NULL THEN NULL ELSE 12 END AS gzip_wrap_delta
         |FROM documents""".stripMargin,
     "q_gw_pipeline" ->
       """WITH base AS (

@@ -26,6 +26,13 @@ object Relational {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** The TPC-H discounted-revenue sum — exact decimal arithmetic, cast
+    * to double only at the END (one rounding, mirroring the oracle's
+    * shared `disc` expression); one definition so a precision change
+    * can never drift between q1/q3/q5. */
+  private def discRevenue: org.apache.spark.sql.Column =
+    sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double")
+
   /** TPC-H Q1-style pricing summary: scan → filter → hash agg (partial +
     * final automatic) → small result. Filter pushes to the parquet scan. */
   def q1PricingSummary(s: SparkSession, d: String): DataFrame =
@@ -35,8 +42,7 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+        discRevenue.as("sum_disc_price"),
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
           * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
@@ -54,8 +60,7 @@ object Relational {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > cutoff)
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(discRevenue.as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -74,8 +79,7 @@ object Relational {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(discRevenue.as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
 
   /** Top-3 orders per customer — row_number window with deterministic
@@ -270,7 +274,10 @@ object Relational {
   def qVariantEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'int')"))
-      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      // sign-preserving % (not pmod), matching the oracle's DuckDB `%`
+      // exactly — divergent only if a future corpus emits negative k,
+      // which is precisely when an unaligned modulus would silently fail
+      .groupBy((col("k") % lit(10)).as("k_mod"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("k")).cast("long").as("sum_k"),
@@ -481,8 +488,9 @@ object Relational {
         |UNION ALL
         |SELECT n_name, 'no_orders' AS grp, COUNT(*) AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') GROUP BY n_name""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') GROUP BY n_name""".stripMargin,
     "q_distinct_stats" ->
       """SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
         |  COUNT(DISTINCT c_custkey) AS n_cust, COUNT(*) AS n,
