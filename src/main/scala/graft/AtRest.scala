@@ -122,8 +122,14 @@ object AtRest {
   private def sourceDead(rootDir: java.io.File, n: String): Boolean = {
     val m = new java.io.File(new java.io.File(rootDir, "_srcmap"), n.takeWhile(_ != '_'))
     m.isFile && {
-      val p = new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
-      !new java.io.File(p).exists()
+      // an UNREADABLE mapping is treated as live (conservative keep),
+      // matching recordSource's best-effort contract — an IOException
+      // here would otherwise propagate out of gcStale and fail the
+      // build job AFTER its write already succeeded
+      try {
+        val p = new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+        !new java.io.File(p).exists()
+      } catch { case _: java.io.IOException => false }
     }
   }
 

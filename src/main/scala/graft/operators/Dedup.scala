@@ -1709,14 +1709,25 @@ object Dedup {
     val truth = graft.CacheTracker.track(
       ngramJaccardFromSets(sets).select(col("a_id"), col("b_id"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER))
-    pred.count(); truth.count() // fill both caches before the fan-out
-    // the fan-out below touches only pred/truth — release the big sset
+    // fill both caches AND capture the counts: re-aggregating the
+    // persisted relations in a three-way fan-out after these counts
+    // already materialized them doubled the peak storage+shuffle
+    // footprint for nothing (the r12 bench's one GC-sensitive row) —
+    // the only remaining distributed job below is the tp join
+    val nPred = pred.count(); val nTruth = truth.count()
+    // the join below touches only pred/truth — release the big sset
     // cache NOW so it cannot crowd them out of storage memory
     sets.unpersist(blocking = true)
-    val tp = pred.join(truth, Seq("a_id", "b_id"))
-    pred.agg(count(lit(1)).as("n_pred"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+    val nTp = pred.join(truth, Seq("a_id", "b_id")).count()
+    // everything downstream is constant arithmetic — free both pair
+    // caches before returning (the query-scope release would get them
+    // anyway; doing it here keeps the footprint out of the next query)
+    pred.unpersist(blocking = false); truth.unpersist(blocking = false)
+    // the ratios stay Spark SQL expressions (not driver math) so the
+    // double arithmetic and 6-dp rounding follow the exact same libm
+    // path as before — only the inputs became literals
+    s.range(1)
+      .select(lit(nPred).as("n_pred"), lit(nTruth).as("n_truth"), lit(nTp).as("n_tp"))
       .select(col("n_pred"), col("n_truth"), col("n_tp"),
         expr("round(CAST(n_tp AS DOUBLE) / greatest(n_pred, 1), 6)").as("prec"),
         expr("round(CAST(n_tp AS DOUBLE) / greatest(n_truth, 1), 6)").as("rec"),

@@ -84,6 +84,41 @@ object Gateway {
           .otherwise(lit(null).cast("string")).as("uid"),
         concat(lit("ip-"), uid).as("ip"))
 
+  /** wxuser dim shared by [[qAuthDispatch]] and [[qGatewayPipeline]]:
+    * only user_id % 8 == 0 resolves (so % 8 == 4 misses → 307). Both
+    * consumers are oracle-pinned, so any drift in this ONE definition
+    * fails two hashes loudly. */
+  private def wxDim(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("user_id") % 8 === 0)
+      .select(substring(md5(concat(lit("wx"), uid)), 1, 28).as("w_token"),
+        concat(lit("wx:"), uid).as("w_uid")).distinct()
+
+  /** session dim shared the same way: only user_id % 8 == 2 resolves
+    * (% 8 == 6 misses → 307). */
+  private def sessDim(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("user_id") % 8 === 2)
+      .select(concat(lit("sess-"), uid).as("s_token"),
+        concat(lit("sess:"), uid).as("s_uid")).distinct()
+
+  /** The module→address routing dim (the reference's static socket map,
+    * gateway.ts:292/324) — shared by [[qRoute]] and [[qGatewayPipeline]]. */
+  private def moduleDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("click", "tcp://svc-click:5558"),
+      ("purchase", "tcp://svc-purchase:5560"),
+      ("signup", "tcp://svc-signup:5562")).toDF("mod_name", "addr")
+  }
+
+  /** G5 admin address rewrite — INTENDED semantics (adjacent port =
+    * port+1 with numeric carry), not the reference's no-carry string
+    * bug (gateway.ts:45-53). Shared by both rewrite consumers. */
+  private def adminAdjacent(addr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val pre = "^(.*:)([0-9]+)$"
+    concat(regexp_extract(addr, pre, 1),
+      (regexp_extract(addr, pre, 2).cast("int") + 1).cast("string"))
+  }
+
   /** The batch query face of [[authDispatch]] over events-derived
     * requests and dims. */
   def qAuthDispatch(s: SparkSession, d: String): DataFrame = {
@@ -91,15 +126,7 @@ object Gateway {
       .select(col("event_id"), col("user_id"), col("event_type"))
       .withColumn("domain", domainCol)
       .withColumn("token", tokenCol)
-    // wxuser dim: only user_id % 8 == 0 resolves (so % 8 == 4 misses → 307)
-    val wx = Tables.events(s, d).filter(col("user_id") % 8 === 0)
-      .select(substring(md5(concat(lit("wx"), uid)), 1, 28).as("w_token"),
-        concat(lit("wx:"), uid).as("w_uid")).distinct()
-    // session dim: only user_id % 8 == 2 resolves (% 8 == 6 misses → 307)
-    val sess = Tables.events(s, d).filter(col("user_id") % 8 === 2)
-      .select(concat(lit("sess-"), uid).as("s_token"),
-        concat(lit("sess:"), uid).as("s_uid")).distinct()
-    authDispatch(ev, wx, sess)
+    authDispatch(ev, wxDim(s, d), sessDim(s, d))
   }
 
   /** G4/G5 — route demultiplex by module + admin address rewrite.
@@ -107,25 +134,16 @@ object Gateway {
     * output (gateway.ts:195, 288-298). The admin rewrite implements the
     * INTENDED semantics (adjacent port = port+1 with carry), not the
     * reference's no-carry string bug (gateway.ts:45-53). */
-  def qRoute(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val dim = Seq(
-      ("click", "tcp://svc-click:5558"),
-      ("purchase", "tcp://svc-purchase:5560"),
-      ("signup", "tcp://svc-signup:5562")).toDF("mod_name", "addr")
-    val pre = "^(.*:)([0-9]+)$"
+  def qRoute(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"), col("event_type").as("mod_name"), domainCol.as("domain"))
-      .join(broadcast(dim), Seq("mod_name"), "left")
+      .join(broadcast(moduleDim(s)), Seq("mod_name"), "left")
       .select(
         col("event_id"), col("mod_name"), col("domain"),
         when(col("addr").isNull, lit(null).cast("string"))
-          .when(col("domain") === "admin",
-            concat(regexp_extract(col("addr"), pre, 1),
-              (regexp_extract(col("addr"), pre, 2).cast("int") + 1).cast("string")))
+          .when(col("domain") === "admin", adminAdjacent(col("addr")))
           .otherwise(col("addr")).as("resolved_addr"),
         when(col("addr").isNull, 404).otherwise(200).as("status"))
-  }
 
   /** G6 — intended rate-limit semantics: count per token over a rolling
     * 1-second event-time window, deny above 10 (gateway.ts:139-171; the
@@ -235,19 +253,7 @@ object Gateway {
     * density — window size and cap are the only knobs turned.
     */
   def qGatewayPipeline(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val dim = Seq(
-      ("click", "tcp://svc-click:5558"),
-      ("purchase", "tcp://svc-purchase:5560"),
-      ("signup", "tcp://svc-signup:5562")).toDF("mod_name", "addr")
-    val wx = Tables.events(s, d).filter(col("user_id") % 8 === 0)
-      .select(substring(md5(concat(lit("wx"), uid)), 1, 28).as("w_token"),
-        concat(lit("wx:"), uid).as("w_uid")).distinct()
-    val sess = Tables.events(s, d).filter(col("user_id") % 8 === 2)
-      .select(concat(lit("sess-"), uid).as("s_token"),
-        concat(lit("sess:"), uid).as("s_uid")).distinct()
     val w24h = Window.partitionBy("user_id").orderBy("tsm").rangeBetween(-86400000000L, 0)
-    val pre = "^(.*:)([0-9]+)$"
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tsm"))
@@ -256,9 +262,9 @@ object Gateway {
       .withColumn("token_kind", kindCol)
       .withColumn("calls_24h", count(lit(1)).over(w24h))
       .withColumnRenamed("event_type", "mod_name")
-      .join(broadcast(dim), Seq("mod_name"), "left")
-      .join(broadcast(wx), col("token") === col("w_token"), "left")
-      .join(broadcast(sess), col("token") === col("s_token"), "left")
+      .join(broadcast(moduleDim(s)), Seq("mod_name"), "left")
+      .join(broadcast(wxDim(s, d)), col("token") === col("w_token"), "left")
+      .join(broadcast(sessDim(s, d)), col("token") === col("s_token"), "left")
       .withColumn("status",
         when(col("addr").isNull, 404)
           .when(col("token").isNull && col("domain") === "mobile", 307)
@@ -277,9 +283,7 @@ object Gateway {
             .when(col("token_kind") === "sess", col("s_uid"))
             .otherwise(lit(""))).as("uid"),
         when(col("status") === 200,
-          when(col("domain") === "admin",
-            concat(regexp_extract(col("addr"), pre, 1),
-              (regexp_extract(col("addr"), pre, 2).cast("int") + 1).cast("string")))
+          when(col("domain") === "admin", adminAdjacent(col("addr")))
             .otherwise(col("addr"))).as("resolved_addr"))
   }
 

@@ -184,18 +184,19 @@ case class MvRewrite(spark: SparkSession, viewName: String,
     // are excluded via the generation's own high-water mark, so a tick
     // is never counted twice.
     lazy val scan = {
-      // fresh-tick resolution BEFORE the generation read, through the
-      // fold-validated snapshot (StreamOps.freshTicks): a concurrent
-      // maintenance fold between the mark read and the tick listing
-      // would otherwise pair a stale mark with the post-fold generation
-      // and double-count (or, in the other order, silently exclude
-      // unfolded ticks); the residual post-validation race fails safe
-      // on the swapped generation's replaced files
+      // generation + fresh ticks come from the ONE validated snapshot
+      // (StreamOps.standingSnapshot): the generation's file listing is
+      // captured inside the mark-validated section, so a concurrent
+      // maintenance fold can neither pair a stale mark with the
+      // post-fold generation (double-count) nor a post-fold listing
+      // with a pre-fold tick list; the residual post-validation race
+      // fails safe on the swapped generation's replaced files, because
+      // the captured listing provably predates the swap
       val withDelta = deltaLocation
         .filter(dd => graft.AtRest.isBuiltTree(dd))
         .map { dd =>
-          val (_, fresh) = graft.streaming.StreamOps.freshTicks(location, dd)
-          val base = spark.read.parquet(location)
+          val (base, fresh) =
+            graft.streaming.StreamOps.standingSnapshot(spark, location, dd)
           if (fresh.isEmpty) base
           else base.unionByName(
             graft.streaming.StreamOps.ticksRelation(spark, dd, fresh)

@@ -67,8 +67,13 @@ object RateLimitStream {
 
     @transient private var st: ValueState[LimitState] = _
 
+    // "_v2": the persisted time domain changed ms → µs (batch-parity
+    // fix); without a state-name bump a query resumed from an OLD
+    // checkpoint would silently reinterpret ms values as µs (1000×
+    // too small) and finalize everything immediately with wrong
+    // window counts. The renamed handle makes a resume start clean.
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[LimitState]("ratelimit",
+      st = getHandle.getValueState[LimitState]("ratelimit_v2",
         Encoders.product[LimitState], TTLConfig.NONE)
 
     /** Finalize every pending call strictly below the watermark, prune

@@ -106,14 +106,42 @@ object StreamOps {
     }.start()
 
   /** One routed tick — exposed so the spec can replay a batch id
-    * verbatim and prove the per-module trees are unchanged. */
+    * verbatim and prove the per-module trees are unchanged.
+    *
+    * LAYOUT NOTE: ticks land as `batch_id=<id>` Hive partitions (the
+    * replay-idempotency contract above), which is a BREAK from the
+    * original flat-append layout — a module tree holding flat part
+    * files next to partition dirs fails Spark's partition discovery
+    * ("conflicting directory structures"), and readers of
+    * `$baseDir/$m` see a new `batch_id` column. [[migrateLegacyFlat]]
+    * heals the first case once per module dir (flat files fold into a
+    * `batch_id=-1` partition, the same legacy id compactTicks uses);
+    * the new column is the documented, intended surface. */
   private[graft] def routedTick(batch: DataFrame, id: Long, baseDir: String,
       mods: Seq[String]): Unit = {
     val cached = batch.persist()
     try mods.foreach { m =>
+      migrateLegacyFlat(new java.io.File(s"$baseDir/$m"))
       cached.filter(col("mod_name") === m)
         .write.mode("overwrite").parquet(s"$baseDir/$m/batch_id=$id")
     } finally { cached.unpersist(); () }
+  }
+
+  /** One-time migration of a module tree written by the pre-partition
+    * flat-append layout: root-level data files move into a
+    * `batch_id=-1` partition (file renames — no rewrite), so a legacy
+    * tree becomes a valid partitioned tree instead of failing partition
+    * discovery with mixed layouts. Idempotent and crash-tolerant: a
+    * half-moved tree just migrates the remainder on the next tick. */
+  private[graft] def migrateLegacyFlat(modDir: java.io.File): Unit = {
+    val flat = Option(modDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isFile &&
+        (f.getName.startsWith("part-") || f.getName == "_SUCCESS"))
+    if (flat.nonEmpty) {
+      val legacy = new java.io.File(modDir, "batch_id=-1")
+      legacy.mkdirs()
+      flat.foreach(f => f.renameTo(new java.io.File(legacy, f.getName)))
+    }
   }
 
   /** STREAMING ANN query serving over the AT-REST IVF index — the
@@ -453,26 +481,44 @@ object StreamOps {
       .filter(col("batch_id").isin(ids.map(Long.box): _*))
       .drop("batch_id")
 
-  /** Snapshot-consistent (hwm, fresh ticks) pair for a standing read:
-    * the mark, the tick listing, and the generation are three separate
-    * filesystem reads, so a concurrent [[mvFoldTicks]] swap between
-    * them would pair a STALE mark with the POST-fold generation and
-    * count the just-folded ticks twice (additive partials — silent).
-    * Optimistic validation closes that window: re-read the mark after
-    * listing; if it moved, retry. The residual race (a fold completing
-    * after validation but before the query's action) fails SAFE — the
-    * swap replaces the generation's files, so the stale plan hits
-    * missing files and errors rather than double-counting. */
-  private[graft] def freshTicks(servingDir: String, deltaDir: String): (Long, Seq[Long]) = {
-    var hwm = foldedThrough(servingDir)
-    var fresh = completedTicks(deltaDir).filter(_ > hwm)
-    var check = foldedThrough(servingDir)
-    while (check != hwm) {
-      hwm = check
-      fresh = completedTicks(deltaDir).filter(_ > hwm)
-      check = foldedThrough(servingDir)
+  /** Snapshot-consistent (serving generation, fresh ticks) pair for a
+    * standing read: the mark, the GENERATION'S FILE LISTING, and the
+    * tick listing are three separate filesystem reads, so a concurrent
+    * [[mvFoldTicks]] swap between any two of them would pair a
+    * pre-fold artifact with a post-fold one and silently double-count
+    * the just-folded ticks (additive partials). Optimistic validation
+    * closes the window, and — critically — the generation DataFrame is
+    * captured INSIDE the validated section (`read.parquet` snapshots
+    * the file listing eagerly): a mark that is stable across the whole
+    * capture proves listing, mark, and ticks all belong to the same
+    * generation, because the mark advances strictly monotonically with
+    * every swap (no ABA). The residual race (a fold completing after
+    * validation but before the query's action) now genuinely fails
+    * SAFE: the captured listing predates the swap, so the stale plan
+    * hits the replaced generation's missing files and errors rather
+    * than unioning folded ticks onto the post-fold generation.
+    * A swap caught mid-rename (generation dir briefly absent) is
+    * retried like a moved mark. */
+  private[graft] def standingSnapshot(s: org.apache.spark.sql.SparkSession,
+      servingDir: String, deltaDir: String): (DataFrame, Seq[Long]) = {
+    var attempts = 0
+    while (true) {
+      val hwm = foldedThrough(servingDir)
+      val serving =
+        try Some(s.read.parquet(servingDir)) // file listing captured NOW
+        catch { case scala.util.control.NonFatal(_) => None } // mid-swap: retry
+      val fresh = completedTicks(deltaDir).filter(_ > hwm)
+      serving match {
+        case Some(g) if foldedThrough(servingDir) == hwm => return (g, fresh)
+        case _ =>
+          attempts += 1
+          // folds are maintenance-cadence; > a handful of moved marks in
+          // a row means something is spinning folds — fail loudly
+          if (attempts > 50) throw new IllegalStateException(
+            s"standingSnapshot: fold high-water mark at $servingDir kept moving ($attempts retries)")
+      }
     }
-    (hwm, fresh)
+    throw new IllegalStateException("unreachable")
   }
 
   /** MAINTENANCE fold: serving generation ⊕ every completed, unfolded,
@@ -515,12 +561,13 @@ object StreamOps {
   /** The CURRENT standing view at partials grain: serving generation ⊕
     * completed unfolded ticks — what a dashboard reads between folds
     * (freshness without waiting for maintenance). Uses the validated
-    * [[freshTicks]] snapshot so a concurrent fold cannot pair a stale
-    * mark with the post-fold generation (silent double-count). */
+    * [[standingSnapshot]] (generation listing captured inside the
+    * validated section) so a concurrent fold can neither pair a stale
+    * mark with the post-fold generation nor a post-fold listing with a
+    * pre-fold tick list (silent double-count either way). */
   private[graft] def mvStanding(s: org.apache.spark.sql.SparkSession,
       servingDir: String, deltaDir: String): DataFrame = {
-    val (_, fresh) = freshTicks(servingDir, deltaDir)
-    val serving = s.read.parquet(servingDir)
+    val (serving, fresh) = standingSnapshot(s, servingDir, deltaDir)
     if (fresh.isEmpty) serving
     else graft.operators.Scale.mvFoldPartials(Seq(serving,
       ticksRelation(s, deltaDir, fresh)))

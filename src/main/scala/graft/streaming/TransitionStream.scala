@@ -58,8 +58,13 @@ object TransitionStream {
 
     @transient private var st: ValueState[TransState] = _
 
+    // "_v2": PendEv/TransState's persisted time domain changed ms → µs
+    // (batch-parity fix); the state-name bump makes a resume from an
+    // old-domain checkpoint start clean instead of silently
+    // reinterpreting ms values as µs (same contract as
+    // RateLimitStream's "ratelimit_v2").
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[TransState]("transitions",
+      st = getHandle.getValueState[TransState]("transitions_v2",
         Encoders.product[TransState], TTLConfig.NONE)
 
     /** Finalize every pending event strictly below the watermark in
