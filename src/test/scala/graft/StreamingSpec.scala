@@ -291,6 +291,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("routed sink migrates a legacy flat module tree into a batch_id=-1 partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_routed_legacy").toString
+    // a module tree written by the pre-partition flat-append layout:
+    // root-level part files, no batch_id= dirs
+    Seq(("click", 1L), ("click", 2L)).toDF("mod_name", "payload")
+      .write.parquet(s"$dir/click")
+    assert(new java.io.File(s"$dir/click").listFiles().exists(_.isFile),
+      "precondition: legacy tree has root-level files")
+    // the next tick must heal the layout, not fail partition discovery
+    graft.streaming.StreamOps.routedTick(
+      Seq(("click", 3L)).toDF("mod_name", "payload"), 0L, dir, Seq("click"))
+    val got = spark.read.parquet(s"$dir/click")
+    assert(got.count() == 3, "legacy rows + new tick rows all readable")
+    assert(got.filter(col("batch_id") === -1L).count() == 2,
+      "legacy rows live under the batch_id=-1 partition")
+    assert(!new java.io.File(s"$dir/click").listFiles().exists(f =>
+      f.isFile && f.getName.startsWith("part-")),
+      "no flat data files remain at the module root")
+    // replaying the tick after migration stays idempotent
+    graft.streaming.StreamOps.routedTick(
+      Seq(("click", 3L)).toDF("mod_name", "payload"), 0L, dir, Seq("click"))
+    assert(spark.read.parquet(s"$dir/click").count() == 3)
+  }
+
   test("session windows run identically as a stream (same builder as the batch oracle query)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -403,7 +428,13 @@ class StreamingSpec extends SparkSpec {
   test("socket source e2e: a real TCP network source feeds the gateway parse path") {
     // the one connector class MemoryStream/file-source don't cover: a
     // network socket (Kafka is unavailable in this sandbox; localhost
-    // TCP exercises the same readStream-connector surface)
+    // TCP exercises the same readStream-connector surface). This test
+    // is the declared STAND-IN for a Kafka source: what a Kafka
+    // deployment must configure on top of it — checkpoints, watermark
+    // delay vs consumer lag, RocksDB provider, the _v2 state-name
+    // resume contract, and why the batch_id-idempotent sinks already
+    // absorb Kafka's at-least-once foreachBatch replays — is written
+    // up in KAFKA.md at the repo root.
     val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     val total = (1 to 50).map(_.toLong).sum
     val feeder = new Thread(() => {
