@@ -366,28 +366,48 @@ object AtRest {
   /** Fold a tombstone tree (takedownSink's `batch_id=<id>` partitions
     * of doc_id rows) into an index PHYSICALLY: rewrite `indexDir`
     * without any row whose `keyCols` hit the tombstone set (atomic
-    * swap, same contract as [[compact]]), then clear the tombstone
-    * tree — after this, raw index reads equal the serving view and the
+    * swap, same contract as [[compact]]), then clear the APPLIED ticks
+    * — after this, raw index reads equal the serving view and those
     * tombstones are spent. Run on the maintenance cadence; serving
     * correctness never depends on it ([[graft.operators.Dedup
-    * .pairsAtRestServing]] applies tombstones logically until then). */
+    * .pairsAtRestServing]] applies tombstones logically until then).
+    *
+    * The tick set is ENUMERATED FIRST and both the read and the
+    * post-swap delete are scoped to exactly those partitions: deleting
+    * the whole tree would silently discard a takedown tick that landed
+    * DURING the rewrite — a dropped legal takedown, the one loss this
+    * lifecycle exists to make impossible. A tick that arrives
+    * mid-rewrite simply survives to the next maintenance pass (and the
+    * logical serving path already honors it immediately). No replay
+    * fence is needed, unlike [[compactTicks]]: re-applying a replayed
+    * tombstone tick is an idempotent anti-join, not a double-count. */
   def applyTombstones(s: SparkSession, indexDir: String, tombDir: String,
       keyCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (!isBuiltTree(tombDir)) return
     restoreCrashedSwap(new java.io.File(indexDir))
-    val t = s.read.parquet(tombDir).select("doc_id").distinct()
+    val ticks = Option(new java.io.File(tombDir).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+    if (ticks.isEmpty) return
+    val t = s.read.parquet(ticks.map(_.getAbsolutePath): _*)
+      .select("doc_id").distinct()
     val tmp = indexDir + ".compact-tmp"
-    keyCols.foldLeft(s.read.parquet(indexDir)) { (df, k) =>
+    val idx = s.read.parquet(indexDir)
+    keyCols.foldLeft(idx) { (df, k) =>
         df.join(broadcast(t.withColumnRenamed("doc_id", k)), Seq(k), "left_anti")
       }
+      // USING-joins move the join column first — restore the index's
+      // own column order so the physical rewrite never changes the
+      // on-disk schema a positional raw reader sees
+      .select(idx.columns.map(col): _*)
       .write.mode("overwrite").parquet(tmp)
-    // the tombstone tree is the rewrite's INPUT: clear it only if the
+    // the applied ticks are the rewrite's INPUT: clear them only if the
     // purged index actually went live — on a rollback the un-purged
     // index still serves and the tombstones must survive for the
     // logical serving path and the next maintenance pass
     if (swapInPlace(indexDir, tmp, "applyTombstones"))
-      deleteRecursively(new java.io.File(tombDir))
+      ticks.foreach(deleteRecursively)
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

@@ -495,11 +495,16 @@ object Multimodal {
       .join(cellsRel.select(col("doc_id").as("b_id"), col("cells").as("cb")), "b_id")
       .filter(expr(nDiff) <= 3)
       .select("a_id", "b_id").persist(StorageLevel.MEMORY_AND_DISK))
-    pred.count(); truth.count() // fill both caches before the fan-out
-    val tp = pred.join(truth, Seq("a_id", "b_id"))
-    pred.agg(count(lit(1)).as("n_pred"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+    // fill both caches AND capture the counts (the q_dedup_eval
+    // pattern): re-aggregating the persisted relations after the
+    // counts already materialized them would double the peak
+    // footprint — the only distributed job left below is the tp join
+    val nPred = pred.count(); val nTruth = truth.count()
+    cellsRel.unpersist(blocking = true) // the join reads only pred/truth
+    val nTp = pred.join(truth, Seq("a_id", "b_id")).count()
+    pred.unpersist(blocking = false); truth.unpersist(blocking = false)
+    s.range(1)
+      .select(lit(nPred).as("n_pred"), lit(nTruth).as("n_truth"), lit(nTp).as("n_tp"))
       .select(col("n_pred"), col("n_truth"), col("n_tp"),
         expr("round(CAST(n_tp AS DOUBLE) / greatest(n_pred, 1), 6)").as("prec"),
         expr("round(CAST(n_tp AS DOUBLE) / greatest(n_truth, 1), 6)").as("rec"),

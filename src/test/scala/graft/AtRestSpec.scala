@@ -142,20 +142,38 @@ class AtRestSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1L, "promoted content must serve")
   }
 
-  test("applyTombstones spends the tombstone tree exactly when the purged index is live") {
+  test("applyTombstones spends exactly the ticks it applied; an unapplied tick survives") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_tomb").toString
     val idx = s"$base/idx"
     val tomb = s"$base/tomb"
     Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id").write.parquet(idx)
     Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$tomb/batch_id=0")
+    // an INCOMPLETE tick (no _SUCCESS — the committed-write marker):
+    // the stand-in for a takedown landing DURING the rewrite. Deleting
+    // the whole tree used to discard it un-applied — a silently dropped
+    // legal takedown; the apply must read and spend only completed
+    // ticks it enumerated up front.
+    Seq(Tuple1(3L)).toDF("doc_id").write.parquet(s"$tomb/batch_id=1")
+    new java.io.File(s"$tomb/batch_id=1", "_SUCCESS").delete()
     // the rollback side is pinned by the Boolean-return spec above
     // (tombstone clearing is gated on promotion); this pins the happy
-    // path: the tree is spent exactly when the purged index went live
+    // path: applied ticks are spent exactly when the purged index
+    // went live, unapplied ones survive to the next maintenance pass
     AtRest.applyTombstones(spark, idx, tomb, Seq("a_id", "b_id"))
     assert(spark.read.parquet(idx).count() == 1L, "tombstoned row purged")
-    assert(!new java.io.File(tomb).exists,
+    assert(spark.read.parquet(idx).collect().head.getLong(0) == 3L,
+      "only the APPLIED tick's ids were purged")
+    assert(!new java.io.File(s"$tomb/batch_id=0").exists,
       "spent tombstones are cleared after a PROMOTED swap")
+    assert(new java.io.File(s"$tomb/batch_id=1").exists,
+      "a tick not part of the rewrite must survive it")
+    // the next maintenance pass picks the survivor up once it commits
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$tomb/batch_id=1", "_SUCCESS"))
+    AtRest.applyTombstones(spark, idx, tomb, Seq("a_id", "b_id"))
+    assert(spark.read.parquet(idx).count() == 0L, "second pass purges the late tick")
+    assert(!new java.io.File(s"$tomb/batch_id=1").exists)
   }
 
   test("gcStale: removes dead fingerprint generations, keeps the live one") {
