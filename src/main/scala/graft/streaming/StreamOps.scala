@@ -506,7 +506,16 @@ object StreamOps {
       val hwm = foldedThrough(servingDir)
       val serving =
         try Some(s.read.parquet(servingDir)) // file listing captured NOW
-        catch { case scala.util.control.NonFatal(_) => None } // mid-swap: retry
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // only a swap CAUGHT MID-RENAME warrants a retry; a serving
+            // directory that is genuinely absent (never built, and no
+            // crashed swap to heal) must fail fast with the real error,
+            // not spin into a misleading "mark kept moving"
+            graft.AtRest.restoreCrashedSwap(new java.io.File(servingDir))
+            if (!new java.io.File(servingDir).exists()) throw e
+            None
+        }
       val fresh = completedTicks(deltaDir).filter(_ > hwm)
       serving match {
         case Some(g) if foldedThrough(servingDir) == hwm => return (g, fresh)

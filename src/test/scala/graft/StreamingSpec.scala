@@ -823,6 +823,15 @@ class StreamingSpec extends SparkSpec {
         "the fold must not re-fold a tick at or below the mark")
       assert(standing().exceptAll(full).isEmpty && full.exceptAll(standing()).isEmpty,
         "a fold run with a resurrected tick present must leave the view exact")
+      // (f) a NEVER-BUILT serving dir fails fast with the real path
+      // error — the snapshot's mid-swap retry must not spin on (or
+      // mask) a generation that simply does not exist
+      val missing = new java.io.File(tmp, "never-built").toString
+      val e = intercept[Exception] {
+        StreamOps.mvStanding(spark, missing, deltaDir)
+      }
+      assert(!e.isInstanceOf[IllegalStateException],
+        s"missing serving dir must surface the read error, got: $e")
     } finally q.stop()
   }
 
