@@ -164,6 +164,28 @@ object AtRest {
         f.isDirectory && new java.io.File(f, "_SUCCESS").isFile)))
   }
 
+  /** The COMMITTED portion of a tick tree, as concrete directories: the
+    * root itself when the tree was rewritten whole (root `_SUCCESS` —
+    * compactTicks' layout), otherwise every `batch_id=<id>` partition
+    * whose own `_SUCCESS` landed. This is the ONE definition of "what a
+    * tombstone/tick reader may see" — every consumer of a tree that is
+    * also MAINTAINED (read-then-delete) must read exactly this set, or
+    * the serving view and the maintenance pass diverge on a partition
+    * that never commits: the logical reader would apply it forever
+    * while the physical fold skips (and never clears) it. Scoping both
+    * to committed partitions also keeps a torn, crash-interrupted
+    * partition write from failing the read. */
+  private[graft] def committedTickDirs(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    restoreCrashedSwap(d)
+    if (!d.isDirectory) Nil
+    else if (new java.io.File(d, "_SUCCESS").isFile) Seq(d)
+    else Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .sortBy(_.getName)
+  }
+
   /** Crash recovery for the maintenance swap: the two-rename sequence
     * (`dir → dir.compact-old`, then `dir.compact-tmp → dir`) is not
     * atomic — a process death between the renames leaves NO live index
@@ -386,9 +408,10 @@ object AtRest {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (!isBuiltTree(tombDir)) return
     restoreCrashedSwap(new java.io.File(indexDir))
-    val ticks = Option(new java.io.File(tombDir).listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
-        new java.io.File(f, "_SUCCESS").isFile)
+    // the SAME committed-tick set the logical serving read applies
+    // (Dedup.pairsAtRestServing) — reading a different set would leave
+    // raw and serving permanently divergent on a never-committed tick
+    val ticks = committedTickDirs(tombDir)
     if (ticks.isEmpty) return
     val t = s.read.parquet(ticks.map(_.getAbsolutePath): _*)
       .select("doc_id").distinct()

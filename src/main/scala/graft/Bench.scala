@@ -37,6 +37,16 @@ import java.util.concurrent.atomic.AtomicLong
 object Bench {
   private val REPS = 3
 
+  /** JSON string escape for env-controlled text (paths) interpolated
+    * into the output lines — a quote or backslash in a path would
+    * invalidate the whole line. Shared with [[Slope]]. */
+  private[graft] def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -220,14 +230,6 @@ object Bench {
     // the whole round's bench. Here just the COUNT of rows that built
     // an index inside a timed rep (0 on a warm at-rest tree).
     val builtCount = sorted.count(_._8.nonEmpty)
-    // escape env-controlled text before interpolating into JSON — a
-    // quote or backslash in the path would invalidate the whole line
-    def esc(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val sfJ = esc(sfDir)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"built_in_rep":$builtCount,"failed":$failed,"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfJ"}"""
     // full attribution for EVERY row (slowest first), one object per
@@ -237,7 +239,12 @@ object Bench {
       "\"" + k + "\":[" + fmt(v) + "," + sh / 1024 + "," + sp / 1024 + "," + gc + "," + cn +
         ",[" + rs.map(fmt).mkString(",") + "],\"" + b.mkString("+") + "\"]"
     }.mkString(",")
-    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"n_queries":${results.size},"sf":"$sfJ","columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built"],"queries":{$attr}}"""
+    // "reps" is the BASE rep count; rows the adaptive widening re-ran
+    // carry 5 entries in their reps_sec array and are counted in
+    // "widened" — so the file can't claim median-of-3 for a row whose
+    // reported median was actually taken over 5
+    val widened = results.count(_._7.size > REPS)
+    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"widened":$widened,"n_queries":${results.size},"sf":"$sfJ","columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built"],"queries":{$attr}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_attr.json"),
       (attrLine + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"bench_attr.json write failed: $t") }

@@ -93,7 +93,9 @@ object Slope {
     val body = sorted.map { case (n, a, b, r, bu) =>
       "\"" + n + "\":[" + fmt(a) + "," + fmt(b) + "," + fmt(r) + ",\"" + bu.mkString("+") + "\"]"
     }.mkString(",")
-    val line = s"""{"sf_small":"$sfSmall","sf_big":"$sfBig","reps":$REPS,"stat":"min","flag_over":$flagOver,"n_queries":${rows.size},"flagged":[${flagged.map("\"" + _._1 + "\"").mkString(",")}],"columns":["small_sec","big_sec","ratio","atrest_built"],"queries":{$body}}"""
+    // env-controlled paths go through the shared escaper (Bench.esc) —
+    // a quote/backslash in an override would invalidate the whole file
+    val line = s"""{"sf_small":"${Bench.esc(sfSmall)}","sf_big":"${Bench.esc(sfBig)}","reps":$REPS,"stat":"min","flag_over":$flagOver,"n_queries":${rows.size},"flagged":[${flagged.map("\"" + _._1 + "\"").mkString(",")}],"columns":["small_sec","big_sec","ratio","atrest_built"],"queries":{$body}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("slope.json"),
       (line + "\n").getBytes("UTF-8"))
     println(s"SLOPE DONE: ${rows.size} queries, ${flagged.size} flagged > ${flagOver}x -> slope.json")

@@ -257,9 +257,16 @@ object Dedup {
     * physically on the maintenance cadence. */
   private[graft] def pairsAtRestServing(s: SparkSession, d: String, tombDir: String): DataFrame = {
     val pairs = pairsAtRest(s, d)
-    if (!graft.AtRest.isBuiltTree(tombDir)) pairs
+    // read exactly the COMMITTED ticks (the set applyTombstones folds
+    // and clears) — a whole-tree read would logically apply a
+    // never-committed partition forever while the physical fold can
+    // neither apply nor clear it, so raw and serving would never
+    // converge (and a torn partition write could fail the read)
+    val ticks = graft.AtRest.committedTickDirs(tombDir)
+    if (ticks.isEmpty) pairs
     else {
-      val t = s.read.parquet(tombDir).select("doc_id").distinct()
+      val t = s.read.parquet(ticks.map(_.getAbsolutePath): _*)
+        .select("doc_id").distinct()
       pairs
         .join(broadcast(t.withColumnRenamed("doc_id", "a_id")), Seq("a_id"), "left_anti")
         .join(broadcast(t.withColumnRenamed("doc_id", "b_id")), Seq("b_id"), "left_anti")
@@ -1685,7 +1692,14 @@ object Dedup {
     * stages shrink ~4×. Both sub-pipelines keep their own shapes
     * (banded buckets, prefix-filtered candidates); each pair set is
     * persisted before the 2-way fan-out (count + join) so neither
-    * pipeline replays. */
+    * pipeline replays.
+    *
+    * EAGER by design (unlike the other registry entries, which return
+    * lazy plans): the distributed work — two count fills + the tp join
+    * — runs at CALL time and the returned frame is the literal-backed
+    * 1-row result. This is what keeps the peak footprint down (the
+    * counts are captured, never re-aggregated); the cost is that plan
+    * inspection of the returned frame sees only literals. */
   def qDedupEval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     graft.functions.Shingles3.register(s)

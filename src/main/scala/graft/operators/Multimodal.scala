@@ -464,7 +464,11 @@ object Multimodal {
     *
     * Scale shape: runs on the deterministic doc_id%2 half (the eval
     * never needs the full corpus); both pair sets persist before the
-    * count/join fan-out; candidates stay band-bounded on both sides. */
+    * count/join fan-out; candidates stay band-bounded on both sides.
+    * EAGER by design, like [[graft.operators.Dedup.qDedupEval]]: the
+    * distributed work runs at call time and the returned frame is the
+    * literal-backed 1-row result (captured counts, never
+    * re-aggregated). */
   def qMultimodalPhashEval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // one cell materialization feeds BOTH pipelines (pred parity bits,

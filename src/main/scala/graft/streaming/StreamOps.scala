@@ -140,7 +140,19 @@ object StreamOps {
     if (flat.nonEmpty) {
       val legacy = new java.io.File(modDir, "batch_id=-1")
       legacy.mkdirs()
-      flat.foreach(f => f.renameTo(new java.io.File(legacy, f.getName)))
+      flat.foreach { f =>
+        val dst = new java.io.File(legacy, f.getName)
+        // a failed rename must FAIL the tick, not silently leave the
+        // mixed flat+partitioned layout this migration exists to heal
+        // (that state breaks every subsequent partition discovery). The
+        // one benign collision: the destination already holds this file
+        // from a half-completed earlier migration — drop the source.
+        if (!f.renameTo(dst)) {
+          if (dst.isFile) { f.delete(); () }
+          else throw new java.io.IOException(
+            s"migrateLegacyFlat: cannot move $f into $legacy")
+        }
+      }
     }
   }
 
@@ -508,12 +520,14 @@ object StreamOps {
         try Some(s.read.parquet(servingDir)) // file listing captured NOW
         catch {
           case scala.util.control.NonFatal(e) =>
-            // only a swap CAUGHT MID-RENAME warrants a retry; a serving
-            // directory that is genuinely absent (never built, and no
-            // crashed swap to heal) must fail fast with the real error,
-            // not spin into a misleading "mark kept moving"
+            // a read failure only warrants a retry when a swap was
+            // actually IN FLIGHT — i.e. the mark moved under us. A
+            // persistent failure (dir never built, corrupt footer,
+            // permissions) must surface the REAL exception immediately,
+            // not be masked behind retries or a misleading
+            // "mark kept moving" error.
             graft.AtRest.restoreCrashedSwap(new java.io.File(servingDir))
-            if (!new java.io.File(servingDir).exists()) throw e
+            if (foldedThrough(servingDir) == hwm) throw e
             None
         }
       val fresh = completedTicks(deltaDir).filter(_ > hwm)
@@ -521,8 +535,9 @@ object StreamOps {
         case Some(g) if foldedThrough(servingDir) == hwm => return (g, fresh)
         case _ =>
           attempts += 1
-          // folds are maintenance-cadence; > a handful of moved marks in
-          // a row means something is spinning folds — fail loudly
+          // each retry here means the mark provably ADVANCED since the
+          // attempt began; 50 advances back-to-back means something is
+          // spinning folds — fail loudly
           if (attempts > 50) throw new IllegalStateException(
             s"standingSnapshot: fold high-water mark at $servingDir kept moving ($attempts retries)")
       }

@@ -696,6 +696,15 @@ class StreamingSpec extends SparkSpec {
             "physically-folded index must equal the redacted rebuild")
           // serving view over an empty tombstone tree is the raw index
           assert(served().exceptAll(raw).isEmpty && raw.exceptAll(served()).isEmpty)
+          // an UNCOMMITTED tombstone partition (no _SUCCESS) must be
+          // invisible to the serving read — the logical reader applies
+          // exactly the committed-tick set the physical fold spends, or
+          // raw and serving would diverge forever on a tick that never
+          // commits
+          t0.take(1).toDF("doc_id").write.parquet(s"$tombDir/batch_id=9")
+          new java.io.File(s"$tombDir/batch_id=9", "_SUCCESS").delete()
+          assert(served().exceptAll(raw).isEmpty && raw.exceptAll(served()).isEmpty,
+            "an uncommitted tombstone tick must not be applied logically")
         } finally CacheTracker.releaseAll()
       } finally q.stop()
     } finally {
