@@ -66,24 +66,12 @@ object Curation {
     val sigs = graft.CacheTracker.track(Dedup.withSignature(s2)
       .select(col("doc_id"), col("sig"), array_distinct(col("shingles")).as("sset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bands = sigs.select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))
-        .as(Seq("band_idx", "band_hash")))
-    val cand = bands.as("x")
-      .join(bands.withColumnRenamed("doc_id", "b_id").as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("b_id"))
-      .select(col("x.doc_id").as("a_id"), col("b_id")).distinct()
-    val sa = sigs.select(col("doc_id").as("a_id"), col("sset").as("sa"))
-    val sb = sigs.select(col("doc_id").as("b_id"), col("sset").as("sb"))
-    val drops = cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("b_id")).distinct()
+    // banding + candidate join + exact-Jaccard verify are the SHARED
+    // Dedup pipeline tail (band geometry and threshold are tracked in
+    // Dedup.LshIndexParams for index invalidation — a hand-copied
+    // variant here would have to be mirrored on every tuning change or
+    // the funnel would silently drop a different pair set)
+    val drops = Dedup.lshPairsFrom(sigs).select(col("b_id")).distinct()
     val s3 = s2.join(drops, col("doc_id") === col("b_id"), "left_anti")
     // the funnel
     val a1 = flagged.agg(
@@ -215,12 +203,20 @@ object Curation {
     * split cannot promise). Map-side assignment + one tiny grouped
     * audit; the per-stratum totals ride a window over the |lang×split|
     * aggregate, not the corpus. */
-  def qSplitStratified(s: SparkSession, d: String): DataFrame = {
+  /** The hash-coin split assignment (md5 bucket % 100 → 80/10/10) — the
+    * ONE definition shared by the split producer ([[qSplitStratified]])
+    * and its audits ([[qSplitLeakage]], [[qSplitRepair]]): hand-copied
+    * thresholds would let the audits silently measure a different split
+    * than the one actually shipped. */
+  private def splitOf: org.apache.spark.sql.Column = {
     val bucket =
       expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+    when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+  }
+
+  def qSplitStratified(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test"))
+      .withColumn("split", splitOf)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("lang_total", sum("n_docs").over(Window.partitionBy("lang")))
@@ -329,10 +325,7 @@ object Curation {
     // restriction identity documented at Dedup.realPairsAtRest) — a
     // bare parquet scan instead of re-running signature+banding+verify
     val pairs = Dedup.realPairsAtRest(s, d)
-    val bucket =
-      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
-    val split = Tables.documents(s, d).select(col("doc_id"),
-      when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test").as("split"))
+    val split = Tables.documents(s, d).select(col("doc_id"), splitOf.as("split"))
     val cells = pairs
       .join(split.select(col("doc_id").as("a_id"), col("split").as("sp_a")), "a_id")
       .join(split.select(col("doc_id").as("b_id"), col("split").as("sp_b")), "b_id")
@@ -369,10 +362,7 @@ object Curation {
     import org.apache.spark.storage.StorageLevel
     val pairs = Dedup.realPairsAtRest(s, d)
     val labels = Dedup.clustersFromPairs(pairs).select("doc_id", "cluster_id")
-    val bucket =
-      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
-    val orig = Tables.documents(s, d).select(col("doc_id"),
-      when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test").as("split"))
+    val orig = Tables.documents(s, d).select(col("doc_id"), splitOf.as("split"))
     // canonical split: the cluster label IS its min member's doc_id
     val canon = labels.filter(col("doc_id") === col("cluster_id"))
       .join(orig, "doc_id")
@@ -522,9 +512,13 @@ object Curation {
       .agg(first("n_rows").as("n_rows"),
         sum("term").as("t_num"),
         first(col("n_total") * col("n_rows") * (col("m") - 1)).as("t_den"))
+      // nullif: m = 1 (a single distinct sensitive value — legitimate
+      // for a perfectly concentrated attribute) zeroes t_den; ANSI
+      // Spark would throw where the DuckDB oracle yields NULL t /
+      // NULL at_risk. Identity whenever m ≥ 2.
       .select(col("event_type"), col("day"), col("n_rows"),
-        round(col("t_num").cast("double") / col("t_den"), 6).as("t"),
-        (col("t_num").cast("double") / col("t_den") > 0.1).as("at_risk"))
+        round(expr("CAST(t_num AS DOUBLE) / nullif(t_den, 0)"), 6).as("t"),
+        (expr("CAST(t_num AS DOUBLE) / nullif(t_den, 0)") > 0.1).as("at_risk"))
   }
 
   /** Differentially-private histogram release eval — the privacy
@@ -747,10 +741,15 @@ object Curation {
     * only broadcast is the 3-row ε relation and the 1-row truth mass. */
   def qDpTopk(s: SparkSession, d: String): DataFrame = {
     val k = 10
-    val dfreq = Tables.documents(s, d)
+    // persisted: the vocab-sized df relation has a corpus-sized
+    // lineage (explode + distinct) and three consumers (the ε-swept
+    // release, the true top-k, the truth mass) — without the cache the
+    // dominant stage runs three times
+    val dfreq = graft.CacheTracker.track(Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
       .groupBy("word").agg(count(lit(1)).cast("long").as("df"))
+      .persist())
     val truth = dfreq.orderBy(col("df").desc, col("word")).limit(k)
     val truthMass = truth.agg(sum("df").cast("long").as("df_true_sum"))
     val eps = s.createDataFrame(Seq(("e001", 0.01), ("e01", 0.1), ("e1", 1.0)))
@@ -1007,14 +1006,20 @@ object Curation {
       count(lit(1)).as("n_h"),
       sum("c").as("s1"),
       sum(expr("CAST(c * c AS DECIMAL(38,0))")).as("s2"))
+      // nullif guards: a single-row stratum zeroes (n_h - 1) and an
+      // all-degenerate corpus zeroes sum_w — ANSI Spark would throw
+      // DIVIDE_BY_ZERO where the DuckDB oracle propagates NULL (both
+      // engines then carry the identical NULL chain through wt → base
+      // → alloc, desc ordering putting NULLs last in both). Identity
+      // on any stratum with ≥ 2 rows and any nonzero weight total.
       .withColumn("s_h", expr(
         """sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_h)
-          | / (n_h - 1)) / 100.0""".stripMargin.replace("\n", "")))
+          | / nullif(n_h - 1, 0)) / 100.0""".stripMargin.replace("\n", "")))
       .withColumn("w", expr("CAST(floor(n_h * s_h * 1000.0) AS BIGINT)"))
     val wTot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wRank = Window.orderBy(expr("(w * 10000) % sum_w").desc, col("o_orderpriority"))
+    val wRank = Window.orderBy(expr("(w * 10000) % nullif(sum_w, 0)").desc, col("o_orderpriority"))
     g.withColumn("sum_w", sum("w").over(wTot))
-      .withColumn("base", expr("(w * 10000) div sum_w"))
+      .withColumn("base", expr("(w * 10000) div nullif(sum_w, 0)"))
       .withColumn("deficit", lit(10000L) - sum("base").over(wTot))
       .withColumn("rk", row_number().over(wRank))
       .select(col("o_orderpriority"), col("n_h"), round(col("s_h"), 6).as("s_h"),
@@ -1051,9 +1056,14 @@ object Curation {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), split(lower(col("text")), " ").as("words"))
     val isTarget = col("source").isin("src0", "src1")
-    val toks = docs
+    // persisted: four consumers (totals, the two bucket counts, the
+    // per-doc counts) would otherwise each re-run the corpus-sized
+    // explode+md5 lineage — the qTokenJsDrift pattern
+    val toks = graft.CacheTracker.track(docs
       .select(col("doc_id"), isTarget.as("is_t"), explode(col("words")).as("w"))
       .withColumn("b", expr("CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % 1024"))
+      .select("doc_id", "is_t", "b")
+      .persist())
     val totals = toks.agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("tt"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("tq"))

@@ -101,6 +101,11 @@ object TextAnalysis {
       .withColumn("next_score", lead(col("score_r"), 1).over(
         Window.partitionBy("doc_id").orderBy(desc("score_r"), col("c"))))
       .filter(col("rn") === 1)
+      // a margin needs TWO classes: on a single-class corpus lead()
+      // is NULL and asc ordering would float those docs to the top,
+      // where the oracle's inner join on rn = 2 drops them — filter to
+      // match (identity whenever the training set has ≥ 2 classes)
+      .filter(col("next_score").isNotNull)
       .select(col("doc_id"), col("lang"), col("c").as("pred_lang"),
         round(col("score_r") - col("next_score"), 6).as("margin"))
       .orderBy(col("margin"), col("doc_id"))
@@ -308,24 +313,32 @@ object TextAnalysis {
           .as("kappa"))
   }
 
-  /** Heavy-tail index of the token-frequency distribution — the Hill
+  /** Heavy-tail index of the GRAM-frequency distribution — the Hill
     * estimator over the top-k order statistics
     * (α̂ = k / Σᵢ ln(fᵢ/f₍ₖ₊₁₎)), the standard complement to
     * q_zipf_fit's global OLS slope: Hill reads ONLY the extreme tail,
     * so it detects when the head obeys Zipf but the tail doesn't (the
     * boilerplate-flood / template-corpus signature). k = 64.
     *
+    * The TYPE unit is the word 3-gram, for the q_heaps_law reason:
+    * this corpus' word vocabulary is ~31 types, so a word-unit top-65
+    * selection is EMPTY and the estimator degenerates to the k=0 row
+    * on every tier — the math would never run. The gram universe is
+    * ~16k types at every tier, so the top-65 tail is real.
+    *
     * Determinism: the top-(k+1) selection is ordered by (freq DESC,
-    * token ASC) — a TakeOrderedAndProject, never a global sort — and
+    * gram ASC) — a TakeOrderedAndProject, never a global sort — and
     * the 64 ln terms sum as a pinned-order left fold over the
     * rank-sorted list (the q_jackknife pattern), so α̂ is bit-identical
     * in both engines.
     *
-    * Scale shape: one token-explode aggregate (map-side combined) +
+    * Scale shape: one gram-explode aggregate (map-side combined) +
     * top-65 selection; everything after runs on 65 rows. */
   def qHillTail(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Shingles3.register(s)
     val freqs = Tables.documents(s, d)
-      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .select(split(lower(col("text")), " ").as("words"))
+      .select(explode(expr("shingles3(words)")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
       .orderBy(desc("f"), col("tok")).limit(65)
     val ranked = freqs.withColumn("rk",
@@ -520,7 +533,10 @@ object TextAnalysis {
           .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
           .when(col("s_fr") > 0, "fr")
           .otherwise("unknown"))
-      .withColumn("hit_rate", col("s_en").cast("double") / col("n_bigrams"))
+      // nullif: an empty/1-char doc has 0 bigrams — ANSI Spark would
+      // throw DIVIDE_BY_ZERO where the DuckDB oracle yields NULL;
+      // identity on any real document (n_bigrams ≥ 1)
+      .withColumn("hit_rate", expr("CAST(s_en AS DOUBLE) / nullif(n_bigrams, 0)"))
   }
 
   private val bm25Terms = Seq("hash", "merge", "vector")
@@ -911,17 +927,27 @@ object TextAnalysis {
     * with HOFs; no explode, no join, no shuffle (the same shuffle-free
     * contract PlanShapeSpec pins for the PII scrub). 100 TB cost = one
     * scan; model-weight refresh = one broadcast. */
-  def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, n_chars, n_feat, w_sum) — the classifier's hashed-feature
+    * integer accumulator, the ONE definition shared by inference
+    * ([[qQualityClassifier]]) and the calibration audit
+    * ([[qCalibration]]): the audit is only meaningful if it bins the
+    * EXACT score the deployed classifier computes, so the feature
+    * concat and weight formula must not drift between the two. */
+  private def classifierWsum(s: SparkSession, d: String): DataFrame = {
     graft.functions.Shingles3.register(s)
     Tables.documents(s, d)
       .withColumn("words", split(col("text"), " "))
       .withColumn("fts", expr("concat(words, shingles_n(words, 2))"))
-      .select(col("doc_id"), size(col("fts")).as("n_feat"),
+      .select(col("doc_id"), col("n_chars"), size(col("fts")).as("n_feat"),
         expr("aggregate(fts, CAST(0 AS BIGINT), (acc, f) -> acc + (((CAST(conv(substring(md5(f), 1, 7), 16, 10) AS BIGINT) % 1024) * 2654435761) % 1000003 - 500001))").as("w_sum"))
+  }
+
+  def qQualityClassifier(s: SparkSession, d: String): DataFrame =
+    classifierWsum(s, d)
+      .select(col("doc_id"), col("n_feat"), col("w_sum"))
       .withColumn("score", expr("round(CAST(w_sum AS DOUBLE) / (1000003.0 * n_feat), 6)"))
       .withColumn("prob", expr("round(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / (1000003.0 * n_feat)))), 6)"))
       .withColumn("pass_quality", col("w_sum") > 0)
-  }
 
   /** Calibration-bin (reliability diagram) audit of the
     * [[qQualityClassifier]] score against a reference label — the
@@ -941,14 +967,9 @@ object TextAnalysis {
     * scan computes w_sum/bin per document, then a map-side-combined
     * aggregate over ≤ 21 bin keys. */
   def qCalibration(s: SparkSession, d: String): DataFrame = {
-    graft.functions.Shingles3.register(s)
     def fdiv(x: String, dd: String) =
       s"(($x) - (((($x) % ($dd)) + ($dd)) % ($dd))) div ($dd)"
-    Tables.documents(s, d)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("fts", expr("concat(words, shingles_n(words, 2))"))
-      .select(col("doc_id"), col("n_chars"), size(col("fts")).as("n_feat"),
-        expr("aggregate(fts, CAST(0 AS BIGINT), (acc, f) -> acc + (((CAST(conv(substring(md5(f), 1, 7), 16, 10) AS BIGINT) % 1024) * 2654435761) % 1000003 - 500001))").as("w_sum"))
+    classifierWsum(s, d)
       .withColumn("score_ppm",
         expr(fdiv("w_sum * 1000000", "1000003 * CAST(n_feat AS BIGINT)")))
       .withColumn("bin_id",
@@ -2604,8 +2625,10 @@ object TextAnalysis {
          |    / CAST(CAST(n AS BIGINT) * n - pe_num AS DOUBLE), 6) AS kappa
          |FROM a CROSS JOIN pe""".stripMargin,
     "q_hill_tail" ->
-      """WITH f AS (SELECT tok, COUNT(*) AS f
-        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      """WITH w0 AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS tok FROM w0),
+        |f AS (SELECT tok, COUNT(*) AS f FROM g
         |  GROUP BY 1 ORDER BY f DESC, tok LIMIT 65),
         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk FROM f),
         |ref AS (SELECT CAST(f AS BIGINT) AS f_ref FROM r WHERE rk = 65),
