@@ -337,6 +337,9 @@ object Advanced {
       .filter(col("flag_a") < col("flag_b"))
       .groupBy("flag_a", "flag_b").agg(count(lit(1)).as("exact_inter"))
     pairs.join(exactInter, Seq("flag_a", "flag_b"))
+      // exact_inter ≥ 1 structurally: it is a COUNT(*) over an inner
+      // join, so zero-intersection pairs emit NO row (in both engines)
+      // rather than a zero denominator
       .select(col("flag_a"), col("flag_b"), col("exact_a"), col("exact_b"), col("exact_inter"),
         (abs(col("est_inter") - col("exact_inter")) / col("exact_inter") <= 0.10).as("inter_ok"))
   }

@@ -139,6 +139,20 @@ object EventWindows {
     transitionCounts(graft.Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
 
+  /** Calendar day index of an event — the ONE definition of the daily
+    * bucketing every per-day series query shares with its oracle CTE
+    * (`floor(epoch(ts) / 86400)`): the expression must stay
+    * bit-identical across all of them, so it has one definition. */
+  private def dayIdx: org.apache.spark.sql.Column =
+    expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+
+  /** Per-(event_type, day) event counts — the daily series every
+    * trend/control-chart/correlation query starts from. */
+  private def dailyCounts(s: SparkSession, d: String, alias: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(col("event_type"), dayIdx.as("day_idx"))
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as(alias))
+
   /** Consecutive (from, to) pairs per user in (ts, event_id) order —
     * the shared core of the batch matrix and the streaming twin's
     * parity spec ([[graft.streaming.TransitionStream]]). `ev` needs
@@ -337,10 +351,7 @@ object EventWindows {
     * across types. The oracle replays the recurrence as a recursive
     * CTE. */
   def qEwmaAnomaly(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n_events"))
+    val daily = dailyCounts(s, d, "n_events")
     daily.groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day_idx"), col("n_events")))).as("days"))
       .withColumn("tl", expr(
@@ -388,10 +399,7 @@ object EventWindows {
     * O(calendar days) rows as a codegen HOF, parallel across types.
     * The oracle replays the recurrence as a recursive CTE. */
   def qHoltTrend(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n_events"))
+    val daily = dailyCounts(s, d, "n_events")
     val lnew = "CASE WHEN NOT acc.init THEN x.n_events * 1000000 ELSE " +
       fdiv("2 * x.n_events * 1000000 + 8 * (acc.pl + acc.pb)", 10) + " END"
     val bnew = "CASE WHEN NOT acc.init THEN CAST(0 AS BIGINT) ELSE " +
@@ -428,10 +436,7 @@ object EventWindows {
     * days) rows partitioned by type, and the seasonal join is a
     * broadcast of type×7 rows. */
   def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n_events"))
+    val daily = dailyCounts(s, d, "n_events")
     val w7 = Window.partitionBy("event_type").orderBy("day_idx")
       .rangeBetween(-3, 3)
     val t = daily
@@ -467,8 +472,7 @@ object EventWindows {
     * filter broadcasts a calendar-sized list. */
   def qSlidingDistinct(s: SparkSession, d: String): DataFrame = {
     val du = graft.Tables.events(s, d)
-      .select(col("user_id"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .select(col("user_id"), dayIdx.as("day_idx"))
       .distinct()
     val wU = Window.partitionBy("user_id").orderBy("day_idx")
     val contrib = du
@@ -492,8 +496,7 @@ object EventWindows {
     * is O(max streak) rows. All integers — hash-exact. */
   def qStreaks(s: SparkSession, d: String): DataFrame = {
     val du = graft.Tables.events(s, d)
-      .select(col("user_id"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+      .select(col("user_id"), dayIdx.as("day_idx"))
       .distinct()
     val w = Window.partitionBy("user_id").orderBy("day_idx")
     val streaks = du
@@ -520,10 +523,7 @@ object EventWindows {
     * (type, day+lag) over O(types × calendar days × 7) rows. The
     * variance guard nulls r for constant series. */
   def qAcf(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(s, d, "n")
     val a = daily
       .withColumn("lag_d", explode(expr("sequence(CAST(1 AS BIGINT), CAST(7 AS BIGINT))")))
     val b = daily.select(col("event_type").as("et2"), col("day_idx").as("day2"),
@@ -558,10 +558,7 @@ object EventWindows {
     * (type, day) count; the fold runs per type over O(calendar days)
     * rows, parallel across types. */
   def qCusum(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(s, d, "n")
     val spNew = "greatest(CAST(0 AS BIGINT), acc.sp + x.n * 1000000 - mu_ppm)"
     val snNew = "greatest(CAST(0 AS BIGINT), acc.sn + mu_ppm - x.n * 1000000)"
     daily.groupBy("event_type")
@@ -728,12 +725,12 @@ object EventWindows {
     * distributed joins would re-run the corpus aggregation per
     * reference). The oracle unrolls the same three steps as CTEs. */
   def qMarkovStationary(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val trans = graft.Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("from_type"))
-      .withColumn("to_type", lead("from_type", 1).over(w))
-      .filter(col("to_type").isNotNull)
+    // the pair derivation is the SHARED transitionPairs core (the same
+    // (ts, event_id) ordering convention the streaming twin's parity
+    // spec pins) — an inline copy here would silently keep the old
+    // convention if that ordering ever changed
+    val trans = transitionPairs(graft.Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
@@ -771,7 +768,7 @@ object EventWindows {
   def qSurvivalKm(s: SparkSession, d: String): DataFrame = {
     val users = graft.Tables.events(s, d)
       .select(col("user_id"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
+        dayIdx.as("day_idx"))
       .groupBy("user_id")
       .agg(min("day_idx").as("first_day"), max("day_idx").as("last_day"))
     val horizon = users.agg(max("last_day").as("w_day"))
@@ -812,10 +809,7 @@ object EventWindows {
     * O(calendar days²) rows per type — bounded by the date range, not
     * the corpus. */
   def qTheilSen(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(s, d, "n")
     val b = daily.select(col("event_type").as("et2"), col("day_idx").as("d2"),
       col("n").as("n2"))
     val slopes = daily.join(b, col("et2") === col("event_type") && col("d2") > col("day_idx"))
@@ -940,10 +934,7 @@ object EventWindows {
     * per-type moment aggregate. Nothing leaves the keyed partitioning;
     * series length only enters through O(days) rows per type. */
   def qLinregTrend(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(s, d, "n")
     daily
       .withColumn("min_day", min("day_idx").over(
         org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
@@ -980,10 +971,7 @@ object EventWindows {
     * fan-out join is a broadcast-sized self-join; corpus-sized work is
     * only the first map-side-combined count. */
   def qCrossCorr(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(s, d, "n")
     val a = daily.select(col("event_type").as("type_a"), col("day_idx"), col("n").as("xa"))
       .withColumn("lag_d", explode(expr("sequence(CAST(0 AS BIGINT), CAST(5 AS BIGINT))")))
     val b = daily.select(col("event_type").as("type_b"), col("day_idx").as("day_b"),
@@ -1025,10 +1013,7 @@ object EventWindows {
     * (type, day) count, a broadcast-sized lag self-join, one tiny
     * per-type aggregate, then per-row arithmetic. */
   def qPacf(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.Tables.events(s, d)
-      .select(col("event_type"),
-        expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"))
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(s, d, "n")
     val a = daily
       .withColumn("lag_d", explode(expr("sequence(CAST(1 AS BIGINT), CAST(3 AS BIGINT))")))
     val b = daily.select(col("event_type").as("et2"), col("day_idx").as("day2"),
@@ -1081,7 +1066,7 @@ object EventWindows {
   def qAbSequential(s: SparkSession, d: String): DataFrame = {
     val daily = graft.Tables.events(s, d)
       .filter(col("event_type") === "purchase")
-      .select(expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day_idx"),
+      .select(dayIdx.as("day_idx"),
         (col("user_id") % 2 === 0).as("arm_a"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy("day_idx")
@@ -1255,8 +1240,7 @@ object EventWindows {
       .filter(col("user_id") % 10 === 0)
       .select(col("user_id"), col("ts"), col("event_id"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-      .withColumn("dt_us", expr("unix_micros(lead(ts, 1) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts)"))
+      .withColumn("dt_us", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
       .filter(col("dt_us").isNotNull) // the last observation holds for 0 time
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_held"),
@@ -2043,6 +2027,7 @@ object EventWindows {
         |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
         |SELECT stage, n_users,
         |  CASE WHEN LAG(n_users) OVER (ORDER BY stage) IS NULL THEN 1.0
+        |       WHEN LAG(n_users) OVER (ORDER BY stage) = 0 THEN 0.0
         |       ELSE round(CAST(n_users AS DOUBLE) / LAG(n_users) OVER (ORDER BY stage), 6)
         |  END AS conversion
         |FROM stages""".stripMargin,
@@ -2060,7 +2045,7 @@ object EventWindows {
     "q_window_session" ->
       """WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events),
         |m AS (SELECT user_id, ts,
-        |    CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM o),
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM o),
         |s AS (SELECT user_id, ts,
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
