@@ -18,12 +18,18 @@ import org.apache.spark.sql.types._
   */
 case class MinHashPerms(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: an EMPTY hash list (a document too short to shingle)
+  // yields [NULL × 16], exactly what the reference HOF produces
+  // (array_min over an empty transform is NULL per slot) and what the
+  // DuckDB oracle's list_min([]) emits — a Long.MaxValue sentinel here
+  // would break signature parity for sub-3-word documents.
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_perms"
 
   override def nullSafeEval(v: Any): Any = {
     val hs = v.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](16)) // all-NULL
     val sig = Array.fill(16)(Long.MaxValue)
     var i = 0
     while (i < n) {
@@ -45,18 +51,22 @@ case class MinHashPerms(child: Expression) extends UnaryExpression {
       val k = ctx.freshName("k"); val h = ctx.freshName("h"); val p = ctx.freshName("p")
       val n = ctx.freshName("n")
       s"""
-         |long[] $sig = new long[16];
-         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |int $n = $c.numElements();
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $c.getLong($i);
-         |  for (int $k = 0; $k < 16; $k++) {
-         |    long $p = ((${MinHashPerms.A}L + 40503L * $k) * $h + ${MinHashPerms.B}L * $k + 97L)
-         |              % ${MinHashPerms.P}L;
-         |    if ($p < $sig[$k]) $sig[$k] = $p;
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[16]);
+         |} else {
+         |  long[] $sig = new long[16];
+         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $c.getLong($i);
+         |    for (int $k = 0; $k < 16; $k++) {
+         |      long $p = ((${MinHashPerms.A}L + 40503L * $k) * $h + ${MinHashPerms.B}L * $k + 97L)
+         |                % ${MinHashPerms.P}L;
+         |      if ($p < $sig[$k]) $sig[$k] = $p;
+         |    }
          |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
        """.stripMargin
     })
 

@@ -357,16 +357,20 @@ object Dedup {
     * duplication.
     *
     * Scale shape: the pair relation is index-at-rest (bounded by LSH
-    * banding); two broadcast-sized joins against the (doc_id, source)
-    * dimension; one |sources|² aggregate. */
+    * banding); two doc-keyed joins against the (doc_id, source)
+    * dimension — NOT hinted broadcast: the dimension is corpus-sized
+    * (one row per document), so a forced broadcast would ship the
+    * whole mapping through the driver at scale; the planner still
+    * auto-broadcasts it when stats say it fits; one |sources|²
+    * aggregate. */
   def qCrossSourceDup(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id").as("base"), col("source"))
     pairsAtRest(s, d)
       .select((col("a_id") % 1000000L).as("a_base"), (col("b_id") % 1000000L).as("b_base"))
-      .join(broadcast(src.withColumnRenamed("base", "a_base")
-        .withColumnRenamed("source", "sa")), "a_base")
-      .join(broadcast(src.withColumnRenamed("base", "b_base")
-        .withColumnRenamed("source", "sb")), "b_base")
+      .join(src.withColumnRenamed("base", "a_base")
+        .withColumnRenamed("source", "sa"), "a_base")
+      .join(src.withColumnRenamed("base", "b_base")
+        .withColumnRenamed("source", "sb"), "b_base")
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
       .groupBy("source_a", "source_b")
@@ -447,11 +451,12 @@ object Dedup {
     val exactDrop = incoming.join(history.select(col("h")).distinct(),
       Seq("h"), "left_semi").select(col("doc_id"))
     val survivors = incoming.join(exactDrop, Seq("doc_id"), "left_anti")
-    // near: banded LSH, incoming side vs history side ONLY
-    def bands(df: DataFrame, idCol: String) = df.select(col("doc_id").as(idCol),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> array_join(transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string)), '-'))"))
-        .as(Seq("band_idx", "band_hash")))
+    // near: banded LSH, incoming side vs history side ONLY — the band
+    // keys come from the ONE shared bandsOf definition (the geometry is
+    // fingerprinted in LshIndexParams; an inline copy would silently
+    // keep the old geometry on a tuning change)
+    def bands(df: DataFrame, idCol: String) =
+      bandsOf(df).withColumnRenamed("doc_id", idCol)
     val cand = bands(survivors, "i_id")
       .join(bands(history, "h_id"), Seq("band_idx", "band_hash"))
       .select("i_id", "h_id").distinct()

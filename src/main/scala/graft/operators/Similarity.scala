@@ -219,8 +219,16 @@ object Similarity {
     * unsigned [0,255] would make every dot product dominated by the
     * constant offset and destroy the ranking; the spec measures
     * recall@5 vs the float baseline. */
-  def qSimSq8(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
+  /** The SQ8 train→encode block shared by [[qSimSq8]] and [[qNdcgEval]]
+    * (q_ann_recall_matrix composes the former): per-dim min/max stats
+    * collected once and re-embedded as broadcast literals, mid-centered
+    * 8-bit codes as one map-side expression. A CONSTANT dimension
+    * (mx = mn — e.g. zero-padded real-world embeddings) codes to 0 in
+    * both engines instead of dividing by zero (ANSI Spark would throw,
+    * the DuckDB oracle would emit NULL slots); identity whenever every
+    * dimension varies. One definition, because the NDCG audit is only
+    * meaningful if it scores the EXACT ranking the search ships. */
+  private def sq8Coded(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
     val stats = e.select(posexplode(col("ce")).as(Seq("dim", "v")))
@@ -228,9 +236,15 @@ object Similarity {
       .orderBy("dim").collect()
     val mns = array(stats.map(r => lit(r.getDouble(1))): _*)
     val mxs = array(stats.map(r => lit(r.getDouble(2))): _*)
-    val coded = e.withColumn("mn", mns).withColumn("mx", mxs)
+    e.withColumn("mn", mns).withColumn("mx", mxs)
       .withColumn("code", expr(
-        "transform(sequence(0, 63), i -> CAST(floor((ce[i] - (mn[i] + mx[i]) / 2) * 255 / (mx[i] - mn[i]) + 0.5) AS BIGINT))"))
+        "transform(sequence(0, 63), i -> CASE WHEN mx[i] = mn[i] THEN CAST(0 AS BIGINT) ELSE CAST(floor((ce[i] - (mn[i] + mx[i]) / 2) * 255 / (mx[i] - mn[i]) + 0.5) AS BIGINT) END)"))
+      .select(col("vec_id"), col("ce"), col("code"))
+  }
+
+  def qSimSq8(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val coded = sq8Coded(s, d)
     val queries = coded.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("code").as("qc"), col("ce").as("qe"))
     val cands = coded.select(col("vec_id").as("c_id"), col("code").as("cc"), col("ce"))
@@ -263,16 +277,7 @@ object Similarity {
     * index — the plan shape is sample-size, not corpus-size. */
   def qNdcgEval(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-    val stats = e.select(posexplode(col("ce")).as(Seq("dim", "v")))
-      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
-      .orderBy("dim").collect()
-    val mns = array(stats.map(r => lit(r.getDouble(1))): _*)
-    val mxs = array(stats.map(r => lit(r.getDouble(2))): _*)
-    val coded = e.withColumn("mn", mns).withColumn("mx", mxs)
-      .withColumn("code", expr(
-        "transform(sequence(0, 63), i -> CAST(floor((ce[i] - (mn[i] + mx[i]) / 2) * 255 / (mx[i] - mn[i]) + 0.5) AS BIGINT))"))
+    val coded = sq8Coded(s, d)
     val queries = coded.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("code").as("qc"), col("ce").as("qe"))
     val cands = coded.select(col("vec_id").as("c_id"), col("code").as("cc"), col("ce"))
@@ -596,6 +601,10 @@ object Similarity {
         .join(truth.withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_returned"),
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        // a method that returned ZERO rows gets no row here — the
+        // oracle's GROUP BY method omits it, and the Spark global agg
+        // would otherwise emit (name, 0, NULL) for a degenerate corpus
+        .filter(col("n_returned") > 0)
         .select(lit(name).as("method"), lit(nq).as("n_queries"),
           col("n_returned"), col("n_hits"),
           round(col("n_hits").cast("double") / lit(5.0 * nq), 6).as("recall_at_5"))
@@ -738,10 +747,15 @@ object Similarity {
         .crossJoin(ranked
           .join(truth.withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
           .agg(count(lit(1)).as("n_returned"),
-            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits")))
+            // coalesce: sum over ZERO returned rows is NULL, but the
+            // oracle's scalar COUNT form yields 0 for the same input
+            coalesce(sum(coalesce(col("hit"), lit(0))), lit(0)).cast("long").as("n_hits")))
         .select(lit(n).as("nprobe"), lit(nq).as("n_queries"), col("n_candidates"),
           col("n_returned"), col("n_hits"),
-          round(col("n_hits").cast("double") / lit(5.0 * nq), 6).as("recall_at_5"))
+          // zero queries (empty corpus) → NULL recall, matching the
+          // oracle's x/0 → NULL — ANSI would throw on the live division
+          (if (nq == 0) lit(null).cast("double")
+           else round(col("n_hits").cast("double") / lit(5.0 * nq), 6)).as("recall_at_5"))
     }.reduce(_ unionByName _)
   }
 
@@ -759,7 +773,13 @@ object Similarity {
     if (!graft.AtRest.isBuilt(centsDir) || !graft.AtRest.isBuilt(cellsDir))
       buildIvfAtRest(s, d)
     val cells = s.read.parquet(cellsDir.toString)
-    val k = s.read.parquet(centsDir.toString).count()
+    // k is the CONFIGURED cell count (the k the quantizer was built
+    // with, which the oracle pins as the same literal) — not the
+    // centroid parquet's row count: a Lloyd step that empties a seed
+    // cell would shrink that count and silently relax the uniform
+    // baseline, when an empty cell is precisely the imbalance this
+    // monitor exists to surface.
+    val k = 8
     val occ = cells.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
     val tot = occ.agg(sum("n_vectors").cast("long").as("n_total"))
     occ.crossJoin(broadcast(tot))
@@ -809,10 +829,15 @@ object Similarity {
         .select(col("q_id"), col("c_id").as("neighbor_id"))
       ranked.join(truth.withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_returned"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+          // coalesce: sum over ZERO returned rows is NULL, the oracle's
+          // scalar COUNT form yields 0 (identity on any real corpus)
+          coalesce(sum(coalesce(col("hit"), lit(0))), lit(0)).cast("long").as("n_hits"))
         .select(lit(dim).as("dims"), lit(nq).as("n_queries"),
           col("n_returned"), col("n_hits"),
-          round(col("n_hits").cast("double") / lit(5.0 * nq), 6).as("recall_at_5"))
+          // zero queries (empty corpus) → NULL recall, matching the
+          // oracle's x/0 → NULL — ANSI would throw on the live division
+          (if (nq == 0) lit(null).cast("double")
+           else round(col("n_hits").cast("double") / lit(5.0 * nq), 6)).as("recall_at_5"))
     }.reduce(_ unionByName _)
   }
 
@@ -933,7 +958,12 @@ object Similarity {
     val ranked = est.withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("e6"), col("c_id"))))
       .filter(col("rank") <= 5)
-    val qv = e.select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    // broadcast ONLY the query subset (vec_id % 20 — the same predicate
+    // pqAdcTable selects on): ranked can only carry those q_ids, and
+    // broadcasting the full corpus here would be 20× the needed bytes —
+    // at scale the whole embedding table through the driver
+    val qv = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"))
     val cv = e.select(col("vec_id").as("c_id"), col("ce"))
     ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
@@ -1013,7 +1043,12 @@ object Similarity {
     val ranked = est.withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("e6"), col("c_id"))))
       .filter(col("rank") <= 5)
-    val qv = e.select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    // broadcast ONLY the query subset (vec_id % 20 — the same predicate
+    // pqAdcTable selects on): ranked can only carry those q_ids, and
+    // broadcasting the full corpus here would be 20× the needed bytes —
+    // at scale the whole embedding table through the driver
+    val qv = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"))
     val cv = e.select(col("vec_id").as("c_id"), col("ce"))
     ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
@@ -1082,7 +1117,12 @@ object Similarity {
     val ranked = est.withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("e6"), col("c_id"))))
       .filter(col("rank") <= 5)
-    val qv = e.select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    // broadcast ONLY the query subset (vec_id % 20 — the same predicate
+    // pqAdcTable selects on): ranked can only carry those q_ids, and
+    // broadcasting the full corpus here would be 20× the needed bytes —
+    // at scale the whole embedding table through the driver
+    val qv = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"))
     val cv = e.select(col("vec_id").as("c_id"), col("ce"))
     ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
@@ -2031,7 +2071,7 @@ object Similarity {
         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm),
         |coded AS (SELECT vec_id, ce,
         |    list_transform(range(1, 65),
-        |      i -> CAST(floor((ce[i] - (mns[i] + mxs[i]) / 2) * 255 / (mxs[i] - mns[i]) + 0.5) AS BIGINT)) AS code
+        |      i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT) ELSE CAST(floor((ce[i] - (mns[i] + mxs[i]) / 2) * 255 / (mxs[i] - mns[i]) + 0.5) AS BIGINT) END) AS code
         |  FROM e CROSS JOIN mm),
         |j AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -2067,7 +2107,7 @@ object Similarity {
          |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm),
          |coded AS (SELECT vec_id, ce,
          |    list_transform(range(1, 65),
-         |      i -> CAST(floor((ce[i] - (mns[i] + mxs[i]) / 2) * 255 / (mxs[i] - mns[i]) + 0.5) AS BIGINT)) AS code
+         |      i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT) ELSE CAST(floor((ce[i] - (mns[i] + mxs[i]) / 2) * 255 / (mxs[i] - mns[i]) + 0.5) AS BIGINT) END) AS code
          |  FROM e CROSS JOIN mm),
          |est AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
