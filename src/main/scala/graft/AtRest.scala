@@ -413,7 +413,29 @@ object AtRest {
     // raw and serving permanently divergent on a never-committed tick
     val ticks = committedTickDirs(tombDir)
     if (ticks.isEmpty) return
-    val t = s.read.parquet(ticks.map(_.getAbsolutePath): _*)
+    // In the whole-tree layout (root _SUCCESS — compactTicks' output)
+    // committedTickDirs returns the root ITSELF; deleting that
+    // recursively after the swap would also discard any batch_id= tick
+    // that lands DURING the rewrite — reintroducing for this layout the
+    // dropped-takedown hazard the tick enumeration exists to prevent.
+    // So for that layout, snapshot the root's concrete data entries
+    // NOW, read exactly those, and spend exactly those: a tick arriving
+    // mid-rewrite is a new root entry, untouched, and survives to the
+    // next pass. The root _SUCCESS marker is removed LAST (after the
+    // spent data) so a crash mid-cleanup leaves a still-committed tree
+    // whose remaining entries re-apply idempotently next pass.
+    val rootDir = new java.io.File(tombDir)
+    val wholeTree = ticks.headOption
+      .exists(_.getAbsolutePath == rootDir.getAbsolutePath)
+    val (spent, marker) =
+      if (wholeTree) {
+        val entries = Option(rootDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .filter(f => (f.isDirectory && f.getName.startsWith("batch_id=")) ||
+            (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        (entries, Some(new java.io.File(rootDir, "_SUCCESS")))
+      } else (ticks, None)
+    if (spent.isEmpty) return
+    val t = s.read.parquet(spent.map(_.getAbsolutePath): _*)
       .select("doc_id").distinct()
     val tmp = indexDir + ".compact-tmp"
     val idx = s.read.parquet(indexDir)
@@ -429,8 +451,10 @@ object AtRest {
     // purged index actually went live — on a rollback the un-purged
     // index still serves and the tombstones must survive for the
     // logical serving path and the next maintenance pass
-    if (swapInPlace(indexDir, tmp, "applyTombstones"))
-      ticks.foreach(deleteRecursively)
+    if (swapInPlace(indexDir, tmp, "applyTombstones")) {
+      spent.foreach(deleteRecursively)
+      marker.foreach(_.delete())
+    }
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

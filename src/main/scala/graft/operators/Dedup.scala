@@ -177,7 +177,12 @@ object Dedup {
     * hashed into the AtRest fingerprint so a threshold or band-geometry
     * change auto-invalidates the indexes. */
   private[graft] val LshIndexParams =
-    "shingle=3,perms=16,bands=4x4,jaccard>=0.5,inject=corpus-v1"
+    // empty-sig=null-v2: the r13 MinHashPerms change ([Long.MaxValue×16]
+    // → [NULL×16] for un-shinglable docs) alters persisted signature
+    // rows, so indexes built before it must be invalidated — the
+    // fingerprint bump here mirrors the streaming checkpoints' "_v2"
+    // state-name bumps.
+    "shingle=3,perms=16,bands=4x4,jaccard>=0.5,inject=corpus-v1,empty-sig=null-v2"
   private def pairsAtRestDir(s: SparkSession, d: String): java.io.File =
     graft.AtRest.dir(s, d, "lsh_pairs", "documents", LshIndexParams)
   private def sigsAtRestDir(s: SparkSession, d: String): java.io.File =

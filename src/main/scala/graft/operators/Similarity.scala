@@ -532,7 +532,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centLit = ivfCentroidsLit(e, k = 8)
+    val centLit = ivfCentroidsLit(e, k = IvfK)
     // -- index: assign every vector to its cell (fresh map-side scan)
     val cells = assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
@@ -652,7 +652,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centLit = ivfCentroidsLit(e, k = 8)
+    val centLit = ivfCentroidsLit(e, k = IvfK)
     centLit.write.mode("overwrite").parquet(centsDir.toString)
     graft.AtRest.writePartitioned(assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce")), "cid", cellsDir.toString)
@@ -686,7 +686,7 @@ object Similarity {
     val hist = e.filter(col("vec_id") % 10 =!= 7)
     val arrivals = e.filter(col("vec_id") % 10 === 7)
     // quantizer trained on the HISTORY sample only, then frozen
-    val centLit = ivfCentroidsLit(hist, k = 8)
+    val centLit = ivfCentroidsLit(hist, k = IvfK)
     val histDir = graft.AtRest.dir(s, d, "ivf_cells_hist", "embeddings",
       IvfIndexParams + ",split=hist-mod10ne7")
     val deltaDir = graft.AtRest.dir(s, d, "ivf_cells_delta", "embeddings",
@@ -724,7 +724,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val centLit = ivfCentroidsLit(e, k = 8)
+    val centLit = ivfCentroidsLit(e, k = IvfK)
     val cells = graft.CacheTracker.track(assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
       .persist(StorageLevel.MEMORY_AND_DISK))
@@ -773,13 +773,13 @@ object Similarity {
     if (!graft.AtRest.isBuilt(centsDir) || !graft.AtRest.isBuilt(cellsDir))
       buildIvfAtRest(s, d)
     val cells = s.read.parquet(cellsDir.toString)
-    // k is the CONFIGURED cell count (the k the quantizer was built
-    // with, which the oracle pins as the same literal) — not the
+    // k is the CONFIGURED cell count (the shared IvfK the quantizer was
+    // built with, which the oracle pins as the same literal) — not the
     // centroid parquet's row count: a Lloyd step that empties a seed
     // cell would shrink that count and silently relax the uniform
     // baseline, when an empty cell is precisely the imbalance this
     // monitor exists to surface.
-    val k = 8
+    val k = IvfK
     val occ = cells.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
     val tot = occ.agg(sum("n_vectors").cast("long").as("n_total"))
     occ.crossJoin(broadcast(tot))
@@ -841,11 +841,19 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The IVF coarse-quantizer cell count — ONE definition shared by
+    * every builder (`buildIvfAtRest`, `qSimIvf`, the PQ compositions)
+    * and every monitor (`qIvfBalance`'s uniform baseline): two
+    * independent literals drifting apart on a tuning change is exactly
+    * the hazard shared definitions exist to remove. Folded into
+    * [[IvfIndexParams]], so changing it invalidates at-rest indexes. */
+  private[graft] val IvfK = 8
+
   /** Every constant the IVF index content/layout depends on — hashed
     * into the AtRest fingerprint so changing any of them (or the
     * on-disk layout) auto-invalidates the index. */
   private[graft] val IvfIndexParams =
-    "k=8,lloyd=2,sample=mod8,seed=lowest-k,metric=cosine-r6,layout=partitionBy(cid)"
+    s"k=$IvfK,lloyd=2,sample=mod8,seed=lowest-k,metric=cosine-r6,layout=partitionBy(cid)"
 
   /** (cells, cents) at-rest directories for the IVF index — shared with
     * the streaming serving spec so builder and server can never
@@ -1007,7 +1015,7 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-    val coarse = ivfCentroidsLit(e, k = 8)
+    val coarse = ivfCentroidsLit(e, k = IvfK)
     val cells = assignCells(e, coarse, 1).select(col("vec_id").as("c_id"), col("cid"))
     val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
@@ -1023,7 +1031,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val coarse = ivfCentroidsLit(e, k = 8)
+    val coarse = ivfCentroidsLit(e, k = IvfK)
     val pq = pqCodebooksLit(e)
     val cells = assignCells(e, coarse, 1).select(col("vec_id").as("c_id"), col("cid"))
     val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, nprobe)
@@ -1081,7 +1089,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val coarse = ivfCentroidsLit(e, k = 8)
+    val coarse = ivfCentroidsLit(e, k = IvfK)
     // residual relation: every vector minus its own cell's centroid —
     // the residual keeps the name `ce` so the PQ trainer/encoder apply
     // unchanged; persisted because training, encoding and the candidate

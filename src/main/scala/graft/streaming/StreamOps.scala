@@ -140,7 +140,15 @@ object StreamOps {
     if (flat.nonEmpty) {
       val legacy = new java.io.File(modDir, "batch_id=-1")
       legacy.mkdirs()
-      flat.foreach { f =>
+      // The _SUCCESS commit marker moves LAST: listFiles order is
+      // arbitrary, and moving the marker before the data files would
+      // let a crash mid-migration leave batch_id=-1 carrying _SUCCESS
+      // while part- files still sit at the module root — a
+      // committed-tick reader would treat the half-filled legacy
+      // partition as complete. Data first keeps the partition
+      // uncommitted until every legacy data file has landed.
+      val ordered = flat.sortBy(_.getName == "_SUCCESS")
+      ordered.foreach { f =>
         val dst = new java.io.File(legacy, f.getName)
         // a failed rename must FAIL the tick, not silently leave the
         // mixed flat+partitioned layout this migration exists to heal
