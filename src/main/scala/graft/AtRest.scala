@@ -226,6 +226,50 @@ object AtRest {
     }
   }
 
+  /** CROSS-PROCESS maintenance mutex for one index directory: an
+    * exclusive `java.nio` FileLock on a stable sibling file
+    * (`<dir>.maintlock` — stable because the index dir itself is renamed
+    * during a swap), held for a maintenance op's whole
+    * read-rewrite-swap-cleanup cycle. Two maintenance processes on the
+    * same index can otherwise interleave a whole REWRITE, not just a
+    * rename: a compact that snapshots the index, loses the CPU while an
+    * applyTombstones purges rows AND spends its tombstone ticks, then
+    * swaps its pre-purge snapshot back in, has silently resurrected
+    * purged rows with the tombstones already deleted — a lost legal
+    * takedown that no amount of rename-healing can repair (the
+    * CrossProcessAtRestSpec scenario). The two-rename healer logic below
+    * still handles crashes and lock-free READER heals; this lock is
+    * about serializing whole rewrite cycles.
+    *
+    * Same-JVM callers serialize on an interned per-path monitor FIRST —
+    * `FileChannel.lock` throws `OverlappingFileLockException` on an
+    * intra-JVM overlap rather than blocking, so the JVM-level mutex is
+    * load-bearing, not an optimization.
+    *
+    * Scale note: `FileLock` is advisory and single-filesystem — exactly
+    * right for the local/driver-side maintenance this repo runs, and for
+    * one maintenance owner per index on a cluster (the deployment
+    * contract: maintenance jobs are scheduled per-index, and this lock
+    * is the same-host belt to that scheduler's suspenders). On an object
+    * store with no rename or lock primitive, maintenance ownership must
+    * come from the scheduler alone. */
+  private val maintMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private[graft] def withMaintenanceLock[T](dirPath: String)(body: => T): T = {
+    val mon = maintMonitors.computeIfAbsent(
+      new java.io.File(dirPath).getAbsolutePath, _ => new Object)
+    mon.synchronized {
+      val lockFile = new java.io.File(dirPath + ".maintlock")
+      Option(lockFile.getParentFile).foreach(_.mkdirs())
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock() // blocks until the other PROCESS releases
+        try body finally l.release()
+      } finally ch.close()
+    }
+  }
+
   /** The shared two-rename swap with rollback on a failed second rename;
     * crashes between the renames are healed by [[restoreCrashedSwap]].
     *
@@ -318,17 +362,18 @@ object AtRest {
     * parquet stats prune reads), atomically swaps it in place via
     * rename, and leaves content byte-identical (AtRestSpec proves
     * exceptAll-equality both ways and the bounded file count). */
-  def compact(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit = {
-    restoreCrashedSwap(new java.io.File(dir))
-    val tmp = dir + ".compact-tmp"
-    import org.apache.spark.sql.functions.col
-    s.read.parquet(dir)
-      .repartition(numFiles)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(tmp)
-    swapInPlace(dir, tmp, "compact") // rollback needs no cleanup: old content serves
-    ()
-  }
+  def compact(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit =
+    withMaintenanceLock(dir) {
+      restoreCrashedSwap(new java.io.File(dir))
+      val tmp = dir + ".compact-tmp"
+      import org.apache.spark.sql.functions.col
+      s.read.parquet(dir)
+        .repartition(numFiles)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+      swapInPlace(dir, tmp, "compact") // rollback needs no cleanup: old content serves
+      ()
+    }
 
   /** Compaction for the STREAMING tick trees (`batch_id=<id>` Hive
     * partitions appended by pairIndexRefreshSink / annQuerySink /
@@ -358,7 +403,7 @@ object AtRest {
     * listing — it is either read into the rewrite and filtered out of
     * tmp, or written into the renamed-away directory and deleted with
     * the backup: lost data either way. */
-  def compactTicks(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit = {
+  def compactTicks(s: SparkSession, dir: String, sortCols: Seq[String], numFiles: Int = 4): Unit = withMaintenanceLock(dir) {
     import org.apache.spark.sql.functions.{col, lit}
     restoreCrashedSwap(new java.io.File(dir))
     val old = new java.io.File(dir)
@@ -404,7 +449,7 @@ object AtRest {
     * fence is needed, unlike [[compactTicks]]: re-applying a replayed
     * tombstone tick is an idempotent anti-join, not a double-count. */
   def applyTombstones(s: SparkSession, indexDir: String, tombDir: String,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String]): Unit = withMaintenanceLock(indexDir) {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (!isBuiltTree(tombDir)) return
     restoreCrashedSwap(new java.io.File(indexDir))

@@ -26,7 +26,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Run: `sbt "runMain graft.Slope"` (≈12 min at local[32]); env
   * overrides SPARK_GRAFT_SF_SMALL / SPARK_GRAFT_SF_BIG /
-  * SPARK_GRAFT_CPUS / SPARK_GRAFT_ONLY (same dev-loop filter as Bench).
+  * SPARK_GRAFT_CPUS / SPARK_GRAFT_ONLY (same dev-loop filter as Bench) /
+  * SPARK_GRAFT_SLOPE_OUT (output path, default `slope.json` — the
+  * derived-corpus audits write their own file, e.g. `slope_emb.json`
+  * for the 10×-embeddings step built by [[EmbCorpus]]).
   */
 object Slope {
   private val REPS = 2
@@ -95,10 +98,11 @@ object Slope {
     }.mkString(",")
     // env-controlled paths go through the shared escaper (Bench.esc) —
     // a quote/backslash in an override would invalidate the whole file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SLOPE_OUT", "slope.json")
     val line = s"""{"sf_small":"${Bench.esc(sfSmall)}","sf_big":"${Bench.esc(sfBig)}","reps":$REPS,"stat":"min","flag_over":$flagOver,"n_queries":${rows.size},"flagged":[${flagged.map("\"" + _._1 + "\"").mkString(",")}],"columns":["small_sec","big_sec","ratio","atrest_built"],"queries":{$body}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("slope.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
-    println(s"SLOPE DONE: ${rows.size} queries, ${flagged.size} flagged > ${flagOver}x -> slope.json")
+    println(s"SLOPE DONE: ${rows.size} queries, ${flagged.size} flagged > ${flagOver}x -> $outPath")
     spark.stop()
   }
 }

@@ -261,13 +261,20 @@ object Dedup {
     * [[graft.AtRest.applyTombstones]] folds the tombstones in
     * physically on the maintenance cadence. */
   private[graft] def pairsAtRestServing(s: SparkSession, d: String, tombDir: String): DataFrame = {
-    val pairs = pairsAtRest(s, d)
     // read exactly the COMMITTED ticks (the set applyTombstones folds
     // and clears) — a whole-tree read would logically apply a
     // never-committed partition forever while the physical fold can
     // neither apply nor clear it, so raw and serving would never
-    // converge (and a torn partition write could fail the read)
+    // converge (and a torn partition write could fail the read).
+    // Listed BEFORE the index relation: under a concurrent fold the
+    // tombs-first snapshot is always safe (old ticks are a SUPERSET of
+    // whatever the fold spends, and anti-joining a spent tombstone
+    // against the already-purged index excludes nothing new), whereas
+    // index-first would open a window — pre-purge index files paired
+    // with a post-spend empty tick list — that transiently resurrects
+    // purged pairs.
     val ticks = graft.AtRest.committedTickDirs(tombDir)
+    val pairs = pairsAtRest(s, d)
     if (ticks.isEmpty) pairs
     else {
       val t = s.read.parquet(ticks.map(_.getAbsolutePath): _*)
