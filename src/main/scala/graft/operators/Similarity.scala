@@ -311,24 +311,47 @@ object Similarity {
   private def codesExpr(bands: Int, bits: Int): String =
     s"hyperplane_codes(ce, $bands, $bits)"
 
-  /** ANN via hyperplane LSH: bucket candidates once, probe the query's
-    * bucket plus all Hamming-1 neighbors, cosine-rank within the probed
-    * set. Oracle-checked: the LCG coefficients are integer-exact and the
-    * plane dot products fold left-to-right, so DuckDB reproduces even
-    * the sign bits; PipelineSpec additionally checks recall vs
+  /** ANN via multi-table hyperplane LSH: 4 independent bands of
+    * ADAPTIVE-width codes (the same `max(4, min(12, bitLength(n−1)−2))`
+    * derivation as the near-dup pipeline, so expected bucket population
+    * stays ~4 at any corpus size), each band probed at the query's own
+    * code plus every Hamming-1 neighbor, cosine-ranked over the distinct
+    * union of probed candidates. The multi-band union keeps recall
+    * bounded as the code widens; the adaptive width keeps per-query
+    * candidates ~(bands · (1+bits) · 4) — FLAT in corpus size, where the
+    * round-13 fixed 4-bit single table probed 5/16 of the WHOLE corpus
+    * per query, a quadratic scale path the 10×-embeddings slope audit
+    * flagged at 12.4× (slope_emb.json; re-measured near-flat after this
+    * change). Oracle-checked: the LCG plane coefficients are
+    * integer-exact, the bit width uses the same bit-length form in SQL,
+    * and the plane dot products fold left-to-right, so DuckDB reproduces
+    * even the sign bits; PipelineSpec additionally checks recall vs
     * [[qSimTopK]]. */
   def qSimAnnLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     graft.functions.HyperplaneCodes.register(s)
+    val n = Tables.parquetRowCount(s, d, "embeddings")
+    val bits = math.max(4, math.min(12, 64 - java.lang.Long.numberOfLeadingZeros(n - 1) - 2))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-      .withColumn("bucket", expr(s"${codesExpr(1, 4)}[0]"))
-    val cands = e.select(col("vec_id").as("c_id"), col("ce"), col("bucket"))
-    val queries = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("q_id"), col("ce").as("qe"), col("bucket").as("qb"))
-      .withColumn("probe", explode(expr("array(qb, qb ^ 1, qb ^ 2, qb ^ 4, qb ^ 8)")))
+    val coded = e.select(col("vec_id"),
+      posexplode(expr(codesExpr(4, bits))).as(Seq("band", "code")))
+    val cands = coded.select(col("vec_id").as("c_id"), col("band"), col("code"))
+    val probes = coded.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("band"), col("code").as("qc"))
+      .withColumn("probe", explode(expr(
+        s"concat(array(qc), transform(sequence(0, ${bits - 1}), j -> qc ^ shiftleft(CAST(1 AS BIGINT), j)))")))
+      .select("q_id", "band", "probe")
+    // a pair colliding in several bands/probes ranks once
+    val pairs = cands.join(broadcast(probes),
+        col("probe") === col("code") && cands("band") === probes("band") &&
+        col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val qv = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("ce").as("qe"))
+    val cv = e.select(col("vec_id").as("c_id"), col("ce"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
-    cands.join(broadcast(queries), col("probe") === col("bucket") && col("q_id") =!= col("c_id"))
+    pairs.join(broadcast(qv), "q_id").join(cv, "c_id")
       .withColumn("cos_r", expr(cosExpr))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -532,7 +555,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centLit = ivfCentroidsLit(e, k = IvfK)
+    val centLit = ivfCentroidsLit(e, k = ivfKOf(s, d))
     // -- index: assign every vector to its cell (fresh map-side scan)
     val cells = assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
@@ -543,7 +566,7 @@ object Similarity {
     * relation — shared by the train-inline form and the at-rest index
     * reader.
     *
-    * The probed-cell set (≤ 2·|queries| values, in practice ≤ k=8 after
+    * The probed-cell set (≤ 2·|queries| values, at most the k cells after
     * distinct) is collected and pushed down as a LITERAL `cid IN (…)`
     * predicate on the cell relation BEFORE the join: against the at-rest
     * index — parquet partitioned by `cid` on disk — this lands in the
@@ -652,7 +675,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centLit = ivfCentroidsLit(e, k = IvfK)
+    val centLit = ivfCentroidsLit(e, k = ivfKOf(s, d))
     centLit.write.mode("overwrite").parquet(centsDir.toString)
     graft.AtRest.writePartitioned(assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce")), "cid", cellsDir.toString)
@@ -686,11 +709,11 @@ object Similarity {
     val hist = e.filter(col("vec_id") % 10 =!= 7)
     val arrivals = e.filter(col("vec_id") % 10 === 7)
     // quantizer trained on the HISTORY sample only, then frozen
-    val centLit = ivfCentroidsLit(hist, k = IvfK)
+    val centLit = ivfCentroidsLit(hist, k = ivfKOf(s, d))
     val histDir = graft.AtRest.dir(s, d, "ivf_cells_hist", "embeddings",
-      IvfIndexParams + ",split=hist-mod10ne7")
+      ivfIndexParams(ivfKOf(s, d)) + ",split=hist-mod10ne7")
     val deltaDir = graft.AtRest.dir(s, d, "ivf_cells_delta", "embeddings",
-      IvfIndexParams + ",split=delta-mod10eq7")
+      ivfIndexParams(ivfKOf(s, d)) + ",split=delta-mod10eq7")
     graft.AtRest.writePartitioned(assignCells(hist, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce")), "cid", histDir.toString)
     // —— the refresh tick: arrivals only, cost ∝ |delta| ——
@@ -707,8 +730,8 @@ object Similarity {
   /** IVF nprobe COST/RECALL SWEEP — the tuning table an index owner
     * reads before fixing the serving nprobe (the IVF analogue of
     * q_lsh_band_sweep's bands×rows knee): for nprobe ∈ {1, 2, 4}, the
-    * scored-candidate count (the per-query serving cost — with k=8
-    * cells, nprobe=4 scans ~half the corpus) against recall@5 vs the
+    * scored-candidate count (the per-query serving cost — each probe
+    * scans ~1/k of the corpus, k = ivfKOf ≈ √n) against recall@5 vs the
     * brute-force cosine truth. The knee — where added probes buy
     * little recall for doubled cost — is the number production serving
     * pins.
@@ -724,7 +747,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val centLit = ivfCentroidsLit(e, k = IvfK)
+    val centLit = ivfCentroidsLit(e, k = ivfKOf(s, d))
     val cells = graft.CacheTracker.track(assignCells(e, centLit, 1)
       .select(col("vec_id").as("c_id"), col("cid"), col("ce"))
       .persist(StorageLevel.MEMORY_AND_DISK))
@@ -773,13 +796,13 @@ object Similarity {
     if (!graft.AtRest.isBuilt(centsDir) || !graft.AtRest.isBuilt(cellsDir))
       buildIvfAtRest(s, d)
     val cells = s.read.parquet(cellsDir.toString)
-    // k is the CONFIGURED cell count (the shared IvfK the quantizer was
-    // built with, which the oracle pins as the same literal) — not the
-    // centroid parquet's row count: a Lloyd step that empties a seed
-    // cell would shrink that count and silently relax the uniform
-    // baseline, when an empty cell is precisely the imbalance this
-    // monitor exists to surface.
-    val k = IvfK
+    // k is the CONFIGURED cell count (the shared ivfKOf derivation the
+    // quantizer was built with, which the oracle computes by the same
+    // bit-length form) — not the centroid parquet's row count: a Lloyd
+    // step that empties a seed cell would shrink that count and
+    // silently relax the uniform baseline, when an empty cell is
+    // precisely the imbalance this monitor exists to surface.
+    val k = ivfKOf(s, d)
     val occ = cells.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
     val tot = occ.agg(sum("n_vectors").cast("long").as("n_total"))
     occ.crossJoin(broadcast(tot))
@@ -843,24 +866,40 @@ object Similarity {
 
   /** The IVF coarse-quantizer cell count — ONE definition shared by
     * every builder (`buildIvfAtRest`, `qSimIvf`, the PQ compositions)
-    * and every monitor (`qIvfBalance`'s uniform baseline): two
-    * independent literals drifting apart on a tuning change is exactly
-    * the hazard shared definitions exist to remove. Folded into
-    * [[IvfIndexParams]], so changing it invalidates at-rest indexes. */
-  private[graft] val IvfK = 8
+    * and every monitor (`qIvfBalance`'s uniform baseline), and —
+    * since round 14 — ADAPTIVE in the corpus size: k = 2^⌊bitLength(n−1)/2⌋
+    * ≈ √n, clamped to [8, 4096] (the driver collects k centroid rows, so
+    * the cap bounds that collect; the floor keeps tiny corpora at the
+    * historical k=8). A FIXED k makes every IVF search quadratic at
+    * scale — candidates/query = nprobe·n/k ∝ n — which the
+    * 10×-embeddings slope audit measured at 12.0× on q_sim_ivf_pq
+    * (slope_emb.json) despite the family's "100 TB shape" design note;
+    * with k ∝ √n the candidate work grows ∝ n^1.5 TOTAL (√n per query),
+    * the standard IVF scaling. Derived integer-exactly from the parquet
+    * footer count by the same bit-length form the oracles compute in
+    * SQL (`LENGTH(BIN(GREATEST(1, COUNT(*)−1)))`), so both engines pick
+    * the same k at every corpus size. Folded into [[ivfIndexParams]],
+    * so a formula change invalidates at-rest indexes. */
+  private[graft] def ivfKFor(n: Long): Int =
+    1 << math.max(3, math.min(12,
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) / 2))
+  private[graft] def ivfKOf(s: SparkSession, d: String): Int =
+    ivfKFor(Tables.parquetRowCount(s, d, "embeddings"))
 
   /** Every constant the IVF index content/layout depends on — hashed
     * into the AtRest fingerprint so changing any of them (or the
     * on-disk layout) auto-invalidates the index. */
-  private[graft] val IvfIndexParams =
-    s"k=$IvfK,lloyd=2,sample=mod8,seed=lowest-k,metric=cosine-r6,layout=partitionBy(cid)"
+  private[graft] def ivfIndexParams(k: Int) =
+    s"k=$k,lloyd=2,sample=mod8,seed=lowest-k,metric=cosine-r6,layout=partitionBy(cid)"
 
   /** (cells, cents) at-rest directories for the IVF index — shared with
     * the streaming serving spec so builder and server can never
     * disagree on the index location. */
-  private[graft] def ivfIndexDirs(s: SparkSession, d: String): (java.io.File, java.io.File) =
-    (graft.AtRest.dir(s, d, "ivf_cells", "embeddings", IvfIndexParams),
-     graft.AtRest.dir(s, d, "ivf_cents", "embeddings", IvfIndexParams))
+  private[graft] def ivfIndexDirs(s: SparkSession, d: String): (java.io.File, java.io.File) = {
+    val params = ivfIndexParams(ivfKOf(s, d))
+    (graft.AtRest.dir(s, d, "ivf_cells", "embeddings", params),
+     graft.AtRest.dir(s, d, "ivf_cents", "embeddings", params))
+  }
 
   /** Product quantization (PQ) — the third classic ANN path next to
     * hyperplane LSH and IVF: 64 dims split into 8 subvectors of 8, each
@@ -980,8 +1019,9 @@ object Similarity {
                 CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
   }
 
-  /** IVF×PQ — the production ANN composition: the k=8 coarse quantizer
-    * prunes the candidate set to each query's nprobe=2 cells, and PQ ADC
+  /** IVF×PQ — the production ANN composition: the corpus-adaptive
+    * k-cell coarse quantizer ([[ivfKFor]], k ≈ √n) prunes the candidate
+    * set to each query's nprobe=2 cells, and PQ ADC
     * ranks only within the probed cells. At 100 TB this is the shape
     * that works: coarse training and PQ training both touch only the
     * 1/8 sample, encoding and cell assignment are map-side against
@@ -1015,7 +1055,7 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-    val coarse = ivfCentroidsLit(e, k = IvfK)
+    val coarse = ivfCentroidsLit(e, k = ivfKOf(s, d))
     val cells = assignCells(e, coarse, 1).select(col("vec_id").as("c_id"), col("cid"))
     val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
@@ -1031,7 +1071,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val coarse = ivfCentroidsLit(e, k = IvfK)
+    val coarse = ivfCentroidsLit(e, k = ivfKOf(s, d))
     val pq = pqCodebooksLit(e)
     val cells = assignCells(e, coarse, 1).select(col("vec_id").as("c_id"), col("cid"))
     val probes = assignCells(e.filter(col("vec_id") % 20 === 0), coarse, nprobe)
@@ -1089,7 +1129,7 @@ object Similarity {
     val e = graft.CacheTracker.track(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val coarse = ivfCentroidsLit(e, k = IvfK)
+    val coarse = ivfCentroidsLit(e, k = ivfKOf(s, d))
     // residual relation: every vector minus its own cell's centroid —
     // the residual keeps the name `ce` so the PQ trainer/encoder apply
     // unchanged; persisted because training, encoding and the candidate
@@ -1504,16 +1544,26 @@ object Similarity {
        |  i -> list_extract(ce, i + 1) * ((CAST((1103515245 * (($p) * 131 + i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0) - 0.5))),
        |  (acc, x) -> acc + x)""".stripMargin
 
-  private val dkBucket: String =
-    (0 until 4).map(k => s"(CASE WHEN ${dkPlane(k.toString)} >= 0 THEN ${1 << k} ELSE 0 END)")
-      .mkString(" + ")
-
   /** DuckDB cosine between two named DOUBLE[] columns (same list_sum
     * formulation that hash-matches the codegen cosine_sim at 6 dp). */
   private def dkCos2(a: String, b: String): String =
     s"""round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
        |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
        |   sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))), 6)""".stripMargin
+
+  /** Seed CTEs for the VARIABLE-k coarse quantizer: `kv` derives k from
+    * the corpus count by the same bit-length form as [[ivfKFor]]
+    * (integer-exact in both engines, GREATEST(1,·) making the empty
+    * corpus agree too), and `c0` takes the k lowest-vec_id rows of the
+    * sample relation `src` as seeds — the SQL twin of
+    * `sample.orderBy("vec_id").limit(k)`. */
+  private def dkIvfSeeds(src: String): String =
+    s"""kv AS (SELECT CAST(1 AS BIGINT) << GREATEST(3, LEAST(12,
+       |    CAST(LENGTH(BIN(GREATEST(1, COUNT(*) - 1))) AS INTEGER) // 2)) AS k FROM e),
+       |c0 AS (
+       |  SELECT CAST(rn - 1 AS INTEGER) AS cid, ce AS centroid
+       |  FROM (SELECT ce, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM $src)
+       |  CROSS JOIN kv WHERE rn <= k)""".stripMargin
 
   /** One unrolled Lloyd iteration over source relation `src`: assign to
     * `prev` centroids, recompute means as vec_id-sorted left folds
@@ -1631,11 +1681,11 @@ object Similarity {
          |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total FROM occ)
          |SELECT CAST(cid AS INTEGER) AS cid, n_vectors, n_total,
          |  round(n_vectors / CAST(n_total AS DOUBLE), 6) AS share,
-         |  round(n_vectors * 8 / CAST(n_total AS DOUBLE), 6) AS load_ratio,
-         |  round(pow(n_vectors - CAST(n_total AS DOUBLE) / 8, 2)
-         |    / (CAST(n_total AS DOUBLE) / 8), 6) AS chi2_term,
-         |  round(n_vectors * 8 / CAST(n_total AS DOUBLE), 6) > 2.0 AS overloaded
-         |FROM occ CROSS JOIN tot""".stripMargin
+         |  round(n_vectors * k / CAST(n_total AS DOUBLE), 6) AS load_ratio,
+         |  round(pow(n_vectors - CAST(n_total AS DOUBLE) / k, 2)
+         |    / (CAST(n_total AS DOUBLE) / k), 6) AS chi2_term,
+         |  round(n_vectors * k / CAST(n_total AS DOUBLE), 6) > 2.0 AS overloaded
+         |FROM occ CROSS JOIN tot CROSS JOIN kv""".stripMargin
     }) +
     // prefix-cosine brute force per dimension, recall vs the full-dim
     // truth; d=64 is the built-in self-check (recall exactly 1.0)
@@ -1852,9 +1902,7 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |grps AS (SELECT unnest(range(0, 8)) AS grp),
          |sm AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
-         |c0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
-         |  FROM (SELECT vec_id, ce FROM sm ORDER BY vec_id LIMIT 8)),
+         |${dkIvfSeeds("sm")},
          |${dkLloyd("sm", "c0", "a1", "m1", "c1")},
          |${dkLloyd("sm", "c1", "a2", "m2", "c2")},
          |$dkPqTrain,
@@ -1894,9 +1942,7 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |grps AS (SELECT unnest(range(0, 8)) AS grp),
          |sraw AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
-         |c0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
-         |  FROM (SELECT vec_id, ce FROM sraw ORDER BY vec_id LIMIT 8)),
+         |${dkIvfSeeds("sraw")},
          |${dkLloyd("sraw", "c0", "a1", "m1", "c1")},
          |${dkLloyd("sraw", "c1", "a2", "m2", "c2")},
          |cellsr AS (
@@ -1954,9 +2000,7 @@ object Similarity {
     "q_sim_ivf_incremental" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0 AND vec_id % 10 <> 7),
-         |c0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
-         |  FROM (SELECT vec_id, ce FROM s ORDER BY vec_id LIMIT 8)),
+         |${dkIvfSeeds("s")},
          |${dkLloyd("s", "c0", "a1", "m1", "c1")},
          |${dkLloyd("s", "c1", "a2", "m2", "c2")},
          |cells AS (
@@ -1983,9 +2027,7 @@ object Similarity {
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
          |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
-         |c0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce AS centroid
-         |  FROM (SELECT vec_id, ce FROM s ORDER BY vec_id LIMIT 8)),
+         |${dkIvfSeeds("s")},
          |${dkLloyd("s", "c0", "a1", "m1", "c1")},
          |${dkLloyd("s", "c1", "a2", "m2", "c2")},
          |cells AS (
@@ -2011,13 +2053,25 @@ object Similarity {
          |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
-         |coded AS (SELECT vec_id, ce, $dkBucket AS bucket FROM e),
-         |q AS (SELECT vec_id AS q_id, ce AS qe, bucket AS qb FROM coded WHERE vec_id % 20 = 0),
-         |probes AS (SELECT q_id, qe,
-         |  unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS probe FROM q),
-         |cand AS (SELECT q_id, qe, vec_id AS c_id, ce
-         |  FROM probes JOIN coded ON probe = bucket AND q_id <> vec_id),
-         |scored AS (SELECT q_id, c_id, $dkCos AS cos_r FROM cand),
+         |bv AS (SELECT GREATEST(4, LEAST(12,
+         |    CAST(LENGTH(BIN(COUNT(*) - 1)) AS INTEGER) - 2)) AS bits FROM e),
+         |coded AS (
+         |  SELECT vec_id, band, list_sum(list_transform(range(0, bits),
+         |    j -> CASE WHEN ${dkPlane("band * bits + j")} >= 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS code
+         |  FROM (SELECT vec_id, ce, unnest([0, 1, 2, 3]) AS band FROM e) CROSS JOIN bv),
+         |probes AS (
+         |  SELECT vec_id AS q_id, band,
+         |    unnest(list_prepend(code, list_transform(range(0, bits),
+         |      j -> xor(code, CAST(1 AS BIGINT) << j)))) AS probe
+         |  FROM coded CROSS JOIN bv WHERE vec_id % 20 = 0),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, c.vec_id AS c_id
+         |  FROM probes p JOIN coded c ON p.band = c.band AND p.probe = c.code AND p.q_id <> c.vec_id),
+         |scored AS (
+         |  SELECT q_id, c_id, ${dkCos2("qe", "ce")} AS cos_r
+         |  FROM cand JOIN (SELECT vec_id, ce AS qe FROM e) qv ON q_id = qv.vec_id
+         |  JOIN (SELECT vec_id, ce FROM e) cv ON c_id = cv.vec_id),
          |ranked AS (SELECT q_id, c_id, cos_r,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS INTEGER) AS rank
          |  FROM scored)
