@@ -348,7 +348,15 @@ object AtRest {
         (f.getName.startsWith(tag + "_") || !f.getName.contains("_") ||
           sourceDead(rootDir, f.getName))))
       .getOrElse(Nil)
-    stale.foreach(deleteRecursively)
+    stale.foreach { f =>
+      deleteRecursively(f)
+      // the generation's maintenance-lock sibling ([[withMaintenanceLock]])
+      // dies with it, or the family directory accumulates one dead lock
+      // file per corpus refresh forever. A stale generation can never be
+      // resolved by [[dir]] again, so no future locker exists for the
+      // unlink to race with.
+      new java.io.File(f.getPath + ".maintlock").delete()
+    }
     stale.size
   }
 

@@ -564,7 +564,13 @@ object StreamOps {
     * the swap reports the new generation live: after a rollback the old
     * mark still serves and the unabsorbed ticks must survive. */
   private[graft] def mvFoldTicks(s: org.apache.spark.sql.SparkSession,
-      servingDir: String, deltaDir: String): Unit = {
+      servingDir: String, deltaDir: String): Unit = graft.AtRest.withMaintenanceLock(servingDir) {
+    // The high-water-mark protocol already makes concurrent cross-process
+    // folds LOSS-free (both fold the same window over the same old
+    // generation, or the loser fails on renamed-away files and the
+    // cadence retries) — the cross-process maintenance lock additionally
+    // makes them WASTE-free, serializing whole fold cycles like every
+    // other at-rest maintenance op since round 14.
     graft.AtRest.restoreCrashedSwap(new java.io.File(servingDir))
     val hwm = foldedThrough(servingDir)
     val foldable = completedTicks(deltaDir).filter(_ > hwm).dropRight(1)
