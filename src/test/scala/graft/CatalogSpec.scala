@@ -40,11 +40,21 @@ class CatalogSpec extends SparkSpec {
     * through the link. */
   private def stagedLocation(t: String): String = {
     val dir = new java.io.File(s"target/graft-cat/$t")
-    if (!dir.isDirectory) {
+    val link = new java.io.File(dir, "part-0000.parquet").toPath
+    val want = java.nio.file.Paths.get(s"$sf/$t.parquet")
+    // The staged dir persists across runs, but the link embeds the
+    // ABSOLUTE corpus path of the run that created it — a later run
+    // with a different SPARK_GRAFT_SF would silently test the old
+    // corpus through the stale link. Re-point it whenever the target
+    // drifted (r14 ADVICE).
+    if (dir.isDirectory &&
+        (!java.nio.file.Files.isSymbolicLink(link) ||
+          java.nio.file.Files.readSymbolicLink(link) != want)) {
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, want)
+    } else if (!dir.isDirectory) {
       dir.mkdirs()
-      java.nio.file.Files.createSymbolicLink(
-        new java.io.File(dir, "part-0000.parquet").toPath,
-        java.nio.file.Paths.get(s"$sf/$t.parquet"))
+      java.nio.file.Files.createSymbolicLink(link, want)
     }
     dir.getAbsolutePath
   }

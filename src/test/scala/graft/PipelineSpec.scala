@@ -420,11 +420,18 @@ class PipelineSpec extends SparkSpec {
       // rankings trade places with the quantizer's cell count (k=8
       // measured a 0.160/0.160 tie, the corpus-adaptive k=16 measures
       // raw 0.208 vs residual 0.160). Assert a BAND instead of an
-      // ordering: residual must stay a working index (within 0.1
-      // absolute recall of raw), and the ordering claim lives with the
-      // clustered-data caveat here rather than in a brittle assert.
-      assert(hitRes >= hitRaw - (nBf + 9) / 10,
-        s"residual recall $hitRes/$nBf fell >0.1 below raw-code recall $hitRaw/$nBf")
+      // ordering: residual must stay within 0.05 absolute recall of
+      // raw (the measured gap is 0.048, and both pipelines are fully
+      // deterministic — fixed corpus, mod-8 sample, lowest-k seeding —
+      // so the margin is stable, r14 ADVICE tightened it from 0.1),
+      // AND clear an absolute floor so a residual path that collapses
+      // toward zero fails even if raw collapses with it. The ordering
+      // claim lives with the clustered-data caveat here rather than in
+      // a brittle assert.
+      assert(hitRes >= hitRaw - (nBf + 19) / 20,
+        s"residual recall $hitRes/$nBf fell >0.05 below raw-code recall $hitRaw/$nBf")
+      assert(hitRes * 10 >= nBf,
+        s"residual recall $hitRes/$nBf fell below the 0.10 working-index floor")
       bf.unpersist()
     } finally { res.unpersist(); CacheTracker.releaseAll() }
   }
