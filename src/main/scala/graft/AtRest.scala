@@ -254,9 +254,19 @@ object AtRest {
     * store with no rename or lock primitive, maintenance ownership must
     * come from the scheduler alone. */
   private val maintMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]
+  /** Monitor key: CANONICAL path, not absolute — two aliases of the same
+    * directory (a symlink, a `..` segment) must serialize on ONE monitor
+    * or the second same-JVM locker hits the kernel lock under a
+    * different key and dies on OverlappingFileLockException instead of
+    * blocking (r14 ADVICE). Canonicalization of a not-yet-existing
+    * index dir resolves through its existing parents, which is exactly
+    * the alias class that matters; IOException falls back to absolute. */
+  private def monitorKey(dirPath: String): String = {
+    val f = new java.io.File(dirPath)
+    try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+  }
   private[graft] def withMaintenanceLock[T](dirPath: String)(body: => T): T = {
-    val mon = maintMonitors.computeIfAbsent(
-      new java.io.File(dirPath).getAbsolutePath, _ => new Object)
+    val mon = maintMonitors.computeIfAbsent(monitorKey(dirPath), _ => new Object)
     mon.synchronized {
       val lockFile = new java.io.File(dirPath + ".maintlock")
       Option(lockFile.getParentFile).foreach(_.mkdirs())
@@ -296,6 +306,20 @@ object AtRest {
     * actually landed is safe for both callers: tombstones re-apply as
     * an idempotent anti-join, and folded-but-unGC'd ticks are excluded
     * by the generation's own high-water mark. */
+  /** Test-only crash injection (CrossProcessAtRestSpec's crash cases):
+    * a JVM launched with `-Dgraft.chaos.halt=<point>` is hard-killed —
+    * `Runtime.halt`, no shutdown hooks, no finally blocks, the closest
+    * in-process stand-in for `kill -9` / an OOM-kill — the first time
+    * execution reaches that named point. Read ONCE at class load, so
+    * in every non-chaos JVM the per-swap cost is one static null
+    * check; the property cannot be set after startup, which is the
+    * point — production JVMs never halt here. */
+  private val chaosHaltAt: String = System.getProperty("graft.chaos.halt")
+  @inline private def chaosPoint(p: String): Unit =
+    if (chaosHaltAt != null && chaosHaltAt == p) {
+      System.err.println(s"CHAOS_HALT at $p"); Runtime.getRuntime.halt(42)
+    }
+
   private[graft] def swapInPlace(dirPath: String, tmpPath: String, op: String): Boolean = synchronized {
     val old = new java.io.File(dirPath)
     val bak = new java.io.File(dirPath + ".compact-old")
@@ -306,6 +330,12 @@ object AtRest {
     if (old.exists() && bak.exists()) deleteRecursively(bak)
     if (!old.renameTo(bak))
       throw new java.io.IOException(s"$op: cannot move $dirPath aside")
+    // THE window restoreCrashedSwap's comment block documents: the live
+    // dir is gone (renamed aside), the new content sits in tmp with its
+    // _SUCCESS, and a process dying RIGHT HERE leaves no serving index
+    // until a survivor heals (promote tmp — it is complete — and drop
+    // the backup). The spec kills a worker at exactly this point.
+    chaosPoint("between-renames")
     if (!tmp.renameTo(old)) {
       if (!bak.renameTo(old) && !old.exists())
         throw new java.io.IOException(s"$op: cannot swap $tmpPath into place")
@@ -316,6 +346,10 @@ object AtRest {
       if (bak.exists()) deleteRecursively(bak)
       false
     } else {
+      // the post-swap window: new content live, stale backup beside it —
+      // a crash here must be healed by the stale-backup branch of
+      // restoreCrashedSwap (also spec-killed)
+      chaosPoint("after-swap")
       deleteRecursively(bak)
       true
     }
@@ -353,9 +387,24 @@ object AtRest {
       // the generation's maintenance-lock sibling ([[withMaintenanceLock]])
       // dies with it, or the family directory accumulates one dead lock
       // file per corpus refresh forever. A stale generation can never be
-      // resolved by [[dir]] again, so no future locker exists for the
-      // unlink to race with.
-      new java.io.File(f.getPath + ".maintlock").delete()
+      // resolved by [[dir]] again so no FUTURE locker exists — but a
+      // maintenance pass that resolved it BEFORE the refresh may still
+      // hold the lock file open; unlinking under it would leave two
+      // processes each "holding" different inodes of the same path
+      // (r14 ADVICE). Unlink only after winning a non-blocking tryLock
+      // on the file — a held lock means a live owner, and that owner's
+      // own gcStale (or the next refresh's) collects the file later.
+      val lockFile = new java.io.File(f.getPath + ".maintlock")
+      if (lockFile.exists()) {
+        try {
+          val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val l = ch.tryLock()
+            if (l != null) { try lockFile.delete() finally l.release() }
+          } finally ch.close()
+        } catch { case _: Exception => () } // racing deleter/owner: leave it
+      }
     }
     stale.size
   }

@@ -73,7 +73,7 @@ class CrossProcessAtRestSpec extends SparkSpec {
     * two processes' maintenance loops genuinely overlap. Classpath =
     * this (forked) test JVM's own classpath, which sbt set to the full
     * compile+test classpath including /opt/spark/jars. */
-  private def spawnWorker(logName: String, args: String*): (Process, java.io.File) = {
+  private def spawnWorker(logName: String, jvmProps: Seq[String], args: String*): (Process, java.io.File) = {
     val cp = System.getProperty("java.class.path")
     assert(cp.contains("classes") || cp.contains(".jar"),
       s"unexpected test classpath: $cp")
@@ -88,7 +88,7 @@ class CrossProcessAtRestSpec extends SparkSpec {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java")
     val log = new java.io.File(baseDir, logName)
-    val cmd = (Seq(javaBin.getAbsolutePath) ++ addOpens ++
+    val cmd = (Seq(javaBin.getAbsolutePath) ++ addOpens ++ jvmProps ++
       Seq("-Xmx2g", "-cp", cp, "graft.AtRestChaos") ++ args)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
@@ -127,7 +127,7 @@ class CrossProcessAtRestSpec extends SparkSpec {
     seedIndex(idx, n)
     val want = expectedSum(n, Set.empty)
 
-    val (p, log) = spawnWorker("compact.log", "compact", idx, "12")
+    val (p, log) = spawnWorker("compact.log", Nil, "compact", idx, "12")
     var retries = 0
     (0 until 12).foreach { i =>
       AtRest.compact(spark, idx, Seq("doc_id"), numFiles = 1 + (i % 3))
@@ -166,7 +166,7 @@ class CrossProcessAtRestSpec extends SparkSpec {
         Seq("doc_id"), "left_anti")
     }
 
-    val (p, log) = spawnWorker("fold.log", "fold", idx, tomb, "25")
+    val (p, log) = spawnWorker("fold.log", Nil, "fold", idx, tomb, "25")
     val appended = scala.collection.mutable.Set.empty[Long]
     var retries = 0
     (1 to 30).foreach { k =>
@@ -203,5 +203,105 @@ class CrossProcessAtRestSpec extends SparkSpec {
       .filter(col("doc_id").isin(appended.toSeq.map(Long.box): _*)).count()
     assert(leaked == 0, s"$leaked purged doc_ids still physically present")
     info(s"30 ticks + 10 local compacts + 25 worker folds interleaved; $retries transient read retries")
+  }
+
+  /** Hard-kill (`Runtime.halt` via `-Dgraft.chaos.halt=<point>`) a
+    * worker mid-fold and return once it is dead, asserting it died at
+    * the injected point (exit 42, CHAOS_HALT in the log, no CHAOS_OK). */
+  private def crashWorker(logName: String, point: String, idx: String, tomb: String): Unit = {
+    val (p, log) = spawnWorker(logName, Seq(s"-Dgraft.chaos.halt=$point"),
+      "fold", idx, tomb, "1")
+    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      s"crash worker did not exit in 180s — log:\n${workerLog(log)}")
+    assert(p.exitValue() == 42 && workerLog(log).contains(s"CHAOS_HALT at $point"),
+      s"worker did not die at the injected point (exit ${p.exitValue()}) — log:\n${workerLog(log)}")
+    assert(!workerLog(log).contains("CHAOS_OK"), "worker claimed completion after a halt")
+  }
+
+  test("crash BETWEEN the two swap renames: survivor heals — no lost takedown, reads exact, tree unwedged") {
+    val idx = s"$baseDir/idx_crash_between"
+    val tomb = s"$baseDir/tomb_crash_between"
+    val n = 2000
+    seedIndex(idx, n)
+    val doomed = Set(30L, 31L, 60L, 61L)
+    import spark.implicits._
+    doomed.toSeq.sorted.toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tomb/batch_id=1")
+
+    // Worker dies with the live dir renamed aside and the folded
+    // content sitting complete in tmp — the exact window the
+    // restoreCrashedSwap contract documents.
+    crashWorker("crash_between.log", "between-renames", idx, tomb)
+
+    // Post-mortem, BEFORE any healer runs (raw file checks only — no
+    // AtRest read predicate, those heal as a side effect):
+    val dirF = new java.io.File(idx)
+    assert(!dirF.exists(), "crash window not reached: live dir still present")
+    assert(new java.io.File(idx + ".compact-old").isDirectory, "backup missing in crash window")
+    assert(new java.io.File(idx + ".compact-tmp", "_SUCCESS").isFile,
+      "folded tmp incomplete in crash window")
+    // and the crashed process's kernel FileLock died with it — a fresh
+    // acquisition must succeed immediately rather than block/throw
+    AtRest.withMaintenanceLock(idx) { () }
+    // NEGATIVE CONTROL — this is what "restoreCrashedSwap disabled"
+    // serves: no index at all. Every read fails until a healer runs;
+    // were the healer a no-op, the post-heal assertions below could
+    // never pass, so this spec case fails outright without it.
+    intercept[Throwable] { spark.read.parquet(idx).count() }
+
+    // Any survivor's first touch heals: tmp carries _SUCCESS, so the
+    // fold is PROMOTED (takedown landed, not rolled back) and the
+    // backup dropped.
+    AtRest.restoreCrashedSwap(dirF)
+    assert(AtRest.isBuilt(dirF), "heal did not restore a serving index")
+    assert(!new java.io.File(idx + ".compact-tmp").exists(), "tmp residue after heal")
+    assert(!new java.io.File(idx + ".compact-old").exists(), "backup residue after heal")
+    val want = expectedSum(n, doomed)
+    val (cnt, sum, _) = readChecksum(() => spark.read.parquet(idx))
+    assert(cnt == n.toLong - doomed.size && sum == want,
+      s"healed index: ($cnt, $sum) want (${n - doomed.size}, $want)")
+    // the crash hit BEFORE the post-swap tick cleanup, so the spent
+    // ticks must still be present (deleting them only on a CONFIRMED
+    // swap is the applyTombstones contract) — and re-applying them is
+    // the idempotent anti-join, not a double-purge
+    assert(AtRest.committedTickDirs(tomb).nonEmpty,
+      "ticks vanished although the cleanup never ran — a crash later would lose takedowns")
+    AtRest.applyTombstones(spark, idx, tomb, Seq("doc_id"))
+    assert(AtRest.committedTickDirs(tomb).isEmpty, "re-fold did not spend the surviving ticks")
+    val (cnt2, sum2, _) = readChecksum(() => spark.read.parquet(idx))
+    assert(cnt2 == n.toLong - doomed.size && sum2 == want, "re-fold changed the healed content")
+    AtRest.compact(spark, idx, Seq("doc_id")) // tree still maintainable
+    val (cnt3, sum3, _) = readChecksum(() => spark.read.parquet(idx))
+    assert(cnt3 == n.toLong - doomed.size && sum3 == want)
+  }
+
+  test("crash AFTER the swap (stale backup beside live dir): heal drops the backup, next swap unwedged") {
+    val idx = s"$baseDir/idx_crash_after"
+    val tomb = s"$baseDir/tomb_crash_after"
+    val n = 2000
+    seedIndex(idx, n)
+    val doomed = Set(12L, 13L)
+    import spark.implicits._
+    doomed.toSeq.sorted.toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tomb/batch_id=1")
+
+    crashWorker("crash_after.log", "after-swap", idx, tomb)
+
+    // post-mortem: new content live, stale backup beside it — the state
+    // that would wedge the NEXT swap's rename-aside if left in place
+    assert(new java.io.File(idx, "_SUCCESS").isFile, "live dir lost in after-swap window")
+    assert(new java.io.File(idx + ".compact-old").isDirectory, "backup missing in after-swap window")
+    val want = expectedSum(n, doomed)
+    val (cnt, sum, _) = readChecksum(() => spark.read.parquet(idx))
+    assert(cnt == n.toLong - doomed.size && sum == want, "promoted fold content wrong after crash")
+
+    AtRest.restoreCrashedSwap(new java.io.File(idx))
+    assert(!new java.io.File(idx + ".compact-old").exists(), "stale backup survived the heal")
+    // the crash predates the tick cleanup here too: drain and verify
+    AtRest.applyTombstones(spark, idx, tomb, Seq("doc_id"))
+    assert(AtRest.committedTickDirs(tomb).isEmpty)
+    AtRest.compact(spark, idx, Seq("doc_id"), numFiles = 2) // the next swap must not wedge
+    val (cnt2, sum2, _) = readChecksum(() => spark.read.parquet(idx))
+    assert(cnt2 == n.toLong - doomed.size && sum2 == want)
   }
 }
