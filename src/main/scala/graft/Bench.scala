@@ -33,9 +33,45 @@ import java.util.concurrent.atomic.AtomicLong
   * written to `bench_attr.json` beside the build (committed per round),
   * so a mid-pack regression self-explains without a builder re-time;
   * the stdout line stays bounded and carries a pointer to it.
+  *
+  * HOST-SPEED CANARY (round 15): the warmup query is re-timed solo
+  * (median-of-3, same hygiene) before the suite, every 60 queries
+  * during it, and once after — `host_factor` = median(those medians) /
+  * the committed quiet-host reference ([[canaryRef]]), and every row in
+  * bench_attr.json is stamped with the canary median in effect when it
+  * ran. Two rounds running, the single biggest judging cost was
+  * separating host-window contention from real regressions (r14: the
+  * SAME tree read 282.6 s in the driver window vs 240.9 s quiet); a
+  * factor ≳1.3 now marks the artifact itself as a hot window, and the
+  * per-row stamps localize WHICH rows the contention overlapped.
   */
 object Bench {
   private val REPS = 3
+
+  /** HOST-SPEED CANARY (r14 verdict item 2): the committed QUIET-HOST
+    * solo median of the canary query (q1_pricing_summary, the warmup)
+    * per corpus tier, measured with this same Bench hygiene
+    * (gc+quiesce before each rep, noop sink, median-of-3) on an
+    * otherwise-idle host. Every bench run re-times the canary before
+    * the suite and every [[CANARY_EVERY]] queries during it, and the
+    * emitted `host_factor` = median(canary medians) / this reference —
+    * so a driver artifact taken in a contended window SELF-DESCRIBES
+    * (factor ≳1.3 = hot host; per-row stamps localize the drift)
+    * instead of demanding a forensic same-window A/B against an old
+    * tree (two rounds of judging cost, r13/r14). Unknown tiers emit
+    * factor -1 (no reference, never a guess). */
+  private val CANARY_EVERY = 60
+  private val CANARY_QUERY = "q1_pricing_summary"
+  private val canaryRef: Map[String, Double] = Map(
+    // Quiet-floor canary medians, measured round 15 (SURVEY round-15
+    // addendum records the protocol + raw readings). sf0.1 is the tier
+    // the driver benches — its reference is the floor three independent
+    // quiet windows agree on (r13 in-suite 0.848, r15 canary min
+    // 0.845). The small tiers are dev-loop only and coarse: their
+    // canary is dominated by fixed session overheads.
+    "sf0.001" -> 0.19,
+    "sf0.01" -> 0.24,
+    "sf0.1" -> 0.85)
 
   /** JSON string escape for env-controlled text (paths) interpolated
     * into the output lines — a quote or backslash in a path would
@@ -100,12 +136,29 @@ object Bench {
     // so the first timed query isn't charged for JVM/session init — and
     // never skip it silently: a renamed warmup key would otherwise
     // charge init to whichever query times first.
-    SparkEntry.queries.get("q1_pricing_summary") match {
+    SparkEntry.queries.get(CANARY_QUERY) match {
       case Some(fn) => run(fn)
       case None =>
-        System.err.println("BENCH WARN: warmup query q1_pricing_summary missing; using first registered")
+        System.err.println(s"BENCH WARN: warmup query $CANARY_QUERY missing; using first registered")
         SparkEntry.queries.values.headOption.foreach(run)
     }
+
+    // Host-speed canary (see [[canaryRef]]): median-of-3 solo timings of
+    // the warmup query, re-taken every CANARY_EVERY queries so a
+    // contention burst mid-suite stamps only the rows it overlapped.
+    val canaryMedians = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def timeCanary(): Unit = SparkEntry.queries.get(CANARY_QUERY).foreach { fn =>
+      val reps = (1 to 3).flatMap { _ =>
+        System.gc(); Thread.sleep(100); waitQuiesce()
+        val t0 = System.nanoTime()
+        val s = try Some(materialize(fn)).map(_ => (System.nanoTime() - t0) / 1e9)
+                catch { case _: Throwable => None }
+                finally release()
+        s
+      }.sorted
+      if (reps.nonEmpty) canaryMedians += reps(reps.size / 2)
+    }
+    timeCanary()
 
     // Dev-loop filter: SPARK_GRAFT_ONLY="q_a,q_b" times just those
     // queries (fresh-session solo medians for gap diagnosis). The driver
@@ -117,7 +170,11 @@ object Bench {
     // secs = -1 marks a failed query (excluded from the total).
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+      .toSeq.zipWithIndex
+      .map { case ((name, fn), qi) =>
+      // periodic canary re-time: a contention burst mid-suite stamps
+      // only the rows it overlapped (stamp = latest canary median)
+      if (qi > 0 && qi % CANARY_EVERY == 0) timeCanary()
       // SPARK_GRAFT_DEBUG=1 (never set by the driver): per-rep GC-time
       // deltas on stderr, for attributing in-suite-only slowdowns to
       // collector pressure vs real execution cost.
@@ -188,10 +245,12 @@ object Bench {
       def medianL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
       val repSecs = runs.map(_._1)
       val builds = runs.flatMap(_._6).distinct
-      if (runs.exists(_._1 < 0)) (name, -1.0, 0L, 0L, 0L, 0L, repSecs, builds)
+      val canary = canaryMedians.lastOption.getOrElse(-1.0)
+      if (runs.exists(_._1 < 0)) (name, -1.0, 0L, 0L, 0L, 0L, repSecs, builds, canary)
       else (name, medianD(runs.map(_._1)), medianL(runs.map(_._2)), medianL(runs.map(_._3)),
-        runs.map(_._4).sum, runs.map(_._5).sum, repSecs, builds)
-    }.toSeq
+        runs.map(_._4).sum, runs.map(_._5).sum, repSecs, builds, canary)
+    }
+    timeCanary() // close the window: drift during the suite's tail shows
     val total = results.map(_._2).filter(_ >= 0).sum
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def fmt(v: Double): String =
@@ -206,24 +265,38 @@ object Bench {
     val sb = new StringBuilder
     var kept = 0
     var full = false
-    sorted.foreach { case (k, v, _, _, _, _, _, _) =>
+    sorted.foreach { case (k, v, _, _, _, _, _, _, _) =>
       val piece = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
-      if (!full && sb.length + piece.length <= 1150) { sb.append(piece); kept += 1 }
+      // cap 1050 (was 1150): the r14 line measured 1968 of the driver's
+      // 2000-char tail capture; host_factor + canary_sec cost ~80 chars,
+      // paid for here so the line head can never be truncated away
+      if (!full && sb.length + piece.length <= 1050) { sb.append(piece); kept += 1 }
       else full = true
     }
     val omitted = results.size - kept
     // scale signature of the slowest queries: [shuffle_kb, spill_kb]
     // (KB keeps the line comfortably under the driver's tail capture)
     val shuf = sorted.take(10)
-      .map { case (k, _, sh, sp, _, _, _, _) => "\"" + k + "\":[" + sh / 1024 + "," + sp / 1024 + "]" }
+      .map { case (k, _, sh, sp, _, _, _, _, _) => "\"" + k + "\":[" + sh / 1024 + "," + sp / 1024 + "]" }
       .mkString(",")
     // environment attribution for the slowest queries: [gc_ms, janino
     // compilations] summed over the reps — a row that is slow WITH high
     // gc/compile counts is environment-inflated (collector pressure /
     // codegen-cache eviction), one without them is intrinsically slow.
     val diag = sorted.take(10)
-      .map { case (k, _, _, _, gc, cn, _, _) => "\"" + k + "\":[" + gc + "," + cn + "]" }
+      .map { case (k, _, _, _, gc, cn, _, _, _) => "\"" + k + "\":[" + gc + "," + cn + "]" }
       .mkString(",")
+    // host-speed canary → host_factor: the run's canary medians against
+    // the committed quiet-host reference for this tier. >~1.3 = the
+    // window was hot and every row is suspect by that much; -1 = no
+    // reference for this tier (derived corpora) — never a guess.
+    val canarySeq = canaryMedians.toSeq
+    val canaryMed =
+      if (canarySeq.isEmpty) -1.0 else canarySeq.sorted.apply(canarySeq.size / 2)
+    val hostFactor = canaryRef.get(new java.io.File(sfDir).getName) match {
+      case Some(ref) if canaryMed > 0 => canaryMed / ref
+      case _ => -1.0
+    }
     // The per-rep seconds and at-rest build flags live in
     // bench_attr.json ONLY — the stdout line sits near the driver's
     // ~2 KB tail-capture cap, and truncating its head would invalidate
@@ -231,20 +304,20 @@ object Bench {
     // an index inside a timed rep (0 on a warm at-rest tree).
     val builtCount = sorted.count(_._8.nonEmpty)
     val sfJ = esc(sfDir)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"built_in_rep":$builtCount,"failed":$failed,"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfJ"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"host_factor":${fmt(hostFactor)},"canary_sec":[${canarySeq.map(fmt).mkString(",")}],"built_in_rep":$builtCount,"failed":$failed,"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfJ"}"""
     // full attribution for EVERY row (slowest first), one object per
     // query: [secs, shuffle_kb, spill_kb, gc_ms, compiles, [rep secs...],
-    // "built index families"]
-    val attr = sorted.map { case (k, v, sh, sp, gc, cn, rs, b) =>
+    // "built index families", canary_sec in effect when the row ran]
+    val attr = sorted.map { case (k, v, sh, sp, gc, cn, rs, b, cy) =>
       "\"" + k + "\":[" + fmt(v) + "," + sh / 1024 + "," + sp / 1024 + "," + gc + "," + cn +
-        ",[" + rs.map(fmt).mkString(",") + "],\"" + b.mkString("+") + "\"]"
+        ",[" + rs.map(fmt).mkString(",") + "],\"" + b.mkString("+") + "\"," + fmt(cy) + "]"
     }.mkString(",")
     // "reps" is the BASE rep count; rows the adaptive widening re-ran
     // carry 5 entries in their reps_sec array and are counted in
     // "widened" — so the file can't claim median-of-3 for a row whose
     // reported median was actually taken over 5
     val widened = results.count(_._7.size > REPS)
-    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"widened":$widened,"n_queries":${results.size},"sf":"$sfJ","columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built"],"queries":{$attr}}"""
+    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"widened":$widened,"n_queries":${results.size},"sf":"$sfJ","host_factor":${fmt(hostFactor)},"canary_sec":[${canarySeq.map(fmt).mkString(",")}],"columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built","canary_sec"],"queries":{$attr}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_attr.json"),
       (attrLine + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"bench_attr.json write failed: $t") }
