@@ -22,7 +22,7 @@ import org.apache.spark.sql.DataFrame
   * guards IEEE noise in derived ratios). */
 class CatalogSpec extends SparkSpec {
 
-  private val db = "graft_cat"
+  private val db = CatalogFixture.db
 
   /** All TPC-H-over-the-corpus queries that carry an oracle: the deep
     * set (Q2,4,6..10,13..19,21,22 analogues) plus the Q1/Q3/Q5 forms in
@@ -31,60 +31,9 @@ class CatalogSpec extends SparkSpec {
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue") ++
     operators.TpchDeep.registry.keys.toSeq.sorted
 
-  /** Hive expects a table LOCATION to be a DIRECTORY it can stat (it
-    * logs a HiveException per table otherwise — non-fatal, but noise
-    * that would mask a real failure). The corpus ships each table as a
-    * single read-only parquet FILE, so stage a directory per table
-    * holding one symlink to the corpus file: the catalog points at the
-    * directory, the bytes stay external and read-only, and Spark reads
-    * through the link. */
-  private def stagedLocation(t: String): String = {
-    val dir = new java.io.File(s"target/graft-cat/$t")
-    val link = new java.io.File(dir, "part-0000.parquet").toPath
-    val want = java.nio.file.Paths.get(s"$sf/$t.parquet")
-    // The staged dir persists across runs, but the link embeds the
-    // ABSOLUTE corpus path of the run that created it — a later run
-    // with a different SPARK_GRAFT_SF would silently test the old
-    // corpus through the stale link. Re-point it whenever the target
-    // drifted (r14 ADVICE).
-    if (dir.isDirectory &&
-        (!java.nio.file.Files.isSymbolicLink(link) ||
-          java.nio.file.Files.readSymbolicLink(link) != want)) {
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(link, want)
-    } else if (!dir.isDirectory) {
-      dir.mkdirs()
-      java.nio.file.Files.createSymbolicLink(link, want)
-    }
-    dir.getAbsolutePath
-  }
-
-  private def registerCatalogTables(): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    Tables.names.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $db.$t")
-      spark.sql(
-        s"CREATE TABLE $db.$t USING parquet LOCATION '${stagedLocation(t)}'")
-    }
-  }
-
-  /** Driver-style canonical form: columns sorted by name, every value
-    * rendered, rows sorted lexicographically. */
-  private def canon(df: DataFrame): Seq[String] = {
-    val cols = df.columns.sorted
-    val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-    proj.collect().map { r =>
-      cols.indices.map { i =>
-        r.get(i) match {
-          case null => "NULL"
-          case d: Double => String.format(java.util.Locale.ROOT, "%.12g", Double.box(d))
-          case f: Float => String.format(java.util.Locale.ROOT, "%.12g", Double.box(f.toDouble))
-          case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
-          case v => v.toString
-        }
-      }.mkString("")
-    }.toSeq.sorted
-  }
+  private def stagedLocation(t: String): String = CatalogFixture.stagedLocation(sf, t)
+  private def registerCatalogTables(): Unit = CatalogFixture.registerCatalogTables(spark, sf)
+  private def canon(df: DataFrame): Seq[String] = CatalogFixture.canon(df)
 
   test("catalog-served Spark SQL ≡ DataFrame-served for the TPC-H subset (20 queries)") {
     registerCatalogTables()
