@@ -25,10 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => plans.AsOfStrategy)
     e.injectOptimizerRule(_ => plans.DeriveInFilters)
-    GraftExtensions.functionBuilders.foreach { case (name, builder) =>
-      e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
-    }
+    (GraftExtensions.functionBuilders ++ functions.DuckDbDialect.aliases)
+      .foreach { case (name, builder) =>
+        e.injectFunction((FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+      }
+    e.injectTableFunction((FunctionIdentifier("unnest"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "unnest"),
+      functions.DuckDbDialect.unnestTable))
   }
 }
 
