@@ -63,15 +63,18 @@ object Bench {
   private val CANARY_EVERY = 60
   private val CANARY_QUERY = "q1_pricing_summary"
   private val canaryRef: Map[String, Double] = Map(
-    // Quiet-floor canary medians, measured round 15 (SURVEY round-15
-    // addendum records the protocol + raw readings). sf0.1 is the tier
-    // the driver benches — its reference is the floor three independent
-    // quiet windows agree on (r13 in-suite 0.848, r15 canary min
-    // 0.845). The small tiers are dev-loop only and coarse: their
-    // canary is dominated by fixed session overheads.
-    "sf0.001" -> 0.19,
-    "sf0.01" -> 0.24,
-    "sf0.1" -> 0.85)
+    // Canary-PROTOCOL medians on a quiet host, measured round 15
+    // (SURVEY round-15 addendum records the protocol + raw readings).
+    // The reference must come from the same protocol it divides: a
+    // canary rep starts cold behind the JMH-style gc fence, so its
+    // quiet median (sf0.1: 1.16 and 1.13 across two full quiet runs)
+    // sits ~30% above the same query's warm IN-SUITE row median
+    // (0.84-0.85) — referencing the row floor would brand every quiet
+    // run ~1.3x hot. The small tiers are dev-loop only and coarse:
+    // fixed session overheads dominate their canary.
+    "sf0.001" -> 0.30,
+    "sf0.01" -> 0.35,
+    "sf0.1" -> 1.10)
 
   /** JSON string escape for env-controlled text (paths) interpolated
     * into the output lines — a quote or backslash in a path would
