@@ -164,7 +164,30 @@ object DuckDbDialect {
     // 2-arg default to DuckDB's.
     "regexp_extract" -> (exprs =>
       if (exprs.length == 2) RegExpExtract(exprs(0), exprs(1), Literal(0))
-      else RegExpExtract(exprs(0), exprs(1), exprs(2))))
+      else RegExpExtract(exprs(0), exprs(1), exprs(2))),
+    // regexp_replace with a LITERAL flags string containing 'g':
+    // DuckDB's global replace = Spark's default 3-arg behavior, with
+    // any i/m/s flags folded into the pattern as inline (?ims) groups.
+    // Deliberately NOT handled: DuckDB's flagless/`i`-only forms are
+    // FIRST-occurrence-only, which no Spark expression reproduces —
+    // those stay documented in the compat matrix rather than silently
+    // replacing all; and a non-'g' 4th arg keeps Spark's own position
+    // semantics.
+    "regexp_replace" -> (exprs => exprs match {
+      case Seq(s, re, rep, f) if f.foldable && f.dataType.typeName == "string" &&
+          f.eval() != null && f.eval().toString.contains("g") =>
+        val flags = f.eval().toString.filter("ims".contains(_))
+        val pattern = if (flags.isEmpty) re
+          else Concat(Seq(Literal(s"(?$flags)"), re))
+        RegExpReplace(s, pattern, rep)
+      case Seq(s, re, rep) => RegExpReplace(s, re, rep)
+      case Seq(s, re, rep, pos) => RegExpReplace(s, re, rep, pos)
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> "regexp_replace",
+          "expectedNum" -> "3 or 4", "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }))
 
   /** `FROM unnest(arr)` — DuckDB's table-valued unnest: one row per
     * element, renamed by the usual `AS t(x)` alias. Registered in the

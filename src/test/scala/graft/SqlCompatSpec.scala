@@ -70,7 +70,6 @@ class SqlCompatSpec extends SparkSpec {
     "q_dedup_lsh_pairs" -> "DuckDB list slice `l[a:b]` (Spark parses the colon form as a variant path)",
     "q_dedup_minhash_sig" -> "1-based list indexing `l[i]` (Spark arrays are 0-based; ANSI throws at the bound)",
     "q_dedup_ngram_jaccard" -> "1-based list indexing `l[i]` (Spark arrays are 0-based; ANSI throws at the bound)",
-    "q_dedup_normalized" -> "cast evaluation order: Spark ANSI throws where DuckDB's branch never evaluates the cast",
     "q_dedup_pairs_at_rest" -> "DuckDB list slice `l[a:b]` (Spark parses the colon form as a variant path)",
     "q_dedup_pairs_incremental" -> "DuckDB list slice `l[a:b]` (Spark parses the colon form as a variant path)",
     "q_dedup_simhash_pairs" -> "DuckDB list literal/index/slice `[...]`",
@@ -80,11 +79,11 @@ class SqlCompatSpec extends SparkSpec {
     "q_dedup_winnow" -> "DuckDB list literal/index/slice `[...]`",
     "q_det_sample" -> "bare VARCHAR cast (DuckDB allows; Spark wants STRING/VARCHAR(n))",
     "q_doc_chunks" -> "DuckDB `//` integer-division operator",
-    "q_doc_fingerprint" -> "cast evaluation order: Spark ANSI throws where DuckDB's branch never evaluates the cast",
-    "q_dp_histogram" -> "cast evaluation order: Spark ANSI throws where DuckDB's branch never evaluates the cast",
-    "q_dp_mean" -> "cast evaluation order: Spark ANSI throws where DuckDB's branch never evaluates the cast",
+    "q_doc_fingerprint" -> "1-based list indexing `l[i]` (Spark arrays are 0-based; ANSI throws at the bound)",
+    "q_dp_histogram" -> "hex-string cast CAST('0x...' AS BIGINT) (DuckDB parses hex digits; Spark ANSI rejects)",
+    "q_dp_mean" -> "hex-string cast CAST('0x...' AS BIGINT) (DuckDB parses hex digits; Spark ANSI rejects)",
     "q_dp_quantile" -> "DuckDB `//` integer-division operator",
-    "q_dp_topk" -> "cast evaluation order: Spark ANSI throws where DuckDB's branch never evaluates the cast",
+    "q_dp_topk" -> "hex-string cast CAST('0x...' AS BIGINT) (DuckDB parses hex digits; Spark ANSI rejects)",
     "q_dpp_prune" -> "DuckDB function `strftime` (Spark: date_format with % patterns)",
     "q_dsir_resample" -> "correlated FROM-clause unnest/alias scope DuckDB resolves without LATERAL",
     "q_eb_shrinkage" -> "ORDER BY inside an aggregate call (DuckDB list(x ORDER BY y))",
@@ -96,7 +95,7 @@ class SqlCompatSpec extends SparkSpec {
     "q_event_gaps" -> "datediff unit literal DuckDB accepts, Spark rejects",
     "q_ewma_anomaly" -> "DuckDB `//` integer-division operator",
     "q_explode_words" -> "DuckDB struct literal `{...}`",
-    "q_feature_hash" -> "cast evaluation order: Spark ANSI throws where DuckDB's branch never evaluates the cast",
+    "q_feature_hash" -> "hex-string cast CAST('0x...' AS BIGINT) (DuckDB parses hex digits; Spark ANSI rejects)",
     "q_filter_attribution" -> "DuckDB list literal/index/slice `[...]`",
     "q_forecast_backtest" -> "DuckDB `//` integer-division operator",
     "q_fuzzy_match" -> "DuckDB list slice `l[a:b]` (Spark parses the colon form as a variant path)",
