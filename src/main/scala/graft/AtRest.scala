@@ -392,22 +392,38 @@ object AtRest {
       // hold the lock file open; unlinking under it would leave two
       // processes each "holding" different inodes of the same path
       // (r14 ADVICE). Unlink only after winning a non-blocking tryLock
-      // on the file — a held lock means a live owner, and that owner's
-      // own gcStale (or the next refresh's) collects the file later.
-      val lockFile = new java.io.File(f.getPath + ".maintlock")
-      if (lockFile.exists()) {
-        try {
-          val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-            java.nio.file.StandardOpenOption.WRITE)
-          try {
-            val l = ch.tryLock()
-            if (l != null) { try lockFile.delete() finally l.release() }
-          } finally ch.close()
-        } catch { case _: Exception => () } // racing deleter/owner: leave it
-      }
+      // on the file — a held lock means a live owner.
+      tryUnlinkLock(new java.io.File(f.getPath + ".maintlock"))
+    }
+    // ORPHAN lock files: a lock skipped above because its owner was
+    // still live loses its directory this pass, so no later pass would
+    // match it through the directory scan — sweep `.maintlock` files
+    // whose generation directory is gone, under the same tryLock guard
+    // (the owner has released by then, or it stays for the next pass).
+    Option(parent.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isFile && f.getName.endsWith(".maintlock") &&
+          !new java.io.File(parent, f.getName.stripSuffix(".maintlock")).isDirectory)
+        tryUnlinkLock(f)
     }
     stale.size
   }
+
+  /** Unlink a maintenance-lock file ONLY after winning a non-blocking
+    * tryLock on it: a held lock (or a same-JVM overlap, which tryLock
+    * reports as an exception) means a live owner whose inode must not
+    * be pulled out from under it; a racing deleter is equally a reason
+    * to leave it for the next pass. */
+  private def tryUnlinkLock(lockFile: java.io.File): Unit =
+    if (lockFile.exists()) {
+      try {
+        val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.tryLock()
+          if (l != null) { try lockFile.delete() finally l.release() }
+        } finally ch.close()
+      } catch { case _: Exception => () }
+    }
 
   /** COMPACTION for streaming-appended index fragments: a foreachBatch
     * maintenance sink appends one parquet fragment set per tick

@@ -193,6 +193,33 @@ class AtRestSpec extends SparkSpec {
     assert(spark.read.parquet(live.toString).count() == 1L, "live generation must survive intact")
   }
 
+  test("gcStale respects a HELD maintenance lock and sweeps the orphan once released (r14 ADVICE)") {
+    import spark.implicits._
+    val fam = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_gclock").toFile, "idx_v1")
+    val live = new java.io.File(fam, "aaaa1111aaaa1111")
+    Seq((1L, "x")).toDF("id", "v").write.parquet(live.toString)
+    val staleGen = new java.io.File(fam, "bbbb2222bbbb2222")
+    Seq((2L, "y")).toDF("id", "v").write.parquet(staleGen.toString)
+    // a maintenance owner that resolved the generation BEFORE the
+    // refresh still holds the lock file — GC must not unlink its inode
+    val lockFile = new java.io.File(staleGen.getPath + ".maintlock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try {
+      assert(AtRest.gcStale(live) == 1, "stale DIRECTORY still collects")
+      assert(!staleGen.exists(), "stale generation directory removed")
+      assert(lockFile.exists(), "held lock file must survive the GC pass")
+    } finally { held.release(); ch.close() }
+    // owner released: the orphan lock file (its directory is long gone,
+    // so no directory-driven pass would ever match it) sweeps on the
+    // next GC of the same family
+    assert(AtRest.gcStale(live) == 0)
+    assert(!lockFile.exists(), "orphan lock file must sweep once released")
+  }
+
   test("gcStale is scoped per source: another corpus' generation survives the GC") {
     // the round-12 finding behind the bench oscillation: a verify pass
     // at one scale factor used to GC the bench tier's generations, so

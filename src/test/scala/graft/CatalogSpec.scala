@@ -54,6 +54,20 @@ class CatalogSpec extends SparkSpec {
     } finally spark.sql("USE default")
   }
 
+  test("staged location re-points a drifted symlink instead of serving the old corpus (r14 ADVICE)") {
+    val dir = new java.io.File("target/graft-cat/region")
+    val link = new java.io.File(dir, "part-0000.parquet").toPath
+    stagedLocation("region") // ensure staged
+    // simulate a prior run staged against a DIFFERENT corpus path
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get("/root/testdata/sf0.01/region.parquet"))
+    stagedLocation("region")
+    assert(java.nio.file.Files.readSymbolicLink(link) ==
+      java.nio.file.Paths.get(s"$sf/region.parquet"),
+      "stale symlink must be re-pointed to the current corpus")
+  }
+
   test("catalog metadata round-trips: external tables list, describe, and survive re-registration") {
     registerCatalogTables()
     val listed = spark.sql(s"SHOW TABLES IN $db").collect().map(_.getString(1)).toSet
