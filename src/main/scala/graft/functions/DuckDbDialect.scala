@@ -165,6 +165,13 @@ object DuckDbDialect {
     "regexp_extract" -> (exprs =>
       if (exprs.length == 2) RegExpExtract(exprs(0), exprs(1), Literal(0))
       else RegExpExtract(exprs(0), exprs(1), exprs(2))),
+    // encode(str): DuckDB's 1-arg UTF-8 string->BLOB — exactly what a
+    // Spark string->binary cast produces; the 2-arg charset form keeps
+    // the builtin expression
+    "encode" -> (exprs =>
+      if (exprs.length == 1)
+        Cast(exprs.head, org.apache.spark.sql.types.BinaryType)
+      else Encode(exprs(0), exprs(1))),
     // regexp_replace with a LITERAL flags string containing 'g':
     // DuckDB's global replace = Spark's default 3-arg behavior, with
     // any i/m/s flags folded into the pattern as inline (?ims) groups.

@@ -73,6 +73,15 @@ class DuckDbDialectSpec extends SparkSpec {
     assert(sql1("SELECT regexp_extract('ab12cd', '([0-9])([0-9])', 2)") == "2")
   }
 
+  test("encode: 1-arg DuckDB form is the UTF-8 string->binary cast; 2-arg keeps the builtin") {
+    assert(sql1("SELECT encode('abc')").asInstanceOf[Array[Byte]].toSeq ==
+      "abc".getBytes("UTF-8").toSeq)
+    assert(sql1("SELECT octet_length(encode('héllo'))") ==
+      "héllo".getBytes("UTF-8").length)
+    assert(sql1("SELECT encode('abc', 'UTF-8')").asInstanceOf[Array[Byte]].toSeq ==
+      "abc".getBytes("UTF-8").toSeq)
+  }
+
   test("temporal and json aliases: to_days/to_seconds intervals, json_extract_string") {
     assert(sql1("SELECT CAST(TIMESTAMP '2021-01-01 00:00:00' + to_days(5) AS STRING)")
       .toString.startsWith("2021-01-06"))

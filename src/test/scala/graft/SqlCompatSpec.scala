@@ -92,7 +92,7 @@ class SqlCompatSpec extends SparkSpec {
     "q_emb_covariance" -> "DuckDB list literal/index/slice `[...]`",
     "q_embed_project" -> "1-based list indexing `l[i]` (Spark arrays are 0-based; ANSI throws at the bound)",
     "q_equidepth_hist" -> "DuckDB `//` integer-division operator",
-    "q_event_gaps" -> "datediff unit literal DuckDB accepts, Spark rejects",
+    "q_event_gaps" -> "quoted datediff unit literal ('day' — Spark's parser wants an unquoted DAY identifier, pre-registry)",
     "q_ewma_anomaly" -> "DuckDB `//` integer-division operator",
     "q_explode_words" -> "DuckDB struct literal `{...}`",
     "q_feature_hash" -> "hex-string cast CAST('0x...' AS BIGINT) (DuckDB parses hex digits; Spark ANSI rejects)",
@@ -106,8 +106,7 @@ class SqlCompatSpec extends SparkSpec {
     "q_graph_reach" -> "DuckDB list slice `l[a:b]` (Spark parses the colon form as a variant path)",
     "q_graph_triangles" -> "DuckDB list slice `l[a:b]` (Spark parses the colon form as a variant path)",
     "q_gw_auth_dispatch" -> "bare VARCHAR cast (DuckDB allows; Spark wants STRING/VARCHAR(n))",
-    "q_gw_codec_roundtrip" -> "encode(x) 1-arg DuckDB form vs Spark encode(str, charset)",
-    "q_gw_compress_decision" -> "encode(x) 1-arg DuckDB form vs Spark encode(str, charset)",
+    "q_gw_compress_decision" -> "backslash escapes in single-quoted literals: Spark reads '\\bdeflate\\b' with \\b as BACKSPACE chars, DuckDB keeps backslashes literal (escapedStringLiterals flips this globally)",
     "q_gw_pipeline" -> "bare VARCHAR cast (DuckDB allows; Spark wants STRING/VARCHAR(n))",
     "q_gw_route" -> "bare VARCHAR cast (DuckDB allows; Spark wants STRING/VARCHAR(n))",
     "q_hard_negatives" -> "DuckDB list literal/index/slice `[...]`",
@@ -138,9 +137,7 @@ class SqlCompatSpec extends SparkSpec {
     "q_mix_temperature" -> "bare VARCHAR cast (DuckDB allows; Spark wants STRING/VARCHAR(n))",
     "q_mmr_diversify" -> "DuckDB list literal/index/slice `[...]`",
     "q_multimodal_audio" -> "DuckDB `//` integer-division operator",
-    "q_multimodal_audio_meta" -> "encode(x) 1-arg DuckDB form vs Spark encode(str, charset)",
     "q_multimodal_frames" -> "DuckDB `//` integer-division operator",
-    "q_multimodal_meta" -> "encode(x) 1-arg DuckDB form vs Spark encode(str, charset)",
     "q_multimodal_patches" -> "DuckDB `//` integer-division operator",
     "q_multimodal_phash" -> "DuckDB `//` integer-division operator",
     "q_multimodal_phash_eval" -> "DuckDB `//` integer-division operator",
@@ -204,7 +201,7 @@ class SqlCompatSpec extends SparkSpec {
     "q_vocab_encode" -> "ORDER BY inside an aggregate call (DuckDB list(x ORDER BY y))",
     "q_weighted_sample" -> "bare VARCHAR cast (DuckDB allows; Spark wants STRING/VARCHAR(n))",
     "q_wilson_rank" -> "DuckDB list literal/index/slice `[...]`",
-    "q_window_interval" -> "datediff unit literal DuckDB accepts, Spark rejects",
+    "q_window_interval" -> "quoted datediff unit literal ('day' — Spark's parser wants an unquoted DAY identifier, pre-registry)",
     "q_window_sliding" -> "DuckDB list literal/index/slice `[...]`",
     "q_winsorize" -> "DuckDB `//` integer-division operator",
     "q_zipf_fit" -> "DuckDB struct literal `{...}`",
