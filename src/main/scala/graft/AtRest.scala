@@ -265,18 +265,77 @@ object AtRest {
     val f = new java.io.File(dirPath)
     try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
   }
+  /** Test-only hook (MaintLockRaceSpec): invoked with the lock file
+    * between channel-open and `lock()`, i.e. inside the exact window
+    * where [[tryUnlinkLock]] can legitimately win a tryLock on our
+    * not-yet-locked inode and unlink it. Null (one static check) in
+    * production. */
+  @volatile private[graft] var maintLockRaceHook: java.io.File => Unit = null
+  /** Acquisitions that detected an unlinked-under-us inode and retried
+    * (observability for the race spec; monotonic). */
+  private[graft] val maintLockRetries = new java.util.concurrent.atomic.AtomicLong
+  /** Canonical lock-file paths this JVM currently holds a maintenance
+    * lock on. POSIX record locks have the close-releases-all trap (the
+    * `FileLock` javadoc warning): if ANY fd this process opened on the
+    * file is closed, the kernel drops ALL of the process's locks on it —
+    * so a same-JVM [[tryUnlinkLock]] probe merely OPENING and CLOSING a
+    * held lock file would silently release the owner's cross-process
+    * lock while the JVM still believes it holds it. The registry lets
+    * the GC sweep recognize a live same-JVM owner WITHOUT opening the
+    * file. (Empirically real: a readAllBytes-based verification of this
+    * very lock dropped it mid-compact and two processes interleaved
+    * swaps — caught by CrossProcessAtRestSpec while building r16.) */
+  private val heldLockPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def statKey(p: java.nio.file.Path): Object =
+    try java.nio.file.Files.readAttributes(
+      p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
+    catch { case _: java.io.IOException => null } // missing ⇒ unverifiable ⇒ retry
+
   private[graft] def withMaintenanceLock[T](dirPath: String)(body: => T): T = {
     val mon = maintMonitors.computeIfAbsent(monitorKey(dirPath), _ => new Object)
     mon.synchronized {
       val lockFile = new java.io.File(dirPath + ".maintlock")
       Option(lockFile.getParentFile).foreach(_.mkdirs())
-      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val l = ch.lock() // blocks until the other PROCESS releases
-        try body finally l.release()
-      } finally ch.close()
+      val canonLock = monitorKey(lockFile.getPath)
+      // Unlink-under-lock closure (r15 ADVICE, medium): between our
+      // channel-open and lock() — a window that includes the whole
+      // BLOCKING wait when another process holds the lock — a
+      // concurrent gcStale/tryUnlinkLock can win a tryLock on this
+      // not-yet-locked inode and unlink it; we would then hold a lock
+      // on a dead inode while a fresh locker creates and locks a NEW
+      // file at the same path — two simultaneous maintenance owners.
+      // Verify by fileKey (stat only — NEVER a second open: see
+      // [[heldLockPaths]] for why an open+close here would drop our own
+      // lock): stat the path right after open and again under the held
+      // lock; equal keys prove the path still names the inode we
+      // locked, because our open fd pins the inode so its (dev,ino) key
+      // cannot be reused by a successor file. On mismatch/missing,
+      // release and re-acquire on whatever file now lives at the path.
+      // Residual window: a delete+recreate landing entirely between the
+      // open syscall and the first stat (straight-line nanoseconds, no
+      // blocking) could alias keyOpen to the successor — the documented
+      // blocked-wait hazard is closed, the ns-scale one is accepted.
+      var out: Option[T] = None
+      while (out.isEmpty) {
+        val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val keyOpen = statKey(lockFile.toPath)
+          val hook = maintLockRaceHook
+          if (hook != null) hook(lockFile)
+          val l = ch.lock() // blocks until the other PROCESS releases
+          try {
+            val keyLocked = statKey(lockFile.toPath)
+            if (keyOpen != null && keyOpen == keyLocked) {
+              heldLockPaths.add(canonLock)
+              try out = Some(body)
+              finally heldLockPaths.remove(canonLock)
+            } else maintLockRetries.incrementAndGet() // unlinked under us; retry
+          } finally l.release()
+        } finally ch.close()
+      }
+      out.get
     }
   }
 
@@ -412,9 +471,14 @@ object AtRest {
     * tryLock on it: a held lock (or a same-JVM overlap, which tryLock
     * reports as an exception) means a live owner whose inode must not
     * be pulled out from under it; a racing deleter is equally a reason
-    * to leave it for the next pass. */
+    * to leave it for the next pass. A lock held by THIS JVM is detected
+    * through [[heldLockPaths]] BEFORE any open: merely opening and
+    * closing the probe channel would drop the owner's POSIX lock at the
+    * kernel (close-releases-all; the same-JVM tryLock's
+    * OverlappingFileLockException path still reached `ch.close()`), so
+    * the pre-guard is load-bearing, not an optimization. */
   private def tryUnlinkLock(lockFile: java.io.File): Unit =
-    if (lockFile.exists()) {
+    if (!heldLockPaths.contains(monitorKey(lockFile.getPath)) && lockFile.exists()) {
       try {
         val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
           java.nio.file.StandardOpenOption.WRITE)

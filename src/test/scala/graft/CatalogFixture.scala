@@ -50,12 +50,16 @@ object CatalogFixture {
     * rendered, rows sorted lexicographically. Floating point renders at
     * 12 significant digits (both sides compute money on DECIMAL and
     * cast at the end, so values are expected bit-identical; the
-    * rounding only guards IEEE noise in derived ratios). */
+    * rounding only guards IEEE noise in derived ratios). Columns join on
+    * the same non-printable \u0001 delimiter tools/check.py uses —
+    * an empty separator would let adjacent string columns collide
+    * (("ab","c") == ("a","bc")) and misclassify a value-divergent query
+    * as identical (r15 ADVICE). */
   def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
     val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     proj.collect().map { r =>
-      cols.indices.map(i => renderStrict(r.get(i))).mkString("")
+      cols.indices.map(i => renderStrict(r.get(i))).mkString("\u0001")
     }.toSeq.sorted
   }
 
@@ -78,7 +82,7 @@ object CatalogFixture {
     val cols = df.columns.sorted
     val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     proj.collect().map { r =>
-      cols.indices.map(i => renderLoose(r.get(i))).mkString("|")
+      cols.indices.map(i => renderLoose(r.get(i))).mkString("\u0001")
     }.toSeq.sorted
   }
 

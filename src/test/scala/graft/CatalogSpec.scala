@@ -58,10 +58,15 @@ class CatalogSpec extends SparkSpec {
     val dir = new java.io.File("target/graft-cat/region")
     val link = new java.io.File(dir, "part-0000.parquet").toPath
     stagedLocation("region") // ensure staged
-    // simulate a prior run staged against a DIFFERENT corpus path
+    // simulate a prior run staged against a DIFFERENT corpus path — a
+    // fresh temp file, so the stale target provably differs from $sf no
+    // matter which scale factor this suite runs against (a hardcoded
+    // sf0.01 target made the test vacuous whenever sf == sf0.01 —
+    // r15 ADVICE)
+    val staleTarget = java.nio.file.Files.createTempFile("graft_stale_corpus", ".parquet")
+    assert(staleTarget != java.nio.file.Paths.get(s"$sf/region.parquet"))
     java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(
-      link, java.nio.file.Paths.get("/root/testdata/sf0.01/region.parquet"))
+    java.nio.file.Files.createSymbolicLink(link, staleTarget)
     stagedLocation("region")
     assert(java.nio.file.Files.readSymbolicLink(link) ==
       java.nio.file.Paths.get(s"$sf/region.parquet"),
