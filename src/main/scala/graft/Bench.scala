@@ -76,6 +76,41 @@ object Bench {
     "sf0.01" -> 0.35,
     "sf0.1" -> 1.10)
 
+  /** Per-row environment-inflation verdict (r15 verdict item 3): the
+    * round-15 calibration datapoint — a 356 s run whose canary read a
+    * quiet 1.10 — proved `host_factor` alone senses WINDOW contention,
+    * not heavy-row-local GC/build inflation; a reader had to compose
+    * host_factor + per-row gc/compiles/atrest_built + rep patterns by
+    * hand. This composes them mechanically, so a driver artifact
+    * adjudicates its own hot rows. A row is SUSPECT when any of:
+    *
+    *   - "gc": GC time averaged per rep exceeds half the median rep
+    *     wall time — the measurement is collector-dominated, usually
+    *     debt inherited from cache-churning neighbors.
+    *   - "settle": the FIRST rep ran ≥2× the median with the later
+    *     reps settled (max of the rest within 1.5× of the median) —
+    *     the classic cold-entry pattern (codegen/index/page-cache
+    *     first-touch), not steady-state cost. The median itself is
+    *     sound, so this marks the row explainable, not wrong.
+    *   - "built": an at-rest index build was paid inside a timed rep —
+    *     the r11 q_dedup_eval oscillation class.
+    *
+    * Pure function of one row's already-collected signals, so the
+    * thresholds are pinned by unit test (BenchSuspectSpec) rather than
+    * by a flaky in-spec GC-hammering run. Empty = clean. */
+  private[graft] def suspectReasons(medianSecs: Double, repSecs: Seq[Double],
+      gcMsTotal: Long, built: Seq[String]): Seq[String] = {
+    if (medianSecs <= 0 || repSecs.isEmpty) return Nil
+    val perRepGcSec = gcMsTotal / 1000.0 / repSecs.size
+    val gc = perRepGcSec > 0.5 * medianSecs
+    val settle = repSecs.size >= 2 && repSecs.head >= 2.0 * medianSecs &&
+      repSecs.tail.max <= 1.5 * medianSecs
+    val b = built.nonEmpty
+    Seq(if (gc) Some("gc") else None,
+        if (settle) Some("settle") else None,
+        if (b) Some("built") else None).flatten
+  }
+
   /** JSON string escape for env-controlled text (paths) interpolated
     * into the output lines — a quote or backslash in a path would
     * invalidate the whole line. Shared with [[Slope]]. */
@@ -306,21 +341,25 @@ object Bench {
     // the whole round's bench. Here just the COUNT of rows that built
     // an index inside a timed rep (0 on a warm at-rest tree).
     val builtCount = sorted.count(_._8.nonEmpty)
+    val nSuspect = sorted.count { case (_, v, _, _, gc, _, rs, b, _) =>
+      suspectReasons(v, rs, gc, b).nonEmpty }
     val sfJ = esc(sfDir)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"host_factor":${fmt(hostFactor)},"canary_sec":[${canarySeq.map(fmt).mkString(",")}],"built_in_rep":$builtCount,"failed":$failed,"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfJ"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":{${sb.result()}},"shuffle_kb":{$shuf},"gc_compile":{$diag},"host_factor":${fmt(hostFactor)},"canary_sec":[${canarySeq.map(fmt).mkString(",")}],"built_in_rep":$builtCount,"suspect":$nSuspect,"failed":$failed,"n_queries":${results.size},"omitted":$omitted,"attr_file":"bench_attr.json","sf":"$sfJ"}"""
     // full attribution for EVERY row (slowest first), one object per
     // query: [secs, shuffle_kb, spill_kb, gc_ms, compiles, [rep secs...],
-    // "built index families", canary_sec in effect when the row ran]
+    // "built index families", canary_sec in effect when the row ran,
+    // "suspect reasons" (see [[suspectReasons]]; "" = clean)]
     val attr = sorted.map { case (k, v, sh, sp, gc, cn, rs, b, cy) =>
       "\"" + k + "\":[" + fmt(v) + "," + sh / 1024 + "," + sp / 1024 + "," + gc + "," + cn +
-        ",[" + rs.map(fmt).mkString(",") + "],\"" + b.mkString("+") + "\"," + fmt(cy) + "]"
+        ",[" + rs.map(fmt).mkString(",") + "],\"" + b.mkString("+") + "\"," + fmt(cy) +
+        ",\"" + suspectReasons(v, rs, gc, b).mkString("+") + "\"]"
     }.mkString(",")
     // "reps" is the BASE rep count; rows the adaptive widening re-ran
     // carry 5 entries in their reps_sec array and are counted in
     // "widened" — so the file can't claim median-of-3 for a row whose
     // reported median was actually taken over 5
     val widened = results.count(_._7.size > REPS)
-    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"widened":$widened,"n_queries":${results.size},"sf":"$sfJ","host_factor":${fmt(hostFactor)},"canary_sec":[${canarySeq.map(fmt).mkString(",")}],"columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built","canary_sec"],"queries":{$attr}}"""
+    val attrLine = s"""{"total_sec":${fmt(total)},"reps":$REPS,"widened":$widened,"suspect":$nSuspect,"n_queries":${results.size},"sf":"$sfJ","host_factor":${fmt(hostFactor)},"canary_sec":[${canarySeq.map(fmt).mkString(",")}],"columns":["secs","shuffle_kb","spill_kb","gc_ms","compiles","reps_sec","atrest_built","canary_sec","suspect"],"queries":{$attr}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_attr.json"),
       (attrLine + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"bench_attr.json write failed: $t") }

@@ -25,15 +25,17 @@ import org.apache.spark.sql.types.{DoubleType, TimestampType}
   * reproduce with a plain expression mapping are deliberately ABSENT
   * and stay documented in the compat matrix instead:
   *
-  *   - `list_distinct` — DuckDB drops NULLs and reorders; Spark's
-  *     array_distinct is order-preserving (value-visible difference).
-  *   - `list_sum` — NULL-skipping element sum needs a lambda fold with
-  *     coalesce, not an alias.
   *   - `strftime` — C-style % patterns vs Java date patterns.
-  *   - `len` — polymorphic over strings AND lists; a pre-analysis
-  *     builder cannot dispatch on the argument type.
-  *   - `list(x ORDER BY y)`, `x[1:5]`, `//`, `:=`, `{...}` — parser
-  *     syntax, unreachable by any function registration.
+  *   - `list(x ORDER BY y)`, `:=`, `{...}` — parser syntax,
+  *     unreachable by any function registration. (`[...]` literals,
+  *     `l[i]`, `l[a:b]` and `//` are equally parser-level, but their
+  *     oracle texts were rewritten round 16 to the `list_value` /
+  *     `list_extract` / `list_slice` / CAST(FLOOR(..)) forms both
+  *     engines parse — see the aliases below.)
+  *
+  * Names with caveated mappings (`list_distinct` NULL-drop reorder,
+  * `list_sum` BIGINT accumulator, 2-arg regexp defaults) carry their
+  * caveats inline at the alias site.
   */
 /** DuckDB's polymorphic `len`: string length OR list cardinality,
   * dispatched AFTER the child resolves (a registry builder runs before
@@ -48,6 +50,40 @@ case class DuckLen(child: Expression) extends RuntimeReplaceable
   }
   override def prettyName: String = "len"
   override protected def withNewChildInternal(newChild: Expression): DuckLen =
+    copy(child = newChild)
+}
+
+/** DuckDB's `list_sum`: NULL-skipping element sum, polymorphic over the
+  * element type — BIGINT accumulator for integral lists, DOUBLE for
+  * fractional ones (a registry builder runs pre-analysis and cannot see
+  * the element type, so the dispatch lives here, like [[DuckLen]]).
+  * The replacement builds RESOLVED NamedLambdaVariables (types known at
+  * replacement time), so no lambda re-resolution is needed, and the
+  * optimizer swaps in the plain codegen'd ArrayAggregate. Empty lists
+  * fold to the zero, matching the pre-r16 alias; DuckDB returns NULL
+  * there — no corpus text sums a possibly-empty list into an output
+  * column, and one that did would fail the sweep loudly. */
+case class DuckListSum(child: Expression) extends RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.types._
+  override lazy val replacement: Expression = {
+    val elem = child.dataType match {
+      case ArrayType(et, _) => et
+      case _ => LongType
+    }
+    val (accType: DataType, zero: Expression) = elem match {
+      case _: DoubleType | _: FloatType | _: DecimalType => (DoubleType, Literal(0.0))
+      case _ => (LongType, Literal(0L))
+    }
+    val acc = NamedLambdaVariable("acc", accType, nullable = false)
+    val x = NamedLambdaVariable("x", elem, nullable = true)
+    val fin = NamedLambdaVariable("a", accType, nullable = false)
+    ArrayAggregate(child, zero,
+      LambdaFunction(Add(acc, Coalesce(Seq(Cast(x, accType), zero))), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+  override def prettyName: String = "list_sum"
+  override protected def withNewChildInternal(newChild: Expression): DuckListSum =
     copy(child = newChild)
 }
 
@@ -128,17 +164,10 @@ object DuckDbDialect {
     // column would diverge and the sweep would keep it in the matrix
     "list_distinct" -> (exprs => ArrayDistinct(exprs.head)),
     "starts_with" -> (exprs => StartsWith(exprs(0), exprs(1))),
-    // list_sum: NULL-skipping element sum via the same fold the SQL
-    // aggregate() lambda parses to; BIGINT accumulator (the corpus uses
-    // it on integral lists — a fractional-list use would fail analysis
-    // loudly on the zero/merge type mismatch, never silently truncate)
-    "list_sum" -> (exprs => {
-      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
-      ArrayAggregate(exprs.head, Literal(0L),
-        LambdaFunction(Add(lv("acc"), Coalesce(Seq(lv("x"), Literal(0L)))),
-          Seq(lv("acc"), lv("x"))),
-        LambdaFunction(lv("a"), Seq(lv("a"))))
-    }),
+    // list_sum: NULL-skipping element sum, polymorphic over the element
+    // type (BIGINT accumulator for integral lists, DOUBLE for
+    // fractional) — see [[DuckListSum]]
+    "list_sum" -> (exprs => DuckListSum(exprs.head)),
     "list_min" -> (exprs => ArrayMin(exprs.head)),
     "list_max" -> (exprs => ArrayMax(exprs.head)),
     "list_intersect" -> (exprs => ArrayIntersect(exprs(0), exprs(1))),
@@ -194,7 +223,67 @@ object DuckDbDialect {
         messageParameters = Map("functionName" -> "regexp_replace",
           "expectedNum" -> "3 or 4", "actualNum" -> exprs.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
-    }))
+    }),
+    // ——— round-16 additions: the function-form spellings the oracle
+    // texts moved to when the `[...]`/`//` parser syntax was rewritten
+    // into the ANSI subset both engines parse (SqlCompatSpec arbitrates
+    // each one end-to-end, as above). ———
+    // list_value(...): DuckDB's function form of the [...] literal
+    "list_value" -> (exprs => CreateArray(exprs)),
+    // list_extract(l, i): 1-based, negative = from the end, out of
+    // bounds = NULL (DuckDB 1.0 pinned) — ElementAt with
+    // failOnError=false matches all three; index 0 still throws on
+    // both engines' semantics boundary (DuckDB returns NULL there; no
+    // oracle text indexes by 0, and a future one would fail LOUDLY in
+    // the sweep rather than silently diverge)
+    // (explicit INT casts on every index slot: the corpus' indexes come
+    // from range() as BIGINT, and the analyzer's implicit casts only
+    // widen — ElementAt/Slice demand INT and would fail otherwise)
+    "list_extract" -> (exprs => ElementAt(exprs(0),
+      Cast(exprs(1), org.apache.spark.sql.types.IntegerType), None, failOnError = false)),
+    // list_slice(l, a, b): 1-based INCLUSIVE bounds, clamped at both
+    // ends, empty when a > b or a > len (DuckDB 1.0 pinned). Spark's
+    // Slice(l, start, length) clamps length past the end and returns
+    // empty for start past the end, so length = greatest(b-a+1, 0)
+    // reproduces all of it
+    "list_slice" -> (exprs => {
+      def int(e: Expression) = Cast(e, org.apache.spark.sql.types.IntegerType)
+      Slice(exprs(0), int(exprs(1)),
+        Greatest(Seq(Add(Subtract(int(exprs(2)), int(exprs(1))), Literal(1)), Literal(0))))
+    }),
+    // list_append(l, x) / list_prepend(x, l) — NOTE DuckDB's prepend
+    // takes the ELEMENT first; Spark's ArrayPrepend takes the array
+    "list_append" -> (exprs => ArrayAppend(exprs(0), exprs(1))),
+    "list_prepend" -> (exprs => ArrayPrepend(exprs(1), exprs(0))),
+    "list_contains" -> (exprs => ArrayContains(exprs(0), exprs(1))),
+    "list_concat" -> (exprs => Concat(exprs)),
+    // xor(a, b): DuckDB's bitwise xor function form (Spark only has the
+    // ^ operator under a different precedence climate)
+    "xor" -> (exprs => BitwiseXor(exprs(0), exprs(1))),
+    // generate_series(a, b[, step]): INCLUSIVE bounds on both engines
+    // (unlike `range`, whose upper bound is exclusive — see the range
+    // alias above) — exactly Spark's Sequence
+    "generate_series" -> (exprs =>
+      if (exprs.length == 2) new Sequence(exprs(0), exprs(1))
+      else Sequence(exprs(0), exprs(1), Some(exprs(2)))),
+    // divide(a, b): DuckDB's function form of integer `//` — truncating
+    // INTEGRAL division, exact at int64 (pinned: divide(-7,2) = -3,
+    // divide(12345678901234567, 3) bit-exact). Spark's IntegralDivide
+    // (`div`) has identical truncating semantics and REJECTS fractional
+    // inputs loudly, which is wanted: DuckDB's divide on DOUBLEs is
+    // plain `/`, so a fractional call site must not silently alias
+    "divide" -> (exprs => IntegralDivide(exprs(0), exprs(1))),
+    // regexp_extract_all 2-arg: DuckDB defaults to group 0 (all full
+    // matches); Spark's builtin defaults to group 1 and THROWS on a
+    // groupless pattern — same shadow rationale as regexp_extract
+    "regexp_extract_all" -> (exprs =>
+      if (exprs.length == 2) RegExpExtractAll(exprs(0), exprs(1), Literal(0))
+      else RegExpExtractAll(exprs(0), exprs(1), exprs(2))))
+    // NOT aliasable, found the hard way: `datediff`/`date_diff` — the
+    // parser intercepts both names into visitTimestampdiff BEFORE the
+    // function registry and rejects DuckDB's quoted unit literal, so no
+    // registered builder is ever reached; the oracle texts spell the
+    // day-boundary diff through epoch()/divide() instead.
 
   /** `FROM unnest(arr)` — DuckDB's table-valued unnest: one row per
     * element, renamed by the usual `AS t(x)` alias. Registered in the

@@ -1229,7 +1229,7 @@ object Advanced {
         |    CAST(SUM(CAST(l_returnflag = 'R' AS INT)) AS BIGINT) AS x
         |  FROM li GROUP BY 1),
         |pl AS (SELECT COUNT(*) AS g_n,
-        |    list(CAST(x AS DOUBLE) / n ORDER BY p_brand) AS xs FROM g),
+        |    list_transform(list_sort(list(list_value(p_brand, CAST(CAST(x AS DOUBLE) / n AS STRING)))), pr -> CAST(list_extract(pr, 2) AS DOUBLE)) AS xs FROM g),
         |pm AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
         |    (a2, e) -> a2 + e) / g_n AS m FROM pl),
         |pv AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1251,9 +1251,9 @@ object Advanced {
         |  FROM o GROUP BY 1),
         |reps AS (
         |  SELECT grp, b,
-        |    CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b // 8 AS VARCHAR)), (b % 8) * 4 + 1, 4) AS BIGINT) AS bucket,
+        |    list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(o_orderkey AS STRING) || '_' || CAST(divide(b, 8) AS STRING)), (b % 8) * 4 + 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) AS bucket,
         |    cents
-        |  FROM o, unnest(range(0, 32)) AS t(b)),
+        |  FROM o, LATERAL unnest(range(0, 32)) AS t(b)),
         |wts AS (
         |  SELECT grp, b,
         |    CAST(bucket >= 24109 AS INT) + CAST(bucket >= 48219 AS INT)
@@ -1266,7 +1266,7 @@ object Advanced {
         |  SELECT grp, b,
         |    CAST(CAST(SUM(w * cents) AS BIGINT) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS mb
         |  FROM wts GROUP BY 1, 2),
-        |bt AS (SELECT grp, list(mb ORDER BY b) AS ms FROM rm GROUP BY 1),
+        |bt AS (SELECT grp, list_transform(list_sort(list(list_value(CAST(b AS DOUBLE), mb))), pr -> list_extract(pr, 2)) AS ms FROM rm GROUP BY 1),
         |mb2 AS (SELECT *, list_reduce(list_prepend(CAST(0 AS DOUBLE), ms),
         |    (a, x) -> a + x) / 32 AS mbar FROM bt),
         |se AS (SELECT *, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1287,8 +1287,8 @@ object Advanced {
         |t AS (SELECT COUNT(*) AS n FROM cust),
         |mr AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS rn FROM cust),
         |mb AS (SELECT m AS b FROM mr
-        |  WHERE rn IN (SELECT (k * n) // 10 FROM t,
-        |    unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS u(k))),
+        |  WHERE rn IN (SELECT divide((k * n), 10) FROM t,
+        |    LATERAL unnest(list_value(1, 2, 3, 4, 5, 6, 7, 8, 9)) AS u(k))),
         |sc AS (SELECT c.*,
         |    CAST(11 - (1 + (SELECT COUNT(*) FROM mb WHERE c.m > mb.b)) AS INTEGER) AS decile
         |  FROM cust c),
@@ -1307,7 +1307,7 @@ object Advanced {
         |FROM cum CROSS JOIN tt""".stripMargin,
     "q_benford" ->
       """WITH dg AS (
-        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit
         |  FROM orders),
         |g AS (SELECT digit, COUNT(*) AS n_orders FROM dg GROUP BY 1),
         |t AS (SELECT digit, n_orders, CAST(SUM(n_orders) OVER () AS BIGINT) AS n_total FROM g)
@@ -1325,8 +1325,8 @@ object Advanced {
         |    SUM(cnt) OVER (PARTITION BY flag) AS n
         |  FROM c),
         |b AS (SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
-        |    CAST(MIN(CASE WHEN cq >= (10 * n + 99) // 100 THEN q END) AS BIGINT) AS p10,
-        |    CAST(MIN(CASE WHEN cq >= (90 * n + 99) // 100 THEN q END) AS BIGINT) AS p90
+        |    CAST(MIN(CASE WHEN cq >= divide((10 * n + 99), 100) THEN q END) AS BIGINT) AS p10,
+        |    CAST(MIN(CASE WHEN cq >= divide((90 * n + 99), 100) THEN q END) AS BIGINT) AS p90
         |  FROM cum GROUP BY 1),
         |w AS (SELECT c.flag,
         |    CAST(MAX(b.n) AS BIGINT) AS n, CAST(MAX(p10) AS BIGINT) AS p10,
@@ -1343,19 +1343,19 @@ object Advanced {
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM orders),
         |cust AS (SELECT o_custkey,
-        |    CAST(-datediff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM o)) AS BIGINT) AS r,
+        |    CAST(-divide(CAST(epoch(CAST((SELECT MAX(o_orderdate) FROM o) AS DATE)) AS BIGINT) - CAST(epoch(CAST(MAX(o_orderdate) AS DATE)) AS BIGINT), 86400) AS BIGINT) AS r,
         |    COUNT(*) AS f, CAST(SUM(cents) AS BIGINT) AS m
         |  FROM o GROUP BY 1),
         |t AS (SELECT COUNT(*) AS n FROM cust),
         |rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS rn FROM cust),
         |rb AS (SELECT r AS b FROM rr
-        |  WHERE rn IN (SELECT (k * n) // 5 FROM t, unnest([1, 2, 3, 4]) AS u(k))),
+        |  WHERE rn IN (SELECT divide((k * n), 5) FROM t, LATERAL unnest(list_value(1, 2, 3, 4)) AS u(k))),
         |fr AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f, o_custkey) AS rn FROM cust),
         |fb AS (SELECT f AS b FROM fr
-        |  WHERE rn IN (SELECT (k * n) // 5 FROM t, unnest([1, 2, 3, 4]) AS u(k))),
+        |  WHERE rn IN (SELECT divide((k * n), 5) FROM t, LATERAL unnest(list_value(1, 2, 3, 4)) AS u(k))),
         |mr AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, o_custkey) AS rn FROM cust),
         |mb AS (SELECT m AS b FROM mr
-        |  WHERE rn IN (SELECT (k * n) // 5 FROM t, unnest([1, 2, 3, 4]) AS u(k))),
+        |  WHERE rn IN (SELECT divide((k * n), 5) FROM t, LATERAL unnest(list_value(1, 2, 3, 4)) AS u(k))),
         |sc AS (SELECT c.*,
         |    CAST(1 + (SELECT COUNT(*) FROM rb WHERE c.r > rb.b) AS INTEGER) AS r_score,
         |    CAST(1 + (SELECT COUNT(*) FROM fb WHERE c.f > fb.b) AS INTEGER) AS f_score,
@@ -1383,7 +1383,7 @@ object Advanced {
         |    n, s FROM gg CROSS JOIN t),
         |a AS (SELECT COUNT(*) AS n_groups, MAX(n) AS n,
         |    MAX(CAST(s AS DOUBLE) / n / 100.0) AS mean_price,
-        |    list(loo_mean ORDER BY bucket) AS xs FROM l),
+        |    list_transform(list_sort(list(list_value(CAST(bucket AS DOUBLE), loo_mean))), pr -> list_extract(pr, 2)) AS xs FROM l),
         |m AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
         |    (a2, e) -> a2 + e) / n_groups AS mean_dot FROM a),
         |v AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1393,7 +1393,7 @@ object Advanced {
         |  round(mean_dot, 4) AS jk_mean, round(sqrt(jk_var), 6) AS jk_se FROM v""".stripMargin,
     "q_psi_drift" ->
       """WITH o AS (SELECT o_orderpriority, CAST(year(o_orderdate) >= 1997 AS INT) AS cur,
-        |    least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000, 9) AS bucket
+        |    least(divide(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 5000000), 9) AS bucket
         |  FROM orders),
         |cells AS (SELECT o_orderpriority, bucket, CAST(SUM(1 - cur) AS BIGINT) AS n_ref,
         |    CAST(SUM(cur) AS BIGINT) AS n_cur FROM o GROUP BY 1, 2),
@@ -1405,7 +1405,7 @@ object Advanced {
         |     * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + k)) / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k))) AS term
         |  FROM w),
         |agg AS (SELECT o_orderpriority, MAX(t_ref) AS n_ref_total, MAX(t_cur) AS n_cur_total,
-        |    list(term ORDER BY bucket) AS xs FROM tm GROUP BY 1)
+        |    list_transform(list_sort(list(list_value(CAST(bucket AS DOUBLE), term))), pr -> list_extract(pr, 2)) AS xs FROM tm GROUP BY 1)
         |SELECT o_orderpriority, n_ref_total, n_cur_total,
         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a2, e) -> a2 + e), 6) AS psi
         |FROM agg""".stripMargin,
@@ -1467,8 +1467,7 @@ object Advanced {
         |  FROM orders),
         |t AS (SELECT COUNT(*) AS n FROM o),
         |r AS (SELECT cents,
-        |    (ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1) * 16
-        |      // (SELECT n FROM t) AS bucket
+        |    divide((ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1) * 16, (SELECT n FROM t)) AS bucket
         |  FROM o)
         |SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_rows,
         |  CAST(MIN(cents) AS BIGINT) AS lo_cents, CAST(MAX(cents) AS BIGINT) AS hi_cents
@@ -1647,14 +1646,14 @@ object Advanced {
       """SELECT o_orderpriority, COUNT(*) AS n_sampled,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_total
         |FROM orders
-        |WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) < 6554
+        |WHERE list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) < 6554
         |GROUP BY 1""".stripMargin,
     "q_hll_precision_sweep" ->
       """WITH ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_n FROM lineitem)
         |SELECT CAST(k AS INTEGER) AS lg_k, CAST((1 << k) AS BIGINT) AS m, exact_n,
         |  round(3 * 1.04 / sqrt(CAST((1 << k) AS DOUBLE)), 6) AS rse_bound,
         |  TRUE AS hll_ok
-        |FROM ex, unnest([4, 6, 8, 10, 12]) AS t(k)""".stripMargin,
+        |FROM ex, LATERAL unnest(list_value(4, 6, 8, 10, 12)) AS t(k)""".stripMargin,
     "q_column_profile" ->
       """WITH m AS (
         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem

@@ -1341,7 +1341,7 @@ object Curation {
         |  FROM p4),
         |c AS (
         |  SELECT raw_url,
-        |    concat(regexp_replace(lower(host), '^www\.', ''), path,
+        |    concat(regexp_replace(lower(host), '^www[.]', ''), path,
         |      CASE WHEN len(kept) > 0
         |        THEN concat('?', array_to_string(list_sort(kept), '&')) ELSE '' END)
         |      AS canonical_url,
@@ -1386,12 +1386,12 @@ object Curation {
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
          |    CAST(SUM(n_words) AS BIGINT) AS avail_tokens
          |  FROM f GROUP BY 1),
-         |q AS (SELECT *, n_pass * 1000000 // n_docs AS quality_ppm FROM per),
+         |q AS (SELECT *, divide(n_pass * 1000000, n_docs) AS quality_ppm FROM per),
          |t AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS tot_tokens FROM q),
-         |r AS (SELECT q.*, tot_tokens * 2 // 5 AS budget,
-         |    LEAST(avail_tokens, (tot_tokens * 2 // 5) // 2) AS cap_tokens,
+         |r AS (SELECT q.*, divide(tot_tokens * 2, 5) AS budget,
+         |    LEAST(avail_tokens, divide((divide(tot_tokens * 2, 5)), 2)) AS cap_tokens,
          |    CAST(ROW_NUMBER() OVER (ORDER BY quality_ppm DESC, source) AS INTEGER) AS rank,
-         |    CAST(SUM(LEAST(avail_tokens, (tot_tokens * 2 // 5) // 2))
+         |    CAST(SUM(LEAST(avail_tokens, divide((divide(tot_tokens * 2, 5)), 2)))
          |      OVER (ORDER BY quality_ppm DESC, source
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumcap
          |  FROM q CROSS JOIN t)
@@ -1408,8 +1408,8 @@ object Curation {
          |    list_sum(list_transform(words, x -> length(x))) AS n_charsw,
          |    len(list_filter(words, x -> x IN $stopList)) AS n_stop,
          |    CASE WHEN len(words) >= 2
-         |      THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])
-         |      ELSE CAST([] AS VARCHAR[]) END AS g2
+         |      THEN list_transform(range(1, len(words)), i -> list_extract(words, i) || ' ' || list_extract(words, i + 1))
+         |      ELSE list_transform(list_value(), tav -> CAST(tav AS STRING)) END AS g2
          |  FROM w),
          |f1 AS (SELECT *, COALESCE(list_max(list_transform(list_distinct(g2),
          |      t -> len(list_filter(g2, x -> x = t)))), 0) AS max2, len(g2) AS tot2
@@ -1446,8 +1446,8 @@ object Curation {
       """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS words
         |  FROM documents),
         |tok AS (SELECT doc_id, source IN ('src0', 'src1') AS is_t,
-        |    CAST(('0x' || substring(md5(u.w), 1, 6)) AS BIGINT) % 1024 AS b
-        |  FROM t, unnest(words) AS u(w)),
+        |    list_sum(list_transform(range(1, 7), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(u.w), 1, 6), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 6 - hxi) AS BIGINT))) % 1024 AS b
+        |  FROM t, LATERAL unnest(words) AS u(w)),
         |tot AS (SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tt,
         |    CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS tq FROM tok),
         |tc AS (SELECT b, COUNT(*) AS nt FROM tok WHERE is_t GROUP BY 1),
@@ -1470,7 +1470,7 @@ object Curation {
          |t AS (SELECT COUNT(*) AS n FROM px),
          |r AS (SELECT xent, ROW_NUMBER() OVER (ORDER BY xent, doc_id) AS rn FROM px),
          |b AS (SELECT xent AS bx FROM r
-         |  WHERE rn IN (SELECT (k * n) // 4 FROM t, unnest([1, 2, 3]) AS u(k))),
+         |  WHERE rn IN (SELECT divide((k * n), 4) FROM t, LATERAL unnest(list_value(1, 2, 3)) AS u(k))),
          |sc AS (SELECT p.*,
          |    CAST(1 + (SELECT COUNT(*) FROM b WHERE p.xent > b.bx) AS INTEGER) AS stage
          |  FROM px p)
@@ -1488,8 +1488,8 @@ object Curation {
          |  FROM hs WHERE len(hashes) >= 1),
          |bands AS (
          |  SELECT doc_id, b AS band_idx,
-         |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
-         |  FROM sg, unnest(range(0, 4)) AS t(b)),
+         |    array_to_string(list_slice(sig, b*4+1, b*4+4), '-') AS band_hash
+         |  FROM sg, LATERAL unnest(range(0, 4)) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM bands x JOIN bands y
@@ -1503,7 +1503,7 @@ object Curation {
          |sp AS (SELECT doc_id,
          |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation' ELSE 'test' END AS split
          |  FROM (SELECT doc_id,
-         |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b
+         |      list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 100 AS b
          |    FROM documents)),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
@@ -1537,8 +1537,8 @@ object Curation {
          |  FROM hs WHERE len(hashes) >= 1),
          |bands AS (
          |  SELECT doc_id, b AS band_idx,
-         |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
-         |  FROM sg, unnest(range(0, 4)) AS t(b)),
+         |    array_to_string(list_slice(sig, b*4+1, b*4+4), '-') AS band_hash
+         |  FROM sg, LATERAL unnest(range(0, 4)) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM bands x JOIN bands y
@@ -1552,7 +1552,7 @@ object Curation {
          |sp AS (SELECT doc_id,
          |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation' ELSE 'test' END AS split
          |  FROM (SELECT doc_id,
-         |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b
+         |      list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 100 AS b
          |    FROM documents)),
          |cells AS (SELECT least(a.split, b.split) AS split_a,
          |    greatest(a.split, b.split) AS split_b, COUNT(*) AS n_pairs
@@ -1573,19 +1573,19 @@ object Curation {
         |  FROM (SELECT source, h, COUNT(*) AS c FROM base GROUP BY 1, 2) GROUP BY 1),
         |lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
         |langs AS (SELECT source, COUNT(*) AS n_langs, CAST(SUM(c) AS BIGINT) AS nl,
-        |    list({'lang': lang, 'c': c} ORDER BY lang, c) AS ls
+        |    list_sort(list(list_value(lang, CAST(c AS STRING)))) AS ls
         |  FROM lc GROUP BY 1),
         |le AS (SELECT source, n_langs,
         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ls, x -> (x.c / CAST(nl AS DOUBLE)) * ln(x.c / CAST(nl AS DOUBLE)))),
+        |      list_transform(ls, x -> (CAST(list_extract(x, 2) AS DOUBLE) / CAST(nl AS DOUBLE)) * ln(CAST(list_extract(x, 2) AS DOUBLE) / CAST(nl AS DOUBLE)))),
         |      (a, b) -> a - b), 6) AS lang_entropy
         |  FROM langs),
         |wd AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
         |gb AS (SELECT doc_id, source, len(words) AS n_words,
         |    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mwl
         |  FROM wd),
-        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN []
-        |    ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS g
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN list_value()
+        |    ELSE list_transform(range(1, len(words)), i -> list_extract(words, i) || ' ' || list_extract(words, i+1)) END) AS g
         |  FROM wd),
         |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
         |rep AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM gc GROUP BY 1),
@@ -1617,24 +1617,23 @@ object Curation {
         |FROM cell""".stripMargin,
     "q_compaction_plan" ->
       """WITH h AS (
-        |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hh,
-        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 AS shard_id
+        |  SELECT doc_id, n_chars, md5(CAST(doc_id AS STRING)) AS hh,
+        |    list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 16 AS shard_id
         |  FROM documents),
         |p AS (
         |  SELECT shard_id, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY hh, doc_id) AS pos
         |  FROM h),
         |f AS (
-        |  SELECT shard_id, (pos - 1) // 8 AS frag_id,
+        |  SELECT shard_id, divide((pos - 1), 8) AS frag_id,
         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(n_chars) AS BIGINT) AS bytes
         |  FROM p GROUP BY 1, 2),
         |b AS (
         |  SELECT shard_id, n_docs, bytes,
-        |    COALESCE(CAST(SUM(bytes) OVER (PARTITION BY shard_id
+        |    divide(COALESCE(CAST(SUM(bytes) OVER (PARTITION BY shard_id
         |      ORDER BY bytes DESC, frag_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |      // 8192 AS bin_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0), 8192) AS bin_id
         |  FROM f),
         |a AS (
         |  SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_frags,
@@ -1655,10 +1654,10 @@ object Curation {
         |  FROM (VALUES ('e01', 0.1), ('e1', 1.0), ('e10', 10.0)) AS t(eps_label, eps)),
         |nz AS (
         |  SELECT eps_label, eps, lang, n, sum_clamped,
-        |    (CAST('0x' || substring(md5(lang || '|' || eps_label || '|' || 'sum'),
-        |       1, 12) AS BIGINT) + 0.5) / 281474976710656.0 AS us,
-        |    (CAST('0x' || substring(md5(lang || '|' || eps_label || '|' || 'cnt'),
-        |       1, 12) AS BIGINT) + 0.5) / 281474976710656.0 AS uc
+        |    (list_sum(list_transform(range(1, 13), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(lang || '|' || eps_label || '|' || 'sum'),
+        |       1, 12), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 12 - hxi) AS BIGINT))) + 0.5) / 281474976710656.0 AS us,
+        |    (list_sum(list_transform(range(1, 13), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(lang || '|' || eps_label || '|' || 'cnt'),
+        |       1, 12), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 12 - hxi) AS BIGINT))) + 0.5) / 281474976710656.0 AS uc
         |  FROM cells CROSS JOIN eps),
         |n2 AS (
         |  SELECT eps_label, eps, lang, n, sum_clamped,
@@ -1679,7 +1678,7 @@ object Curation {
         |FROM m""".stripMargin,
     "q_dp_quantile" ->
       """WITH bc AS (
-        |  SELECT n_chars // 100 AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |  SELECT divide(n_chars, 100) AS bucket, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM documents GROUP BY 1),
         |cum AS (
         |  SELECT bucket, c,
@@ -1693,8 +1692,8 @@ object Curation {
         |sc AS (
         |  SELECT eps_label, eps, bucket, u_score,
         |    eps * u_score / 4.0 - ln(-ln(
-        |      (CAST('0x' || substring(md5(CAST(bucket AS VARCHAR) || '|' || eps_label),
-        |         1, 12) AS BIGINT) + 0.5) / 281474976710656.0)) AS score
+        |      (list_sum(list_transform(range(1, 13), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(bucket AS STRING) || '|' || eps_label),
+        |         1, 12), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 12 - hxi) AS BIGINT))) + 0.5) / 281474976710656.0)) AS score
         |  FROM us CROSS JOIN eps),
         |pick AS (
         |  SELECT eps_label, eps, bucket,
@@ -1720,7 +1719,7 @@ object Curation {
         |sc AS (
         |  SELECT eps_label, eps, word, df,
         |    eps * df / 20.0 - ln(-ln(
-        |      (CAST('0x' || substring(md5(word || '|' || eps_label), 1, 12) AS BIGINT)
+        |      (list_sum(list_transform(range(1, 13), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(word || '|' || eps_label), 1, 12), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 12 - hxi) AS BIGINT)))
         |        + 0.5) / 281474976710656.0)) AS score
         |  FROM dfreq CROSS JOIN eps),
         |rel AS (
@@ -1734,7 +1733,7 @@ object Curation {
         |  FROM rel LEFT JOIN tru ON rel.word = tru.word
         |  WHERE rk <= 10 GROUP BY 1)
         |SELECT eps_label, eps, CAST(10 AS BIGINT) AS k, n_overlap,
-        |  round(n_overlap / 10.0, 6) AS recall,
+        |  round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall,
         |  round(CAST(df_rel_sum AS DOUBLE) / df_true_sum, 6) AS utility_ratio
         |FROM agg CROSS JOIN ts""".stripMargin,
     "q_t_closeness" ->
@@ -1781,8 +1780,8 @@ object Curation {
         |  FROM (VALUES ('e01', 0.1), ('e1', 1.0), ('e10', 10.0)) AS t(eps_label, eps)),
         |nz AS (
         |  SELECT eps_label, eps, true_n,
-        |    (CAST('0x' || substring(md5(lang || '|' || source || '|' || eps_label),
-        |       1, 12) AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        |    (list_sum(list_transform(range(1, 13), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(lang || '|' || source || '|' || eps_label),
+        |       1, 12), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 12 - hxi) AS BIGINT))) + 0.5) / 281474976710656.0 AS u
         |  FROM h CROSS JOIN eps),
         |n2 AS (
         |  SELECT eps_label, eps, true_n,
@@ -1801,12 +1800,12 @@ object Curation {
         |FROM a""".stripMargin,
     "q_k_anon" ->
       """WITH cells AS (
-        |  SELECT lang, source, n_chars // 200 AS len_bucket, COUNT(*) AS k
+        |  SELECT lang, source, divide(n_chars, 200) AS len_bucket, COUNT(*) AS k
         |  FROM documents GROUP BY 1, 2, 3),
         |g AS (
         |  SELECT lang, source, len_bucket, k,
-        |    len_bucket // 4 AS gen_bucket,
-        |    CAST(SUM(k) OVER (PARTITION BY lang, source, len_bucket // 4) AS BIGINT) AS k_gen
+        |    divide(len_bucket, 4) AS gen_bucket,
+        |    CAST(SUM(k) OVER (PARTITION BY lang, source, divide(len_bucket, 4)) AS BIGINT) AS k_gen
         |  FROM cells)
         |SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
         |  k, (k < 5) AS at_risk,
@@ -1853,13 +1852,13 @@ object Curation {
         |  FROM f2),
         |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
         |SELECT layout, n_files, n_files_hit, rows_total, rows_scanned, rows_match,
-        |  CAST((n_files - n_files_hit) * 1000000 // n_files AS BIGINT) AS skip_ppm,
-        |  CAST(rows_scanned * 1000000 // GREATEST(rows_match, 1) AS BIGINT) AS amp_ppm
+        |  CAST(divide((n_files - n_files_hit) * 1000000, n_files) AS BIGINT) AS skip_ppm,
+        |  CAST(divide(rows_scanned * 1000000, GREATEST(rows_match, 1)) AS BIGINT) AS amp_ppm
         |FROM u""".stripMargin,
     "q_length_buckets" ->
       """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
         |  FROM documents),
-        |b AS (SELECT ((tok + 63) // 64) * 64 AS bucket_len, tok FROM t),
+        |b AS (SELECT (divide((tok + 63), 64)) * 64 AS bucket_len, tok FROM t),
         |g AS (SELECT bucket_len, COUNT(*) AS n_docs,
         |    CAST(SUM(tok) AS BIGINT) AS sum_tokens
         |  FROM b GROUP BY 1)
@@ -1867,7 +1866,7 @@ object Curation {
         |  CAST(bucket_len * n_docs - sum_tokens AS BIGINT) AS padding,
         |  round(CAST(bucket_len * n_docs - sum_tokens AS DOUBLE)
         |    / (bucket_len * n_docs), 6) AS waste_pct,
-        |  CAST((bucket_len * n_docs + 8191) // 8192 AS BIGINT) AS n_batches
+        |  CAST(divide((bucket_len * n_docs + 8191), 8192) AS BIGINT) AS n_batches
         |FROM g""".stripMargin,
     "q_neyman_alloc" ->
       """WITH o AS (SELECT o_orderpriority,
@@ -1882,7 +1881,7 @@ object Curation {
         |  FROM g),
         |w AS (SELECT *, CAST(floor(n_h * s_h * 1000.0) AS BIGINT) AS wt FROM h),
         |t AS (SELECT *, CAST(SUM(wt) OVER () AS BIGINT) AS sum_w FROM w),
-        |b AS (SELECT *, CAST((wt * 10000) // sum_w AS BIGINT) AS base,
+        |b AS (SELECT *, CAST(divide((wt * 10000), sum_w) AS BIGINT) AS base,
         |    (wt * 10000) % sum_w AS rem FROM t),
         |r AS (SELECT *, CAST(10000 - SUM(base) OVER () AS BIGINT) AS deficit,
         |    ROW_NUMBER() OVER (ORDER BY rem DESC, o_orderpriority) AS rk FROM b)
@@ -1894,14 +1893,12 @@ object Curation {
         |t AS (SELECT COUNT(*) AS n_all FROM d),
         |g AS (
         |  SELECT n_chars,
-        |    (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 20
-        |      // (SELECT n_all FROM t) AS gb
+        |    divide((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 20, (SELECT n_all FROM t)) AS gb
         |  FROM d),
         |ref AS (SELECT gb, CAST(MIN(n_chars) AS BIGINT) AS ref_lo FROM g GROUP BY 1),
         |r AS (
         |  SELECT source, n_chars,
-        |    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1) * 20
-        |      // (COUNT(*) OVER (PARTITION BY source)) AS b
+        |    divide((ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1) * 20, (COUNT(*) OVER (PARTITION BY source))) AS b
         |  FROM d),
         |sb AS (
         |  SELECT source, b, COUNT(*) AS n_docs, CAST(MIN(n_chars) AS BIGINT) AS src_lo
@@ -1913,8 +1910,8 @@ object Curation {
       """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
         |sp AS (
         |  SELECT DISTINCT source,
-        |    md5(array_to_string(words[i*10+1 : i*10+10], ' ')) AS h
-        |  FROM w, unnest(range(0, (len(words) + 9) // 10)) AS t(i)),
+        |    md5(array_to_string(list_slice(words, i*10+1, i*10+10), ' ')) AS h
+        |  FROM w, LATERAL unnest(range(0, divide((len(words) + 9), 10))) AS t(i)),
         |tot AS (SELECT source, COUNT(*) AS n_spans FROM sp GROUP BY 1),
         |p AS (
         |  SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS n_shared
@@ -1932,9 +1929,9 @@ object Curation {
         |  FROM tok),
         |base AS (
         |  SELECT lang, n_tokens, 2 * tot_tokens AS budget,
-        |    (2 * tot_tokens) // n_langs AS desired,
-        |    ((2 * tot_tokens) // n_langs) > 4 * n_tokens AS capped,
-        |    least((2 * tot_tokens) // n_langs, 4 * n_tokens) AS assigned
+        |    divide((2 * tot_tokens), n_langs) AS desired,
+        |    (divide((2 * tot_tokens), n_langs)) > 4 * n_tokens AS capped,
+        |    least(divide((2 * tot_tokens), n_langs), 4 * n_tokens) AS assigned
         |  FROM tok CROSS JOIN tots),
         |spare AS (
         |  SELECT CAST(SUM(assigned) AS BIGINT) AS assigned_tot,
@@ -1942,22 +1939,22 @@ object Curation {
         |  FROM base)
         |SELECT lang, n_tokens, desired, capped,
         |  assigned + (CASE WHEN capped OR open_tokens = 0 THEN 0
-        |    ELSE (budget - assigned_tot) * n_tokens // open_tokens END) AS planned_tokens,
+        |    ELSE divide((budget - assigned_tot) * n_tokens, open_tokens) END) AS planned_tokens,
         |  round(CAST(assigned + (CASE WHEN capped OR open_tokens = 0 THEN 0
-        |    ELSE (budget - assigned_tot) * n_tokens // open_tokens END) AS DOUBLE) / n_tokens, 6) AS epochs
+        |    ELSE divide((budget - assigned_tot) * n_tokens, open_tokens) END) AS DOUBLE) / n_tokens, 6) AS epochs
         |FROM base CROSS JOIN spare""".stripMargin,
     "q_zorder_layout" ->
       """WITH k AS (
         |  SELECT doc_id, lang,
         |    least(CAST(floor(n_chars / 64) AS BIGINT), 255) AS xb,
-        |    CAST('0x' || substring(md5(lang), 1, 2) AS BIGINT) AS yb
+        |    list_sum(list_transform(range(1, 3), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(lang), 1, 2), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 2 - hxi) AS BIGINT))) AS yb
         |  FROM documents),
         |z AS (
         |  SELECT doc_id, lang, xb, yb,
         |    CAST(list_sum(list_transform(range(0, 8),
         |      i -> (((xb >> i) & 1) << (2 * i)) + (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
         |  FROM k)
-        |SELECT CAST(z // 256 AS BIGINT) AS zcell, COUNT(*) AS n_docs,
+        |SELECT CAST(divide(z, 256) AS BIGINT) AS zcell, COUNT(*) AS n_docs,
         |  CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max,
         |  CAST(MIN(xb) AS BIGINT) AS x_min, CAST(MAX(xb) AS BIGINT) AS x_max,
         |  CAST(MIN(yb) AS BIGINT) AS y_min, CAST(MAX(yb) AS BIGINT) AS y_max,
@@ -1965,7 +1962,7 @@ object Curation {
         |FROM z GROUP BY 1""".stripMargin,
     "q_reservoir_sample" ->
       """WITH h AS (
-        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS STRING)) AS h FROM documents),
         |r AS (
         |  SELECT doc_id, lang, h,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
@@ -1978,9 +1975,9 @@ object Curation {
     "q_split_stratified" ->
       """WITH a AS (
         |  SELECT lang,
-        |    CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 80
+        |    CASE WHEN list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 100 < 80
         |         THEN 'train'
-        |         WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90
+        |         WHEN list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 100 < 90
         |         THEN 'validation'
         |         ELSE 'test' END AS split
         |  FROM documents),
@@ -1991,8 +1988,8 @@ object Curation {
         |FROM g""".stripMargin,
     "q_shard_layout" ->
       """WITH h AS (
-        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 AS shard_id
+        |  SELECT doc_id, md5(CAST(doc_id AS STRING)) AS h,
+        |    list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 16 AS shard_id
         |  FROM documents)
         |SELECT doc_id, shard_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS INTEGER) AS pos
@@ -2005,7 +2002,7 @@ object Curation {
         |  FROM c),
         |k AS (
         |  SELECT d.source, r.keep_rate,
-        |    (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |    (list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(d.doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT)))
         |      < CAST(round(r.keep_rate * 65536) AS BIGINT)) AS kept
         |  FROM documents d JOIN r USING (source))
         |SELECT source, COUNT(*) AS n_docs, MAX(keep_rate) AS keep_rate,
@@ -2019,7 +2016,7 @@ object Curation {
         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t)
-        |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+        |SELECT source, CAST(divide((cum - n_tok), 2048) AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2""".stripMargin,
@@ -2033,7 +2030,7 @@ object Curation {
          |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
          |k AS (
          |  SELECT *,
-         |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+         |    (list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT)))
          |      < CASE WHEN pass_quality AND pass_lang THEN 58982 ELSE 6554 END) AS kept
          |  FROM g)
          |SELECT pass_quality, pass_lang, COUNT(*) AS n_docs,
@@ -2065,8 +2062,8 @@ object Curation {
          |    list_distinct(shingles) AS sset FROM hs),
          |bands AS (
          |  SELECT doc_id, b AS band_idx,
-         |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
-         |  FROM sg, unnest(range(0, 4)) AS t(b)),
+         |    array_to_string(list_slice(sig, b*4+1, b*4+4), '-') AS band_hash
+         |  FROM sg, LATERAL unnest(range(0, 4)) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM bands x JOIN bands y

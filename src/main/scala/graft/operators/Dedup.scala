@@ -1887,9 +1887,9 @@ object Dedup {
     "q_dedup_simhash_pairs" -> (qDedupSimhashPairs _))
 
   private[operators] val shinglesSql =
-    "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+    "list_transform(range(1, len(words) - 1), i -> list_extract(words, i) || ' ' || list_extract(words, i+1) || ' ' || list_extract(words, i+2))"
   private[operators] val hashesSql =
-    "list_transform(shingles, sh -> CAST(('0x' || substring(md5(sh), 1, 7)) AS BIGINT))"
+    "list_transform(shingles, sh -> list_sum(list_transform(range(1, 8), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(sh), 1, 7), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - hxi) AS BIGINT))))"
   private[operators] val sigSql =
     "list_transform(range(0, 16), k -> list_min(list_transform(hashes, h -> ((2654435761 + 40503 * k) * h + 2654435769 * k + 97) % 2147483647)))"
 
@@ -1918,8 +1918,8 @@ object Dedup {
        |sg AS (SELECT doc_id, $sigSql AS sig, list_distinct(shingles) AS sset FROM hs),
        |bands AS (
        |  SELECT doc_id, b AS band_idx,
-       |    array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
-       |  FROM sg, unnest(range(0, 4)) AS t(b)),
+       |    array_to_string(list_slice(sig, b*4+1, b*4+4), '-') AS band_hash
+       |  FROM sg, LATERAL unnest(range(0, 4)) AS t(b)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y
@@ -1955,10 +1955,10 @@ object Dedup {
          |pw AS (SELECT p.a_id, p.b_id, wa.w AS aw, wb.w AS bw
          |  FROM pairs p JOIN wd wa ON wa.doc_id = p.a_id JOIN wd wb ON wb.doc_id = p.b_id),
          |g AS (SELECT a_id, b_id, aw, bw,
-         |    CASE WHEN len(aw) < 2 THEN []
-         |      ELSE list_transform(range(1, len(aw)), i -> aw[i] || ' ' || aw[i + 1]) END AS ag2,
-         |    CASE WHEN len(bw) < 2 THEN []
-         |      ELSE list_transform(range(1, len(bw)), i -> bw[i] || ' ' || bw[i + 1]) END AS bg2
+         |    CASE WHEN len(aw) < 2 THEN list_value()
+         |      ELSE list_transform(range(1, len(aw)), i -> list_extract(aw, i) || ' ' || list_extract(aw, i + 1)) END AS ag2,
+         |    CASE WHEN len(bw) < 2 THEN list_value()
+         |      ELSE list_transform(range(1, len(bw)), i -> list_extract(bw, i) || ' ' || list_extract(bw, i + 1)) END AS bg2
          |  FROM pw),
          |m AS (SELECT a_id, b_id,
          |    CAST(len(aw) AS BIGINT) AS len_a, CAST(len(bw) AS BIGINT) AS len_b,
@@ -2004,7 +2004,7 @@ object Dedup {
          |sg2 AS (SELECT doc_id, $bits AS sig FROM cnt),
          |banded AS (
          |  SELECT doc_id, b AS band, substring(sig, b * 16 + 1, 16) AS bits
-         |  FROM sg2, unnest([0, 1, 2, 3]) AS t(b)),
+         |  FROM sg2, LATERAL unnest(list_value(0, 1, 2, 3)) AS t(b)),
          |candp AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM banded a JOIN banded b
@@ -2131,18 +2131,18 @@ object Dedup {
          |deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY 1),
          |p0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
          |p1 AS (
-         |  SELECT x.id, CAST(150000000000 + (SUM(x.c) * 85) // 100 AS BIGINT) AS pr
-         |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
+         |  SELECT x.id, CAST(150000000000 + divide((SUM(x.c) * 85), 100) AS BIGINT) AS pr
+         |  FROM (SELECT e.dst AS id, divide(p.pr, g.deg) AS c
          |        FROM edges e JOIN p0 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
          |  GROUP BY 1),
          |p2 AS (
-         |  SELECT x.id, CAST(150000000000 + (SUM(x.c) * 85) // 100 AS BIGINT) AS pr
-         |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
+         |  SELECT x.id, CAST(150000000000 + divide((SUM(x.c) * 85), 100) AS BIGINT) AS pr
+         |  FROM (SELECT e.dst AS id, divide(p.pr, g.deg) AS c
          |        FROM edges e JOIN p1 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
          |  GROUP BY 1),
          |p3 AS (
-         |  SELECT x.id, CAST(150000000000 + (SUM(x.c) * 85) // 100 AS BIGINT) AS pr
-         |  FROM (SELECT e.dst AS id, p.pr // g.deg AS c
+         |  SELECT x.id, CAST(150000000000 + divide((SUM(x.c) * 85), 100) AS BIGINT) AS pr
+         |  FROM (SELECT e.dst AS id, divide(p.pr, g.deg) AS c
          |        FROM edges e JOIN p2 p ON e.src = p.id JOIN deg g ON e.src = g.id) x
          |  GROUP BY 1)
          |SELECT p3.id AS doc_id, deg.deg, p3.pr AS pr3_scaled
@@ -2152,15 +2152,15 @@ object Dedup {
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
          |sp AS (
          |  SELECT doc_id, CAST(i AS INTEGER) AS span_idx,
-         |    array_to_string(words[i*10+1 : i*10+10], ' ') AS span
-         |  FROM w, unnest(range(0, (len(words) + 9) // 10)) AS t(i)),
+         |    array_to_string(list_slice(words, i*10+1, i*10+10), ' ') AS span
+         |  FROM w, LATERAL unnest(range(0, divide((len(words) + 9), 10))) AS t(i)),
          |occ AS (SELECT md5(span) AS h, COUNT(*) AS n_occ FROM sp GROUP BY 1),
          |j AS (SELECT doc_id, span_idx, span, n_occ
          |  FROM sp JOIN occ ON md5(sp.span) = occ.h)
          |SELECT doc_id, COUNT(*) AS n_spans,
          |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
          |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction,
-         |  coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE n_occ <= 1), '') AS clean_text
+         |  coalesce(array_to_string(list_transform(list_sort(list(list_value(lpad(CAST(span_idx AS STRING), 10, '0'), span)) FILTER (WHERE n_occ <= 1)), pr -> list_extract(pr, 2)), ' '), '') AS clean_text
          |FROM j GROUP BY doc_id""".stripMargin,
     "q_dedup_substr" ->
       s"""WITH $corpusSql,
@@ -2169,8 +2169,8 @@ object Dedup {
          |  WHERE len(words) >= 10),
          |win AS (
          |  SELECT doc_id, n_words, CAST(i AS INTEGER) AS w_start,
-         |    md5(array_to_string(words[i+1 : i+10], ' ')) AS h
-         |  FROM d, unnest(range(0, len(words) - 9)) AS t(i)),
+         |    md5(array_to_string(list_slice(words, i+1, i+10), ' ')) AS h
+         |  FROM d, LATERAL unnest(range(0, len(words) - 9)) AS t(i)),
          |occ AS (SELECT h, COUNT(*) AS n_occ FROM win GROUP BY 1),
          |dup AS (SELECT doc_id, n_words, w_start
          |  FROM win JOIN occ USING (h) WHERE n_occ > 1),
@@ -2194,8 +2194,8 @@ object Dedup {
          |hs AS (SELECT doc_id, $hashesSql AS hashes FROM sh),
          |fpl AS (
          |  SELECT doc_id, list_distinct(CASE WHEN len(hashes) >= 4
-         |      THEN list_transform(range(0, len(hashes) - 3), i -> list_min(hashes[i+1 : i+4]))
-         |      ELSE [list_min(hashes)] END) AS fps
+         |      THEN list_transform(range(0, len(hashes) - 3), i -> list_min(list_slice(hashes, i+1, i+4)))
+         |      ELSE list_value(list_min(hashes)) END) AS fps
          |  FROM hs WHERE len(hashes) >= 1),
          |posts AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM fpl),
          |rare AS (SELECT fp FROM posts GROUP BY fp HAVING COUNT(*) <= 50),
@@ -2221,11 +2221,11 @@ object Dedup {
          |ed AS (SELECT DISTINCT i.doc_id FROM inc i JOIN hist t ON i.h = t.h),
          |surv AS (SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
          |bi AS (SELECT doc_id AS i_id, b AS band_idx,
-         |  array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
-         |  FROM surv, unnest(range(0, 4)) AS t(b)),
+         |  array_to_string(list_slice(sig, b*4+1, b*4+4), '-') AS band_hash
+         |  FROM surv, LATERAL unnest(range(0, 4)) AS t(b)),
          |bh AS (SELECT doc_id AS h_id, b AS band_idx,
-         |  array_to_string(sig[b*4+1:b*4+4], '-') AS band_hash
-         |  FROM hist, unnest(range(0, 4)) AS t(b)),
+         |  array_to_string(list_slice(sig, b*4+1, b*4+4), '-') AS band_hash
+         |  FROM hist, LATERAL unnest(range(0, 4)) AS t(b)),
          |cand AS (SELECT DISTINCT i_id, h_id FROM bi JOIN bh USING (band_idx, band_hash)),
          |nd AS (
          |  SELECT DISTINCT i_id AS doc_id FROM (
@@ -2251,25 +2251,25 @@ object Dedup {
          |  SELECT doc_id, text, n, i + 1,
          |    CASE WHEN $cdcCut THEN CAST(0 AS HUGEINT) ELSE $cdcNewH END,
          |    CASE WHEN $cdcCut THEN i + 1 ELSE lastb END,
-         |    CASE WHEN $cdcCut THEN b || ',' || CAST(i + 1 AS VARCHAR) ELSE b END
+         |    CASE WHEN $cdcCut THEN b || ',' || CAST(i + 1 AS STRING) ELSE b END
          |  FROM fold WHERE i < n),
          |final AS (SELECT doc_id, text, n, b FROM fold WHERE i = n),
          |blist AS (
          |  SELECT doc_id, text, n,
-         |    CASE WHEN b = '' THEN CAST([] AS INTEGER[])
+         |    CASE WHEN b = '' THEN list_transform(list_value(), tav -> CAST(tav AS INTEGER))
          |         ELSE list_transform(string_split(substring(b, 2), ','), s -> CAST(s AS INTEGER))
          |    END AS bounds0
          |  FROM final),
          |withb AS (
          |  SELECT doc_id, text,
-         |    CASE WHEN len(bounds0) = 0 OR bounds0[len(bounds0)] <> n
+         |    CASE WHEN len(bounds0) = 0 OR list_extract(bounds0, len(bounds0)) <> n
          |         THEN list_append(bounds0, n) ELSE bounds0 END AS fb
          |  FROM blist),
          |chunks AS (
          |  SELECT doc_id, unnest(list_transform(range(1, len(fb) + 1),
          |    i -> substring(text,
-         |           CASE WHEN i = 1 THEN 1 ELSE fb[i - 1] + 1 END,
-         |           fb[i] - CASE WHEN i = 1 THEN 0 ELSE fb[i - 1] END))) AS chunk
+         |           CASE WHEN i = 1 THEN 1 ELSE list_extract(fb, i - 1) + 1 END,
+         |           list_extract(fb, i) - CASE WHEN i = 1 THEN 0 ELSE list_extract(fb, i - 1) END))) AS chunk
          |  FROM withb)
          |SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_refs,
          |  COUNT(DISTINCT doc_id) AS n_docs, CAST(MIN(length(chunk)) AS INTEGER) AS chunk_len
@@ -2359,11 +2359,11 @@ object Dedup {
          |  JOIN sg sb ON sb.doc_id = p.b_id)
          |SELECT a_id, b_id,
          |  CAST(len(list_filter(range(0, 4),
-         |    b -> siga[b*4+1:b*4+4] = sigb[b*4+1:b*4+4])) AS INTEGER) AS n_band_hits,
-         |  CAST(len(list_filter(range(1, 17), k -> siga[k] = sigb[k])) AS INTEGER) AS n_sig_agree,
-         |  round(len(list_filter(range(1, 17), k -> siga[k] = sigb[k])) / 16.0, 6) AS est_jaccard,
+         |    b -> list_slice(siga, b*4+1, b*4+4) = list_slice(sigb, b*4+1, b*4+4))) AS INTEGER) AS n_band_hits,
+         |  CAST(len(list_filter(range(1, 17), k -> list_extract(siga, k) = list_extract(sigb, k))) AS INTEGER) AS n_sig_agree,
+         |  round(CAST(len(list_filter(range(1, 17), k -> list_extract(siga, k) = list_extract(sigb, k))) AS DOUBLE) / 16.0, 6) AS est_jaccard,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
-         |  round(len(list_filter(range(1, 17), k -> siga[k] = sigb[k])) / 16.0
+         |  round(CAST(len(list_filter(range(1, 17), k -> list_extract(siga, k) = list_extract(sigb, k))) AS DOUBLE) / 16.0
          |    - CAST(n_inter AS DOUBLE) / n_union, 6) + 0.0 AS est_error
          |FROM x""".stripMargin,
     // the oracle asserts the locality IDENTITY (pairs of the redacted
@@ -2406,8 +2406,8 @@ object Dedup {
       def cfg(bn: Int, r: Int, tag: String): String =
         s"""b_$tag AS (
            |  SELECT doc_id, b AS band_idx,
-           |    array_to_string(sig[b*$r+1:b*$r+$r], '-') AS band_hash
-           |  FROM sg, unnest(range(0, $bn)) AS t(b)),
+           |    array_to_string(list_slice(sig, b*$r+1, b*$r+$r), '-') AS band_hash
+           |  FROM sg, LATERAL unnest(range(0, $bn)) AS t(b)),
            |c_$tag AS (
            |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
            |  FROM b_$tag x JOIN b_$tag y
@@ -2429,15 +2429,15 @@ object Dedup {
          |${cfg(8, 2, "c")},
          |u AS (SELECT * FROM a_a UNION ALL SELECT * FROM a_b UNION ALL SELECT * FROM a_c)
          |SELECT bands_rows, n_candidates, n_exact_found, n_near_found,
-         |  round(CAST(n_exact_found AS DOUBLE) / CAST((n + 4) // 5 AS DOUBLE), 6) AS exact_recall,
-         |  round(CAST(n_near_found AS DOUBLE) / CAST((n + 6) // 7 AS DOUBLE), 6) AS near_recall
+         |  round(CAST(n_exact_found AS DOUBLE) / CAST(divide((n + 4), 5) AS DOUBLE), 6) AS exact_recall,
+         |  round(CAST(n_near_found AS DOUBLE) / CAST(divide((n + 6), 7) AS DOUBLE), 6) AS near_recall
          |FROM u CROSS JOIN nd""".stripMargin
     },
     "q_ngram_novelty" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
          |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM w),
-         |g AS (SELECT DISTINCT doc_id, u.g FROM sh, unnest(shingles) AS u(g)),
+         |g AS (SELECT DISTINCT doc_id, u.g FROM sh, LATERAL unnest(shingles) AS u(g)),
          |hist AS (SELECT DISTINCT g FROM g WHERE doc_id < 2000000),
          |arr AS (SELECT doc_id, g FROM g WHERE doc_id >= 2000000),
          |nov AS (SELECT a.doc_id, COUNT(*) AS nn
@@ -2468,14 +2468,14 @@ object Dedup {
       s"""WITH $lshJChain,
          |est AS (
          |  SELECT a_id, b_id,
-         |    len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS n_match,
+         |    len(list_filter(range(1, 17), i -> list_extract(sa.sig, i) = list_extract(sb.sig, i))) AS n_match,
          |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
          |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
          |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)
          |SELECT a_id, b_id, CAST(n_match AS INTEGER) AS n_match,
-         |  n_match / 16.0 AS est_jaccard,
+         |  CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
-         |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
+         |  (abs(CAST(n_match AS DOUBLE) / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
          |FROM est""".stripMargin,
     // same closure oracle as q_dedup_clusters: the star-edge + delta
     // merge must land on the identical full-graph clustering
@@ -2518,7 +2518,7 @@ object Dedup {
          |  FROM j),
          |nd AS (SELECT COUNT(*) AS n FROM documents),
          |th AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold
-         |  FROM unnest([0.3, 0.5, 0.7, 0.9]) AS t(threshold)),
+         |  FROM unnest(list_value(0.3, 0.5, 0.7, 0.9)) AS t(threshold)),
          |x AS (SELECT th2.threshold, jaccard, kind
          |  FROM k, th AS th2 WHERE jaccard >= th2.threshold),
          |agg AS (SELECT threshold, COUNT(*) AS p,
@@ -2529,8 +2529,8 @@ object Dedup {
          |SELECT th.threshold, COALESCE(p, 0) AS n_pairs,
          |  COALESCE(e, 0) AS n_exact, COALESCE(nr, 0) AS n_near,
          |  COALESCE(nat, 0) AS n_natural,
-         |  round(CAST(COALESCE(e, 0) AS DOUBLE) / CAST((n + 4) // 5 AS DOUBLE), 6) AS exact_recall,
-         |  round(CAST(COALESCE(nr, 0) AS DOUBLE) / CAST((n + 6) // 7 AS DOUBLE), 6) AS near_recall
+         |  round(CAST(COALESCE(e, 0) AS DOUBLE) / CAST(divide((n + 4), 5) AS DOUBLE), 6) AS exact_recall,
+         |  round(CAST(COALESCE(nr, 0) AS DOUBLE) / CAST(divide((n + 6), 7) AS DOUBLE), 6) AS near_recall
          |FROM th LEFT JOIN agg USING (threshold) CROSS JOIN nd""".stripMargin,
     "q_dedup_cluster_eval" ->
       s"""WITH RECURSIVE $lshJChain,
@@ -2543,13 +2543,13 @@ object Dedup {
          |  UNION
          |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
          |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-         |tp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS tp FROM (
+         |tp AS (SELECT CAST(SUM(divide(n * (n - 1), 2)) AS BIGINT) AS tp FROM (
          |  SELECT COUNT(*) AS n FROM (SELECT id, cluster_id, id % 1000000 AS fam FROM labels)
          |  GROUP BY cluster_id, fam)),
-         |pr AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pred_pairs,
+         |pr AS (SELECT CAST(SUM(divide(n * (n - 1), 2)) AS BIGINT) AS pred_pairs,
          |    COUNT(*) AS n_clusters
          |  FROM (SELECT COUNT(*) AS n FROM labels GROUP BY cluster_id)),
-         |tr AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS true_pairs FROM (
+         |tr AS (SELECT CAST(SUM(divide(n * (n - 1), 2)) AS BIGINT) AS true_pairs FROM (
          |  SELECT COUNT(*) AS n FROM corpus GROUP BY doc_id % 1000000))
          |SELECT n_clusters, pred_pairs, true_pairs, tp,
          |  round(CAST(tp AS DOUBLE) / pred_pairs, 6) AS pair_precision,
@@ -2562,39 +2562,39 @@ object Dedup {
          |hs AS (SELECT doc_id, source, shingles, $hashesSql AS hashes FROM sh),
          |sg AS (SELECT doc_id, source, $sigSql AS sig, list_distinct(shingles) AS sset
          |  FROM hs WHERE len(hashes) >= 1),
-         |uz AS (SELECT source, u.k AS k, MIN(sig[u.k + 1]) AS v
-         |  FROM sg, unnest(range(0, 16)) AS u(k) GROUP BY 1, 2),
-         |us AS (SELECT source, list(v ORDER BY k) AS usig FROM uz GROUP BY 1),
+         |uz AS (SELECT source, u.k AS k, MIN(list_extract(sig, u.k + 1)) AS v
+         |  FROM sg, LATERAL unnest(range(0, 16)) AS u(k) GROUP BY 1, 2),
+         |us AS (SELECT source, list_transform(list_sort(list(list_value(CAST(k AS BIGINT), v))), pr -> list_extract(pr, 2)) AS usig FROM uz GROUP BY 1),
          |uni AS (SELECT DISTINCT source, unnest(sset) AS sh2 FROM sg),
          |sizes AS (SELECT source, COUNT(*) AS nsh FROM uni GROUP BY 1),
          |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
          |  FROM uni a JOIN uni b ON a.sh2 = b.sh2 AND a.source < b.source GROUP BY 1, 2),
          |p AS (SELECT a.source AS sa, b.source AS sb,
-         |    CAST(len(list_filter(range(1, 17), i -> a.usig[i] = b.usig[i])) AS INTEGER) AS n_match
+         |    CAST(len(list_filter(range(1, 17), i -> list_extract(a.usig, i) = list_extract(b.usig, i))) AS INTEGER) AS n_match
          |  FROM us a JOIN us b ON a.source < b.source),
          |e AS (SELECT p.sa, p.sb, p.n_match,
          |    CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
          |    CAST(za.nsh + zb.nsh - CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS BIGINT) AS n_union
          |  FROM p JOIN sizes za ON za.source = p.sa JOIN sizes zb ON zb.source = p.sb
          |  LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb)
-         |SELECT sa, sb, n_match, n_match / 16.0 AS est_jaccard, n_inter, n_union,
+         |SELECT sa, sb, n_match, CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard, n_inter, n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
-         |  (abs(n_match / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
+         |  (abs(CAST(n_match AS DOUBLE) / 16.0 - CAST(n_inter AS DOUBLE) / n_union) <= 0.45) AS within_bound
          |FROM e""".stripMargin,
     "q_minhash_bbit" ->
       s"""WITH $lshJChain,
          |est AS (
          |  SELECT a_id, b_id,
-         |    len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS n_match,
-         |    len(list_filter(range(1, 17), i -> sa.sig[i] % 4 = sb.sig[i] % 4)) AS n_match_2bit,
+         |    len(list_filter(range(1, 17), i -> list_extract(sa.sig, i) = list_extract(sb.sig, i))) AS n_match,
+         |    len(list_filter(range(1, 17), i -> list_extract(sa.sig, i) % 4 = list_extract(sb.sig, i) % 4)) AS n_match_2bit,
          |    len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_inter,
          |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
          |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id),
          |e2 AS (
          |  SELECT a_id, b_id, CAST(n_match AS INTEGER) AS n_match,
          |    CAST(n_match_2bit AS INTEGER) AS n_match_2bit,
-         |    n_match / 16.0 AS est_full,
-         |    round((n_match_2bit / 16.0 - 0.25) / 0.75, 6) AS est_bbit,
+         |    CAST(n_match AS DOUBLE) / 16.0 AS est_full,
+         |    round((CAST(n_match_2bit AS DOUBLE) / 16.0 - 0.25) / 0.75, 6) AS est_bbit,
          |    CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |  FROM est)
          |SELECT a_id, b_id, n_match, n_match_2bit, est_full, est_bbit, jaccard,
@@ -2683,7 +2683,7 @@ object Dedup {
          |sg AS (SELECT doc_id, $bits AS sig FROM cnt),
          |banded AS (
          |  SELECT doc_id, b AS band, substring(sig, b * 16 + 1, 16) AS bits
-         |  FROM sg, unnest([0, 1, 2, 3]) AS t(b)),
+         |  FROM sg, LATERAL unnest(list_value(0, 1, 2, 3)) AS t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM banded a JOIN banded b

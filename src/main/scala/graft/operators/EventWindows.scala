@@ -1311,13 +1311,13 @@ object EventWindows {
       |  FROM r WHERE rn = 1
       |  UNION ALL
       |  SELECT s.event_type, s.day_idx, s.n_events, s.rn, s.lnew,
-      |    ((s.lnew - s.pl) + 9 * s.pb
-      |      - (((((s.lnew - s.pl) + 9 * s.pb) % 10) + 10) % 10)) // 10
+      |    divide(((s.lnew - s.pl) + 9 * s.pb
+      |      - (((((s.lnew - s.pl) + 9 * s.pb) % 10) + 10) % 10)), 10)
       |  FROM (
       |    SELECT r.event_type, r.day_idx, r.n_events, r.rn,
       |      e.level AS pl, e.trend AS pb,
-      |      (2 * r.n_events * 1000000 + 8 * (e.level + e.trend)
-      |        - ((((2 * r.n_events * 1000000 + 8 * (e.level + e.trend)) % 10) + 10) % 10)) // 10 AS lnew
+      |      divide((2 * r.n_events * 1000000 + 8 * (e.level + e.trend)
+      |        - ((((2 * r.n_events * 1000000 + 8 * (e.level + e.trend)) % 10) + 10) % 10)), 10) AS lnew
       |    FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -1351,12 +1351,16 @@ object EventWindows {
         |span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM ev GROUP BY user_id),
         |grid AS (
         |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-        |  FROM span)
-        |SELECT g.user_id, g.hour,
-        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
-        |  last_value(h.hv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
-        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin,
+        |  FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.hour,
+        |    CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events, h.hv,
+        |    COUNT(h.hv) OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffgrp
+        |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour)
+        |SELECT user_id, hour, n_events,
+        |  MAX(hv) OVER (PARTITION BY user_id, ffgrp) AS v_ffill
+        |FROM j""".stripMargin,
     "q_event_gaps" ->
       """WITH dys AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
         |l AS (SELECT event_type, day,
@@ -1364,13 +1368,13 @@ object EventWindows {
         |  FROM dys),
         |g AS (SELECT event_type, day,
         |    CASE WHEN prev_day IS NULL THEN 0
-        |      ELSE datediff('day', prev_day, day) - 1 END AS gap
+        |      ELSE divide(CAST(epoch(CAST(day AS DATE)) AS BIGINT) - CAST(epoch(CAST(prev_day AS DATE)) AS BIGINT), 86400) - 1 END AS gap
         |  FROM l)
         |SELECT event_type, COUNT(*) AS n_days_observed,
         |  MIN(day) AS first_day, MAX(day) AS last_day,
         |  CAST(MAX(gap) AS BIGINT) AS longest_gap,
         |  CAST(SUM(gap) AS BIGINT) AS n_missing,
-        |  CAST(datediff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS n_days_expected
+        |  CAST(divide(CAST(epoch(CAST(MAX(day) AS DATE)) AS BIGINT) - CAST(epoch(CAST(MIN(day) AS DATE)) AS BIGINT), 86400) + 1 AS BIGINT) AS n_days_expected
         |FROM g GROUP BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts,
@@ -1454,9 +1458,8 @@ object EventWindows {
         |  FROM events GROUP BY 1, 2),
         |p AS (
         |  SELECT a.event_type, a.day_idx, b.day_idx AS d2,
-        |    CAST(((b.n - a.n) * 1000000
-        |      - ((((b.n - a.n) * 1000000) % (b.day_idx - a.day_idx) + (b.day_idx - a.day_idx)) % (b.day_idx - a.day_idx)))
-        |      // (b.day_idx - a.day_idx) AS BIGINT) AS slope_ppm
+        |    CAST(divide(((b.n - a.n) * 1000000
+        |      - ((((b.n - a.n) * 1000000) % (b.day_idx - a.day_idx) + (b.day_idx - a.day_idx)) % (b.day_idx - a.day_idx))), (b.day_idx - a.day_idx)) AS BIGINT) AS slope_ppm
         |  FROM daily a JOIN daily b
         |    ON b.event_type = a.event_type AND b.day_idx > a.day_idx),
         |r AS (
@@ -1467,7 +1470,7 @@ object EventWindows {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(MIN(slope_ppm) AS BIGINT) AS slope_min,
         |  CAST(MAX(slope_ppm) AS BIGINT) AS slope_max,
-        |  CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN slope_ppm END) AS BIGINT) AS slope_med_ppm
+        |  CAST(MAX(CASE WHEN rn = divide((cnt + 1), 2) THEN slope_ppm END) AS BIGINT) AS slope_med_ppm
         |FROM r GROUP BY 1""".stripMargin,
     "q_gini" ->
       """WITH u AS (
@@ -1493,23 +1496,23 @@ object EventWindows {
         |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
         |f AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t GROUP BY 1),
         |p AS (SELECT t.from_type, t.to_type,
-        |        CAST(t.n * 1000000 // f.n_from AS BIGINT) AS p_ppm
+        |        CAST(divide(t.n * 1000000, f.n_from) AS BIGINT) AS p_ppm
         |      FROM t JOIN f USING (from_type)),
         |st AS (SELECT from_type AS event_type FROM t
         |       UNION SELECT to_type FROM t),
         |k AS (SELECT COUNT(*) AS k FROM st),
-        |a0 AS (SELECT event_type, CAST(1000000 // k AS BIGINT) AS pi
+        |a0 AS (SELECT event_type, CAST(divide(1000000, k) AS BIGINT) AS pi
         |       FROM st CROSS JOIN k),
         |a1 AS (SELECT s.event_type,
-        |         CAST(COALESCE(SUM(a0.pi * p.p_ppm), 0) // 1000000 AS BIGINT) AS pi
+        |         CAST(divide(COALESCE(SUM(a0.pi * p.p_ppm), 0), 1000000) AS BIGINT) AS pi
         |       FROM st s LEFT JOIN p ON p.to_type = s.event_type
         |       LEFT JOIN a0 ON a0.event_type = p.from_type GROUP BY 1),
         |a2 AS (SELECT s.event_type,
-        |         CAST(COALESCE(SUM(a1.pi * p.p_ppm), 0) // 1000000 AS BIGINT) AS pi
+        |         CAST(divide(COALESCE(SUM(a1.pi * p.p_ppm), 0), 1000000) AS BIGINT) AS pi
         |       FROM st s LEFT JOIN p ON p.to_type = s.event_type
         |       LEFT JOIN a1 ON a1.event_type = p.from_type GROUP BY 1),
         |a3 AS (SELECT s.event_type,
-        |         CAST(COALESCE(SUM(a2.pi * p.p_ppm), 0) // 1000000 AS BIGINT) AS pi
+        |         CAST(divide(COALESCE(SUM(a2.pi * p.p_ppm), 0), 1000000) AS BIGINT) AS pi
         |       FROM st s LEFT JOIN p ON p.to_type = s.event_type
         |       LEFT JOIN a2 ON a2.event_type = p.from_type GROUP BY 1)
         |SELECT s.event_type, a0.pi AS pi0_ppm, a1.pi AS pi1_ppm,
@@ -1532,13 +1535,13 @@ object EventWindows {
         |e AS (
         |  SELECT r.dur, r.n_total, r.n_churn, r.rn,
         |    CAST(n_all AS BIGINT) AS n_risk,
-        |    1000000 * (n_all - r.n_churn) // n_all AS s,
+        |    divide(1000000 * (n_all - r.n_churn), n_all) AS s,
         |    r.n_total AS seen
         |  FROM r CROSS JOIN tot WHERE rn = 1
         |  UNION ALL
         |  SELECT r.dur, r.n_total, r.n_churn, r.rn,
         |    t.n_all - e.seen AS n_risk,
-        |    e.s * (t.n_all - e.seen - r.n_churn) // (t.n_all - e.seen) AS s,
+        |    divide(e.s * (t.n_all - e.seen - r.n_churn), (t.n_all - e.seen)) AS s,
         |    e.seen + r.n_total AS seen
         |  FROM r JOIN e ON r.rn = e.rn + 1 CROSS JOIN tot t)
         |SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, n_churn,
@@ -1704,7 +1707,7 @@ object EventWindows {
         |    COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
         |m AS (
-        |  SELECT event_type, CAST(SUM(n) * 1000000 // COUNT(*) AS BIGINT) AS mu_ppm
+        |  SELECT event_type, CAST(divide(SUM(n) * 1000000, COUNT(*)) AS BIGINT) AS mu_ppm
         |  FROM daily GROUP BY 1),
         |r AS (
         |  SELECT d.event_type, day_idx, n, mu_ppm,
@@ -1765,8 +1768,8 @@ object EventWindows {
         |    CAST(SUM(n_tri) OVER () AS BIGINT) AS n_total
         |  FROM tri)
         |SELECT t1, t2, t3, n_tri, n_big,
-        |  CAST(n_tri * 1000000 // n_big AS BIGINT) AS conf_ppm,
-        |  CAST(n_tri * 1000000 // n_total AS BIGINT) AS support_ppm
+        |  CAST(divide(n_tri * 1000000, n_big) AS BIGINT) AS conf_ppm,
+        |  CAST(divide(n_tri * 1000000, n_total) AS BIGINT) AS support_ppm
         |FROM x""".stripMargin,
     "q_hits" ->
       """WITH edges AS (
@@ -1781,7 +1784,7 @@ object EventWindows {
         |    CAST(MAX(h1.h1) AS BIGINT) AS max_hub
         |  FROM edges e JOIN h1 USING (user_id) GROUP BY 1)
         |SELECT a1.event_type, a1.n_users, a2.auth2, a2.max_hub,
-        |  CAST(auth2 * 1000000 // (SUM(auth2) OVER ()) AS BIGINT) AS auth2_ppm
+        |  CAST(divide(auth2 * 1000000, (SUM(auth2) OVER ())) AS BIGINT) AS auth2_ppm
         |FROM a1 JOIN a2 USING (event_type)""".stripMargin,
     "q_streaks" ->
       """WITH du AS (
@@ -1830,15 +1833,15 @@ object EventWindows {
         |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |t2 AS (
         |  SELECT event_type, day_idx, n_events, dow,
-        |    CASE WHEN n7 = 7 THEN CAST(s7 * 1000000 // 7 AS BIGINT) END AS trend_scaled
+        |    CASE WHEN n7 = 7 THEN CAST(divide(s7 * 1000000, 7) AS BIGINT) END AS trend_scaled
         |  FROM t),
         |t3 AS (
         |  SELECT *, CASE WHEN trend_scaled IS NOT NULL
-        |    THEN CAST(n_events * 1000000000000 // trend_scaled AS BIGINT) END AS ratio_scaled
+        |    THEN CAST(divide(n_events * 1000000000000, trend_scaled) AS BIGINT) END AS ratio_scaled
         |  FROM t2),
         |seas AS (
         |  SELECT event_type, dow,
-        |    CAST(SUM(ratio_scaled) // COUNT(*) AS BIGINT) AS seas_scaled
+        |    CAST(divide(SUM(ratio_scaled), COUNT(*)) AS BIGINT) AS seas_scaled
         |  FROM t3 WHERE ratio_scaled IS NOT NULL GROUP BY 1, 2)
         |SELECT t3.event_type, day_idx, n_events, t3.dow,
         |  trend_scaled, ratio_scaled, seas_scaled,
@@ -1859,10 +1862,10 @@ object EventWindows {
          |  FROM e),
          |x AS (
          |  SELECT event_type,
-         |    abs(forecast_next - nxt * 1000000) // nxt AS ape_ppm
+         |    divide(abs(forecast_next - nxt * 1000000), nxt) AS ape_ppm
          |  FROM f WHERE nxt IS NOT NULL)
          |SELECT event_type, COUNT(*) AS n_evals,
-         |  CAST(SUM(ape_ppm) // COUNT(*) AS BIGINT) AS mape_ppm,
+         |  CAST(divide(SUM(ape_ppm), COUNT(*)) AS BIGINT) AS mape_ppm,
          |  CAST(MAX(ape_ppm) AS BIGINT) AS max_ape_ppm
          |FROM x GROUP BY 1""".stripMargin,
     "q_ewma_anomaly" ->
@@ -1880,7 +1883,7 @@ object EventWindows {
         |  FROM r WHERE rn = 1
         |  UNION ALL
         |  SELECT r.event_type, r.day_idx, r.n_events, r.rn,
-        |    e.ewma, (2 * r.n_events * 1000000 + 8 * e.ewma) // 10
+        |    e.ewma, divide((2 * r.n_events * 1000000 + 8 * e.ewma), 10)
         |  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
         |SELECT event_type, day_idx, n_events, prev_ewma, CAST(ewma AS BIGINT) AS ewma,
         |  coalesce(n_events * 2000000 > prev_ewma * 3, FALSE) AS is_spike,
@@ -1960,8 +1963,8 @@ object EventWindows {
          |  FROM cohort GROUP BY 1),
          |act AS (
          |  SELECT e.user_id, c.cohort_week,
-         |    CAST((CAST(floor(epoch(e.ts) / 604800) * 604800 AS BIGINT)
-         |      - epoch(c.cohort_week)) // 604800 AS INTEGER) AS offset_weeks
+         |    CAST(divide(CAST((CAST(floor(epoch(e.ts) / 604800) * 604800 AS BIGINT)
+         |      - epoch(c.cohort_week)) AS BIGINT), 604800) AS INTEGER) AS offset_weeks
          |  FROM events e JOIN cohort c USING (user_id)),
          |m AS (
          |  SELECT cohort_week, offset_weeks, COUNT(DISTINCT user_id) AS n_active
@@ -2000,16 +2003,16 @@ object EventWindows {
         |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) AS rn_last
         |  FROM j),
         |c AS (
-        |  SELECT event_type, 1000000 // k AS linear_ppm,
+        |  SELECT event_type, divide(1000000, k) AS linear_ppm,
         |    CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000
         |         WHEN rn_first = 1 THEN 400000 WHEN rn_last = 1 THEN 400000
-        |         ELSE 200000 // (k - 2) END AS pos_ppm
+        |         ELSE divide(200000, (k - 2)) END AS pos_ppm
         |  FROM r)
         |SELECT event_type, COUNT(*) AS n_touches,
         |  CAST(SUM(linear_ppm) AS BIGINT) AS linear_ppm,
-        |  round(CAST(SUM(linear_ppm) AS BIGINT) / 1000000.0, 6) AS linear_credit,
+        |  round(CAST(CAST(SUM(linear_ppm) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS linear_credit,
         |  CAST(SUM(pos_ppm) AS BIGINT) AS pos_ppm,
-        |  round(CAST(SUM(pos_ppm) AS BIGINT) / 1000000.0, 6) AS pos_credit
+        |  round(CAST(CAST(SUM(pos_ppm) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS pos_credit
         |FROM c GROUP BY 1""".stripMargin,
     "q_event_funnel" ->
       """WITH v AS (
@@ -2039,7 +2042,7 @@ object EventWindows {
          |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_window_sliding" ->
       s"""WITH b AS (SELECT event_type, ${bucketSql(21600)} AS bucket FROM events),
-         |x AS (SELECT event_type, ws FROM b, unnest([bucket, bucket - INTERVAL 6 HOUR]) AS t(ws))
+         |x AS (SELECT event_type, ws FROM b, LATERAL unnest(list_value(bucket, bucket - INTERVAL 6 HOUR)) AS t(ws))
          |SELECT ws, ws + INTERVAL 12 HOUR AS we, event_type, COUNT(*) AS n
          |FROM x GROUP BY 1, 2, 3""".stripMargin,
     "q_window_session" ->
@@ -2048,7 +2051,8 @@ object EventWindows {
         |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM o),
         |s AS (SELECT user_id, ts,
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
         |  COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin)
 }

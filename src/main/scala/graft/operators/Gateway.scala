@@ -356,14 +356,14 @@ object Gateway {
       """WITH base AS (
         |  SELECT event_id, user_id, event_type AS mod_name, ts,
         |    CASE WHEN event_type IN ('click','view') THEN 'mobile' ELSE 'admin' END AS domain,
-        |    CASE WHEN user_id % 4 = 0 THEN substring(md5('wx' || CAST(user_id AS VARCHAR)), 1, 28)
+        |    CASE WHEN user_id % 4 = 0 THEN substring(md5('wx' || CAST(user_id AS STRING)), 1, 28)
         |         WHEN user_id % 4 = 1 THEN
-        |           substring(md5(CAST(user_id AS VARCHAR)),1,8) || '-' ||
-        |           substring(md5(CAST(user_id AS VARCHAR)),9,4) || '-' ||
-        |           substring(md5(CAST(user_id AS VARCHAR)),13,4) || '-' ||
-        |           substring(md5(CAST(user_id AS VARCHAR)),17,4) || '-' ||
-        |           substring(md5(CAST(user_id AS VARCHAR)),21,12)
-        |         WHEN user_id % 4 = 2 THEN 'sess-' || CAST(user_id AS VARCHAR)
+        |           substring(md5(CAST(user_id AS STRING)),1,8) || '-' ||
+        |           substring(md5(CAST(user_id AS STRING)),9,4) || '-' ||
+        |           substring(md5(CAST(user_id AS STRING)),13,4) || '-' ||
+        |           substring(md5(CAST(user_id AS STRING)),17,4) || '-' ||
+        |           substring(md5(CAST(user_id AS STRING)),21,12)
+        |         WHEN user_id % 4 = 2 THEN 'sess-' || CAST(user_id AS STRING)
         |         ELSE NULL END AS token,
         |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
         |      RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW) AS calls_24h
@@ -379,10 +379,10 @@ object Gateway {
         |    ('click','tcp://svc-click:5558'),
         |    ('purchase','tcp://svc-purchase:5560'),
         |    ('signup','tcp://svc-signup:5562')) t(mod_name, addr)),
-        |wx AS (SELECT DISTINCT substring(md5('wx' || CAST(user_id AS VARCHAR)),1,28) AS w_token,
-        |         'wx:' || CAST(user_id AS VARCHAR) AS w_uid FROM events WHERE user_id % 8 = 0),
-        |sess AS (SELECT DISTINCT 'sess-' || CAST(user_id AS VARCHAR) AS s_token,
-        |         'sess:' || CAST(user_id AS VARCHAR) AS s_uid FROM events WHERE user_id % 8 = 2),
+        |wx AS (SELECT DISTINCT substring(md5('wx' || CAST(user_id AS STRING)),1,28) AS w_token,
+        |         'wx:' || CAST(user_id AS STRING) AS w_uid FROM events WHERE user_id % 8 = 0),
+        |sess AS (SELECT DISTINCT 'sess-' || CAST(user_id AS STRING) AS s_token,
+        |         'sess:' || CAST(user_id AS STRING) AS s_uid FROM events WHERE user_id % 8 = 2),
         |j AS (SELECT cls.*, m.addr, wx.w_uid, sess.s_uid
         |  FROM cls LEFT JOIN m ON cls.mod_name = m.mod_name
         |  LEFT JOIN wx ON cls.token = wx.w_token
@@ -404,27 +404,27 @@ object Gateway {
         |         ELSE '' END END AS uid,
         |  CASE WHEN status = 200 THEN
         |    CASE WHEN domain = 'admin' THEN regexp_extract(addr, '^(.*:)([0-9]+)$', 1) ||
-        |           CAST(CAST(regexp_extract(addr, '^(.*:)([0-9]+)$', 2) AS INTEGER) + 1 AS VARCHAR)
+        |           CAST(CAST(regexp_extract(addr, '^(.*:)([0-9]+)$', 2) AS INTEGER) + 1 AS STRING)
         |         ELSE addr END END AS resolved_addr
         |FROM fin""".stripMargin,
     "q_gw_auth_dispatch" ->
       """WITH ev AS (
         |  SELECT event_id, user_id,
         |    CASE WHEN event_type IN ('click','view') THEN 'mobile' ELSE 'admin' END AS domain,
-        |    CASE WHEN user_id % 4 = 0 THEN substring(md5('wx' || CAST(user_id AS VARCHAR)), 1, 28)
+        |    CASE WHEN user_id % 4 = 0 THEN substring(md5('wx' || CAST(user_id AS STRING)), 1, 28)
         |         WHEN user_id % 4 = 1 THEN
-        |           substring(md5(CAST(user_id AS VARCHAR)),1,8) || '-' ||
-        |           substring(md5(CAST(user_id AS VARCHAR)),9,4) || '-' ||
-        |           substring(md5(CAST(user_id AS VARCHAR)),13,4) || '-' ||
-        |           substring(md5(CAST(user_id AS VARCHAR)),17,4) || '-' ||
-        |           substring(md5(CAST(user_id AS VARCHAR)),21,12)
-        |         WHEN user_id % 4 = 2 THEN 'sess-' || CAST(user_id AS VARCHAR)
+        |           substring(md5(CAST(user_id AS STRING)),1,8) || '-' ||
+        |           substring(md5(CAST(user_id AS STRING)),9,4) || '-' ||
+        |           substring(md5(CAST(user_id AS STRING)),13,4) || '-' ||
+        |           substring(md5(CAST(user_id AS STRING)),17,4) || '-' ||
+        |           substring(md5(CAST(user_id AS STRING)),21,12)
+        |         WHEN user_id % 4 = 2 THEN 'sess-' || CAST(user_id AS STRING)
         |         ELSE NULL END AS token
         |  FROM events),
-        |wx AS (SELECT DISTINCT substring(md5('wx' || CAST(user_id AS VARCHAR)),1,28) AS w_token,
-        |         'wx:' || CAST(user_id AS VARCHAR) AS w_uid FROM events WHERE user_id % 8 = 0),
-        |sess AS (SELECT DISTINCT 'sess-' || CAST(user_id AS VARCHAR) AS s_token,
-        |         'sess:' || CAST(user_id AS VARCHAR) AS s_uid FROM events WHERE user_id % 8 = 2),
+        |wx AS (SELECT DISTINCT substring(md5('wx' || CAST(user_id AS STRING)),1,28) AS w_token,
+        |         'wx:' || CAST(user_id AS STRING) AS w_uid FROM events WHERE user_id % 8 = 0),
+        |sess AS (SELECT DISTINCT 'sess-' || CAST(user_id AS STRING) AS s_token,
+        |         'sess:' || CAST(user_id AS STRING) AS s_uid FROM events WHERE user_id % 8 = 2),
         |cls AS (SELECT ev.*,
         |    CASE WHEN token IS NULL THEN 'none'
         |         WHEN length(token) = 28 THEN 'wx'
@@ -442,7 +442,7 @@ object Gateway {
         |       WHEN token_kind = 'sess' THEN s_uid
         |       WHEN token_kind = 'none' AND domain = 'admin' THEN ''
         |       ELSE NULL END AS uid,
-        |  'ip-' || CAST(user_id AS VARCHAR) AS ip
+        |  'ip-' || CAST(user_id AS STRING) AS ip
         |FROM cls LEFT JOIN wx ON cls.token = wx.w_token
         |         LEFT JOIN sess ON cls.token = sess.s_token""".stripMargin,
     "q_gw_route" ->
@@ -456,7 +456,7 @@ object Gateway {
         |SELECT event_id, ev.mod_name, domain,
         |  CASE WHEN addr IS NULL THEN NULL
         |       WHEN domain = 'admin' THEN regexp_extract(addr, '^(.*:)([0-9]+)$', 1) ||
-        |         CAST(CAST(regexp_extract(addr, '^(.*:)([0-9]+)$', 2) AS INTEGER) + 1 AS VARCHAR)
+        |         CAST(CAST(regexp_extract(addr, '^(.*:)([0-9]+)$', 2) AS INTEGER) + 1 AS STRING)
         |       ELSE addr END AS resolved_addr,
         |  CASE WHEN addr IS NULL THEN 404 ELSE 200 END AS status
         |FROM ev LEFT JOIN m ON ev.mod_name = m.mod_name""".stripMargin,
@@ -480,12 +480,12 @@ object Gateway {
         |    (doc_id % 5 = 0) AS pre_deflated
         |  FROM documents)
         |SELECT doc_id, size, accept, pre_deflated,
-        |  CASE WHEN pre_deflated AND regexp_matches(accept, '\bdeflate\b') THEN 'passthrough_deflate'
-        |       WHEN pre_deflated AND regexp_matches(accept, '\bgzip\b') THEN 'inflate_gzip'
+        |  CASE WHEN pre_deflated AND regexp_matches(accept, chr(92) || 'bdeflate' || chr(92) || 'b') THEN 'passthrough_deflate'
+        |       WHEN pre_deflated AND regexp_matches(accept, chr(92) || 'bgzip' || chr(92) || 'b') THEN 'inflate_gzip'
         |       WHEN pre_deflated THEN 'inflate_raw'
         |       WHEN size <= 1024 THEN 'raw'
-        |       WHEN regexp_matches(accept, '\bdeflate\b') THEN 'deflate'
-        |       WHEN regexp_matches(accept, '\bgzip\b') THEN 'gzip'
+        |       WHEN regexp_matches(accept, chr(92) || 'bdeflate' || chr(92) || 'b') THEN 'deflate'
+        |       WHEN regexp_matches(accept, chr(92) || 'bgzip' || chr(92) || 'b') THEN 'gzip'
         |       ELSE 'raw' END AS decision
         |FROM base""".stripMargin,
     "q_gw_correlate" ->

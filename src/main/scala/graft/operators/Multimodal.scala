@@ -596,9 +596,9 @@ object Multimodal {
     "q_multimodal_phash" -> {
       def bandSql(b: Int): String = (1 to 16).map { i =>
         val j = 16 * b + i
-        val pos = s"((${j - 1} * length(text)) // 64) + 1"
-        val width = "(length(text) + 63) // 64"
-        s"(CASE WHEN CAST('0x' || substring(md5(substring(text, $pos, $width)), 1, 1) AS BIGINT) % 2 = 1 THEN ${1L << (16 - i)} ELSE 0 END)"
+        val pos = s"(divide((${j - 1} * length(text)), 64)) + 1"
+        val width = "divide((length(text) + 63), 64)"
+        s"(CASE WHEN CAST(instr('0123456789abcdef', substring(md5(substring(text, $pos, $width)), 1, 1)) - 1 AS BIGINT) % 2 = 1 THEN ${1L << (16 - i)} ELSE 0 END)"
       }.mkString(" + ")
       s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
          |media AS (
@@ -611,7 +611,7 @@ object Multimodal {
          |    ${bandSql(2)} AS b2, ${bandSql(3)} AS b3 FROM media),
          |bands AS (SELECT doc_id, b,
          |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bits
-         |  FROM fp, unnest(range(0, 4)) AS t(b)),
+         |  FROM fp, LATERAL unnest(range(0, 4)) AS t(b)),
          |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM bands x JOIN bands y
          |    ON x.b = y.b AND x.bits = y.bits AND x.doc_id < y.doc_id),
@@ -630,10 +630,10 @@ object Multimodal {
         |    substring(text, 1, 10) || '#' || substring(text, 12, 1000000)
         |  FROM base WHERE doc_id % 7 = 0),
         |v AS (SELECT doc_id, text,
-        |    1 + least(octet_length(encode(text)) // 100, 4) AS n_frames FROM vids),
+        |    1 + least(divide(octet_length(encode(text)), 100), 4) AS n_frames FROM vids),
         |fr AS (SELECT doc_id, n_frames, CAST(i AS INTEGER) AS frame_idx,
         |    md5(substring(text, CAST(i * 100 + 1 AS INTEGER), 100)) AS frame_hash
-        |  FROM v, unnest(range(0, n_frames)) AS t(i)),
+        |  FROM v, LATERAL unnest(range(0, n_frames)) AS t(i)),
         |rare AS (SELECT frame_hash FROM fr GROUP BY 1 HAVING COUNT(*) <= 50),
         |posts AS (SELECT fr.doc_id, fr.frame_hash FROM fr JOIN rare USING (frame_hash)),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -651,12 +651,12 @@ object Multimodal {
     "q_multimodal_phash_eval" -> {
       def bandSql(b: Int): String = (1 to 16).map { i =>
         val j = 16 * b + i
-        val pos = s"((${j - 1} * length(text)) // 64) + 1"
-        val width = "(length(text) + 63) // 64"
-        s"(CASE WHEN CAST('0x' || substring(md5(substring(text, $pos, $width)), 1, 1) AS BIGINT) % 2 = 1 THEN ${1L << (16 - i)} ELSE 0 END)"
+        val pos = s"(divide((${j - 1} * length(text)), 64)) + 1"
+        val width = "divide((length(text) + 63), 64)"
+        s"(CASE WHEN CAST(instr('0123456789abcdef', substring(md5(substring(text, $pos, $width)), 1, 1)) - 1 AS BIGINT) % 2 = 1 THEN ${1L << (16 - i)} ELSE 0 END)"
       }.mkString(" + ")
       def cellSql(j: String, t: String): String =
-        s"substring($t, (($j - 1) * length($t)) // 64 + 1, (length($t) + 63) // 64)"
+        s"substring($t, divide((($j - 1) * length($t)), 64) + 1, divide((length($t) + 63), 64))"
       def keySql(b: Int): String =
         "md5(" + (1 to 16).map(i => cellSql(s"${16 * b + i}", "text")).mkString(" || ") + ")"
       s"""WITH docs AS (SELECT doc_id, text FROM documents
@@ -671,7 +671,7 @@ object Multimodal {
          |    ${bandSql(2)} AS b2, ${bandSql(3)} AS b3 FROM media),
          |bands AS (SELECT doc_id, b,
          |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bits
-         |  FROM fp, unnest(range(0, 4)) AS t(b)),
+         |  FROM fp, LATERAL unnest(range(0, 4)) AS t(b)),
          |candp AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM bands x JOIN bands y
          |    ON x.b = y.b AND x.bits = y.bits AND x.doc_id < y.doc_id),
@@ -683,7 +683,7 @@ object Multimodal {
          |    ${keySql(2)} AS k2, ${keySql(3)} AS k3 FROM media),
          |tbands AS (SELECT doc_id, b,
          |    CASE b WHEN 0 THEN k0 WHEN 1 THEN k1 WHEN 2 THEN k2 ELSE k3 END AS bkey
-         |  FROM tk, unnest(range(0, 4)) AS t(b)),
+         |  FROM tk, LATERAL unnest(range(0, 4)) AS t(b)),
          |candt AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM tbands x JOIN tbands y
          |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
@@ -712,22 +712,22 @@ object Multimodal {
         |    CAST(16 + (byte_len * 7) % 624 AS INTEGER) AS width,
         |    CAST(16 + (byte_len * 13) % 464 AS INTEGER) AS height
         |  FROM img),
-        |r AS (SELECT *, CAST(width AS BIGINT) * 1000000 // height AS ratio_ppm FROM wh),
+        |r AS (SELECT *, divide(CAST(width AS BIGINT) * 1000000, height) AS ratio_ppm FROM wh),
         |bk AS (SELECT * FROM (VALUES (0, 128, 512), (1, 160, 384), (2, 192, 320),
         |    (3, 256, 256), (4, 320, 192), (5, 384, 160), (6, 512, 128))
         |  AS t(bucket_id, bw, bh)),
         |cand AS (
         |  SELECT r.*, bk.bucket_id, bk.bw, bk.bh,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY abs(ratio_ppm - CAST(bw AS BIGINT) * 1000000 // bh), bucket_id) AS rn
+        |      ORDER BY abs(ratio_ppm - divide(CAST(bw AS BIGINT) * 1000000, bh)), bucket_id) AS rn
         |  FROM r CROSS JOIN bk),
         |asn AS (
-        |  SELECT *, LEAST(CAST(bw AS BIGINT) * 1000000 // width,
-        |                  CAST(bh AS BIGINT) * 1000000 // height) AS scale_ppm
+        |  SELECT *, LEAST(divide(CAST(bw AS BIGINT) * 1000000, width),
+        |                  divide(CAST(bh AS BIGINT) * 1000000, height)) AS scale_ppm
         |  FROM cand WHERE rn = 1),
         |rs AS (
-        |  SELECT *, CAST(width * scale_ppm // 1000000 AS INTEGER) AS rs_w,
-        |    CAST(height * scale_ppm // 1000000 AS INTEGER) AS rs_h
+        |  SELECT *, CAST(divide(width * scale_ppm, 1000000) AS INTEGER) AS rs_w,
+        |    CAST(divide(height * scale_ppm, 1000000) AS INTEGER) AS rs_h
         |  FROM asn)
         |SELECT bucket_id, bw, bh, COUNT(*) AS n_images,
         |  CAST(SUM(CAST(bw AS BIGINT) * bh - CAST(rs_w AS BIGINT) * rs_h) AS BIGINT) AS pad_px,
@@ -763,21 +763,21 @@ object Multimodal {
         |    CAST(16 + (byte_len * 13) % 464 AS INTEGER) AS height
         |  FROM m),
         |sc AS (
-        |  SELECT *, CAST(LEAST(224 * 1000000 // width, 224 * 1000000 // height) AS BIGINT) AS scale_ppm
+        |  SELECT *, CAST(LEAST(divide(224 * 1000000, width), divide(224 * 1000000, height)) AS BIGINT) AS scale_ppm
         |  FROM g),
         |rs AS (
-        |  SELECT *, CAST(width * scale_ppm // 1000000 AS INTEGER) AS rs_w,
-        |    CAST(height * scale_ppm // 1000000 AS INTEGER) AS rs_h
+        |  SELECT *, CAST(divide(width * scale_ppm, 1000000) AS INTEGER) AS rs_w,
+        |    CAST(divide(height * scale_ppm, 1000000) AS INTEGER) AS rs_h
         |  FROM sc),
         |grid AS (
-        |  SELECT *, CAST((224 - rs_w) // 2 AS INTEGER) AS pad_x,
-        |    CAST((224 - rs_h) // 2 AS INTEGER) AS pad_y,
-        |    GREATEST(rs_w // 16, 1) AS gx, GREATEST(rs_h // 16, 1) AS gy
+        |  SELECT *, CAST(divide((224 - rs_w), 2) AS INTEGER) AS pad_x,
+        |    CAST(divide((224 - rs_h), 2) AS INTEGER) AS pad_y,
+        |    GREATEST(divide(rs_w, 16), 1) AS gx, GREATEST(divide(rs_h, 16), 1) AS gy
         |  FROM rs)
         |SELECT doc_id, width, height, scale_ppm, rs_w, rs_h, pad_x, pad_y,
         |  CAST(px AS INTEGER) AS px, CAST(py AS INTEGER) AS py,
         |  md5(substring(text, CAST((py * gx + px) * 29 + 1 AS INTEGER), 29)) AS patch_hash
-        |FROM grid, unnest(range(0, gy)) AS ty(py), unnest(range(0, gx)) AS tx(px)""".stripMargin,
+        |FROM grid, LATERAL unnest(range(0, gy)) AS ty(py), LATERAL unnest(range(0, gx)) AS tx(px)""".stripMargin,
     // closed-form twin of the REAL javax.sound WAV round-trip: the
     // engine synthesizes PCM from these formulas, writes a genuine RIFF
     // container, decodes it back, and reports what the codec parsed —
@@ -802,17 +802,17 @@ object Multimodal {
         |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS sample_rate,
         |    CAST(octet_length(encode(text)) * 4 AS INTEGER) AS duration_ms
         |  FROM documents WHERE doc_id % 3 = 1),
-        |c AS (SELECT a.*, 1 + least(duration_ms // 500, 7) AS n_chunks FROM a)
+        |c AS (SELECT a.*, 1 + least(divide(duration_ms, 500), 7) AS n_chunks FROM a)
         |SELECT doc_id, sample_rate, duration_ms,
         |  CAST(i AS INTEGER) AS chunk_idx, CAST(i * 500 AS INTEGER) AS chunk_start_ms,
         |  md5(substring(text, CAST(i * 50 + 1 AS INTEGER), 50)) AS chunk_hash
-        |FROM c, unnest(range(0, n_chunks)) AS t(i)""".stripMargin,
+        |FROM c, LATERAL unnest(range(0, n_chunks)) AS t(i)""".stripMargin,
     "q_multimodal_frames" ->
       """WITH v AS (
         |  SELECT doc_id, text,
-        |    1 + least(octet_length(encode(text)) // 100, 4) AS n_frames
+        |    1 + least(divide(octet_length(encode(text)), 100), 4) AS n_frames
         |  FROM documents WHERE doc_id % 4 = 0)
         |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 100 AS INTEGER) AS frame_offset,
         |  md5(substring(text, CAST(i * 100 + 1 AS INTEGER), 100)) AS frame_hash
-        |FROM v, unnest(range(0, n_frames)) AS t(i)""".stripMargin)
+        |FROM v, LATERAL unnest(range(0, n_frames)) AS t(i)""".stripMargin)
 }

@@ -375,10 +375,10 @@ object Relational {
     "q_window_interval" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY datediff('day', DATE '1992-01-01', l_shipdate)
+        |    PARTITION BY l_suppkey ORDER BY divide(CAST(epoch(CAST(l_shipdate AS DATE)) AS BIGINT) - CAST(epoch(CAST(DATE '1992-01-01' AS DATE)) AS BIGINT), 86400)
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
         |  COUNT(*) OVER (
-        |    PARTITION BY l_suppkey ORDER BY datediff('day', DATE '1992-01-01', l_shipdate)
+        |    PARTITION BY l_suppkey ORDER BY divide(CAST(epoch(CAST(l_shipdate AS DATE)) AS BIGINT) - CAST(epoch(CAST(DATE '1992-01-01' AS DATE)) AS BIGINT), 86400)
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
         |FROM lineitem""".stripMargin,
     "q_range_join" ->
@@ -501,11 +501,11 @@ object Relational {
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
     "q_string_ops" ->
       """SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTRING(p_name, 1, 5) AS name5,
-        |  p_type || '#' || CAST(p_size AS VARCHAR) AS type_size,
+        |  p_type || '#' || CAST(p_size AS STRING) AS type_size,
         |  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
         |  (p_name LIKE '%widget%') AS is_widget,
         |  REPLACE(p_name, ' ', '_') AS name_us,
-        |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  LPAD(CAST(p_size AS STRING), 4, '0') AS size_pad,
         |  regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
         |  REVERSE(p_name) AS name_rev,
         |  TRIM(LOWER(p_type)) AS type_l

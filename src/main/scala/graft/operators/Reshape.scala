@@ -120,29 +120,27 @@ object Reshape {
         |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
     "q_pivot_segments" ->
       """SELECT c_nationkey,
-        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "AUTOMOBILE",
-        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "BUILDING",
-        |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "FURNITURE",
-        |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "HOUSEHOLD",
-        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "MACHINERY"
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS AUTOMOBILE,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS BUILDING,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS FURNITURE,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS HOUSEHOLD,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS MACHINERY
         |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q_explode_words" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 25 = 0),
-        |x AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(words) + 1),
-        |      i -> {'pos': i, 'word': words[i]})) AS u
-        |  FROM w)
-        |SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.word AS word,
-        |  UPPER(u.word) AS word_u, CAST(LENGTH(u.word) AS INTEGER) AS word_len
+        |x AS (SELECT doc_id, t.i AS upos, list_extract(words, t.i) AS uword
+        |  FROM w, LATERAL unnest(range(1, len(words) + 1)) AS t(i))
+        |SELECT doc_id, CAST(upos AS INTEGER) AS pos, uword AS word,
+        |  UPPER(uword) AS word_u, CAST(LENGTH(uword) AS INTEGER) AS word_len
         |FROM x""".stripMargin,
     "q_array_map_ops" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 25 = 0),
-        |a AS (SELECT doc_id, words, words[1:5] AS a1, words[3:7] AS a2 FROM w)
+        |a AS (SELECT doc_id, words, list_slice(words, 1, 5) AS a1, list_slice(words, 3, 7) AS a2 FROM w)
         |SELECT doc_id,
         |  CAST(len(list_distinct(list_concat(a1, a2))) AS INTEGER) AS n_union,
         |  CAST(len(list_distinct(list_intersect(a1, a2))) AS INTEGER) AS n_inter,
         |  CAST(len(list_filter(list_distinct(a1), x -> NOT list_contains(a2, x))) AS INTEGER) AS n_except,
-        |  list_sort(a1)[1] AS first_sorted,
+        |  list_extract(list_sort(a1), 1) AS first_sorted,
         |  list_contains(words, 'the') AS has_the,
         |  CAST(len(a1) + len(a2) AS INTEGER) AS n_flat,
         |  array_to_string(list_sort(list_distinct(a1)), '|') AS a1_distinct

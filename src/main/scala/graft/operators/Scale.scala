@@ -682,14 +682,14 @@ object Scale {
   // computes the same answer.
   val oracle: Map[String, String] = Map(
     "q_join_size_sketch" ->
-      """WITH ek AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
-        |ok AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
-        |ec AS (SELECT j, CAST('0x' || substring(md5(k), j * 7 + 1, 7) AS BIGINT) % 512 AS cell,
+      """WITH ek AS (SELECT CAST(user_id AS STRING) AS k FROM events),
+        |ok AS (SELECT CAST(o_custkey AS STRING) AS k FROM orders),
+        |ec AS (SELECT j, list_sum(list_transform(range(1, 8), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(k), j * 7 + 1, 7), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - hxi) AS BIGINT))) % 512 AS cell,
         |    COUNT(*) AS c
-        |  FROM ek, unnest(range(0, 4)) AS t(j) GROUP BY 1, 2),
-        |oc AS (SELECT j, CAST('0x' || substring(md5(k), j * 7 + 1, 7) AS BIGINT) % 512 AS cell,
+        |  FROM ek, LATERAL unnest(range(0, 4)) AS t(j) GROUP BY 1, 2),
+        |oc AS (SELECT j, list_sum(list_transform(range(1, 8), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(k), j * 7 + 1, 7), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - hxi) AS BIGINT))) % 512 AS cell,
         |    COUNT(*) AS c
-        |  FROM ok, unnest(range(0, 4)) AS t(j) GROUP BY 1, 2),
+        |  FROM ok, LATERAL unnest(range(0, 4)) AS t(j) GROUP BY 1, 2),
         |ip AS (SELECT ec.j, CAST(SUM(ec.c * oc.c) AS BIGINT) AS est
         |  FROM ec JOIN oc ON ec.j = oc.j AND ec.cell = oc.cell GROUP BY 1),
         |m AS (SELECT CAST(MIN(est) AS BIGINT) AS cms_est FROM ip),
@@ -803,12 +803,12 @@ object Scale {
          |GROUP BY o_orderpriority""".stripMargin,
     "q_dpp_prune" ->
       s"""WITH m AS (
-         |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+         |  SELECT DISTINCT CAST(year(o_orderdate) AS STRING) || '-' || lpad(CAST(month(o_orderdate) AS STRING), 2, '0') AS ship_month
          |  FROM orders
          |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)
          |SELECT ship_month, COUNT(*) AS n_items,
          |  CAST(SUM($disc) AS DOUBLE) AS revenue
-         |FROM lineitem JOIN m ON strftime(l_shipdate, '%Y-%m') = m.ship_month
+         |FROM lineitem JOIN m ON CAST(year(l_shipdate) AS STRING) || '-' || lpad(CAST(month(l_shipdate) AS STRING), 2, '0') = m.ship_month
          |GROUP BY ship_month""".stripMargin,
     "q_salted_rate_limit" ->
       """WITH b AS (

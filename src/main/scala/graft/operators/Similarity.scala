@@ -1505,16 +1505,16 @@ object Similarity {
   // even the sign bits of near-zero plane sums agree, which is what
   // makes the LSH bucketing oracle-checkable at all.
   private val dkCos =
-    """round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
-      |  (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
-      |   sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6)""".stripMargin
+    """round(list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(ce, i))) /
+      |  (sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(qe, i)))) *
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(ce, i) * list_extract(ce, i))))), 6)""".stripMargin
 
   /** DuckDB replay of [[qMmrDiversify]]: the greedy loop unrolls into
     * five (rescore, argmax) CTE levels — generated so the rounds can't
     * drift from the Spark loop. */
   private def mmrOracle: String = {
     val sb = new StringBuilder(
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS emb FROM embeddings),
          |qv AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
          |cv AS (SELECT vec_id AS c_id, emb AS ce FROM e WHERE vec_id <> 0),
          |cand AS (
@@ -1547,9 +1547,9 @@ object Similarity {
   /** DuckDB cosine between two named DOUBLE[] columns (same list_sum
     * formulation that hash-matches the codegen cosine_sim at 6 dp). */
   private def dkCos2(a: String, b: String): String =
-    s"""round(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
-       |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i]))) *
-       |   sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))), 6)""".stripMargin
+    s"""round(list_sum(list_transform(range(1, 65), i -> list_extract($a, i) * list_extract($b, i))) /
+       |  (sqrt(list_sum(list_transform(range(1, 65), i -> list_extract($a, i) * list_extract($a, i)))) *
+       |   sqrt(list_sum(list_transform(range(1, 65), i -> list_extract($b, i) * list_extract($b, i))))), 6)""".stripMargin
 
   /** Seed CTEs for the VARIABLE-k coarse quantizer: `kv` derives k from
     * the corpus count by the same bit-length form as [[ivfKFor]]
@@ -1559,7 +1559,7 @@ object Similarity {
     * `sample.orderBy("vec_id").limit(k)`. */
   private def dkIvfSeeds(src: String): String =
     s"""kv AS (SELECT CAST(1 AS BIGINT) << GREATEST(3, LEAST(12,
-       |    CAST(LENGTH(BIN(GREATEST(1, COUNT(*) - 1))) AS INTEGER) // 2)) AS k FROM e),
+       |    divide(CAST(LENGTH(BIN(GREATEST(1, COUNT(*) - 1))) AS INTEGER), 2))) AS k FROM e),
        |c0 AS (
        |  SELECT CAST(rn - 1 AS INTEGER) AS cid, ce AS centroid
        |  FROM (SELECT ce, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM $src)
@@ -1576,25 +1576,23 @@ object Similarity {
        |        ORDER BY ${dkCos2(s"$src.ce", s"$prev.centroid")} DESC, $prev.cid) AS rn
        |    FROM $src CROSS JOIN $prev) WHERE rn = 1),
        |${a}d AS (
-       |  SELECT vec_id, cid, u.dim AS dim, u.x AS x FROM (
-       |    SELECT vec_id, cid, unnest(list_transform(range(0, 64),
-       |      j -> struct_pack(dim := CAST(j AS INTEGER), x := ce[j + 1]))) AS u
-       |    FROM $a)),
+       |  SELECT vec_id, cid, CAST(t.j AS INTEGER) AS dim, list_extract(ce, t.j + 1) AS x
+       |  FROM $a, unnest(range(0, 64)) AS t(j)),
        |$m AS (
        |  SELECT cid, dim,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(list_sort(list(struct_pack(vec_id := vec_id, x := x))), p -> p.x)),
+       |      list_transform(list_sort(list(list_value(CAST(vec_id AS DOUBLE), x))), p -> list_extract(p, 2))),
        |      (acc, v) -> acc + v) / COUNT(*) AS m
        |  FROM ${a}d GROUP BY cid, dim),
        |$c AS (
-       |  SELECT cid, list_transform(list_sort(list(struct_pack(dim := dim, m := m))), p -> p.m) AS centroid
+       |  SELECT cid, list_transform(list_sort(list(list_value(CAST(dim AS DOUBLE), m))), p -> list_extract(p, 2)) AS centroid
        |  FROM $m GROUP BY cid)""".stripMargin
 
   /** Integer-exact PQ subdistance in DuckDB: left-fold L2² of two 8-dim
     * slices ×1e6 as BIGINT (mirrors the Spark aggregate/zip_with fold). */
   private def dkD6(a: String, b: String): String =
     s"""CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |  list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |  list_transform(range(1, 9), i -> (list_extract($a, i) - list_extract($b, i)) * (list_extract($a, i) - list_extract($b, i)))),
        |  (acc, x) -> acc + x) * 1000000) AS BIGINT)""".stripMargin
 
   /** PQ codebook training unrolled in DuckDB (expects CTEs `e`, `grps`,
@@ -1606,8 +1604,8 @@ object Similarity {
     s"""pseeds AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, ce
        |  FROM (SELECT vec_id, ce FROM sm ORDER BY vec_id LIMIT 16)),
-       |cents0 AS (SELECT cid, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS cent FROM pseeds, grps),
-       |ssub AS (SELECT vec_id, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS sub FROM sm, grps),
+       |cents0 AS (SELECT cid, grp, list_slice(ce, grp * 8 + 1, grp * 8 + 8) AS cent FROM pseeds, grps),
+       |ssub AS (SELECT vec_id, grp, list_slice(ce, grp * 8 + 1, grp * 8 + 8) AS sub FROM sm, grps),
        |pa AS (
        |  SELECT vec_id, grp, cid, sub FROM (
        |    SELECT s.vec_id, s.grp, c.cid, s.sub,
@@ -1615,26 +1613,24 @@ object Similarity {
        |        ORDER BY ${dkD6("s.sub", "c.cent")}, c.cid) AS rn
        |    FROM ssub s JOIN cents0 c USING (grp)) WHERE rn = 1),
        |pad AS (
-       |  SELECT vec_id, grp, cid, u.dim AS dim, u.x AS x FROM (
-       |    SELECT vec_id, grp, cid, unnest(list_transform(range(0, 8),
-       |      j -> struct_pack(dim := CAST(j AS INTEGER), x := sub[j + 1]))) AS u
-       |    FROM pa)),
+       |  SELECT vec_id, grp, cid, CAST(t.j AS INTEGER) AS dim, list_extract(sub, t.j + 1) AS x
+       |  FROM pa, unnest(range(0, 8)) AS t(j)),
        |pm AS (
        |  SELECT grp, cid, dim,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(list_sort(list(struct_pack(vec_id := vec_id, x := x))), p -> p.x)),
+       |      list_transform(list_sort(list(list_value(CAST(vec_id AS DOUBLE), x))), p -> list_extract(p, 2))),
        |      (acc, v) -> acc + v) / COUNT(*) AS m
        |  FROM pad GROUP BY grp, cid, dim),
        |cents AS (
        |  SELECT grp, cid,
-       |    list_transform(list_sort(list(struct_pack(dim := dim, m := m))), p -> p.m) AS cent
+       |    list_transform(list_sort(list(list_value(CAST(dim AS DOUBLE), m))), p -> list_extract(p, 2)) AS cent
        |  FROM pm GROUP BY grp, cid)""".stripMargin
 
   /** Shared PQ encode/ADC tail against the trained `cents` CTE: codes
     * for every vector, ADC table for the vec_id%20 queries. */
   private val dkPqEncode: String =
     s"""subs AS (
-       |  SELECT vec_id, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS sub FROM e, grps),
+       |  SELECT vec_id, grp, list_slice(ce, grp * 8 + 1, grp * 8 + 8) AS sub FROM e, grps),
        |codes AS (
        |  SELECT vec_id, grp, cid AS code FROM (
        |    SELECT s.vec_id, s.grp, c.cid,
@@ -1649,22 +1645,22 @@ object Similarity {
     * dims, upper-triangle product sums, per-dim moment sums. */
   private val covSrcSql =
     """src AS (
-      |  SELECT list_transform(embedding[1:8],
+      |  SELECT list_transform(list_slice(embedding, 1, 8),
       |    v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS e8
       |  FROM embeddings),
       |p AS (
-      |  SELECT i, j, COUNT(*) AS n, SUM(e8[i+1] * e8[j+1]) AS sxy
+      |  SELECT i, j, COUNT(*) AS n, SUM(list_extract(e8, i+1) * list_extract(e8, j+1)) AS sxy
       |  FROM src, unnest(range(0, 8)) t(i), unnest(range(0, 8)) u(j)
       |  WHERE j >= i GROUP BY 1, 2),
       |mo AS (
-      |  SELECT i, SUM(e8[i+1]) AS sx, SUM(e8[i+1] * e8[i+1]) AS sxx
+      |  SELECT i, SUM(list_extract(e8, i+1)) AS sx, SUM(list_extract(e8, i+1) * list_extract(e8, i+1)) AS sxx
       |  FROM src, unnest(range(0, 8)) t(i) GROUP BY 1)""".stripMargin
 
   private def pcaStepSql(k: Int): String =
     s"""w$k AS (SELECT mm.i, SUM(m * x) AS w FROM mm JOIN v${k - 1} ON mm.j = v${k - 1}.i GROUP BY 1),
        |v$k AS (SELECT i,
-       |  CASE WHEN w < 0 THEN -((abs(w) * 1000000) // (SELECT MAX(abs(w)) FROM w$k))
-       |       ELSE (w * 1000000) // (SELECT MAX(abs(w)) FROM w$k) END AS x
+       |  CASE WHEN w < 0 THEN -(divide((abs(w) * 1000000), (SELECT MAX(abs(w)) FROM w$k)))
+       |       ELSE divide((w * 1000000), (SELECT MAX(abs(w)) FROM w$k)) END AS x
        |  FROM w$k)""".stripMargin
 
   val oracle: Map[String, String] = oracleBase +
@@ -1692,9 +1688,9 @@ object Similarity {
     ("q_matryoshka_recall" -> {
       val o = oracleBase
       def cosN(a: String, b: String, n: Int): String =
-        s"""round(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])) /
-           |  (sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $a[i] * $a[i]))) *
-           |   sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> $b[i] * $b[i])))), 6)""".stripMargin
+        s"""round(list_sum(list_transform(range(1, ${n + 1}), i -> list_extract($a, i) * list_extract($b, i))) /
+           |  (sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> list_extract($a, i) * list_extract($a, i)))) *
+           |   sqrt(list_sum(list_transform(range(1, ${n + 1}), i -> list_extract($b, i) * list_extract($b, i))))), 6)""".stripMargin
       def variant(dim: Int, t: String): String =
         s"""sc_$t AS (
            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cosN("q.ce", "c.ce", dim)} AS cos_r
@@ -1707,7 +1703,7 @@ object Similarity {
            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rk_$t) AS n_returned,
            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rk_$t r
            |     JOIN tr ON r.q_id = tr.q_id AND r.c_id = tr.neighbor_id) AS n_hits)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |tr0 AS (${o("q_sim_topk")}),
          |tr AS (SELECT q_id, neighbor_id FROM tr0),
          |nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_q FROM tr),
@@ -1799,9 +1795,9 @@ object Similarity {
          |  SELECT p.i, p.j, n * sxy - a.sx * b.sx AS raw, n
          |  FROM p JOIN mo a ON p.i = a.i JOIN mo b ON p.j = b.i),
          |mm AS (
-         |  SELECT i, j, CASE WHEN raw < 0 THEN -(abs(raw) // n) ELSE raw // n END AS m FROM tri
+         |  SELECT i, j, CASE WHEN raw < 0 THEN -(divide(abs(raw), n)) ELSE divide(raw, n) END AS m FROM tri
          |  UNION ALL
-         |  SELECT j, i, CASE WHEN raw < 0 THEN -(abs(raw) // n) ELSE raw // n END
+         |  SELECT j, i, CASE WHEN raw < 0 THEN -(divide(abs(raw), n)) ELSE divide(raw, n) END
          |  FROM tri WHERE i <> j),
          |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS x FROM range(0, 8) t(i)),
          |${pcaStepSql(1)},
@@ -1811,7 +1807,7 @@ object Similarity {
          |ray AS (SELECT SUM(v3.x * mv.w) AS num, SUM(v3.x * v3.x) AS den
          |        FROM v3 JOIN mv ON v3.i = mv.i)
          |SELECT CAST(v3.i AS INTEGER) AS i, CAST(v3.x AS BIGINT) AS v,
-         |  CAST(CASE WHEN num < 0 THEN -(abs(num) // den) ELSE num // den END AS BIGINT) AS lambda
+         |  CAST(CASE WHEN num < 0 THEN -(divide(abs(num), den)) ELSE divide(num, den) END AS BIGINT) AS lambda
          |FROM v3, ray""".stripMargin,
     "q_embed_project" ->
       """WITH src AS (
@@ -1820,14 +1816,14 @@ object Similarity {
         |  FROM embeddings)
         |SELECT vec_id, CAST(k AS INTEGER) AS k,
         |  CAST(SUM(CASE WHEN ((1000003 * k + 7919 * i + 12345) % 97) % 2 = 0
-        |           THEN e[i+1] ELSE -e[i+1] END) AS BIGINT) AS proj
+        |           THEN list_extract(e, i+1) ELSE -list_extract(e, i+1) END) AS BIGINT) AS proj
         |FROM src, unnest(range(0, 8)) t(k), unnest(range(0, 64)) u(i)
         |GROUP BY 1, 2""".stripMargin,
     "q_emb_colstats" ->
       """WITH x AS (
         |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
-        |    CAST(embedding[t.i + 1] AS DOUBLE) AS v
-        |  FROM embeddings, unnest(range(0, len(embedding))) AS t(i)),
+        |    CAST(list_extract(embedding, t.i + 1) AS DOUBLE) AS v
+        |  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS t(i)),
         |s AS (
         |  SELECT dim, v,
         |    CAST(round(v * 10000000) AS BIGINT) AS sv
@@ -1846,15 +1842,15 @@ object Similarity {
         |  min_v, max_v
         |FROM g""".stripMargin,
     "q_semantic_dedup" ->
-      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH base AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |e AS (
          |  SELECT vec_id, ce FROM base
          |  UNION ALL
          |  SELECT vec_id + 1000000,
-         |    list_transform(range(1, 65), i -> CASE WHEN i <= 4 THEN ce[i] + 0.001 ELSE ce[i] END)
+         |    list_transform(range(1, 65), i -> CASE WHEN i <= 4 THEN list_extract(ce, i) + 0.001 ELSE list_extract(ce, i) END)
          |  FROM base WHERE vec_id % 10 = 0),
          |kk AS (
-         |  SELECT greatest(8, CAST((COUNT(*) + (COUNT(*) + 9) // 10 + 1023) // 1024 AS INTEGER)) AS k
+         |  SELECT greatest(8, CAST(divide((COUNT(*) + divide((COUNT(*) + 9), 10) + 1023), 1024) AS INTEGER)) AS k
          |  FROM base),
          |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
          |c0 AS (
@@ -1877,7 +1873,7 @@ object Similarity {
          |SELECT c.vec_id, c.cid AS cell_id, (d.vec_id IS NOT NULL) AS is_semantic_dup
          |FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id""".stripMargin,
     "q_sim_pq" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |grps AS (SELECT unnest(range(0, 8)) AS grp),
          |sm AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
          |$dkPqTrain,
@@ -1892,14 +1888,14 @@ object Similarity {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY e6, c_id) AS INTEGER) AS rank
          |  FROM est)
          |SELECT r.q_id, r.rank, r.c_id AS neighbor_id,
-         |  r.e6 / 1000000.0 AS est_d2,
+         |  CAST(r.e6 AS DOUBLE) / 1000000.0 AS est_d2,
          |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, 65), i -> (qv.ce[i] - cv.ce[i]) * (qv.ce[i] - cv.ce[i]))),
+         |    list_transform(range(1, 65), i -> (list_extract(qv.ce, i) - list_extract(cv.ce, i)) * (list_extract(qv.ce, i) - list_extract(cv.ce, i)))),
          |    (acc, x) -> acc + x), 6) AS exact_d2
          |FROM ranked r JOIN e qv ON r.q_id = qv.vec_id JOIN e cv ON r.c_id = cv.vec_id
          |WHERE r.rank <= 5""".stripMargin,
     "q_sim_ivf_pq" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |grps AS (SELECT unnest(range(0, 8)) AS grp),
          |sm AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
          |${dkIvfSeeds("sm")},
@@ -1932,21 +1928,21 @@ object Similarity {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY e6, c_id) AS INTEGER) AS rank
          |  FROM est)
          |SELECT r.q_id, r.rank, r.c_id AS neighbor_id,
-         |  r.e6 / 1000000.0 AS est_d2,
+         |  CAST(r.e6 AS DOUBLE) / 1000000.0 AS est_d2,
          |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, 65), i -> (qv.ce[i] - cv.ce[i]) * (qv.ce[i] - cv.ce[i]))),
+         |    list_transform(range(1, 65), i -> (list_extract(qv.ce, i) - list_extract(cv.ce, i)) * (list_extract(qv.ce, i) - list_extract(cv.ce, i)))),
          |    (acc, x) -> acc + x), 6) AS exact_d2
          |FROM ranked r JOIN e qv ON r.q_id = qv.vec_id JOIN e cv ON r.c_id = cv.vec_id
          |WHERE r.rank <= 5""".stripMargin,
     "q_sim_ivf_pq_res" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |grps AS (SELECT unnest(range(0, 8)) AS grp),
          |sraw AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
          |${dkIvfSeeds("sraw")},
          |${dkLloyd("sraw", "c0", "a1", "m1", "c1")},
          |${dkLloyd("sraw", "c1", "a2", "m2", "c2")},
          |cellsr AS (
-         |  SELECT vec_id, cid, list_transform(range(1, 65), i -> ce[i] - centroid[i]) AS ce
+         |  SELECT vec_id, cid, list_transform(range(1, 65), i -> list_extract(ce, i) - list_extract(centroid, i)) AS ce
          |  FROM (
          |    SELECT e.vec_id, c2.cid, e.ce, c2.centroid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1954,7 +1950,7 @@ object Similarity {
          |    FROM e CROSS JOIN c2) WHERE rn = 1),
          |sm AS (SELECT vec_id, ce FROM cellsr WHERE vec_id % 8 = 0),
          |$dkPqTrain,
-         |subs AS (SELECT vec_id, grp, ce[grp * 8 + 1 : grp * 8 + 8] AS sub FROM cellsr, grps),
+         |subs AS (SELECT vec_id, grp, list_slice(ce, grp * 8 + 1, grp * 8 + 8) AS sub FROM cellsr, grps),
          |codes AS (
          |  SELECT vec_id, grp, cid AS code FROM (
          |    SELECT s.vec_id, s.grp, c.cid,
@@ -1968,9 +1964,9 @@ object Similarity {
          |        ORDER BY ${dkCos2("e.ce", "c2.centroid")} DESC, c2.cid) AS rn
          |    FROM e CROSS JOIN c2 WHERE e.vec_id % 20 = 0) WHERE rn <= 2),
          |qres AS (
-         |  SELECT p.q_id, p.cid, list_transform(range(1, 65), i -> e.ce[i] - c2.centroid[i]) AS qr
+         |  SELECT p.q_id, p.cid, list_transform(range(1, 65), i -> list_extract(e.ce, i) - list_extract(c2.centroid, i)) AS qr
          |  FROM probes p JOIN e ON e.vec_id = p.q_id JOIN c2 ON c2.cid = p.cid),
-         |qsubs AS (SELECT q_id, cid, grp, qr[grp * 8 + 1 : grp * 8 + 8] AS sub FROM qres, grps),
+         |qsubs AS (SELECT q_id, cid, grp, list_slice(qr, grp * 8 + 1, grp * 8 + 8) AS sub FROM qres, grps),
          |qd AS (
          |  SELECT q.q_id, q.cid AS qcell, q.grp, c.cid AS pcid, ${dkD6("q.sub", "c.cent")} AS d6
          |  FROM qsubs q JOIN cents c USING (grp)),
@@ -1989,16 +1985,16 @@ object Similarity {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY e6, c_id) AS INTEGER) AS rank
          |  FROM est)
          |SELECT r.q_id, r.rank, r.c_id AS neighbor_id,
-         |  r.e6 / 1000000.0 AS est_d2,
+         |  CAST(r.e6 AS DOUBLE) / 1000000.0 AS est_d2,
          |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, 65), i -> (qv.ce[i] - cv.ce[i]) * (qv.ce[i] - cv.ce[i]))),
+         |    list_transform(range(1, 65), i -> (list_extract(qv.ce, i) - list_extract(cv.ce, i)) * (list_extract(qv.ce, i) - list_extract(cv.ce, i)))),
          |    (acc, x) -> acc + x), 6) AS exact_d2
          |FROM ranked r JOIN e qv ON r.q_id = qv.vec_id JOIN e cv ON r.c_id = cv.vec_id
          |WHERE r.rank <= 5""".stripMargin,
     // frozen-quantizer identity: train on the HISTORY sample, assign the
     // FULL corpus — equals Spark's standing-index + delta-refresh union
     "q_sim_ivf_incremental" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0 AND vec_id % 10 <> 7),
          |${dkIvfSeeds("s")},
          |${dkLloyd("s", "c0", "a1", "m1", "c1")},
@@ -2025,7 +2021,7 @@ object Similarity {
          |SELECT q_id, rank, c_id AS neighbor_id, cos_r AS cosine
          |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |s AS (SELECT vec_id, ce FROM e WHERE vec_id % 8 = 0),
          |${dkIvfSeeds("s")},
          |${dkLloyd("s", "c0", "a1", "m1", "c1")},
@@ -2052,14 +2048,14 @@ object Similarity {
          |SELECT q_id, rank, c_id AS neighbor_id, cos_r AS cosine
          |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |bv AS (SELECT GREATEST(4, LEAST(12,
          |    CAST(LENGTH(BIN(COUNT(*) - 1)) AS INTEGER) - 2)) AS bits FROM e),
          |coded AS (
          |  SELECT vec_id, band, list_sum(list_transform(range(0, bits),
          |    j -> CASE WHEN ${dkPlane("band * bits + j")} >= 0
          |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS code
-         |  FROM (SELECT vec_id, ce, unnest([0, 1, 2, 3]) AS band FROM e) CROSS JOIN bv),
+         |  FROM (SELECT vec_id, ce, unnest(list_value(0, 1, 2, 3)) AS band FROM e) CROSS JOIN bv),
          |probes AS (
          |  SELECT vec_id AS q_id, band,
          |    unnest(list_prepend(code, list_transform(range(0, bits),
@@ -2078,21 +2074,21 @@ object Similarity {
          |SELECT q_id, rank, c_id AS neighbor_id, cos_r AS cosine
          |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_neardup_pairs" ->
-      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      s"""WITH base AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |corpus AS (
          |  SELECT vec_id, ce FROM base
          |  UNION ALL
          |  SELECT vec_id + 1000000,
-         |    list_transform(range(1, 65), i -> CASE WHEN i <= 4 THEN ce[i] + 0.001 ELSE ce[i] END)
+         |    list_transform(range(1, 65), i -> CASE WHEN i <= 4 THEN list_extract(ce, i) + 0.001 ELSE list_extract(ce, i) END)
          |  FROM base WHERE vec_id % 10 = 0),
          |bv AS (SELECT GREATEST(4, LEAST(12,
-         |    CAST(LENGTH(BIN(COUNT(*) + (COUNT(*) + 9) // 10 - 1)) AS INTEGER) - 2)) AS bits
+         |    CAST(LENGTH(BIN(COUNT(*) + divide((COUNT(*) + 9), 10) - 1)) AS INTEGER) - 2)) AS bits
          |  FROM base),
          |coded AS (
          |  SELECT vec_id, band, list_sum(list_transform(range(0, bits),
          |    j -> CASE WHEN ${dkPlane("band * bits + j")} >= 0
          |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS code
-         |  FROM (SELECT vec_id, ce, unnest([0, 1, 2, 3]) AS band FROM corpus) CROSS JOIN bv),
+         |  FROM (SELECT vec_id, ce, unnest(list_value(0, 1, 2, 3)) AS band FROM corpus) CROSS JOIN bv),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM coded a JOIN coded b ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
@@ -2102,12 +2098,12 @@ object Similarity {
          |  JOIN (SELECT vec_id, ce FROM corpus) vb ON b_id = vb.vec_id)
          |SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.95""".stripMargin,
     "q_sim_mips" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |m AS (SELECT MAX(list_sum(list_transform(range(1, 65), i -> emb[i] * emb[i]))) AS m2 FROM e),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS emb FROM embeddings),
+        |m AS (SELECT MAX(list_sum(list_transform(range(1, 65), i -> list_extract(emb, i) * list_extract(emb, i)))) AS m2 FROM e),
         |c AS (
         |  SELECT vec_id AS c_id, emb AS cemb,
         |    list_append(emb,
-        |      sqrt(m2 - list_sum(list_transform(range(1, 65), i -> emb[i] * emb[i])))) AS ce
+        |      sqrt(m2 - list_sum(list_transform(range(1, 65), i -> list_extract(emb, i) * list_extract(emb, i))))) AS ce
         |  FROM e, m),
         |q AS (SELECT vec_id AS q_id, emb AS qemb,
         |    list_append(emb, CAST(0 AS DOUBLE)) AS qe
@@ -2115,33 +2111,33 @@ object Similarity {
         |scored AS (
         |  SELECT q_id, c_id, qemb, cemb,
         |    round(
-        |      list_sum(list_transform(range(1, 66), i -> qe[i] * ce[i])) /
-        |      (sqrt(list_sum(list_transform(range(1, 66), i -> qe[i] * qe[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, 66), i -> ce[i] * ce[i])))), 6) AS cos_aug
+        |      list_sum(list_transform(range(1, 66), i -> list_extract(qe, i) * list_extract(ce, i))) /
+        |      (sqrt(list_sum(list_transform(range(1, 66), i -> list_extract(qe, i) * list_extract(qe, i)))) *
+        |       sqrt(list_sum(list_transform(range(1, 66), i -> list_extract(ce, i) * list_extract(ce, i))))), 6) AS cos_aug
         |  FROM q JOIN c ON q_id <> c_id),
         |ranked AS (
         |  SELECT q_id, c_id, qemb, cemb,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_aug DESC, c_id) AS INTEGER) AS rank
         |  FROM scored)
         |SELECT q_id, rank, c_id AS neighbor_id,
-        |  round(list_sum(list_transform(range(1, 65), i -> qemb[i] * cemb[i])), 6) AS ip
+        |  round(list_sum(list_transform(range(1, 65), i -> list_extract(qemb, i) * list_extract(cemb, i))), 6) AS ip
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_ndcg_eval" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
-        |dm AS (SELECT i, MIN(ce[i]) AS mn, MAX(ce[i]) AS mx
+      """WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
+        |dm AS (SELECT i, MIN(list_extract(ce, i)) AS mn, MAX(list_extract(ce, i)) AS mx
         |       FROM e, range(1, 65) t(i) GROUP BY i),
-        |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm),
+        |mm AS (SELECT list_transform(list_sort(list(list_value(CAST(i AS DOUBLE), mn))), pr -> list_extract(pr, 2)) AS mns, list_transform(list_sort(list(list_value(CAST(i AS DOUBLE), mx))), pr -> list_extract(pr, 2)) AS mxs FROM dm),
         |coded AS (SELECT vec_id, ce,
         |    list_transform(range(1, 65),
-        |      i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT) ELSE CAST(floor((ce[i] - (mns[i] + mxs[i]) / 2) * 255 / (mxs[i] - mns[i]) + 0.5) AS BIGINT) END) AS code
+        |      i -> CASE WHEN list_extract(mxs, i) = list_extract(mns, i) THEN CAST(0 AS BIGINT) ELSE CAST(floor((list_extract(ce, i) - (list_extract(mns, i) + list_extract(mxs, i)) / 2) * 255 / (list_extract(mxs, i) - list_extract(mns, i)) + 0.5) AS BIGINT) END) AS code
         |  FROM e CROSS JOIN mm),
         |j AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |    CAST(list_sum(list_transform(range(1, 65), i -> q.code[i] * c.code[i])) AS BIGINT) AS ip8,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> list_extract(q.code, i) * list_extract(c.code, i))) AS BIGINT) AS ip8,
         |    round(
-        |      list_sum(list_transform(range(1, 65), i -> q.ce[i] * c.ce[i])) /
-        |      (sqrt(list_sum(list_transform(range(1, 65), i -> q.ce[i] * q.ce[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])))), 6) AS cos_r
+        |      list_sum(list_transform(range(1, 65), i -> list_extract(q.ce, i) * list_extract(c.ce, i))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(q.ce, i) * list_extract(q.ce, i)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(c.ce, i) * list_extract(c.ce, i))))), 6) AS cos_r
         |  FROM coded q JOIN coded c ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
         |r AS (
         |  SELECT q_id, c_id, ip8, cos_r,
@@ -2151,29 +2147,29 @@ object Similarity {
         |t AS (
         |  SELECT q_id,
         |    CAST(SUM(CASE WHEN true_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-        |    list(struct_pack(pos := pred_pos, rel := GREATEST(0, 11 - true_rank))
-        |      ORDER BY pred_pos) AS pr
+        |    list_sort(list(list_value(CAST(pred_pos AS BIGINT),
+        |      CAST(GREATEST(0, 11 - true_rank) AS BIGINT)))) AS pr
         |  FROM r WHERE pred_pos <= 10 GROUP BY 1)
         |SELECT q_id, n_hits,
         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(pr, x -> CAST(x.rel AS DOUBLE) / log2(CAST(x.pos + 1 AS DOUBLE)))),
+        |      list_transform(pr, x -> CAST(list_extract(x, 2) AS DOUBLE) / log2(CAST(list_extract(x, 1) + 1 AS DOUBLE)))),
         |      (a, b) -> a + b)
         |    / list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |      list_transform(range(1, 11), g -> CAST(11 - g AS DOUBLE) / log2(CAST(g + 1 AS DOUBLE)))),
         |      (a, b) -> a + b), 6) AS ndcg
         |FROM t""".stripMargin,
     "q_sim_sq8" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
-         |dm AS (SELECT i, MIN(ce[i]) AS mn, MAX(ce[i]) AS mx
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
+         |dm AS (SELECT i, MIN(list_extract(ce, i)) AS mn, MAX(list_extract(ce, i)) AS mx
          |       FROM e, range(1, 65) t(i) GROUP BY i),
-         |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm),
+         |mm AS (SELECT list_transform(list_sort(list(list_value(CAST(i AS DOUBLE), mn))), pr -> list_extract(pr, 2)) AS mns, list_transform(list_sort(list(list_value(CAST(i AS DOUBLE), mx))), pr -> list_extract(pr, 2)) AS mxs FROM dm),
          |coded AS (SELECT vec_id, ce,
          |    list_transform(range(1, 65),
-         |      i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT) ELSE CAST(floor((ce[i] - (mns[i] + mxs[i]) / 2) * 255 / (mxs[i] - mns[i]) + 0.5) AS BIGINT) END) AS code
+         |      i -> CASE WHEN list_extract(mxs, i) = list_extract(mns, i) THEN CAST(0 AS BIGINT) ELSE CAST(floor((list_extract(ce, i) - (list_extract(mns, i) + list_extract(mxs, i)) / 2) * 255 / (list_extract(mxs, i) - list_extract(mns, i)) + 0.5) AS BIGINT) END) AS code
          |  FROM e CROSS JOIN mm),
          |est AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         |    CAST(list_sum(list_transform(range(1, 65), i -> q.code[i] * c.code[i])) AS BIGINT) AS ip8,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> list_extract(q.code, i) * list_extract(c.code, i))) AS BIGINT) AS ip8,
          |    q.ce AS qe2, c.ce AS ce2
          |  FROM coded q JOIN coded c ON q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
          |ranked AS (
@@ -2186,15 +2182,15 @@ object Similarity {
     // the FULL from-scratch recompute: equality proves the incremental
     // merge (stored top-5 ∪ batch scores) loses nothing
     "q_sim_topk_incremental" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),
         |c AS (SELECT vec_id AS c_id, emb AS ce FROM e),
         |scored AS (
         |  SELECT q_id, c_id,
         |    round(
-        |      list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
-        |      (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6) AS cos_r
+        |      list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(ce, i))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(qe, i)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(ce, i) * list_extract(ce, i))))), 6) AS cos_r
         |  FROM q JOIN c ON q_id <> c_id),
         |ranked AS (
         |  SELECT q_id, c_id, cos_r,
@@ -2206,8 +2202,8 @@ object Similarity {
     "q_silhouette" ->
       """WITH p AS (
         |  SELECT vec_id, label, i - 1 AS dim,
-        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS sv
-        |  FROM embeddings, unnest(range(1, 65)) AS t(i)),
+        |    CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) * 10000000) AS BIGINT) AS sv
+        |  FROM embeddings, LATERAL unnest(range(1, 65)) AS t(i)),
         |cent AS (SELECT label AS c, dim, CAST(SUM(sv) AS BIGINT) AS csum, COUNT(*) AS nc
         |  FROM p GROUP BY 1, 2),
         |j AS (SELECT p.vec_id, p.label, c.c, c.nc, (c.nc * p.sv - c.csum) AS t
@@ -2229,15 +2225,15 @@ object Similarity {
         |  CAST(SUM(CASE WHEN sil > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_separated
         |FROM sl GROUP BY 1""".stripMargin,
     "q_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS emb, label FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe, label AS q_label FROM e WHERE vec_id % 25 = 0),
         |c AS (SELECT vec_id AS c_id, emb AS ce, label AS neg_label FROM e),
         |scored AS (
         |  SELECT q_id, q_label, c_id, neg_label,
         |    round(
-        |      list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
-        |      (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6) AS cos_r
+        |      list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(ce, i))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(qe, i)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(ce, i) * list_extract(ce, i))))), 6) AS cos_r
         |  FROM q JOIN c ON q_label <> neg_label),
         |ranked AS (
         |  SELECT q_id, q_label, c_id, neg_label, cos_r,
@@ -2246,15 +2242,15 @@ object Similarity {
         |SELECT q_id, q_label, rank, c_id, neg_label, cos_r AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_sim_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),
         |c AS (SELECT vec_id AS c_id, emb AS ce FROM e),
         |scored AS (
         |  SELECT q_id, c_id,
         |    round(
-        |      list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
-        |      (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6) AS cos_r
+        |      list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(ce, i))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(qe, i)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(ce, i) * list_extract(ce, i))))), 6) AS cos_r
         |  FROM q JOIN c ON q_id <> c_id),
         |ranked AS (
         |  SELECT q_id, c_id, cos_r,
@@ -2264,7 +2260,7 @@ object Similarity {
         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_mmr_diversify" -> mmrOracle,
     "q_knn_classify" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS emb, label FROM embeddings),
          |q AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e WHERE vec_id % 20 = 0),
          |c AS (SELECT vec_id AS c_id, emb AS ce, label AS pred_label FROM e WHERE vec_id % 20 <> 0),
          |scored AS (
@@ -2284,7 +2280,7 @@ object Similarity {
          |SELECT q_id, true_label, pred_label, votes, pred_label = true_label AS correct
          |FROM best WHERE vr = 1""".stripMargin,
     "q_knn_confusion" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS emb, label FROM embeddings),
          |q AS (SELECT vec_id AS q_id, emb AS qe, label AS true_label FROM e WHERE vec_id % 20 = 0),
          |c AS (SELECT vec_id AS c_id, emb AS ce, label AS pred_label FROM e WHERE vec_id % 20 <> 0),
          |scored AS (

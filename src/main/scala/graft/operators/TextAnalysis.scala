@@ -1362,20 +1362,20 @@ object TextAnalysis {
       sb.append(s""",
         |pairs_$k AS MATERIALIZED (
         |  SELECT l, r, COUNT(*) AS n FROM (
-        |    SELECT t.toks[u.i] AS l, t.toks[u.i + 1] AS r
-        |    FROM seqs_$k t, unnest(range(1, len(t.toks))) AS u(i))
+        |    SELECT list_extract(t.toks, u.i) AS l, list_extract(t.toks, u.i + 1) AS r
+        |    FROM seqs_$k t, LATERAL unnest(range(1, len(t.toks))) AS u(i))
         |  GROUP BY 1, 2),
         |rule_$k AS MATERIALIZED (SELECT l, r, CAST(n AS BIGINT) AS n FROM pairs_$k
         |  ORDER BY n DESC, l, r LIMIT 1),
         |m_$k AS (
-        |  SELECT doc, 1 AS pos, [toks[1]] AS acc, toks FROM seqs_$k
+        |  SELECT doc, 1 AS pos, list_value(list_extract(toks, 1)) AS acc, toks FROM seqs_$k
         |  UNION ALL
         |  SELECT doc, pos + 1,
-        |    CASE WHEN acc[-1] = (SELECT l FROM rule_$k)
-        |        AND toks[pos + 1] = (SELECT r FROM rule_$k)
-        |      THEN list_append(acc[1:len(acc) - 1],
+        |    CASE WHEN list_extract(acc, -1) = (SELECT l FROM rule_$k)
+        |        AND list_extract(toks, pos + 1) = (SELECT r FROM rule_$k)
+        |      THEN list_append(list_slice(acc, 1, len(acc) - 1),
         |        (SELECT l FROM rule_$k) || chr(1) || (SELECT r FROM rule_$k))
-        |      ELSE list_append(acc, toks[pos + 1]) END,
+        |      ELSE list_append(acc, list_extract(toks, pos + 1)) END,
         |    toks
         |  FROM m_$k WHERE pos < len(toks)),
         |seqs_${k + 1} AS MATERIALIZED (SELECT doc, acc AS toks FROM m_$k WHERE pos = len(toks))""".stripMargin)
@@ -1400,20 +1400,20 @@ object TextAnalysis {
       sb.append(s""",
         |pairs_$k AS MATERIALIZED (
         |  SELECT l, r, COUNT(*) AS n FROM (
-        |    SELECT t.toks[u.i] AS l, t.toks[u.i + 1] AS r
-        |    FROM seqs_$k t, unnest(range(1, len(t.toks))) AS u(i))
+        |    SELECT list_extract(t.toks, u.i) AS l, list_extract(t.toks, u.i + 1) AS r
+        |    FROM seqs_$k t, LATERAL unnest(range(1, len(t.toks))) AS u(i))
         |  GROUP BY 1, 2),
         |rule_$k AS MATERIALIZED (SELECT l, r, CAST(n AS BIGINT) AS n FROM pairs_$k
         |  ORDER BY n DESC, l, r LIMIT 1),
         |m_$k AS (
-        |  SELECT doc, 1 AS pos, [toks[1]] AS acc, toks FROM seqs_$k
+        |  SELECT doc, 1 AS pos, list_value(list_extract(toks, 1)) AS acc, toks FROM seqs_$k
         |  UNION ALL
         |  SELECT doc, pos + 1,
-        |    CASE WHEN acc[-1] = (SELECT l FROM rule_$k)
-        |        AND toks[pos + 1] = (SELECT r FROM rule_$k)
-        |      THEN list_append(acc[1:len(acc) - 1],
+        |    CASE WHEN list_extract(acc, -1) = (SELECT l FROM rule_$k)
+        |        AND list_extract(toks, pos + 1) = (SELECT r FROM rule_$k)
+        |      THEN list_append(list_slice(acc, 1, len(acc) - 1),
         |        (SELECT l FROM rule_$k) || chr(1) || (SELECT r FROM rule_$k))
-        |      ELSE list_append(acc, toks[pos + 1]) END,
+        |      ELSE list_append(acc, list_extract(toks, pos + 1)) END,
         |    toks
         |  FROM m_$k WHERE pos < len(toks)),
         |seqs_${k + 1} AS MATERIALIZED (SELECT doc, acc AS toks FROM m_$k WHERE pos = len(toks))""".stripMargin)
@@ -1424,14 +1424,14 @@ object TextAnalysis {
     for (k <- 1 to 5) {
       sb.append(s""",
         |em_$k AS (
-        |  SELECT doc, 1 AS pos, [toks[1]] AS acc, toks FROM enc_$k
+        |  SELECT doc, 1 AS pos, list_value(list_extract(toks, 1)) AS acc, toks FROM enc_$k
         |  UNION ALL
         |  SELECT doc, pos + 1,
-        |    CASE WHEN acc[-1] = (SELECT l FROM rule_$k)
-        |        AND toks[pos + 1] = (SELECT r FROM rule_$k)
-        |      THEN list_append(acc[1:len(acc) - 1],
+        |    CASE WHEN list_extract(acc, -1) = (SELECT l FROM rule_$k)
+        |        AND list_extract(toks, pos + 1) = (SELECT r FROM rule_$k)
+        |      THEN list_append(list_slice(acc, 1, len(acc) - 1),
         |        (SELECT l FROM rule_$k) || chr(1) || (SELECT r FROM rule_$k))
-        |      ELSE list_append(acc, toks[pos + 1]) END,
+        |      ELSE list_append(acc, list_extract(toks, pos + 1)) END,
         |    toks
         |  FROM em_$k WHERE pos < len(toks)),
         |enc_${k + 1} AS MATERIALIZED (SELECT doc, acc AS toks FROM em_$k WHERE pos = len(toks))""".stripMargin)
@@ -1838,13 +1838,13 @@ object TextAnalysis {
   private val decontaminateSql: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |eg AS (
-      |  SELECT DISTINCT unnest(list_transform(range(1, len(words[4:28]) - 3),
-      |    i -> array_to_string((words[4:28])[i:i+4], ' '))) AS gram
-      |  FROM docs WHERE doc_id % 50 = 0 AND len(words[4:28]) >= 5),
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(list_slice(words, 4, 28)) - 3),
+      |    i -> array_to_string(list_slice((list_slice(words, 4, 28)), i, i+4), ' '))) AS gram
+      |  FROM docs WHERE doc_id % 50 = 0 AND len(list_slice(words, 4, 28)) >= 5),
       |tg AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(words) < 5 THEN []
+      |  SELECT doc_id, list_distinct(CASE WHEN len(words) < 5 THEN list_value()
       |    ELSE list_transform(range(1, len(words) - 3),
-      |      i -> array_to_string(words[i:i+4], ' ')) END) AS grams
+      |      i -> array_to_string(list_slice(words, i, i+4), ' ')) END) AS grams
       |  FROM docs),
       |tx AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM tg),
       |ov AS (
@@ -1879,7 +1879,7 @@ object TextAnalysis {
       |sc AS (
       |  SELECT doc_id, lang, g.c,
       |    round(list_reduce(list_prepend(ln(CAST(ndc AS DOUBLE) / nd),
-      |      list(mt * ln((cnt + 1.0) / (tot + v)) ORDER BY cnt)),
+      |      list_transform(list_sort(list(list_value(CAST(cnt AS DOUBLE), mt * ln((cnt + 1.0) / (tot + v))))), pr -> list_extract(pr, 2))),
       |      (a, b) -> a + b), 6) AS score_r
       |  FROM g CROSS JOIN vs CROSS JOIN ntr JOIN pri ON pri.c = g.c
       |  GROUP BY doc_id, lang, g.c, tot, ndc, nd, v),
@@ -1917,7 +1917,7 @@ object TextAnalysis {
       """WITH docs AS (
         |  SELECT doc_id, source,
         |    CASE WHEN doc_id % 11 = 0
-        |      THEN concat(text, ' sk-', md5(CAST(doc_id AS VARCHAR)))
+        |      THEN concat(text, ' sk-', md5(CAST(doc_id AS STRING)))
         |      ELSE text END AS text
         |  FROM documents),
         |cand AS (
@@ -1926,14 +1926,14 @@ object TextAnalysis {
         |  WHERE len(tok) >= 20),
         |chars AS (
         |  SELECT doc_id, source, tok, substring(tok, i, 1) AS ch
-        |  FROM cand, unnest(range(1, len(tok) + 1)) AS u(i)),
+        |  FROM cand, LATERAL unnest(range(1, len(tok) + 1)) AS u(i)),
         |cc AS (
         |  SELECT doc_id, source, tok, ch, COUNT(*) AS c
         |  FROM chars GROUP BY doc_id, source, tok, ch),
         |t AS (
         |  SELECT doc_id, source, tok,
         |    CAST(SUM(c) AS BIGINT) AS token_len,
-        |    list_sort(list(struct_pack(ch := ch, c := c))) AS ccs,
+        |    list_sort(list(list_value(ch, CAST(c AS STRING)))) AS ccs,
         |    CAST(SUM(CASE WHEN (ch >= '0' AND ch <= '9') OR (ch >= 'a' AND ch <= 'f')
         |      OR ch = '-' THEN c ELSE 0 END) AS BIGINT) AS n_hexish
         |  FROM cc GROUP BY doc_id, source, tok)
@@ -1941,13 +1941,13 @@ object TextAnalysis {
         |  concat(substring(tok, 1, 6), '***') AS token_masked, token_len,
         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(ccs, x ->
-        |      -(CAST(x.c AS DOUBLE) / token_len) * ln(CAST(x.c AS DOUBLE) / token_len))),
+        |      -(CAST(list_extract(x, 2) AS DOUBLE) / token_len) * ln(CAST(list_extract(x, 2) AS DOUBLE) / token_len))),
         |    (a, x) -> a + x), 6) AS entropy,
         |  round(CAST(n_hexish AS DOUBLE) / token_len, 6) AS hexish_frac
         |FROM t
         |WHERE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(ccs, x ->
-        |      -(CAST(x.c AS DOUBLE) / token_len) * ln(CAST(x.c AS DOUBLE) / token_len))),
+        |      -(CAST(list_extract(x, 2) AS DOUBLE) / token_len) * ln(CAST(list_extract(x, 2) AS DOUBLE) / token_len))),
         |    (a, x) -> a + x), 6) >= 2.0""".stripMargin,
     "q_repetition_loops" ->
       """WITH docs AS (
@@ -1960,8 +1960,8 @@ object TextAnalysis {
         |ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM docs),
         |g AS (
         |  SELECT doc_id, source, i AS pos,
-        |    w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS g
-        |  FROM ws, unnest(range(0, len(w) - 2)) AS u(i)
+        |    list_extract(w, i + 1) || ' ' || list_extract(w, i + 2) || ' ' || list_extract(w, i + 3) AS g
+        |  FROM ws, LATERAL unnest(range(0, len(w) - 2)) AS u(i)
         |  WHERE len(w) >= 3),
         |runs AS (
         |  SELECT doc_id, source, g,
@@ -2023,8 +2023,8 @@ object TextAnalysis {
         |base AS (SELECT doc_id, source, len(words) AS n_words,
         |    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mwl
         |  FROM w),
-        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN []
-        |    ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS g
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN list_value()
+        |    ELSE list_transform(range(1, len(words)), i -> list_extract(words, i) || ' ' || list_extract(words, i+1)) END) AS g
         |  FROM w),
         |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
         |rep AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM gc GROUP BY 1),
@@ -2055,13 +2055,14 @@ object TextAnalysis {
         |    round(ln(CAST(freq AS DOUBLE)), 6) AS y FROM top),
         |f AS (
         |  SELECT COUNT(*) AS n_fit,
-        |    list_reduce(list_prepend({'x': 0.0, 'y': 0.0, 'xx': 0.0, 'xy': 0.0},
-        |      list({'x': x, 'y': y, 'xx': x * x, 'xy': x * y} ORDER BY rank)),
-        |      (a, b) -> {'x': a.x + b.x, 'y': a.y + b.y, 'xx': a.xx + b.xx, 'xy': a.xy + b.xy}) AS s
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list(list_value(CAST(rank AS DOUBLE), x))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS s_x,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list(list_value(CAST(rank AS DOUBLE), y))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS s_y,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list(list_value(CAST(rank AS DOUBLE), x * x))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS s_xx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list(list_value(CAST(rank AS DOUBLE), x * y))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS s_xy
         |  FROM pts),
         |g AS (SELECT n_fit,
-        |    round((n_fit * s.xy - s.x * s.y) / (n_fit * s.xx - s.x * s.x), 6) AS slope,
-        |    round((s.y - (n_fit * s.xy - s.x * s.y) / (n_fit * s.xx - s.x * s.x) * s.x) / n_fit, 6) AS intercept
+        |    round((n_fit * s_xy - s_x * s_y) / (n_fit * s_xx - s_x * s_x), 6) AS slope,
+        |    round((s_y - (n_fit * s_xy - s_x * s_y) / (n_fit * s_xx - s_x * s_x) * s_x) / n_fit, 6) AS intercept
         |  FROM f)
         |SELECT n_types, n_tokens, n_fit, slope, intercept, -slope AS zipf_alpha
         |FROM tot CROSS JOIN g""".stripMargin,
@@ -2089,7 +2090,7 @@ object TextAnalysis {
         |wc AS (SELECT word, COUNT(*) AS n_tok FROM w GROUP BY 1),
         |tot AS (SELECT COUNT(*) AS v, CAST(SUM(n_tok) AS BIGINT) AS t FROM wc),
         |bk AS (
-        |  SELECT CAST('0x' || substring(md5(word), 1, 4) AS BIGINT) % 256 AS bucket,
+        |  SELECT list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(word), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 256 AS bucket,
         |    COUNT(*) AS n_types, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |  FROM wc GROUP BY 1)
         |SELECT bucket, n_types, n_tokens,
@@ -2102,7 +2103,7 @@ object TextAnalysis {
         |cm AS (SELECT c, COUNT(*) AS m FROM wc GROUP BY 1),
         |nz AS (
         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list(m * pow(c, 0.75) ORDER BY c)), (a, b) -> a + b) AS z,
+        |      list_transform(list_sort(list(list_value(CAST(c AS DOUBLE), m * pow(c, 0.75)))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS z,
         |    CAST(SUM(c * m) AS BIGINT) AS n_tok
         |  FROM cm)
         |SELECT word, c,
@@ -2113,8 +2114,8 @@ object TextAnalysis {
     "q_kneser_ney" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
-        |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
-        |  FROM w, unnest(range(1, len(ws))) AS t(i)),
+        |bg AS (SELECT list_extract(ws, i) AS w1, list_extract(ws, i + 1) AS w2
+        |  FROM w, LATERAL unnest(range(1, len(ws))) AS t(i)),
         |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
         |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nf
         |  FROM c GROUP BY 1),
@@ -2165,17 +2166,15 @@ object TextAnalysis {
         |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens, COUNT(*) AS n_types FROM wc),
         |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank FROM wc),
         |x AS (SELECT k, freq, rank
-        |  FROM r, unnest([1, 2, 5, 10, 20, 50, 100, 1000]) AS u(k) WHERE rank <= k)
+        |  FROM r, LATERAL unnest(list_value(1, 2, 5, 10, 20, 50, 100, 1000)) AS u(k) WHERE rank <= k)
         |SELECT CAST(k AS INTEGER) AS k, COUNT(*) AS n_in_vocab, tot.n_types, tot.n_tokens,
         |  CAST(SUM(freq) AS BIGINT) AS covered,
         |  round(CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / tot.n_tokens, 6) AS coverage
         |FROM x CROSS JOIN tot GROUP BY k, tot.n_types, tot.n_tokens""".stripMargin,
     "q_phrase_search" ->
       """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS word,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos
-        |  FROM documents)
+        |  SELECT doc_id, list_extract(string_split(text, ' '), t.pos) AS word, t.pos
+        |  FROM documents, LATERAL unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(pos))
         |SELECT 'table scan' AS phrase, a.doc_id,
         |  CAST(count(*) AS BIGINT) AS n_occ, CAST(min(a.pos) AS BIGINT) AS first_pos
         |FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
@@ -2213,13 +2212,13 @@ object TextAnalysis {
          |bmr AS (SELECT doc_id,
          |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_sparse
          |  FROM bmtop),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         |e AS (SELECT vec_id, list_transform(embedding, tav -> CAST(tav AS DOUBLE)) AS ce FROM embeddings),
          |qv AS (SELECT ce AS qe FROM e WHERE vec_id = 0),
          |dn AS (
          |  SELECT vec_id AS doc_id,
-         |    round(list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) /
-         |      (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) *
-         |       sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))), 6) AS cos_r
+         |    round(list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(ce, i))) /
+         |      (sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(qe, i) * list_extract(qe, i)))) *
+         |       sqrt(list_sum(list_transform(range(1, 65), i -> list_extract(ce, i) * list_extract(ce, i))))), 6) AS cos_r
          |  FROM e, qv WHERE vec_id <> 0),
          |dntop AS (SELECT doc_id, cos_r FROM dn ORDER BY cos_r DESC, doc_id LIMIT 50),
          |dnr AS (SELECT doc_id,
@@ -2238,7 +2237,7 @@ object TextAnalysis {
         |u AS (SELECT unnest(words) AS word FROM d),
         |uc AS (SELECT word, COUNT(*) AS c_word FROM u GROUP BY 1),
         |bg AS (
-        |  SELECT unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])) AS g
+        |  SELECT unnest(list_transform(range(1, len(words)), i -> list_extract(words, i) || ' ' || list_extract(words, i + 1))) AS g
         |  FROM d WHERE len(words) >= 2),
         |bc AS (
         |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, COUNT(*) AS c_pair
@@ -2253,15 +2252,15 @@ object TextAnalysis {
     "q_vocab_encode" ->
       """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |w AS (
-        |  SELECT doc_id, CAST(t.i AS INTEGER) AS pos, words[t.i + 1] AS word
-        |  FROM w0, unnest(range(0, len(words))) AS t(i)),
+        |  SELECT doc_id, CAST(t.i AS INTEGER) AS pos, list_extract(words, t.i + 1) AS word
+        |  FROM w0, LATERAL unnest(range(0, len(words))) AS t(i)),
         |v AS (
         |  SELECT word,
         |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS INTEGER) AS token_id
         |  FROM w GROUP BY word)
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  MIN(token_id) AS top_rank_used,
-        |  string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
+        |  array_to_string(list_transform(list_sort(list(list_value(CAST(pos AS BIGINT), CAST(token_id AS BIGINT)))), pr -> CAST(list_extract(pr, 2) AS STRING)), ' ') AS token_ids
         |FROM w JOIN v USING (word)
         |GROUP BY doc_id""".stripMargin,
     "q_text_entropy" ->
@@ -2286,11 +2285,11 @@ object TextAnalysis {
     "q_doc_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |c AS (SELECT doc_id, words, len(words) AS n_words,
-        |  1 + (greatest(len(words) - 64, 0) + 47) // 48 AS n_chunks FROM w),
+        |  1 + divide((greatest(len(words) - 64, 0) + 47), 48) AS n_chunks FROM w),
         |x AS (SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
         |  CAST(i AS INTEGER) AS chunk_id,
-        |  array_to_string(words[i*48+1 : i*48+64], ' ') AS chunk_text
-        |  FROM c, unnest(range(0, n_chunks)) AS t(i))
+        |  array_to_string(list_slice(words, i*48+1, i*48+64), ' ') AS chunk_text
+        |  FROM c, LATERAL unnest(range(0, n_chunks)) AS t(i))
         |SELECT doc_id, n_words, chunk_id, chunk_text,
         |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS chunk_tokens
         |FROM x""".stripMargin,
@@ -2298,39 +2297,39 @@ object TextAnalysis {
       """WITH t AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 9 = 0
-        |      THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 at 10.0.42.7'
+        |      THEN text || ' reach user' || CAST(doc_id AS STRING) || '@example.com or 555-123-4567 at 10.0.42.7'
         |      ELSE text END AS text
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}'))
-        |     + len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INTEGER) AS n_redactions,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        |     + len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS INTEGER) AS n_redactions,
         |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
-        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS clean_text
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS clean_text
         |FROM t""".stripMargin,
     "q_cms_heavy_hitters" ->
       """WITH words AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |tot AS (SELECT COUNT(*) AS n_tot FROM words),
         |cells AS (
-        |  SELECT j, CAST('0x' || substring(md5(term), CAST(j * 7 + 1 AS INTEGER), 7) AS BIGINT) % 512 AS cell,
+        |  SELECT j, list_sum(list_transform(range(1, 8), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(term), CAST(j * 7 + 1 AS INTEGER), 7), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - hxi) AS BIGINT))) % 512 AS cell,
         |    COUNT(*) AS cnt
-        |  FROM words, unnest(range(0, 4)) AS t(j)
+        |  FROM words, LATERAL unnest(range(0, 4)) AS t(j)
         |  GROUP BY 1, 2),
         |vocab AS (
         |  SELECT term, COUNT(*) AS exact_cnt FROM words GROUP BY 1),
         |probes AS (
         |  SELECT term, exact_cnt, j,
-        |    CAST('0x' || substring(md5(term), CAST(j * 7 + 1 AS INTEGER), 7) AS BIGINT) % 512 AS cell
-        |  FROM vocab, unnest(range(0, 4)) AS t(j)),
+        |    list_sum(list_transform(range(1, 8), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(term), CAST(j * 7 + 1 AS INTEGER), 7), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - hxi) AS BIGINT))) % 512 AS cell
+        |  FROM vocab, LATERAL unnest(range(0, 4)) AS t(j)),
         |est AS (
         |  SELECT term, exact_cnt, MIN(cnt) AS cms_est
         |  FROM probes JOIN cells USING (j, cell) GROUP BY 1, 2)
         |SELECT term, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
         |  cms_est >= exact_cnt AS never_under
         |FROM est, tot
-        |WHERE cms_est >= greatest(n_tot // 512, 1)
+        |WHERE cms_est >= greatest(divide(n_tot, 512), 1)
         |ORDER BY exact_cnt DESC, term LIMIT 20""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // Bloom gate is a plan optimization, not a semantics change: the
@@ -2347,7 +2346,7 @@ object TextAnalysis {
         |x AS (
         |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_grams,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list(m * ln(CAST(n_total AS DOUBLE) / c) ORDER BY c)),
+        |      list_transform(list_sort(list(list_value(CAST(c AS DOUBLE), m * ln(CAST(n_total AS DOUBLE) / c)))), pr -> list_extract(pr, 2))),
         |      (a, b) -> a + b) AS lsum
         |  FROM dm, t GROUP BY doc_id)
         |SELECT doc_id, n_grams, ROUND(lsum / n_grams, 6) AS xent,
@@ -2381,12 +2380,12 @@ object TextAnalysis {
         |FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot""".stripMargin,
     "q_quality_classifier" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |f AS (SELECT doc_id, list_concat(words, CASE WHEN len(words) < 2 THEN []
-        |        ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS fts
+        |f AS (SELECT doc_id, list_concat(words, CASE WHEN len(words) < 2 THEN list_value()
+        |        ELSE list_transform(range(1, len(words)), i -> list_extract(words, i) || ' ' || list_extract(words, i+1)) END) AS fts
         |      FROM w),
         |sc AS (SELECT doc_id, len(fts) AS n_feat,
         |  CAST(list_sum(list_transform(fts, f ->
-        |    (((CAST('0x' || substring(md5(f), 1, 7) AS BIGINT) % 1024) * 2654435761) % 1000003 - 500001))) AS BIGINT) AS w_sum
+        |    (((list_sum(list_transform(range(1, 8), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(f), 1, 7), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - hxi) AS BIGINT))) % 1024) * 2654435761) % 1000003 - 500001))) AS BIGINT) AS w_sum
         |  FROM f)
         |SELECT doc_id, CAST(n_feat AS INTEGER) AS n_feat, w_sum,
         |  round(CAST(w_sum AS DOUBLE) / (1000003.0 * n_feat), 6) AS score,
@@ -2395,23 +2394,23 @@ object TextAnalysis {
         |FROM sc""".stripMargin,
     "q_calibration" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents),
-        |f AS (SELECT doc_id, n_chars, list_concat(words, CASE WHEN len(words) < 2 THEN []
-        |        ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS fts
+        |f AS (SELECT doc_id, n_chars, list_concat(words, CASE WHEN len(words) < 2 THEN list_value()
+        |        ELSE list_transform(range(1, len(words)), i -> list_extract(words, i) || ' ' || list_extract(words, i+1)) END) AS fts
         |      FROM w),
         |sc AS (SELECT doc_id, n_chars, len(fts) AS n_feat,
         |  CAST(list_sum(list_transform(fts, f ->
-        |    (((CAST('0x' || substring(md5(f), 1, 7) AS BIGINT) % 1024) * 2654435761) % 1000003 - 500001))) AS BIGINT) AS w_sum
+        |    (((list_sum(list_transform(range(1, 8), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(f), 1, 7), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 7 - hxi) AS BIGINT))) % 1024) * 2654435761) % 1000003 - 500001))) AS BIGINT) AS w_sum
         |  FROM f),
         |b AS (SELECT doc_id, n_chars,
-        |    CAST((w_sum * 1000000 - ((((w_sum * 1000000) % (1000003 * n_feat)) + (1000003 * n_feat)) % (1000003 * n_feat))) // (1000003 * n_feat) AS BIGINT) AS score_ppm,
-        |    CAST((w_sum * 20 - ((((w_sum * 20) % (1000003 * n_feat)) + (1000003 * n_feat)) % (1000003 * n_feat))) // (1000003 * n_feat) AS BIGINT) AS bin_id
+        |    CAST(divide((w_sum * 1000000 - ((((w_sum * 1000000) % (1000003 * n_feat)) + (1000003 * n_feat)) % (1000003 * n_feat))), (1000003 * n_feat)) AS BIGINT) AS score_ppm,
+        |    CAST(divide((w_sum * 20 - ((((w_sum * 20) % (1000003 * n_feat)) + (1000003 * n_feat)) % (1000003 * n_feat))), (1000003 * n_feat)) AS BIGINT) AS bin_id
         |  FROM sc),
         |g AS (SELECT bin_id, COUNT(*) AS n_docs,
         |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |    CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm
         |  FROM b GROUP BY 1)
         |SELECT bin_id, n_docs, n_pos, sum_score_ppm,
-        |  CAST((sum_score_ppm - (((sum_score_ppm % n_docs) + n_docs) % n_docs)) // n_docs AS BIGINT) AS mean_score_ppm,
+        |  CAST(divide((sum_score_ppm - (((sum_score_ppm % n_docs) + n_docs) % n_docs)), n_docs) AS BIGINT) AS mean_score_ppm,
         |  round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate
         |FROM g""".stripMargin,
     "q_mutual_info" ->
@@ -2421,23 +2420,23 @@ object TextAnalysis {
         |rs AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
         |cl AS (
-        |  SELECT list(struct_pack(lang := c.lang, source := c.source,
-        |      n_ls := c.n_ls, n_l := rl.n_l, n_s := rs.n_s)
-        |      ORDER BY c.lang, c.source) AS cs
+        |  SELECT list_sort(list(list_value(c.lang, c.source, CAST(c.n_ls AS STRING),
+        |      CAST(rl.n_l AS STRING), CAST(rs.n_s AS STRING)))) AS cs
         |  FROM cells c JOIN rl USING (lang) JOIN rs USING (source)),
-        |ll AS (SELECT list(struct_pack(lang := lang, n_l := n_l) ORDER BY lang) AS ls FROM rl),
-        |sl AS (SELECT list(struct_pack(source := source, n_s := n_s) ORDER BY source) AS ss FROM rs),
+        |ll AS (SELECT list_sort(list(list_value(lang, CAST(n_l AS STRING)))) AS ls FROM rl),
+        |sl AS (SELECT list_sort(list(list_value(source, CAST(n_s AS STRING)))) AS ss FROM rs),
         |f AS (
         |  SELECT n_docs,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(cs, x ->
-        |      (CAST(x.n_ls AS DOUBLE) / n_docs)
-        |        * ln(CAST(x.n_ls AS DOUBLE) * n_docs / (CAST(x.n_l AS DOUBLE) * x.n_s)))),
+        |      (CAST(list_extract(x, 3) AS DOUBLE) / n_docs)
+        |        * ln(CAST(list_extract(x, 3) AS DOUBLE) * n_docs
+        |             / (CAST(list_extract(x, 4) AS DOUBLE) * CAST(list_extract(x, 5) AS DOUBLE))))),
         |      (a, b) -> a + b) AS mi_raw,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ls, x ->
-        |      -(CAST(x.n_l AS DOUBLE) / n_docs) * ln(CAST(x.n_l AS DOUBLE) / n_docs))),
+        |      -(CAST(list_extract(x, 2) AS DOUBLE) / n_docs) * ln(CAST(list_extract(x, 2) AS DOUBLE) / n_docs))),
         |      (a, b) -> a + b) AS hl_raw,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ss, x ->
-        |      -(CAST(x.n_s AS DOUBLE) / n_docs) * ln(CAST(x.n_s AS DOUBLE) / n_docs))),
+        |      -(CAST(list_extract(x, 2) AS DOUBLE) / n_docs) * ln(CAST(list_extract(x, 2) AS DOUBLE) / n_docs))),
         |      (a, b) -> a + b) AS hs_raw
         |  FROM cl CROSS JOIN ll CROSS JOIN sl CROSS JOIN tot)
         |SELECT n_docs, round(mi_raw, 6) AS mi_nats,
@@ -2453,8 +2452,8 @@ object TextAnalysis {
         |    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS mean_word_len
         |  FROM w),
         |g2 AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN []
-        |    ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1]) END) AS g
+        |  SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN list_value()
+        |    ELSE list_transform(range(1, len(words)), i -> list_extract(words, i) || ' ' || list_extract(words, i+1)) END) AS g
         |  FROM w),
         |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
         |rep AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM gc GROUP BY 1)
@@ -2554,15 +2553,15 @@ object TextAnalysis {
       """WITH nd AS (SELECT COUNT(*) AS n FROM documents),
         |w0 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |w AS (SELECT doc_id, list_transform(range(1, len(words) - 1),
-        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams FROM w0),
-        |tok AS (SELECT doc_id, u.g AS g FROM w, unnest(grams) AS u(g)),
+        |    i -> list_extract(words, i) || ' ' || list_extract(words, i+1) || ' ' || list_extract(words, i+2)) AS grams FROM w0),
+        |tok AS (SELECT doc_id, u.g AS g FROM w, LATERAL unnest(grams) AS u(g)),
         |fdw AS (SELECT g, MIN(doc_id) AS fd FROM tok GROUP BY 1),
-        |vk AS (SELECT CAST(fd * 10 // n AS INTEGER) + 1 AS k, COUNT(*) AS nt
+        |vk AS (SELECT CAST(divide(fd * 10, n) AS INTEGER) + 1 AS k, COUNT(*) AS nt
         |  FROM fdw CROSS JOIN nd GROUP BY 1),
-        |nk AS (SELECT CAST(doc_id * 10 // n AS INTEGER) + 1 AS k,
+        |nk AS (SELECT CAST(divide(doc_id * 10, n) AS INTEGER) + 1 AS k,
         |    CAST(SUM(len(grams)) AS BIGINT) AS nn
         |  FROM w CROSS JOIN nd GROUP BY 1),
-        |g AS (SELECT CAST(r.range AS INTEGER) AS k FROM range(1, 11) r),
+        |g AS (SELECT CAST(r.k AS INTEGER) AS k FROM unnest(range(1, 11)) AS r(k)),
         |byk AS (SELECT g.k, COALESCE(nt, 0) AS nt, COALESCE(nn, 0) AS nn
         |  FROM g LEFT JOIN vk USING (k) LEFT JOIN nk USING (k)),
         |cum AS (SELECT k,
@@ -2572,13 +2571,14 @@ object TextAnalysis {
         |    round(ln(CAST(n_tokens AS DOUBLE)), 6) AS x,
         |    round(ln(CAST(vocab AS DOUBLE)), 6) AS y FROM cum),
         |f AS (SELECT COUNT(*) AS nf,
-        |    list_reduce(list_prepend({'x': 0.0, 'y': 0.0, 'xx': 0.0, 'xy': 0.0},
-        |      list({'x': x, 'y': y, 'xx': x * x, 'xy': x * y} ORDER BY k)),
-        |      (a, b) -> {'x': a.x + b.x, 'y': a.y + b.y, 'xx': a.xx + b.xx, 'xy': a.xy + b.xy}) AS sm
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list(list_value(CAST(k AS DOUBLE), x))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS sm_x,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list(list_value(CAST(k AS DOUBLE), y))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS sm_y,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list(list_value(CAST(k AS DOUBLE), x * x))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS sm_xx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list(list_value(CAST(k AS DOUBLE), x * y))), pr -> list_extract(pr, 2))), (a, b) -> a + b) AS sm_xy
         |  FROM pts),
         |fit AS (SELECT
-        |    round((nf * sm.xy - sm.x * sm.y) / (nf * sm.xx - sm.x * sm.x), 6) + 0.0 AS heaps_beta,
-        |    round((sm.y - (nf * sm.xy - sm.x * sm.y) / (nf * sm.xx - sm.x * sm.x) * sm.x) / nf, 6) + 0.0 AS heaps_lnk
+        |    round((nf * sm_xy - sm_x * sm_y) / (nf * sm_xx - sm_x * sm_x), 6) + 0.0 AS heaps_beta,
+        |    round((sm_y - (nf * sm_xy - sm_x * sm_y) / (nf * sm_xx - sm_x * sm_x) * sm_x) / nf, 6) + 0.0 AS heaps_lnk
         |  FROM f)
         |SELECT k, n_tokens, vocab, heaps_beta, heaps_lnk,
         |  CAST(round(exp(heaps_lnk + heaps_beta * x), 0) AS BIGINT) AS pred_vocab
@@ -2586,14 +2586,14 @@ object TextAnalysis {
     "q_token_js_drift" ->
       """WITH w AS (SELECT source, string_split(lower(text), ' ') AS words FROM documents),
         |tok AS (SELECT source,
-        |    CAST(('0x' || substring(md5(u.w), 1, 6)) AS BIGINT) % 1024 AS b
-        |  FROM w, unnest(words) AS u(w)),
+        |    list_sum(list_transform(range(1, 7), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(u.w), 1, 6), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 6 - hxi) AS BIGINT))) % 1024 AS b
+        |  FROM w, LATERAL unnest(words) AS u(w)),
         |sc AS (SELECT source, b, COUNT(*) AS c_sb FROM tok GROUP BY 1, 2),
         |st AS (SELECT source, COUNT(*) AS t_s FROM tok GROUP BY 1),
         |cc AS (SELECT b, COUNT(*) AS c_b FROM tok GROUP BY 1),
         |ct AS (SELECT COUNT(*) AS t FROM tok),
-        |grid AS (SELECT st.source, st.t_s, r.range AS b
-        |  FROM st CROSS JOIN range(0, 1024) r),
+        |grid AS (SELECT st.source, st.t_s, r.b
+        |  FROM st CROSS JOIN unnest(range(0, 1024)) AS r(b)),
         |j AS (SELECT g.source, g.t_s, g.b,
         |    COALESCE(c_sb, 0) AS c_sb, COALESCE(c_b, 0) AS c_b, t
         |  FROM grid g LEFT JOIN sc ON sc.source = g.source AND sc.b = g.b
@@ -2627,13 +2627,13 @@ object TextAnalysis {
     "q_hill_tail" ->
       """WITH w0 AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
         |g AS (SELECT unnest(list_transform(range(1, len(words) - 1),
-        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS tok FROM w0),
+        |    i -> list_extract(words, i) || ' ' || list_extract(words, i+1) || ' ' || list_extract(words, i+2))) AS tok FROM w0),
         |f AS (SELECT tok, COUNT(*) AS f FROM g
         |  GROUP BY 1 ORDER BY f DESC, tok LIMIT 65),
         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk FROM f),
         |ref AS (SELECT CAST(f AS BIGINT) AS f_ref FROM r WHERE rk = 65),
         |a AS (SELECT COUNT(*) AS k, MAX(f_ref) AS f_ref,
-        |    list(ln(CAST(f AS DOUBLE) / f_ref) ORDER BY rk) AS xs
+        |    list_transform(list_sort(list(list_value(CAST(rk AS DOUBLE), ln(CAST(f AS DOUBLE) / f_ref)))), pr -> list_extract(pr, 2)) AS xs
         |  FROM r CROSS JOIN ref WHERE rk <= 64),
         |sm AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
         |    (a2, e) -> a2 + e) AS sum_ln FROM a)
@@ -2660,7 +2660,7 @@ object TextAnalysis {
       """WITH n AS (SELECT doc_id, regexp_replace(lower(text), ' +', ' ', 'g') AS norm FROM documents),
         |w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n)
         |SELECT doc_id, md5(norm) AS fp_md5, substring(md5(norm), 1, 8) AS fp_bucket,
-        |  CAST(list_sum(list_transform(range(1, len(words) + 1), i -> i * length(words[i]))) AS INTEGER)
+        |  CAST(list_sum(list_transform(range(1, len(words) + 1), i -> i * length(list_extract(words, i)))) AS INTEGER)
         |    AS weighted_checksum
         |FROM w""".stripMargin)
 }
