@@ -1618,7 +1618,7 @@ object Curation {
     "q_compaction_plan" ->
       """WITH h AS (
         |  SELECT doc_id, n_chars, md5(CAST(doc_id AS STRING)) AS hh,
-        |    list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 16 AS shard_id
+        |    CAST(list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 16 AS BIGINT) AS shard_id
         |  FROM documents),
         |p AS (
         |  SELECT shard_id, n_chars,
@@ -1989,7 +1989,7 @@ object Curation {
     "q_shard_layout" ->
       """WITH h AS (
         |  SELECT doc_id, md5(CAST(doc_id AS STRING)) AS h,
-        |    list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 16 AS shard_id
+        |    CAST(list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(CAST(doc_id AS STRING)), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 16 AS BIGINT) AS shard_id
         |  FROM documents)
         |SELECT doc_id, shard_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS INTEGER) AS pos

@@ -2090,7 +2090,7 @@ object TextAnalysis {
         |wc AS (SELECT word, COUNT(*) AS n_tok FROM w GROUP BY 1),
         |tot AS (SELECT COUNT(*) AS v, CAST(SUM(n_tok) AS BIGINT) AS t FROM wc),
         |bk AS (
-        |  SELECT list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(word), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 256 AS bucket,
+        |  SELECT CAST(list_sum(list_transform(range(1, 5), hxi -> CAST(instr('0123456789abcdef', substring(substring(md5(word), 1, 4), CAST(hxi AS INT), 1)) - 1 AS BIGINT) * CAST(pow(16, 4 - hxi) AS BIGINT))) % 256 AS BIGINT) AS bucket,
         |    COUNT(*) AS n_types, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |  FROM wc GROUP BY 1)
         |SELECT bucket, n_types, n_tokens,
