@@ -94,6 +94,15 @@ object Bench {
     *     sound, so this marks the row explainable, not wrong.
     *   - "built": an at-rest index build was paid inside a timed rep —
     *     the r11 q_dedup_eval oscillation class.
+    *   - "disperse": the reps scatter by more than 2× (max/min, with a
+    *     0.05 s noise floor on the min) WITHOUT the settle pattern
+    *     explaining it — ambient contention landed inside the timed
+    *     window and even the median is untrustworthy. The r16 blind
+    *     spot this closes: q_lexical_diversity reps [15.9, 6.6, 19.0] —
+    *     first rep == median so "settle" can't fire, gc share 3 %, flag
+    *     EMPTY, yet a quiet re-time read 0.32 s (~50× ambient noise).
+    *     A settled cold entry stays "settle"-only: there the median IS
+    *     sound, so branding it disperse would dilute the signal.
     *
     * Pure function of one row's already-collected signals, so the
     * thresholds are pinned by unit test (BenchSuspectSpec) rather than
@@ -106,9 +115,12 @@ object Bench {
     val settle = repSecs.size >= 2 && repSecs.head >= 2.0 * medianSecs &&
       repSecs.tail.max <= 1.5 * medianSecs
     val b = built.nonEmpty
+    val disperse = !settle && repSecs.size >= 2 &&
+      repSecs.max > 2.0 * math.max(repSecs.min, 0.05)
     Seq(if (gc) Some("gc") else None,
         if (settle) Some("settle") else None,
-        if (b) Some("built") else None).flatten
+        if (b) Some("built") else None,
+        if (disperse) Some("disperse") else None).flatten
   }
 
   /** JSON string escape for env-controlled text (paths) interpolated

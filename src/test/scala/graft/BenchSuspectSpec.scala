@@ -25,13 +25,30 @@ class BenchSuspectSpec extends AnyFunSuite {
   }
 
   test("settle: cold first rep with settled tail fires; a noisy tail does not") {
-    // the r15 settle pattern (first rep 2x+, rest at the median)
+    // the r15 settle pattern (first rep 2x+, rest at the median).
+    // disperse stays quiet: a settled cold entry's median is sound.
     assert(Bench.suspectReasons(1.0, Seq(2.4, 1.0, 0.9), 0, Nil) == Seq("settle"))
-    // first rep high but the tail ALSO swings -> ambient noise, not a
-    // cold entry; the adaptive widening handles it, not this flag
-    assert(Bench.suspectReasons(1.0, Seq(2.4, 1.6, 1.0), 0, Nil).isEmpty)
+    // first rep high but the tail ALSO swings -> not a cold entry;
+    // >2x scatter under the 3x widening threshold is exactly the
+    // disperse band (widening never re-ran it, settle can't explain it)
+    assert(Bench.suspectReasons(1.0, Seq(2.4, 1.6, 1.0), 0, Nil) == Seq("disperse"))
     // steady rows never fire
     assert(Bench.suspectReasons(1.0, Seq(1.1, 1.0, 1.0), 0, Nil).isEmpty)
+  }
+
+  test("disperse: scattered reps with no settle pattern fire (r16 blind spot)") {
+    // the motivating BENCH_r16 row verbatim: q_lexical_diversity reps
+    // [15.9, 6.6, 19.0], median 15.9 — first rep == median so settle
+    // can't fire, gc share 3% — yet a quiet re-time read 0.322 s. The
+    // 2x max/min ratio brands it.
+    assert(Bench.suspectReasons(15.9, Seq(15.9, 6.6, 19.0), 1400, Nil) == Seq("disperse"))
+    // boundary: exactly 2x does not fire; just above does
+    assert(Bench.suspectReasons(1.5, Seq(2.0, 1.0, 1.5), 0, Nil).isEmpty)
+    assert(Bench.suspectReasons(1.5, Seq(2.01, 1.0, 1.5), 0, Nil) == Seq("disperse"))
+    // sub-noise-floor rows never fire: min is floored at 0.05 s so
+    // microsecond-scale jitter on fast rows can't brand them
+    assert(Bench.suspectReasons(0.03, Seq(0.03, 0.02, 0.08), 0, Nil).isEmpty)
+    assert(Bench.suspectReasons(0.11, Seq(0.11, 0.04, 0.12), 0, Nil) == Seq("disperse"))
   }
 
   test("built: an index build inside a timed rep always marks the row") {

@@ -21,10 +21,48 @@ For each candidate:
      implies the SqlCompatSpec matrix will read "identical" (modulo its
      stricter 12-digit float canon — the spec stays the authority).
 
-Prints one line per query: OK | DUCK_DIFF | DUCK_ERR | SPARK_ERR |
-SPARK_DIFF, with a short reason. This is a dev-loop tool only.
+For each candidate additionally:
+  0. TYPE: DESCRIBE the new text in DuckDB and REJECT any HUGEINT /
+     UHUGEINT output column (TYPE_DRIFT). Round-16 lesson: the lab's
+     fetchall canon validates VALUES but is structurally blind to
+     output-type drift — the `hexcast` rewrite shipped three HUGEINT
+     columns the driver's pandas/arrow fetch then hashed red, and only
+     lint_oracle_types.py (which runs at snapshot time, too late) caught
+     it. This closes the gap at rewrite time.
+
+Prints one line per query: OK | TYPE_DRIFT | DUCK_DIFF | DUCK_ERR |
+SPARK_ERR | SPARK_DIFF, with a short reason. This is a dev-loop tool
+only.
+
+`--selftest` runs the type gate against a deliberately-HUGEINT
+candidate (plus a clean BIGINT control) on an in-memory DuckDB and
+exits nonzero unless the offender is rejected and the control passes —
+preflight.sh runs it so the gate itself can never silently rot.
 """
 import sys, os, json, hashlib, datetime, decimal
+
+
+def duck_type_drift(con, sql):
+    """Output columns whose DuckDB type the driver's pandas/arrow fetch
+    corrupts (HUGEINT -> float64/decimal128). Returns [(col, type)]."""
+    return [(r[0], str(r[1]).upper())
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()
+            if "HUGEINT" in str(r[1]).upper()]
+
+
+def selftest():
+    import duckdb
+    con = duckdb.connect()
+    # SUM(BIGINT) is HUGEINT in DuckDB — the exact round-16 offender class
+    bad = duck_type_drift(con, "SELECT SUM(x) AS s FROM (VALUES (CAST(1 AS BIGINT))) t(x)")
+    good = duck_type_drift(con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (CAST(1 AS BIGINT))) t(x)")
+    if not bad:
+        print("SELFTEST FAIL: HUGEINT candidate was NOT rejected")
+        sys.exit(1)
+    if good:
+        print(f"SELFTEST FAIL: clean BIGINT control flagged: {good}")
+        sys.exit(1)
+    print(f"SELFTEST OK: HUGEINT candidate rejected ({bad}), BIGINT control clean")
 
 def errline(ex):
     import re as _re
@@ -106,6 +144,17 @@ def main():
     for name in sorted(cands):
         sql = cands[name]
         try:
+            drift = duck_type_drift(con, sql)
+        except Exception as ex:
+            print(f"DUCK_ERR   {name}: {errline(ex)}")
+            n_bad += 1
+            continue
+        if drift:
+            print(f"TYPE_DRIFT {name}: {drift} — the driver's pandas/arrow "
+                  f"fetch corrupts these; CAST(... AS BIGINT)")
+            n_bad += 1
+            continue
+        try:
             e = con.execute(sql)
             ecols = sorted(d[0] for d in e.description)
             erows = e.fetchall()
@@ -156,4 +205,7 @@ def main():
     spark.stop()
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+    else:
+        main()

@@ -18,4 +18,5 @@ rm -rf "$OUT"
 sbt -batch "set Compile/run/fork := true; runMain graft.Verify /root/testdata/sf0.001 $OUT" | tail -2
 python3 tools/check.py "$OUT" /root/testdata/sf0.001 | tail -3
 python3 tools/lint_oracle_types.py "$OUT" /root/testdata/sf0.001
+python3 tools/dialect_lab.py --selftest
 echo "PREFLIGHT OK — safe to commit the snapshot"
