@@ -1507,11 +1507,7 @@ object Curation {
          |    FROM documents)),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a_id AS id, a_id AS r FROM edges
-         |  UNION
-         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
-         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |${Dedup.ccLabelsSql},
          |canon AS (SELECT l.cluster_id, sp.split AS cluster_split
          |  FROM labels l JOIN sp ON sp.doc_id = l.id WHERE l.id = l.cluster_id),
          |rep AS (SELECT sp.doc_id, sp.split AS old_split,

@@ -1930,6 +1930,42 @@ object Dedup {
        |    len(sa.sset) + len(sb.sset) - len(list_distinct(list_intersect(sa.sset, sb.sset))) AS n_union
        |  FROM cand JOIN sg sa ON cand.a_id = sa.doc_id JOIN sg sb ON cand.b_id = sb.doc_id)""".stripMargin
 
+  /** Connected components over `edges(a_id, b_id)` → `labels(id,
+    * cluster_id)` — the closure core of every cluster-label oracle
+    * (clusters, canonical, both cc variants, cluster_eval, both
+    * takedown variants, split_repair).
+    *
+    * Round 17: rewritten from the UNION-distinct recursive fixpoint
+    * into the ANSI subset BOTH engines execute — Spark 4's recursive
+    * CTE supports UNION ALL only ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]),
+    * which on a cyclic graph never terminates without the distinct-
+    * against-history check. This form is equivalent and terminating:
+    *
+    *   - `reach.r < e.a_id` propagates a label only into nodes it can
+    *     still improve. The component minimum is smaller than EVERY
+    *     other member, so its propagation is never blocked, and
+    *     MIN(r) per node is extensionally identical to the fixpoint
+    *     closure (non-minimal labels that get pruned can never win a
+    *     MIN anyway). A/B-verified value-identical to the old fixpoint
+    *     text in DuckDB at sf0.001 and sf0.01.
+    *   - per-step DISTINCT caps an iteration at one row per (node,
+    *     label) pair, so cycle walks can't multiply rows.
+    *   - `d < 24` bounds the recursion depth outright (cycle bounce
+    *     re-derives pairs forever otherwise). Correctness needs depth
+    *     ≥ the distance from each component's minimum to its farthest
+    *     member; the measured eccentricity on the corpora is 1 (near-
+    *     dup clusters are near-cliques), so 24 is a wide margin while
+    *     staying under Spark's default cteRecursionLevelLimit of 100.
+    */
+  private[operators] val ccLabelsSql: String =
+    """reach(id, r, d) AS (
+      |  SELECT DISTINCT a_id AS id, a_id AS r, 0 AS d FROM edges
+      |  UNION ALL
+      |  SELECT DISTINCT e.a_id, reach.r, reach.d + 1
+      |  FROM edges e JOIN reach ON e.b_id = reach.id
+      |  WHERE reach.r < e.a_id AND reach.d < 24),
+      |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_edit_distance" ->
       s"""WITH $lshJChain,
@@ -2330,11 +2366,7 @@ object Dedup {
          |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a_id AS id, a_id AS r FROM edges
-         |  UNION
-         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
-         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |$ccLabelsSql,
          |seeds AS (SELECT doc_id FROM corpus WHERE doc_id % 97 = 0),
          |sc AS (SELECT DISTINCT cluster_id FROM labels l JOIN seeds s ON l.id = s.doc_id),
          |members AS (SELECT l.id AS doc_id, l.cluster_id
@@ -2376,11 +2408,7 @@ object Dedup {
          |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a_id AS id, a_id AS r FROM edges
-         |  UNION
-         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
-         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |$ccLabelsSql,
          |seeds AS (SELECT doc_id FROM corpus WHERE doc_id % 97 = 0),
          |sc AS (SELECT DISTINCT cluster_id FROM labels l JOIN seeds s ON l.id = s.doc_id),
          |tset AS (SELECT DISTINCT doc_id FROM (
@@ -2485,11 +2513,7 @@ object Dedup {
          |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a_id AS id, a_id AS r FROM edges
-         |  UNION
-         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
-         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |$ccLabelsSql,
          |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
          |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
@@ -2501,11 +2525,7 @@ object Dedup {
          |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a_id AS id, a_id AS r FROM edges
-         |  UNION
-         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
-         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |$ccLabelsSql,
          |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
          |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
@@ -2538,11 +2558,7 @@ object Dedup {
          |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a_id AS id, a_id AS r FROM edges
-         |  UNION
-         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
-         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |$ccLabelsSql,
          |tp AS (SELECT CAST(SUM(divide(n * (n - 1), 2)) AS BIGINT) AS tp FROM (
          |  SELECT COUNT(*) AS n FROM (SELECT id, cluster_id, id % 1000000 AS fam FROM labels)
          |  GROUP BY cluster_id, fam)),
@@ -2610,11 +2626,7 @@ object Dedup {
          |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a_id AS id, a_id AS r FROM edges
-         |  UNION
-         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
-         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |$ccLabelsSql,
          |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1),
          |lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM corpus),
          |ranked AS (
@@ -2631,11 +2643,7 @@ object Dedup {
          |  SELECT a_id, b_id FROM j WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
          |edges AS (
          |  SELECT a_id, b_id FROM pairs UNION SELECT b_id AS a_id, a_id AS b_id FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a_id AS id, a_id AS r FROM edges
-         |  UNION
-         |  SELECT e.a_id, reach.r FROM edges e JOIN reach ON e.b_id = reach.id),
-         |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |$ccLabelsSql,
          |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
          |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
          |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
