@@ -27,7 +27,9 @@ object AtRestChaos {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("CHAOS_READY")
+    // the READY line names the lock protocol in effect, so a spec that
+    // MEANT to spawn an old-protocol peer can assert it actually got one
+    println(s"CHAOS_READY legacy=${AtRest.legacyLockProtocol}")
     System.out.flush()
     try {
       mode match {
