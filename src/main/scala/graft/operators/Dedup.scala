@@ -2097,13 +2097,13 @@ object Dedup {
          |deg0 AS (SELECT src AS id, COUNT(*) AS deg0 FROM edges GROUP BY 1),
          |a1 AS (SELECT id FROM deg0 WHERE deg0 >= 2),
          |d1 AS (SELECT src AS id, COUNT(*) AS deg FROM edges
-         |  WHERE src IN (SELECT id FROM a1) AND dst IN (SELECT id FROM a1) GROUP BY 1),
+         |  JOIN a1 x1 ON x1.id = edges.src JOIN a1 y1 ON y1.id = edges.dst GROUP BY 1),
          |a2 AS (SELECT id FROM d1 WHERE deg >= 2),
          |d2 AS (SELECT src AS id, COUNT(*) AS deg FROM edges
-         |  WHERE src IN (SELECT id FROM a2) AND dst IN (SELECT id FROM a2) GROUP BY 1),
+         |  JOIN a2 x2 ON x2.id = edges.src JOIN a2 y2 ON y2.id = edges.dst GROUP BY 1),
          |a3 AS (SELECT id FROM d2 WHERE deg >= 2),
          |d3 AS (SELECT src AS id, COUNT(*) AS deg FROM edges
-         |  WHERE src IN (SELECT id FROM a3) AND dst IN (SELECT id FROM a3) GROUP BY 1)
+         |  JOIN a3 x3 ON x3.id = edges.src JOIN a3 y3 ON y3.id = edges.dst GROUP BY 1)
          |SELECT deg0.id AS doc_id, CAST(deg0.deg0 AS BIGINT) AS deg0,
          |  CAST(CASE WHEN a1.id IS NULL THEN 1 WHEN a2.id IS NULL THEN 2
          |            WHEN a3.id IS NULL THEN 3 ELSE 0 END AS INTEGER) AS peeled_round,
@@ -2570,7 +2570,7 @@ object Dedup {
          |SELECT n_clusters, pred_pairs, true_pairs, tp,
          |  round(CAST(tp AS DOUBLE) / pred_pairs, 6) AS pair_precision,
          |  round(CAST(tp AS DOUBLE) / true_pairs, 6) AS pair_recall,
-         |  round(2.0 * tp / (pred_pairs + true_pairs), 6) AS pair_f1
+         |  round(CAST(2 * tp AS DOUBLE) / (pred_pairs + true_pairs), 6) AS pair_f1
          |FROM pr CROSS JOIN tp CROSS JOIN tr""".stripMargin,
     "q_minhash_union" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),

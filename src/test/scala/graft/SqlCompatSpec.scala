@@ -38,19 +38,10 @@ class SqlCompatSpec extends SparkSpec {
   private val knownIncompatible: Map[String, String] = Map(
     "q_bpe_encode" -> "WITH ... AS MATERIALIZED hint (load-bearing for the DuckDB oracle's recursive-CTE runtime)",
     "q_bpe_merges" -> "WITH ... AS MATERIALIZED hint (load-bearing for the DuckDB oracle's recursive-CTE runtime)",
-    "q_dedup_canonical" -> "UNION (distinct) inside WITH RECURSIVE (Spark 4 supports UNION ALL only)",
-    "q_dedup_cc_incremental" -> "UNION (distinct) inside WITH RECURSIVE (Spark 4 supports UNION ALL only)",
-    "q_dedup_cc_largestar" -> "UNION (distinct) inside WITH RECURSIVE (Spark 4 supports UNION ALL only)",
     "q_dedup_cdc_chunks" -> "HUGEINT data type (the Gear-table literal; the chunker state machine needs 64-bit unsigned wrap)",
-    "q_dedup_cluster_eval" -> "UNION (distinct) inside WITH RECURSIVE (Spark 4 supports UNION ALL only)",
-    "q_dedup_clusters" -> "UNION (distinct) inside WITH RECURSIVE (Spark 4 supports UNION ALL only)",
     "q_emb_colstats" -> "HUGEINT data type",
-    "q_graph_kcore" -> "frontend OOM: the unrolled 3-round peeling text exhausts the session heap through spark.sql (the DataFrame form runs the same rounds as bounded anti-joins); value-verified through the driver gate",
     "q_pca_power" -> "HUGEINT data type",
-    "q_rolling_fingerprint" -> "HUGEINT data type",
-    "q_split_repair" -> "UNION (distinct) inside WITH RECURSIVE (Spark 4 supports UNION ALL only)",
-    "q_takedown_closure" -> "UNION (distinct) inside WITH RECURSIVE (Spark 4 supports UNION ALL only)",
-    "q_takedown_purge" -> "UNION (distinct) inside WITH RECURSIVE (Spark 4 supports UNION ALL only)")
+    "q_rolling_fingerprint" -> "HUGEINT data type")
 
   /** Value-equal but differently typed through the SQL frontend. */
   private val knownTypeDiff: Map[String, String] = Map.empty
