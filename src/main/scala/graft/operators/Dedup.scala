@@ -833,7 +833,15 @@ object Dedup {
         .unionByName(ssm.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(false)
-      converged = e2.exceptAll(edges).isEmpty && edges.exceptAll(e2).isEmpty
+      // set equality as one-sided exceptAll + count compare (r17): both
+      // relations are distinct(), so e2 ∖ edges = ∅ together with equal
+      // cardinality implies equality — the second exceptAll join per
+      // round was pure overhead. counts run on the checkpointed leaves.
+      converged = e2.exceptAll(edges).isEmpty && edges.count() == e2.count()
+      // the superseded generation's checkpoint blocks are dead now (e2 is
+      // materialized and lineage-truncated by the actions above): release
+      // eagerly instead of waiting on the ContextCleaner (r17)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(edges)
       edges = e2
     }
     pairsIn.unpersist()
@@ -1249,6 +1257,9 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
+      // next is materialized + lineage-truncated by the sum action; the
+      // superseded generation's checkpoint blocks release eagerly (r17)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -1326,8 +1337,15 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, size(words) - $W), i -> md5(concat_ws(' ', slice(words, i + 1, $W))))"))
           .as(Seq("w_start", "h")))
-    val occ = wins.groupBy("h").agg(count(lit(1)).as("n_occ"))
-    val dup = wins.join(occ, "h").filter(col("n_occ") > 1)
+    // occurrence count as a WINDOW over the hash instead of groupBy +
+    // join-back (r17, guide §2.4): the previous shape shuffled the
+    // window relation TWICE (the count aggregate, then the equi-join
+    // probe) and re-ran the md5-per-sliding-window extraction once per
+    // plan branch; one count-over-partition keeps a single shuffle on h
+    // and a single extraction pass. Same n_occ per row, same filter.
+    val dup = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("n_occ") > 1)
     val byDoc = Window.partitionBy("doc_id").orderBy("w_start")
     val runs = dup
       .withColumn("prev", lag(col("w_start"), 1).over(byDoc))

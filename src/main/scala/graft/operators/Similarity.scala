@@ -180,7 +180,9 @@ object Similarity {
     * then c_id — deterministic in both engines. */
   def qSimMips(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val dotSelf = "aggregate(zip_with(emb, emb, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    // codegen dot product (identical fold order to the HOF form — see
+    // functions.DotProductD); the oracle keeps the list_transform fold
+    val dotSelf = "dot_d(emb, emb)"
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val m2 = e.agg(max(expr(dotSelf)).as("m2"))
@@ -195,8 +197,7 @@ object Similarity {
       .withColumn("cos_aug", expr("round(cosine_sim(qe, ce), 6)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .withColumn("ip", expr(
-        "round(aggregate(zip_with(qemb, cemb, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x), 6)"))
+      .withColumn("ip", expr("round(dot_d(qemb, cemb), 6)"))
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"), col("ip"))
   }
 
@@ -250,8 +251,7 @@ object Similarity {
     val cands = coded.select(col("vec_id").as("c_id"), col("code").as("cc"), col("ce"))
     val w = Window.partitionBy("q_id").orderBy(desc("ip8"), col("c_id"))
     cands.join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("ip8", expr(
-        "aggregate(zip_with(qc, cc, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("ip8", expr("dot_l(qc, cc)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .withColumn("cosine", expr(cosExpr))
@@ -284,8 +284,7 @@ object Similarity {
     val wPred = Window.partitionBy("q_id").orderBy(desc("ip8"), col("c_id"))
     val wTrue = Window.partitionBy("q_id").orderBy(desc("cos_r"), col("c_id"))
     cands.join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("ip8", expr(
-        "aggregate(zip_with(qc, cc, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("ip8", expr("dot_l(qc, cc)"))
       .withColumn("cos_r", expr(cosExpr))
       .withColumn("pred_pos", row_number().over(wPred))
       .withColumn("true_rank", row_number().over(wTrue))
@@ -514,15 +513,26 @@ object Similarity {
     * relation — the full corpus is touched only by the map-side
     * broadcast assignment. */
   private def ivfCentroidsLit(e: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
     val sample = e.filter(col("vec_id") % 8 === 0)
-    // each round's centroids are cached (k tiny rows) — without this
-    // every broadcast re-derives the full lineage per iteration
-    var centroids = sample.orderBy("vec_id").limit(k)
+    // Every round's centroids are COLLECTED to the driver and re-embedded
+    // as a literal relation (r17): the model is k ≤ 4096 cells × 64
+    // doubles — driver-sized by definition (the final collect already
+    // shipped exactly these rows), and the previous cache()/count()/
+    // unpersist() round-trip per Lloyd iteration cost two extra jobs and
+    // a broadcast that re-planned the cached lineage each round. With a
+    // literal, each iteration is ONE aggregation job and the assignment
+    // broadcast is a local-relation build. Arithmetic unchanged
+    // (vec_id-sorted left-fold means — bit-identical to the oracle).
+    def toLit(rows: Array[(Int, Array[Double])]): DataFrame =
+      rows.toSeq.toDF("cid", "centroid")
+    var centRows = sample.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
         col("ce").as("centroid"))
-      .cache()
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     for (_ <- 1 to 2) {
-      val next = assignCells(sample, centroids, 1)
+      centRows = assignCells(sample, toLit(centRows), 1)
         .select(col("vec_id"), col("cid"), posexplode(col("ce")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         // vec_id-sorted left-fold mean: merge-order-independent
@@ -532,16 +542,10 @@ object Similarity {
         .withColumn("m", col("sx") / col("cnt"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("centroid"))
-        .cache()
-      next.count() // materialize before the old generation is dropped
-      centroids.unpersist()
-      centroids = next
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     }
-    val centRows = centroids.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    centroids.unpersist()
-    import e.sparkSession.implicits._
-    centRows.toSeq.toDF("cid", "centroid")
+    toLit(centRows)
   }
 
   def qSimIvf(s: SparkSession, d: String): DataFrame = {
@@ -930,8 +934,7 @@ object Similarity {
     * scaled ×1e6 to BIGINT so argmin/ADC-sum/ranking are pure integer
     * comparisons (no float-merge-order exposure). */
   private def d6(a: String, b: String) =
-    s"CAST(round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000, 0) AS BIGINT)"
+    s"CAST(round(sqdist_d($a, $b) * 1000000, 0) AS BIGINT)"
 
   /** Per-subspace 8-dim subvectors of every corpus vector (8 rows/vec). */
   private def subvectors(e: DataFrame): DataFrame = e
@@ -992,6 +995,7 @@ object Similarity {
         expr(d6("sub", "cent")).as("d6"))
 
   def qSimPq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
     val cents = pqCodebooksLit(e)
@@ -1015,8 +1019,7 @@ object Similarity {
     ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
         (col("e6") / 1000000.0).as("est_d2"),
-        expr("""round(aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
-                CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
+        expr("round(sqdist_d(qe, ce), 6)").as("exact_d2"))
   }
 
   /** IVF×PQ — the production ANN composition: the corpus-adaptive
@@ -1101,8 +1104,7 @@ object Similarity {
     ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
         (col("e6") / 1000000.0).as("est_d2"),
-        expr("""round(aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
-                CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
+        expr("round(sqdist_d(qe, ce), 6)").as("exact_d2"))
   }
 
   /** IVF×PQ with RESIDUAL encoding — the classic refinement (Jégou et
@@ -1175,8 +1177,7 @@ object Similarity {
     ranked.join(broadcast(qv), "q_id").join(cv, "c_id")
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
         (col("e6") / 1000000.0).as("est_d2"),
-        expr("""round(aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),
-                CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)""").as("exact_d2"))
+        expr("round(sqdist_d(qe, ce), 6)").as("exact_d2"))
   }
 
   /** Per-dimension embedding statistics — the data-validation /

@@ -1298,6 +1298,14 @@ object TextAnalysis {
       .select(split(col("text"), " ").as("toks"))
       .persist()
     var cur = sample.toDF()
+    // Each round's rewritten sample persists and the previous round's
+    // cache drops once the new one is materialized (r17): unpersisted,
+    // round k's THREE consumers (pair count, token count, round k+1's
+    // rewrite) each re-executed the whole chain of k interpreted merge
+    // folds from the raw sample — O(rounds²) fold applications for an
+    // O(rounds) loop. The sample relation is tiny (1-in-20 docs) at any
+    // corpus scale, so the cache is bounded by the training sample.
+    var prevCached: Option[DataFrame] = None
     val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
     var exhausted = false // empty corpus / no bigrams left: stop merging
     for (step <- 1 to 5 if !exhausted) {
@@ -1309,11 +1317,16 @@ object TextAnalysis {
       else {
         val top = tops(0)
         val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-        cur = cur.select(bpeMergePass(col("toks"), l, r).as("toks"))
+        cur = cur.select(bpeMergePass(col("toks"), l, r).as("toks")).persist()
+        // the token-count action materializes the fresh cache, so the
+        // previous generation can drop immediately after
         val tokAfter = cur.agg(sum(size(col("toks"))).cast("long")).collect()(0).getLong(0)
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(cur)
         rules += ((step, l, r, n, tokAfter))
       }
     }
+    prevCached.foreach(_.unpersist())
     sample.unpersist()
     rules.toSeq
   }

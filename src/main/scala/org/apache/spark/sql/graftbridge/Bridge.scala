@@ -11,4 +11,18 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Unpersist the RDD behind a `localCheckpoint()`ed DataFrame.
+    * `Dataset.unpersist` only talks to the CacheManager and never
+    * releases checkpoint storage, so superseded generations of an
+    * iterative loop (connected components, k-core, label propagation)
+    * otherwise stay in the block store until the ContextCleaner happens
+    * to GC them — the storage-hygiene gap behind the r17 SoakSpec
+    * finding. No-op for plans that are not checkpoint-backed. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }
