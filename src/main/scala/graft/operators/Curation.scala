@@ -1103,8 +1103,8 @@ object Curation {
     * integers), and Gopher top-2-gram repetition (mode·5 ≤ total).
     *
     * Scale shape: every flag is map-side HOF arithmetic (the 2-gram
-    * mode via a per-doc O(n²) HOF over ~100-word docs — no explode, no
-    * shuffle); the whole readout is ONE aggregate row unpivoted to 5
+    * mode via a per-doc O(n log n) sorted run-length fold — no explode,
+    * no shuffle); the whole readout is ONE aggregate row unpivoted to 5
     * rule rows with `stack`. */
   def qFilterAttribution(s: SparkSession, d: String): DataFrame = {
     val stopList = TextAnalysis.inList(TextAnalysis.stopEn)
@@ -1117,9 +1117,20 @@ object Curation {
       .withColumn("n_charsw", expr("aggregate(transform(words, x -> length(x)), 0, (a, x) -> a + x)"))
       .withColumn("n_stop", expr(s"size(filter(words, w -> w IN $stopList))"))
       .withColumn("g2", expr(g2))
-      .withColumn("max2", coalesce(
-        expr("array_max(transform(array_distinct(g2), t -> size(filter(g2, x -> x = t))))"),
-        lit(0)))
+      // per-doc 2-gram mode as a sorted run-length fold (r17, guide §4):
+      // the previous distinct×filter HOF was O(n²) string comparisons per
+      // document; sorting once and tracking the longest equal-run is
+      // O(n log n) with the identical result (max run length in sorted
+      // order IS the max multiplicity; empty g2 folds to 0, matching the
+      // old coalesce(array_max(...), 0))
+      .withColumn("max2", expr(
+        """aggregate(sort_array(g2),
+          |  named_struct('p', CAST(NULL AS STRING), 'c', 0, 'b', 0),
+          |  (acc, x) -> named_struct(
+          |    'p', x,
+          |    'c', IF(acc.p IS NOT NULL AND x = acc.p, acc.c + 1, 1),
+          |    'b', greatest(acc.b, IF(acc.p IS NOT NULL AND x = acc.p, acc.c + 1, 1))),
+          |  acc -> acc.b)""".stripMargin))
       .withColumn("tot2", size(col("g2")))
       .select(
         (col("n_words") < 20).as("f_size"),
